@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.graph.GraftGraph
+import graft.model.{A, PropType}
+import graft.pipeline.{TextOps, VectorOps}
+import graft.projection.{EventsReplay, TpchGraph}
+import graft.snapshot.Snapshot
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin where
+  * SQL-expressible) per implemented operator from SURVEY.md §2 and the
+  * LLM-pipeline brief. Column names are aliased identically on both sides
+  * (the driver's compare hashes columns sorted by name). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  import TpchGraph._
+
+  /** Flagship: the 3-hop traversal (FluxBenchmarkTestSuite.java:30-56
+    * re-expressed set-at-a-time) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    hop3(spark, "/root/testdata/sf0.001")
+
+  // ---- helpers ----
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Typed vertex property view (e, <alias>). */
+  private def vprop(s: Snapshot, key: String, t: PropType, alias: String): DataFrame =
+    s.prop(key, t, A.Vertex).select(col("e"), col("v").as(alias))
+
+  private def hop3(spark: SparkSession, dir: String): DataFrame = {
+    // customer -placed-> order -contains-> part -supplied_by-> supplier,
+    // purely as chained edge equi-joins on the snapshot's edges view (the
+    // reference's per-vertex nested loop, set-at-a-time).
+    val e = TpchGraph.snapshot(spark, dir).edges
+    val placed = e.where(col("label") === "placed")
+      .select(col("outV").as("c"), col("inV").as("o"))
+    val contains = e.where(col("label") === "contains")
+      .select(col("outV").as("o"), col("inV").as("p"))
+    val supplied = e.where(col("label") === "supplied_by")
+      .select(col("outV").as("p"), col("inV").as("s"))
+    placed.join(contains, "o").join(supplied, "p")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("s")).as("n_suppliers"))
+  }
+
+  /** Scripted CRUD session (addVertex/addEdge/setProperty/removeProperty/
+    * removeVertex cascade) through the interactive API, read back through
+    * the set-oriented Snapshot path. */
+  private def crudGraph(spark: SparkSession): GraftGraph = {
+    val g = new GraftGraph(spark)
+    val alice = g.addVertex(); alice.setProperty("name", "alice")
+    val bob = g.addVertex(); bob.setProperty("name", "bob")
+    val carol = g.addVertex(); carol.setProperty("name", "carol")
+    val dave = g.addVertex(); dave.setProperty("name", "dave")
+    g.addEdge(alice, bob, "knows")
+    g.addEdge(bob, carol, "knows")
+    g.addEdge(dave, alice, "knows")
+    g.addEdge(carol, dave, "likes")
+    alice.setProperty("age", 30L); alice.setProperty("age", 31L)
+    bob.setProperty("tmp", "x"); bob.removeProperty("tmp")
+    g.removeVertex(dave) // cascades: removes dave→alice and carol→dave
+    g
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 scans / lookups / counts over the TPC-H graph projection ----
+    "scan_vertices" -> ((s, d) =>
+      TpchGraph.snapshot(s, d).vertexIds.select(col("id"))),
+
+    "scan_edges" -> ((s, d) =>
+      TpchGraph.snapshot(s, d).edges.select(col("id"), col("label"), col("outV"), col("inV"))),
+
+    "lookup_vertex" -> { (s, d) =>
+      val snap = TpchGraph.snapshot(s, d)
+      val cid = VCustomer + 42L
+      vprop(snap, "name", PropType.PString, "name")
+        .join(vprop(snap, "acctbal", PropType.PDouble, "acctbal"), "e")
+        .join(vprop(snap, "mktsegment", PropType.PString, "mktsegment"), "e")
+        .where(col("e") === cid)
+        .select(col("e").as("id"), col("name"), col("acctbal"), col("mktsegment"))
+    },
+
+    "filter_by_prop" -> ((s, d) =>
+      TpchGraph.snapshot(s, d)
+        .elementsByProp("mktsegment", PropType.PString, "BUILDING", A.Vertex)
+        .select(col("id"))),
+
+    "count_by_prop" -> ((s, d) =>
+      TpchGraph.snapshot(s, d)
+        .elementsByProp("mktsegment", PropType.PString, "BUILDING", A.Vertex)
+        .agg(count(lit(1)).as("cnt"))),
+
+    "edges_by_label" -> ((s, d) =>
+      TpchGraph.snapshot(s, d).edges.where(col("label") === "placed")
+        .select(col("id"), col("outV"), col("inV"))),
+
+    // ---- §2.4 traversals ----
+    "out_edges" -> { (s, d) =>
+      TpchGraph.snapshot(s, d).edges
+        .where(col("outV") === (VCustomer + 42L))
+        .select(col("id"), col("label"))
+    },
+
+    "hop1_neighbors" -> { (s, d) =>
+      TpchGraph.snapshot(s, d).edges.where(col("label") === "placed")
+        .select(col("outV").as("src"), col("inV").as("dst"))
+    },
+
+    "hop2_parts" -> { (s, d) =>
+      val e = TpchGraph.snapshot(s, d).edges
+      val placed = e.where(col("label") === "placed" && col("outV") === (VCustomer + 42L))
+        .select(col("inV").as("o"))
+      val contains = e.where(col("label") === "contains")
+        .select(col("outV").as("o"), col("inV").as("id"))
+      placed.join(contains, "o").select(col("id")).distinct()
+    },
+
+    "hop3_traversal" -> ((s, d) => hop3(s, d)),
+
+    // ---- §2.3 query builder (has + interval), §2.3 property surface ----
+    "query_has_interval" -> { (s, d) =>
+      val snap = TpchGraph.snapshot(s, d)
+      snap.elementsByProp("mktsegment", PropType.PString, "BUILDING", A.Vertex)
+        .join(vprop(snap, "acctbal", PropType.PDouble, "acctbal"),
+          col("id") === col("e"))
+        .where(col("acctbal") >= 1000d && col("acctbal") < 5000d)
+        .select(col("id"))
+    },
+
+    "property_keys" -> ((s, d) =>
+      TpchGraph.snapshot(s, d).propFacts(A.Vertex).select(col("key")).distinct()),
+
+    // ---- §2.6 temporal (events replayed as backdated txs) ----
+    "asof_values" -> { (s, d) =>
+      val snap = EventsReplay.snapshot(s, d).asOf(ts("2024-01-15 00:00:00"))
+      val lt = vprop(snap, "last_type", PropType.PString, "last_type")
+        .select(col("e").as("id"), col("last_type"))
+      val vl = vprop(snap, "value", PropType.PDouble, "value")
+        .select(col("e").as("id"), col("value"))
+      lt.join(vl, Seq("id"), "left")
+    },
+
+    "version_count" -> { (s, d) =>
+      EventsReplay.snapshot(s, d).store.touchesDF
+        .groupBy(col("e").as("id")).agg(count(lit(1)).as("n_versions"))
+    },
+
+    "version_chain" -> { (s, d) =>
+      val st = EventsReplay.snapshot(s, d).store
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      st.touchesDF.where(col("e") === lit(EventsReplay.VUser + 7L))
+        .join(st.txsDF, "tx")
+        .withColumn("t_start", date_format(col("txInstant"), fmt))
+        .withColumn("t_end", lead(col("t_start"), 1).over(Window.orderBy(col("tx"))))
+        .select(col("tx"), col("t_start"), col("t_end"))
+    },
+
+    "asof_diff" -> { (s, d) =>
+      def vals(t: String) =
+        vprop(EventsReplay.snapshot(s, d).asOf(ts(t)), "value", PropType.PDouble, "value")
+          .select(col("e").as("id"), col("value"))
+      vals("2024-01-20 00:00:00").join(vals("2024-01-10 00:00:00"),
+        Seq("id", "value"), "left_anti")
+    },
+
+    // ---- §2.2 mutations through the interactive API (static oracles) ----
+    "mutations_crud" -> { (s, d) =>
+      val g = crudGraph(s)
+      val snap = Snapshot.head(g.log)
+      val names = snap.prop("name", PropType.PString, A.Vertex)
+        .select(col("e"), col("v"))
+      snap.edges
+        .join(names.select(col("e").as("outV"), col("v").as("src_name")), "outV")
+        .join(names.select(col("e").as("inV"), col("v").as("dst_name")), "inV")
+        .select(col("src_name"), col("label"), col("dst_name"))
+    },
+
+    "property_type_dance" -> { (s, d) =>
+      val g = new GraftGraph(s)
+      val v = g.addVertex()
+      v.setProperty("x", 1: java.lang.Integer) // Integer shares "long" attr
+      v.setProperty("x", 2L)                   //   ⇒ plain overwrite
+      v.setProperty("x", "s")                  // type change ⇒ retract+add
+      v.setProperty("y", 1.5f)                 // float attr
+      v.setProperty("y", 2.5d)                 // float→double type change
+      Snapshot.head(g.log).currentFacts
+        .where(col("e") === v.id && !col("attr").isin(A.reserved.toSeq: _*))
+        .select(col("attr"), col("vStr"), col("vLong"), col("vDouble"))
+    },
+
+    "temporal_backdate" -> { (s, d) =>
+      val g = new GraftGraph(s)
+      g.setTransactionTime(ts("2024-01-01 00:00:00"))
+      val v = g.addVertex()
+      v.setProperty("p", 1L)
+      g.setTransactionTime(ts("2024-02-01 00:00:00")); v.setProperty("p", 2L)
+      g.setTransactionTime(ts("2024-03-01 00:00:00")); v.removeProperty("p")
+      g.setTransactionTime(ts("2024-04-01 00:00:00")); v.setProperty("p", 4L)
+      val snaps = Seq("jan" -> "2024-01-15 00:00:00", "feb" -> "2024-02-15 00:00:00",
+        "mar" -> "2024-03-15 00:00:00", "apr" -> "2024-04-15 00:00:00")
+      snaps.map { case (tag, at) =>
+        Snapshot.head(g.log).asOf(ts(at)).prop("p", PropType.PLong, A.Vertex)
+          .where(col("e") === v.id)
+          .select(lit(tag).as("tag"), col("v").as("p"))
+      }.reduce(_.unionAll(_))
+    },
+
+    // ---- LLM-pipeline: text analysis + dedup ----
+    "text_stats" -> ((s, d) => TextOps.textStats(docs(s, d))),
+    "lang_stats" -> ((s, d) => TextOps.langStats(docs(s, d))),
+    "quality_scores" -> { (s, d) =>
+      TextOps.qualityScores(docs(s, d)).select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        round(col("punct_ratio"), 4).as("punct_ratio"),
+        round(col("upper_ratio"), 4).as("upper_ratio"),
+        round(col("chars_per_token"), 4).as("chars_per_token"))
+    },
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
+    "dedup_minhash" -> ((s, d) => TextOps.dedupMinHashLsh(docs(s, d), 0.8)),
+    "dedup_simhash" -> ((s, d) => TextOps.simhashPairs(docs(s, d), 3)),
+    "lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    // ---- LLM-pipeline: similarity search ----
+    "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),
+    "ann_topk" -> { (s, d) =>
+      val e = emb(s, d)
+      VectorOps.bruteForceTopK(e, e.where(col("vec_id") < 10), 10)
+    },
+    "ann_lsh" -> { (s, d) =>
+      val e = emb(s, d)
+      VectorOps.lshTopK(e, e.where(col("vec_id") < 10), 10)
+    },
+    "label_centroids" -> ((s, d) =>
+      VectorOps.labelCentroids(emb(s, d).withColumn("label", col("label").cast("long")))),
+  )
+
+  // ---- DuckDB oracle twins (same column names/types, same values) ----
+
+  private val vertexUnion =
+    """SELECT CAST(1000000 + r_regionkey AS BIGINT) AS id FROM region
+      |UNION ALL SELECT CAST(2000000 + n_nationkey AS BIGINT) FROM nation
+      |UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT) FROM customer
+      |UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT) FROM supplier
+      |UNION ALL SELECT CAST(5000000 + p_partkey AS BIGINT) FROM part
+      |UNION ALL SELECT CAST(6000000 + o_orderkey AS BIGINT) FROM orders""".stripMargin
+
+  private val latestEventSql = (t: String) =>
+    s"""SELECT user_id, event_type, value,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+       |FROM events WHERE ts <= TIMESTAMP '$t'""".stripMargin
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+      |  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+      |  ELSE [] END AS s FROM toks)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_vertices" -> vertexUnion,
+
+    "scan_edges" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(10000000 + n_nationkey AS BIGINT) AS id, 'in_region' AS label,
+        |       CAST(2000000 + n_nationkey AS BIGINT) AS outV, CAST(1000000 + n_regionkey AS BIGINT) AS inV FROM nation
+        |UNION ALL SELECT CAST(11000000 + c_custkey AS BIGINT), 'in_nation',
+        |       CAST(3000000 + c_custkey AS BIGINT), CAST(2000000 + c_nationkey AS BIGINT) FROM customer
+        |UNION ALL SELECT CAST(12000000 + s_suppkey AS BIGINT), 'in_nation',
+        |       CAST(4000000 + s_suppkey AS BIGINT), CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
+        |UNION ALL SELECT CAST(13000000 + o_orderkey AS BIGINT), 'placed',
+        |       CAST(3000000 + o_custkey AS BIGINT), CAST(6000000 + o_orderkey AS BIGINT) FROM orders
+        |UNION ALL SELECT CAST(100000000 + l_orderkey * 16 + seq AS BIGINT), 'contains',
+        |       CAST(6000000 + l_orderkey AS BIGINT), CAST(5000000 + l_partkey AS BIGINT) FROM liseq
+        |UNION ALL SELECT CAST(200000000 + l_orderkey * 16 + seq AS BIGINT), 'supplied_by',
+        |       CAST(5000000 + l_partkey AS BIGINT), CAST(4000000 + l_suppkey AS BIGINT) FROM liseq""".stripMargin,
+
+    "lookup_vertex" ->
+      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id, c_name AS name,
+        |       c_acctbal AS acctbal, c_mktsegment AS mktsegment
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    "filter_by_prop" ->
+      "SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "count_by_prop" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "edges_by_label" ->
+      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id,
+        |       CAST(3000000 + o_custkey AS BIGINT) AS outV,
+        |       CAST(6000000 + o_orderkey AS BIGINT) AS inV FROM orders""".stripMargin,
+
+    "out_edges" ->
+      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
+        |FROM orders WHERE o_custkey = 42
+        |UNION ALL SELECT CAST(11000000 + c_custkey AS BIGINT), 'in_nation'
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    "hop1_neighbors" ->
+      """SELECT CAST(3000000 + o_custkey AS BIGINT) AS src,
+        |       CAST(6000000 + o_orderkey AS BIGINT) AS dst FROM orders""".stripMargin,
+
+    "hop2_parts" ->
+      """SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS id
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 42""".stripMargin,
+
+    "hop3_traversal" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_paths,
+        |       CAST(count(DISTINCT l2.l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM orders o
+        |JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+        |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey""".stripMargin,
+
+    "query_has_interval" ->
+      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000 AND c_acctbal < 5000""".stripMargin,
+
+    "property_keys" ->
+      """SELECT key FROM (VALUES ('name'),('acctbal'),('mktsegment'),('size'),('brand'),
+        |('type'),('retailprice'),('orderstatus'),('totalprice'),('orderdate'),('orderpriority')) t(key)""".stripMargin,
+
+    "asof_values" ->
+      s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+         |FROM (${latestEventSql("2024-01-15 00:00:00")}) WHERE rn = 1""".stripMargin,
+
+    "version_count" ->
+      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_versions
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "version_chain" ->
+      """SELECT CAST(event_id + 1 AS BIGINT) AS tx,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+        |  lead(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) OVER (ORDER BY event_id) AS t_end
+        |FROM events WHERE user_id = 7""".stripMargin,
+
+    "asof_diff" ->
+      s"""WITH v1 AS (SELECT user_id, value FROM (${latestEventSql("2024-01-10 00:00:00")})
+         |            WHERE rn = 1 AND event_type <> 'error'),
+         |     v2 AS (SELECT user_id, value FROM (${latestEventSql("2024-01-20 00:00:00")})
+         |            WHERE rn = 1 AND event_type <> 'error')
+         |SELECT CAST(7000000 + v2.user_id AS BIGINT) AS id, v2.value AS value
+         |FROM v2 LEFT JOIN v1 ON v2.user_id = v1.user_id AND v2.value = v1.value
+         |WHERE v1.user_id IS NULL""".stripMargin,
+
+    "mutations_crud" ->
+      """SELECT 'alice' AS src_name, 'knows' AS label, 'bob' AS dst_name
+        |UNION ALL SELECT 'bob', 'knows', 'carol'""".stripMargin,
+
+    "property_type_dance" ->
+      """SELECT 'x.string.vertex' AS attr, 's' AS vStr, CAST(NULL AS BIGINT) AS vLong, CAST(NULL AS DOUBLE) AS vDouble
+        |UNION ALL SELECT 'y.double.vertex', NULL, NULL, 2.5""".stripMargin,
+
+    "temporal_backdate" ->
+      """SELECT 'jan' AS tag, CAST(1 AS BIGINT) AS p
+        |UNION ALL SELECT 'feb', 2
+        |UNION ALL SELECT 'apr', 4""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "quality_scores" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS upper_ratio,
+        |  round(length(text)::DOUBLE / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1), 4) AS chars_per_token
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+        |FROM documents GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $shingleCte
+         |SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 3) AS jac
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(a.s) > 0 AND len(b.s) > 0
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
+
+    "embedding_norms" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS norm
+        |FROM embeddings""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nb, list_cosine_similarity(qv, embedding::DOUBLE[]) AS sim
+        |      FROM q, embeddings WHERE vec_id <> qid),
+        |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM s)
+        |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 10""".stripMargin,
+
+    "label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+        |FROM (SELECT label, i, avg(x) AS m
+        |      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+        |      GROUP BY label, i)
+        |GROUP BY label""".stripMargin,
+    // dedup_simhash / ann_lsh / lang_id: engine-specific hash/heuristic
+    // ops, not SQL-expressible → rows-only check (per the driver contract).
+  )
 }

@@ -1,0 +1,150 @@
+package graft.log
+
+import scala.collection.mutable
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession, Dataset}
+import graft.model.{Fact, Touch, TxMeta}
+
+/**
+ * The storage abstraction: an append-only log of [[Fact]]s plus the two
+ * side tables the temporal API needs — transaction metadata (tx →
+ * wall-clock instant, possibly backdated) and version-chain touch
+ * records. Mirrors the reference's Datomic log + :db/txInstant +
+ * :graph.element/previousTransaction reified chain
+ * (FluxGraph.java:325-340,443-476) as three Spark-readable tables.
+ *
+ * Two implementations:
+ *  - [[MemFactLog]]: driver-side mutable log behind the Blueprints-style
+ *    mutation API (the reference's transactor is likewise a single
+ *    serialized writer — FluxGraph.java:331).
+ *  - [[BulkFactStore]]: wraps pre-built DataFrames for set-oriented bulk
+ *    loads (the 100 TB path — e.g. projecting a warehouse's tables into
+ *    the graph without routing a single row through the driver).
+ */
+trait FactStore {
+  def spark: SparkSession
+  /** (e, attr, v*, tx, added) — the full history, no dedup. */
+  def factsDF: DataFrame
+  /** (e, tx, prevTx) version-chain touch records. */
+  def touchesDF: DataFrame
+  /** (tx, txInstant) transaction metadata. */
+  def txsDF: DataFrame
+
+  /** Resolve an as-of date to the max tx whose instant ≤ date
+    * (FluxGraph.java:224-243 does a hand-rolled max over all txs). */
+  def resolveTx(at: Timestamp): Long
+
+  /** Highest committed tx id (head of the log). */
+  def headTx: Long
+}
+
+/** Bulk, set-oriented store: all three tables supplied as DataFrames.
+  * Used by projections that build the log with pure DataFrame transforms. */
+final class BulkFactStore(
+    val spark: SparkSession,
+    val factsDF: DataFrame,
+    val touchesDF: DataFrame,
+    val txsDF: DataFrame) extends FactStore {
+  import org.apache.spark.sql.functions._
+
+  def resolveTx(at: Timestamp): Long = {
+    val r = txsDF.where(col("txInstant") <= lit(at)).agg(max(col("tx"))).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
+  lazy val headTx: Long = {
+    val r = txsDF.agg(max(col("tx"))).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+}
+
+/**
+ * Driver-side mutable fact log: the write path of the interactive graph
+ * API. All commits are serialized through this object (single-writer,
+ * monotonic tx ids), matching the reference's transactor semantics.
+ * Reads over it are set-oriented DataFrames created on demand.
+ */
+final class MemFactLog(val spark: SparkSession) extends FactStore {
+  import spark.implicits._
+
+  private val facts   = mutable.ArrayBuffer.empty[Fact]
+  private val touches = mutable.ArrayBuffer.empty[Touch]
+  private val txs     = mutable.ArrayBuffer.empty[TxMeta]
+  /** max tx that touched each element (facts about it OR touch records) —
+    * the incremental form of getTimeId's history Datalog rule
+    * (FluxUtil.java:196-217). */
+  private val elemMaxTx = mutable.LongMap.empty[Long]
+  private var nextTx: Long = 0L
+  private var nextEntity: Long = 1L
+
+  def newEntityId(): Long = synchronized { val id = nextEntity; nextEntity += 1; id }
+
+  def headTx: Long = synchronized(nextTx - 1)
+
+  /** Append one transaction: stamps `txData` with the next tx id, records
+    * the tx instant (backdatable — setTransactionTime parity,
+    * FluxGraph.java:325-340), and emits one touch row per element in
+    * `touched` whose prevTx is the element's max tx BEFORE this commit
+    * (the db-fn :add-transaction-info computes exactly this,
+    * FluxGraph.java:443-476). Returns the committed tx id. */
+  def commit(txData: Seq[Fact], touched: Seq[Long] = Nil,
+             at: Option[Timestamp] = None): Long = synchronized {
+    val tx = nextTx; nextTx += 1
+    val instant = at.getOrElse(new Timestamp(System.currentTimeMillis()))
+    txs += TxMeta(tx, instant)
+    // prevTx resolved against pre-commit state, then state advanced.
+    touched.distinct.foreach { e =>
+      touches += Touch(e, tx, elemMaxTx.getOrElse(e, -1L))
+    }
+    txData.zipWithIndex.foreach { case (f, i) =>
+      facts += f.copy(tx = tx, seq = i.toLong)
+      elemMaxTx(f.e) = tx
+    }
+    touched.foreach(e => elemMaxTx(e) = tx)
+    tx
+  }
+
+  /** getTimeId parity: max tx that touched the element (FluxElement.java:39-42). */
+  def timeIdOf(e: Long): Option[Long] = synchronized(elemMaxTx.get(e))
+
+  /** Instant of a committed tx. */
+  def instantOf(tx: Long): Option[Timestamp] =
+    synchronized(txs.find(_.tx == tx).map(_.txInstant))
+
+  def resolveTx(at: Timestamp): Long = synchronized {
+    txs.iterator.filter(!_.txInstant.after(at)).map(_.tx)
+      .foldLeft(-1L)(math.max)
+  }
+
+  // ---- driver-local reads (the "peer cache" fast path; the same data is
+  //      always available set-oriented via the DataFrames below) ----
+  def allFacts: Seq[Fact] = synchronized(facts.toSeq)
+  def allTouches: Seq[Touch] = synchronized(touches.toSeq)
+  def allTxs: Seq[TxMeta] = synchronized(txs.toSeq)
+
+  def factsDF: DataFrame = {
+    val ds: Dataset[Fact] = spark.createDataset(allFacts)
+    ds.toDF()
+  }
+  def touchesDF: DataFrame = spark.createDataset(allTouches).toDF()
+  def txsDF: DataFrame = spark.createDataset(allTxs).toDF()
+
+  /** Persist the log as Parquet partitioned by tx-range buckets so later
+    * asOf reads prune files (SURVEY §1.4: partition by tx-range). */
+  def save(root: String, txBucketSize: Long = 1000L): Unit = {
+    import org.apache.spark.sql.functions._
+    factsDF.withColumn("txBucket", (col("tx") / txBucketSize).cast("long"))
+      .write.mode("overwrite").partitionBy("txBucket").parquet(s"$root/facts")
+    touchesDF.write.mode("overwrite").parquet(s"$root/touches")
+    txsDF.write.mode("overwrite").parquet(s"$root/txs")
+  }
+}
+
+object FactLog {
+  /** Reopen a saved log as a bulk store. */
+  def open(spark: SparkSession, root: String): BulkFactStore =
+    new BulkFactStore(spark,
+      spark.read.parquet(s"$root/facts").drop("txBucket"),
+      spark.read.parquet(s"$root/touches"),
+      spark.read.parquet(s"$root/txs"))
+}

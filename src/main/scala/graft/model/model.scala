@@ -16,25 +16,57 @@ import java.sql.Timestamp
  * in the hot path.
  *
  * Reference value types (FluxUtil.java:17-33): String, Boolean, Long,
- * Integer(→Long), BigInteger(→Decimal(38,0)), Float(→Double), Double,
- * BigDecimal(→Decimal(38,18) via string), UUID(→String), URI(→String).
+ * Integer(→Long), BigInteger(→Decimal), Float(→Double), Double,
+ * BigDecimal(→Decimal via vDec), UUID(→String), URI(→String).
  */
 final case class Fact(
     e: Long,              // entity id
     attr: String,         // attribute name (type-qualified, see AttrCodec)
-    vStr: String,         // String / UUID / URI / BigDecimal-as-string
+    vStr: String,         // String / UUID / URI
     vLong: java.lang.Long,    // Long / Integer
     vDouble: java.lang.Double, // Double / Float
+    vDec: java.math.BigDecimal, // BigDecimal(38,18) / BigInteger
     vBool: java.lang.Boolean, // Boolean
-    vTs: Timestamp,       // timestamp values
+    vTs: Timestamp,       // timestamp values (graft extension)
     vRef: java.lang.Long, // entity reference (edge endpoints)
     tx: Long,             // transaction id (monotonic)
+    seq: Long,            // position within the tx (latest-wins tiebreak)
     added: Boolean        // true = assertion, false = retraction
 )
 
 object Fact {
   /** Column names, in schema order. */
-  val valueCols: Seq[String] = Seq("vStr", "vLong", "vDouble", "vBool", "vTs", "vRef")
+  val valueCols: Seq[String] =
+    Seq("vStr", "vLong", "vDouble", "vDec", "vBool", "vTs", "vRef")
+
+  /** Convenience constructor: route `v` to the column for its [[PropType]]. */
+  def of(e: Long, attr: String, v: Any, tx: Long, added: Boolean = true): Fact = {
+    var (s, l, d, dec, b, ts, r) = (null: String, null: java.lang.Long,
+      null: java.lang.Double, null: java.math.BigDecimal,
+      null: java.lang.Boolean, null: Timestamp, null: java.lang.Long)
+    PropType.of(v) match {
+      case PropType.PString  => s = v.asInstanceOf[String]
+      case PropType.PUuid    => s = v.toString
+      case PropType.PUri     => s = v.toString
+      case PropType.PBoolean => b = v.asInstanceOf[java.lang.Boolean]
+      case PropType.PLong    => l = v.asInstanceOf[java.lang.Long]
+      case PropType.PInteger => l = java.lang.Long.valueOf(v.asInstanceOf[java.lang.Integer].longValue)
+      case PropType.PBigInteger =>
+        dec = new java.math.BigDecimal(v.asInstanceOf[java.math.BigInteger])
+      case PropType.PBigDecimal => dec = v match {
+        case x: java.math.BigDecimal  => x
+        case x: scala.math.BigDecimal => x.bigDecimal
+      }
+      case PropType.PFloat   => d = java.lang.Double.valueOf(v.asInstanceOf[java.lang.Float].doubleValue)
+      case PropType.PDouble  => d = v.asInstanceOf[java.lang.Double]
+      case PropType.PTimestamp => ts = v.asInstanceOf[Timestamp]
+    }
+    Fact(e, attr, s, l, d, dec, b, ts, r, tx, 0L, added)
+  }
+
+  /** A reference fact: value is an entity id (edge endpoints). */
+  def ref(e: Long, attr: String, target: Long, tx: Long, added: Boolean = true): Fact =
+    Fact(e, attr, null, null, null, null, null, null, java.lang.Long.valueOf(target), tx, 0L, added)
 }
 
 /** Transaction metadata: id + wall-clock instant.
@@ -63,22 +95,29 @@ object A {
 }
 
 /** The 10 reference property types (FluxUtil.java:17-33) and which fact
- *  column each is stored in. */
+ *  column each is stored in. PTimestamp is a graft extension beyond the
+ *  reference's 10 types (FluxUtil has no Date/Timestamp property type;
+ *  timestamps there appear only as tx :db/txInstant).
+ *
+ *  Note Integer shares the type name "long" with Long: the reference maps
+ *  Integer to :db.type/long (FluxUtil.java:26), so an Int write and a Long
+ *  write of the same key hit the SAME attribute. */
 sealed abstract class PropType(val name: String, val col: String)
 object PropType {
   case object PString     extends PropType("string", "vStr")
   case object PBoolean    extends PropType("boolean", "vBool")
   case object PLong       extends PropType("long", "vLong")
-  case object PInteger    extends PropType("int", "vLong")
-  case object PBigInteger extends PropType("bigint", "vStr")
+  case object PInteger    extends PropType("long", "vLong")
+  case object PBigInteger extends PropType("bigint", "vDec")
   case object PFloat      extends PropType("float", "vDouble")
   case object PDouble     extends PropType("double", "vDouble")
-  case object PBigDecimal extends PropType("bigdec", "vStr")
+  case object PBigDecimal extends PropType("bigdec", "vDec")
   case object PUuid       extends PropType("uuid", "vStr")
   case object PUri        extends PropType("uri", "vStr")
   case object PTimestamp  extends PropType("ts", "vTs")
 
-  val all: Seq[PropType] = Seq(PString, PBoolean, PLong, PInteger, PBigInteger,
+  /** Distinct attribute type names (PInteger aliases PLong's "long"). */
+  val all: Seq[PropType] = Seq(PString, PBoolean, PLong, PBigInteger,
     PFloat, PDouble, PBigDecimal, PUuid, PUri, PTimestamp)
 
   def of(v: Any): PropType = v match {
@@ -111,9 +150,13 @@ object AttrCodec {
   def encode(key: String, t: PropType, kind: String): String =
     key.replace("_", "$") + "." + t.name + "." + kind
 
-  /** Decode back to the user key (FluxUtil.java:41-47). */
-  def decode(attr: String): String =
-    attr.substring(0, attr.indexOf('.')).replace("$", "_")
+  /** Decode back to the user key (FluxUtil.java:41-47). Returns null for
+   *  attribute names with no '.' — the reference's getPropertyName guards
+   *  with contains(".") and returns null (FluxUtil.java:43-46). */
+  def decode(attr: String): String = {
+    val i = attr.indexOf('.')
+    if (i < 0) null else attr.substring(0, i).replace("$", "_")
+  }
 
   def isVertexAttr(attr: String): Boolean = attr.endsWith("." + A.Vertex)
   def isEdgeAttr(attr: String): Boolean   = attr.endsWith("." + A.Edge)

@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis + deduplication operators for large-scale training-data
+ * pipelines, over a `documents(doc_id, text, lang, source, n_chars)`
+ * table. All operators are pure `org.apache.spark.sql.functions` column
+ * expressions (whole-stage codegen; no UDFs) and shuffle only on
+ * hash-group keys — no crossJoin anywhere: near-dup candidate generation
+ * is banded MinHash-LSH (a bucket equi-join), never all-pairs.
+ */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens (the BPE-ish tokenizer regex split). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace token count (n_tokens) — robust to repeated whitespace. */
+  def nTokens(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** Per-document stats: (doc_id, n_chars2, n_tokens). */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars2"),
+      nTokens(col("text")).cast("long").as("n_tokens"))
+
+  /** Corpus stats by language: (lang, n_docs, total_chars). */
+  def langStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+
+  /** Quality heuristics per doc: length, punctuation ratio, mean word
+    * length, uppercase ratio — the usual cheap pre-filters. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("double")
+    docs.select(
+      col("doc_id"),
+      len.as("n_chars"),
+      (length(regexp_replace(col("text"), "[^.,;:!?]", "")) / greatest(len, lit(1d))).as("punct_ratio"),
+      (length(regexp_replace(col("text"), "[^A-Z]", "")) / greatest(len, lit(1d))).as("upper_ratio"),
+      (len / greatest(nTokens(col("text")).cast("double"), lit(1d))).as("chars_per_token"))
+  }
+
+  /** Whitespace-normalized lowercase text — the exact-dedup key. At scale
+    * you group on a 128-bit hash of this (xxhash64 pair / md5), not the
+    * text itself; at test scale the text keeps the oracle trivial. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact dedup: one surviving doc (min doc_id) per normalized text,
+    * with the group size. Hash-groupBy ⇒ one shuffle on the dedup key,
+    * map-side partial aggregation. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+      .select(col("doc_id"), col("group_size"))
+
+  /** Distinct word 3-gram shingles of the token stream (empty for docs
+    * with fewer than n tokens — such docs never pair). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: `numHashes` independent hash functions, each the
+    * min over the shingle set of xxhash64(shingle, i) — built-ins only,
+    * stays inside codegen. */
+  def minhashSignature(sh: Column, numHashes: Int = 128): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /**
+   * Near-duplicate pairs via banded MinHash-LSH, verified with exact
+   * Jaccard: returns (a, b, jac) with a < b and Jaccard(shingles) ≥
+   * `threshold`.
+   *
+   * Scale design (the whole point): candidate generation is
+   *   sig → `bands` band-hashes → explode → self-equi-join on
+   *   (band, bandHash)
+   * so two docs meet ONLY if some band collides — work is proportional to
+   * bucket sizes, never |docs|². With numHashes=128, bands=32 (r=4), a
+   * pair at J=0.8 is caught with p ≈ 1−(1−0.8⁴)³² ≈ 1−5·10⁻⁸. The final
+   * exact-Jaccard join re-reads only candidate pairs' shingle sets.
+   */
+  def dedupMinHashLsh(docs: DataFrame, threshold: Double = 0.8,
+                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val r = numHashes / bands
+    // persist() calls below are materialization BARRIERS, not just caches:
+    // without them Catalyst's CollapseProject inlines the shingle regexp
+    // into all 128 hash lambdas and the signature into all `bands` band
+    // hashes (and again on both sides of the self-join) — measured 100×
+    // slowdown. Each heavy expression must be evaluated once per row.
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val union = size(array_union(col("sha"), col("shb"))).cast("double")
+    withSets
+      .where(size(col("sha")) > 0 && size(col("shb")) > 0) // no 0/0 NaN
+      .withColumn("jac", inter / union)
+      .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
+  }
+
+  /** 64-bit SimHash over the token multiset: bit j is the sign of
+    * Σ_tokens (bit_j(xxhash64(token))·2−1). Pure column expressions:
+    * nested higher-order functions, no UDF. */
+  def simhash(text: Column): Column = {
+    val t = tokens(text)
+    val bitSums = transform(sequence(lit(0), lit(63)), j =>
+      aggregate(t, lit(0L),
+        (acc, tok) => acc + call_function("shiftright", xxhash64(tok), j).bitwiseAND(1L) * 2L - 1L))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit fingerprint into 4
+    * 16-bit bands; docs agreeing on any band (≤3 differing bands ⇒
+    * hamming ≤ 48, and in practice hamming ≤ 3 pairs collide on ≥1 exact
+    * band) meet in a bucket equi-join. Returns (a, b, hamming ≤ maxHam). */
+  def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // barrier: keep the 64-bit fingerprint from being inlined 4× into the
+    // band projection and twice more into the self-join sides
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("fp"), b.cast("int") * 16).bitwiseAND(0xFFFFL).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val ham = {
+      val x = col("x.fp").bitwiseXOR(col("y.fp"))
+      bit_count(x)
+    }
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), ham.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHam)
+  }
+
+  /** n-gram-frequency language-ID heuristic: scores text against small
+    * per-language stopword lists, picks the argmax (with 'und' when
+    * nothing matches). Pure column expressions. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "de", "es", "un", "una", "por", "con"))
+
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = stopwords.toSeq.map { case (lang, ws) =>
+      struct(size(array_intersect(t, array(ws.map(lit): _*))).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document fingerprint (content-defined): xxhash64 of the
+    * normalized text — cheap identity for exact-dup clustering at scale. */
+  def fingerprint(text: Column): Column = xxhash64(normText(text))
+}

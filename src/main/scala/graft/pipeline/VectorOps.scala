@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`), for the
+ * `embeddings(vec_id, embedding, label)` table. All math is double-
+ * precision column expressions (`zip_with` + `aggregate` — codegen'd, no
+ * UDF).
+ *
+ * Two paths, per the brief:
+ *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set
+ *    against the corpus. This is a broadcast nested-loop by construction:
+ *    correct at 100 TB corpus size as long as the QUERY side stays small
+ *    (it is sent to every executor once; the corpus is never shuffled).
+ *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets the
+ *    corpus; each query only scores candidates sharing a band bucket
+ *    (equi-join), trading recall for corpus-side pruning.
+ */
+object VectorOps {
+
+  /** embedding cast to array<double> for stable math. */
+  def dvec(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector L2 norms: (vec_id, norm). */
+  def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), round(norm(dvec(col("embedding"))), 4).as("norm"))
+
+  /** Exact top-k neighbors for each query vector: (q, nb, sim), ranked by
+    * (cosine desc, vec_id) — deterministic tiebreak. Self-pairs excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv")))
+    val scored = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("cv"))
+      .join(q, col("q") =!= col("nb")) // broadcast nested-loop: query side tiny
+      .select(col("q"), col("nb"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane j,
+    * dim i): the sign bit of xxhash64(j, i). */
+  private def planeSign(j: Column, i: Column): Column =
+    when(xxhash64(j, i) >= 0, lit(1d)).otherwise(lit(-1d))
+
+  /** `nPlanes`-bit signature of a vector under the shared hyperplane set:
+    * bit j = [Σ_i sign(j,i)·v_i > 0]. */
+  def lshSignature(v: Column, nPlanes: Int): Column =
+    transform(sequence(lit(0), lit(nPlanes - 1)), j =>
+      when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * planeSign(j, i)), lit(0d), (acc, x) => acc + x) > 0, 1).otherwise(0))
+
+  /**
+   * Approximate top-k: `bands` independent 8-plane signatures (bits
+   * b*8..b*8+7 packed per band); query meets corpus vectors sharing ANY
+   * band bucket, then exact-ranks only those candidates. The corpus-side
+   * explode is bands× the corpus, the join is a hash equi-join on
+   * (band, bucket) — never all-pairs.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPlanes = bands * rowsPerBand
+    def withBands(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), dvec(col("embedding")).as(idCol + "v"),
+          lshSignature(dvec(col("embedding")), nPlanes).as("sig"))
+        .select(col(idCol), col(idCol + "v"),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band"),
+              aggregate(zip_with(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                sequence(lit(0), lit(rowsPerBand - 1)),
+                (bit, j) => bit.cast("long") * call_function("shiftleft", lit(1L), j.cast("int"))),
+                lit(0L), (acc, x) => acc + x).as("bh")))).as("bb"))
+        .select(col(idCol), col(idCol + "v"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // barrier: evaluate the nPlanes-projection signature once per vector,
+    // not once per band reference (CollapseProject would inline it)
+    val c = withBands(corpus, "nb").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = broadcast(withBands(queries, "q"))
+    val cand = c.join(q, Seq("band", "bh"))
+      .where(col("q") =!= col("nb"))
+      .select(col("q"), col("nb"), col("qv"), col("nbv"))
+      .distinct()
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
+    cand.select(col("q"), col("nb"), cosine(col("qv"), col("nbv")).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Per-label centroid norms — multimodal-ish aggregate over the vector
+    * column: element-wise mean via posexplode + regroup (shuffles rows×dim
+    * key pairs; at 100 TB you'd switch to a TypedImperativeAggregate, but
+    * the shape here is the standard Spark-native one). */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label")).agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+}

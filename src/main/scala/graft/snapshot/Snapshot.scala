@@ -1,0 +1,133 @@
+package graft.snapshot
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{A, AttrCodec, Fact, PropType}
+import graft.log.FactStore
+
+/**
+ * An immutable as-of view over a [[FactStore]] — the Spark-native
+ * equivalent of the reference's `db.asOf(tx)` value returned by
+ * `getRawGraph()` after `setCheckpointTime` (FluxGraph.java:216-243,
+ * 314-319). Unlike the reference we hand out explicit snapshot objects
+ * rather than pinning a ThreadLocal: on a cluster, "the current db" must
+ * be a value you can hold, cache and join against, not ambient state.
+ *
+ * Latest-wins dedup is a `max_by(struct(values, added), tx)` hash
+ * aggregation — NOT a row_number window — so Spark runs it with map-side
+ * partial aggregation: each input partition combines its own facts per
+ * (e, attr) before the shuffle, which at 100 TB moves only one row per
+ * touched (entity, attribute) per input partition instead of the whole
+ * history. Retraction-aware: if the latest fact for (e, attr) is a
+ * retraction (added = false) the attribute is absent from the snapshot
+ * but remains in [[history]].
+ */
+final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
+
+  /** Facts visible in this snapshot's history (tx filter only, no dedup) —
+    * `db.history()` scoped to the checkpoint. */
+  def history: DataFrame =
+    if (asOfTx == Long.MaxValue) store.factsDF
+    else store.factsDF.where(col("tx") <= asOfTx)
+
+  /** Facts appended after tx `t` — `db.since(t)` (ImmutableFluxGraph.java:81). */
+  def since(t: Long): DataFrame = history.where(col("tx") > t)
+
+  /** The current (latest-wins, retraction-filtered) fact set: one row per
+    * live (e, attr). */
+  lazy val currentFacts: DataFrame = {
+    val payload = struct((Fact.valueCols :+ "added").map(col): _*)
+    // Ordering key (tx, seq): a tx that writes the same (e, attr) twice
+    // (e.g. removeProperty + setProperty buffered in one commit) resolves
+    // to the later statement, as in the reference's transactor.
+    history
+      .groupBy(col("e"), col("attr"))
+      .agg(max_by(payload, struct(col("tx"), col("seq"))).as("f"),
+        max(col("tx")).as("tx"))
+      .where(col("f.added"))
+      .select(Seq(col("e"), col("attr")) ++
+        Fact.valueCols.map(c => col(s"f.$c").as(c)) :+ col("tx"): _*)
+  }
+
+  /** Live vertex ids: `(id)` — the AVET element-type scan
+    * (FluxGraph.java:200-204). */
+  def vertexIds: DataFrame =
+    currentFacts
+      .where(col("attr") === A.ElementType && col("vStr") === A.Vertex)
+      .select(col("e").as("id"))
+
+  /** Live edges: `(id, label, outV, inV)` — one conditional aggregation
+    * over the four reserved attributes (FluxGraph.java:136-140 plus the
+    * endpoint/label point lookups of FluxEdge.java:77-90, set-at-a-time). */
+  lazy val edges: DataFrame =
+    currentFacts
+      .where(col("attr").isin(A.ElementType, A.EdgeLabel, A.EdgeOut, A.EdgeIn))
+      .groupBy(col("e"))
+      .agg(
+        max(when(col("attr") === A.ElementType, col("vStr"))).as("etype"),
+        max(when(col("attr") === A.EdgeLabel, col("vStr"))).as("label"),
+        max(when(col("attr") === A.EdgeOut, col("vRef"))).as("outV"),
+        max(when(col("attr") === A.EdgeIn, col("vRef"))).as("inV"))
+      .where(col("etype") === A.Edge)
+      .select(col("e").as("id"), col("label"), col("outV"), col("inV"))
+
+  /** Decode a type-qualified attribute to its user key (FluxUtil.java:41-47)
+    * as a Column: prefix before the first '.', '$'→'_'. */
+  private def decodeKey(attr: Column): Column =
+    translate(substring_index(attr, ".", 1), "$", "_")
+
+  /** Every value column rendered to one string (for the generic props map). */
+  private def valueAsString: Column =
+    coalesce(col("vStr"), col("vLong").cast("string"),
+      col("vDouble").cast("string"), col("vDec").cast("string"),
+      col("vBool").cast("string"), col("vTs").cast("string"),
+      col("vRef").cast("string"))
+
+  /** Live user property facts of one element kind:
+    * `(e, key, type, vStr, vLong, vDouble, vDec, vBool, vTs, vRef)`. */
+  def propFacts(kind: String): DataFrame =
+    currentFacts
+      .where(!col("attr").isin(A.reserved.toSeq: _*) &&
+        col("attr").endsWith("." + kind))
+      .withColumn("key", decodeKey(col("attr")))
+      .withColumn("ptype", element_at(split(col("attr"), "\\."), -2))
+
+  /** Generic vertex view `(id, props: map<string,string>)` — the
+    * getPropertyKeys/getProperty surface set-at-a-time
+    * (FluxElement.java:58-97). */
+  lazy val vertices: DataFrame =
+    vertexIds.join(
+      propFacts(A.Vertex)
+        .groupBy(col("e"))
+        .agg(map_from_entries(collect_list(struct(col("key"), valueAsString)))
+          .as("props")),
+      vertexIds("id") === col("e"), "left")
+      .select(col("id"), coalesce(col("props"), map()).as("props"))
+
+  /** Typed access to one property: `(e, v)` with the natural Spark type.
+    * Filter on the encoded attribute name is a plain string equality that
+    * pushes down to the fact scan. */
+  def prop(key: String, t: PropType, kind: String): DataFrame =
+    currentFacts
+      .where(col("attr") === AttrCodec.encode(key, t, kind))
+      .select(col("e"), col(t.col).as("v"))
+
+  /** Elements (of either kind) whose property `key` = `v` — the AVET
+    * attribute-value scan behind getVertices(key, value)
+    * (FluxIndex.java:60-126). */
+  def elementsByProp(key: String, t: PropType, v: Any, kind: String): DataFrame =
+    prop(key, t, kind).where(col("v") === lit(v)).select(col("e").as("id"))
+
+  /** Pin to an earlier tx (returns a narrower snapshot). */
+  def asOfTxId(tx: Long): Snapshot = new Snapshot(store, math.min(tx, asOfTx))
+
+  /** Pin to a wall-clock instant: resolves max tx ≤ date then pins
+    * (setCheckpointTime, FluxGraph.java:224-243). */
+  def asOf(at: Timestamp): Snapshot = asOfTxId(store.resolveTx(at))
+}
+
+object Snapshot {
+  /** Head snapshot (the unpinned "current db"). */
+  def head(store: FactStore): Snapshot = new Snapshot(store)
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Dev-only pre-check of SparkEntry oracles (simulates the driver's t2 gate):
+reads each Verify output parquet, runs the paired DuckDB oracle SQL over the
+same sf tables, and compares row sets with columns sorted by name.
+
+Usage: python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns, key=str.lower)]
+    # normalize types: ints -> int64, floats -> rounded float, ts -> str
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.round(6)
+        out[c.lower()] = s
+    r = pd.DataFrame(out)
+    return r.sort_values(by=list(r.columns)).reset_index(drop=True)
+
+fails, passes, noracle = [], [], []
+for d in sorted(glob.glob(f"{outdir}/*")):
+    name = os.path.basename(d)
+    if not os.path.isdir(d):
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")],
+                         ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
+    if name not in oracle:
+        noracle.append((name, len(spark_df)))
+        continue
+    try:
+        ora_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    a, b = canon(spark_df), canon(ora_df)
+    if list(a.columns) != list(b.columns):
+        fails.append((name, f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"))
+    elif len(a) != len(b):
+        fails.append((name, f"row count: spark={len(a)} oracle={len(b)}"))
+    elif not a.equals(b):
+        diff_mask = ~(a.eq(b) | (a.isna() & b.isna()))
+        nbad = diff_mask.any(axis=1).sum()
+        i = diff_mask.any(axis=1).idxmax()
+        fails.append((name, f"{nbad} differing rows; first at {i}:\n  spark: {a.iloc[i].to_dict()}\n  oracle: {b.iloc[i].to_dict()}"))
+    else:
+        passes.append((name, len(a)))
+
+print(f"PASS ({len(passes)}):")
+for n, r in passes: print(f"  {n} ({r} rows)")
+print(f"ROWS-ONLY ({len(noracle)}):")
+for n, r in noracle: print(f"  {n} ({r} rows)")
+print(f"FAIL ({len(fails)}):")
+for n, msg in fails: print(f"  {n}: {msg}")
+sys.exit(1 if fails else 0)
