@@ -101,8 +101,9 @@ final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
       propFacts(A.Vertex)
         .groupBy(col("e"))
         .agg(map_from_entries(collect_list(struct(col("key"), valueAsString)))
-          .as("props")),
-      vertexIds("id") === col("e"), "left")
+          .as("props"))
+        .select(col("e").as("id"), col("props")),
+      Seq("id"), "left")
       .select(col("id"), coalesce(col("props"), map()).as("props"))
 
   /** Typed access to one property: `(e, v)` with the natural Spark type.

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{TextOps, VectorOps}
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "THE  QUICK   brown fox jumps over the lazy dog"), // exact dup of 0 (normalized)
+    (3L, "completely different text about spark engines and parquet files"),
+    (4L, "tiny")                                            // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("text stats: token and char counts") {
+    val r = TextOps.textStats(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(r(0L) == 9 && r(2L) == 9 && r(4L) == 1)
+  }
+
+  test("exact dedup groups whitespace/case variants") {
+    val r = TextOps.dedupExact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_size")).toMap
+    assert(r(0L) == 2)          // doc 2 collapsed into doc 0
+    assert(!r.contains(2L))
+    assert(r(1L) == 1 && r(3L) == 1 && r(4L) == 1)
+  }
+
+  test("minhash LSH finds the near-dup pair, skips unrelated docs") {
+    val pairs = TextOps.dedupMinHashLsh(docs, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 2L))) // identical after normalization: J=1
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L))) // J = 6/8
+    assert(pairs.size == 3)          // nothing else pairs
+  }
+
+  test("simhash: identical token streams share a fingerprint; pairs found") {
+    val fps = docs.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(fps(0L) == fps(2L)) // same tokens → same simhash
+    val pairs = TextOps.simhashPairs(docs, maxHam = 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("langId picks the stopword-matching language") {
+    val d = Seq((1L, "the cat and the dog of a house"),
+      (2L, "der Hund und die Katze ist nicht da"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f), 0),
+    (2L, Array(0f, 1f, 0f), 1),
+    (3L, Array(0f, 0f, 1f), 2),
+    (4L, Array(-1f, 0f, 0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k: exact cosine ranking") {
+    val r = VectorOps.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0L), 2)
+      .collect().map(r => (r.getAs[Long]("nb"), r.getAs[Double]("sim")))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L)) // closest first; ties → lower id
+    assert(math.abs(r.head._2 - 0.9939) < 1e-9)
+  }
+
+  test("embedding norms") {
+    val r = VectorOps.norms(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("norm")).toMap
+    assert(r(0L) == 1.0 && math.abs(r(1L) - 0.9055) < 1e-9)
+  }
+
+  test("LSH ANN: same-direction vectors share buckets, ranking is exact on candidates") {
+    val r = VectorOps.lshTopK(vecs, vecs.where(col("vec_id") === 0L), 3)
+      .collect().map(_.getAs[Long]("nb")).toSeq
+    assert(r.contains(1L))  // near-identical direction must collide
+    assert(!r.contains(0L)) // self excluded
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.GraftGraph
+import graft.model.{A, PropType}
+import graft.snapshot.Snapshot
+
+/** The set-oriented Snapshot path must agree with the driver-side API over
+  * the same MemFactLog — the two read paths of the engine. */
+class SnapshotSpec extends AnyFunSuite {
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("vertices/edges views mirror the interactive API") {
+    val g = new GraftGraph(TestSpark.spark)
+    val a = g.addVertex(); a.setProperty("name", "a")
+    val b = g.addVertex(); b.setProperty("name", "b")
+    val e = g.addEdge(a, b, "knows")
+    val snap = Snapshot.head(g.log)
+    assert(snap.vertexIds.collect().map(_.getLong(0)).toSet == Set(a.id, b.id))
+    val row = snap.edges.collect().head
+    assert(row.getAs[Long]("id") == e.id && row.getAs[String]("label") == "knows" &&
+      row.getAs[Long]("outV") == a.id && row.getAs[Long]("inV") == b.id)
+    val props = snap.vertices.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Map[String, String]]("props")).toMap
+    assert(props(a.id) == Map("name" -> "a"))
+  }
+
+  test("retraction visibility: snapshot loses the fact, history keeps it") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    v.setProperty("p", 1L)
+    v.removeProperty("p")
+    val snap = Snapshot.head(g.log)
+    assert(snap.prop("p", PropType.PLong, A.Vertex).count() == 0)
+    val hist = snap.history.where(col("attr") === "p.long.vertex")
+    assert(hist.count() == 2) // assertion + retraction both in history
+    assert(snap.since(g.log.headTx - 1).count() >= 1)
+  }
+
+  test("asOf pins to resolved tx; latest-wins within tx uses seq") {
+    val g = new GraftGraph(TestSpark.spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex(); v.setProperty("p", 1L)
+    g.setTransactionTime(ts("2024-02-01 00:00:00"))
+    // one tx writing p twice: latest statement wins (seq tiebreak)
+    g.inTx { v.setProperty("p", 98L); v.setProperty("p", 99L) }
+    val snap = Snapshot.head(g.log)
+    def pAt(at: String): Seq[Long] =
+      snap.asOf(ts(at)).prop("p", PropType.PLong, A.Vertex)
+        .collect().map(_.getAs[Long]("v")).toSeq
+    assert(pAt("2024-01-15 00:00:00") == Seq(1L))
+    assert(pAt("2024-02-15 00:00:00") == Seq(99L))
+    assert(pAt("2023-01-01 00:00:00").isEmpty)
+  }
+
+  test("elementsByProp pushes a typed equality filter") {
+    val g = new GraftGraph(TestSpark.spark)
+    val a = g.addVertex(); a.setProperty("color", "red")
+    val b = g.addVertex(); b.setProperty("color", "blue")
+    val snap = Snapshot.head(g.log)
+    assert(snap.elementsByProp("color", PropType.PString, "red", A.Vertex)
+      .collect().map(_.getLong(0)).toSeq == Seq(a.id))
+  }
+
+  test("inTx batching: one tx, atomic visibility") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    val head0 = g.log.headTx
+    g.inTx { v.setProperty("x", 1L); v.setProperty("y", 2L) }
+    assert(g.log.headTx == head0 + 1)
+    val snap = Snapshot.head(g.log).asOfTxId(head0)
+    assert(snap.prop("x", PropType.PLong, A.Vertex).count() == 0)
+  }
+}

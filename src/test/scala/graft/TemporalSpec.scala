@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraftGraph
+
+/** Temporal semantics — the reference's headline feature has NO tests in
+  * its own repo (SURVEY §5); these encode the documented semantics of
+  * TimeAwareGraph/TimeAwareElement (javadoc) + the touch rules
+  * (FluxGraph.java:148-165,346-387). */
+class TemporalSpec extends AnyFunSuite {
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("touch semantics: addVertex versions nothing; setProperty versions the element") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    assert(v.getPreviousVersion == null) // creation is not a touch
+    v.setProperty("p", 1L)
+    val prev = v.getPreviousVersion
+    assert(prev != null)             // version before the setProperty
+    assert(prev.getProperty("p") == null)
+    assert(prev.getPreviousVersion == null)
+  }
+
+  test("addEdge versions BOTH endpoint vertices, not the edge") {
+    val g = new GraftGraph(TestSpark.spark)
+    val a = g.addVertex(); val b = g.addVertex()
+    val tidA = a.getTimeId; val tidB = b.getTimeId
+    val e = g.addEdge(a, b, "knows")
+    assert(a.getTimeId > tidA)
+    assert(b.getTimeId > tidB)
+    assert(a.getPreviousVersion != null)
+    assert(e.getPreviousVersion == null) // edge chain starts at creation
+  }
+
+  test("removeEdge versions edge and both endpoints") {
+    val g = new GraftGraph(TestSpark.spark)
+    val a = g.addVertex(); val b = g.addVertex()
+    val e = g.addEdge(a, b, "knows")
+    val (ta, tb, te) = (a.getTimeId, b.getTimeId, e.getTimeId)
+    g.removeEdge(e)
+    assert(a.getTimeId > ta && b.getTimeId > tb)
+    assert(e.getTimeId > te) // deleted but still versioned in history
+  }
+
+  test("previous version sees the old property value") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    v.setProperty("p", 1L)
+    v.setProperty("p", 2L)
+    v.setProperty("p", 3L)
+    assert(v.getProperty("p") == 3L)
+    val p1 = v.getPreviousVersion
+    assert(p1.getProperty("p") == 2L)
+    assert(!p1.isCurrentVersion)
+    val p2 = p1.getPreviousVersion
+    assert(p2.getProperty("p") == 1L)
+    assert(v.getPreviousVersions.toSeq.size == 3) // p=2, p=1, pre-prop
+  }
+
+  test("next version walks forward and ends at the current handle") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    v.setProperty("p", 1L); v.setProperty("p", 2L)
+    val first = v.getPreviousVersions.toSeq.last // earliest version
+    val n1 = first.getNextVersion
+    assert(n1.getProperty("p") == 1L)
+    val n2 = n1.getNextVersion
+    assert(n2.getProperty("p") == 2L)
+    assert(n2.isCurrentVersion)      // head comes back unpinned
+    assert(n2.getNextVersion == null)
+  }
+
+  test("previous versions are immutable") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    v.setProperty("p", 1L); v.setProperty("p", 2L)
+    val prev = v.getPreviousVersion
+    intercept[IllegalArgumentException](prev.setProperty("p", 9L))
+  }
+
+  test("backdated transactions and asOf checkpoint reads") {
+    val g = new GraftGraph(TestSpark.spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex(); v.setProperty("p", 1L)
+    g.setTransactionTime(ts("2024-02-01 00:00:00")); v.setProperty("p", 2L)
+    g.setTransactionTime(ts("2024-03-01 00:00:00")); g.removeVertex(v)
+
+    val jan = g.asOf(ts("2024-01-15 00:00:00"))
+    assert(jan.vertex(v.id).getProperty("p") == 1L)
+    val feb = g.asOf(ts("2024-02-15 00:00:00"))
+    assert(feb.vertex(v.id).getProperty("p") == 2L)
+    val mar = g.asOf(ts("2024-03-15 00:00:00"))
+    assert(mar.vertex(v.id) == null)       // deleted
+    val before = g.asOf(ts("2023-12-15 00:00:00"))
+    assert(before.vertex(v.id) == null)    // not yet created
+    assert(before.vertices.isEmpty)
+  }
+
+  test("getTimeInterval: [txInstant(this), txInstant(next)), open head (FluxElement.java:142-152)") {
+    val g = new GraftGraph(TestSpark.spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex(); v.setProperty("p", 1L)
+    g.setTransactionTime(ts("2024-02-01 00:00:00")); v.setProperty("p", 2L)
+    val (s2, e2) = v.getTimeInterval
+    assert(s2 == ts("2024-02-01 00:00:00") && e2 == null) // head open
+    val (s1, e1) = v.getPreviousVersion.getTimeInterval
+    assert(s1 == ts("2024-01-01 00:00:00") && e1 == ts("2024-02-01 00:00:00"))
+  }
+
+  test("TimeAwareFilter-style filtered version walk") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    (1L to 5L).foreach(i => v.setProperty("p", i))
+    val evens = v.getPreviousVersions(e => e.getProperty("p") != null &&
+      e.getProperty("p").asInstanceOf[Long] % 2 == 0).toSeq
+    assert(evens.map(_.getProperty("p")) == Seq(4L, 2L))
+  }
+
+  test("difference of two graph states over a working set") {
+    val g = new GraftGraph(TestSpark.spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex(); v.setProperty("p", 1L)
+    val w = g.addVertex(); w.setProperty("q", 9L)
+    g.setTransactionTime(ts("2024-02-01 00:00:00"))
+    v.setProperty("p", 2L)
+    // facts at Feb not present at Jan, ws = {v, w}
+    val diff = g.difference(Seq(v.id, w.id), ts("2024-02-15 00:00:00"), ts("2024-01-15 00:00:00"))
+    assert(diff.vertexIds == Seq(v.id))  // w unchanged → normalized away
+    assert(diff.props(v.id, "p") == Seq(2L))
+    // symmetric direction: the old value
+    val diff2 = g.difference(Seq(v.id, w.id), ts("2024-01-15 00:00:00"), ts("2024-02-15 00:00:00"))
+    assert(diff2.props(v.id, "p") == Seq(1L))
+  }
+
+  test("per-element difference of two versions") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    v.setProperty("p", 1L); v.setProperty("p", 2L)
+    val facts = g.difference(v, v.getPreviousVersion)
+    assert(facts.size == 1 && facts.head.vLong == 2L)
+  }
+
+  test("isDeleted across time") {
+    val g = new GraftGraph(TestSpark.spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex()
+    g.setTransactionTime(ts("2024-02-01 00:00:00"))
+    g.removeVertex(v)
+    assert(v.isDeleted)
+    assert(g.asOf(ts("2024-01-15 00:00:00")).vertex(v.id) != null)
+  }
+}
