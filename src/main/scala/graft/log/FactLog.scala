@@ -36,6 +36,17 @@ trait FactStore {
 
   /** Highest committed tx id (head of the log). */
   def headTx: Long
+
+  /** True when the store guarantees at most ONE fact per (e, attr) —
+    * e.g. a single-tx bulk backfill. Lets snapshots skip the latest-wins
+    * aggregation entirely (the dominant cost of a snapshot read). */
+  def preDeduped: Boolean = false
+
+  /** When the facts are Parquet-partitioned by tx-range buckets
+    * (`txBucket = tx / size`), snapshots add a bucket predicate so asOf
+    * reads PRUNE files instead of scanning the whole history — the
+    * 100 TB time-travel path (SURVEY §1.4). */
+  def txBucketSize: Option[Long] = None
 }
 
 /** Bulk, set-oriented store: all three tables supplied as DataFrames.
@@ -44,7 +55,9 @@ final class BulkFactStore(
     val spark: SparkSession,
     val factsDF: DataFrame,
     val touchesDF: DataFrame,
-    val txsDF: DataFrame) extends FactStore {
+    val txsDF: DataFrame,
+    override val preDeduped: Boolean = false,
+    override val txBucketSize: Option[Long] = None) extends FactStore {
   import org.apache.spark.sql.functions._
 
   def resolveTx(at: Timestamp): Long = {
@@ -133,18 +146,30 @@ final class MemFactLog(val spark: SparkSession) extends FactStore {
     * asOf reads prune files (SURVEY §1.4: partition by tx-range). */
   def save(root: String, txBucketSize: Long = 1000L): Unit = {
     import org.apache.spark.sql.functions._
-    factsDF.withColumn("txBucket", (col("tx") / txBucketSize).cast("long"))
+    factsDF.withColumn("txBucket", expr(s"tx div $txBucketSize"))
       .write.mode("overwrite").partitionBy("txBucket").parquet(s"$root/facts")
     touchesDF.write.mode("overwrite").parquet(s"$root/touches")
     txsDF.write.mode("overwrite").parquet(s"$root/txs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_graft_meta"), s"txBucketSize=$txBucketSize")
   }
 }
 
 object FactLog {
-  /** Reopen a saved log as a bulk store. */
-  def open(spark: SparkSession, root: String): BulkFactStore =
+  /** Reopen a saved log as a bulk store; the retained txBucket partition
+    * column lets Snapshot asOf reads prune whole tx-range directories. */
+  def open(spark: SparkSession, root: String): BulkFactStore = {
+    val meta = java.nio.file.Paths.get(root, "_graft_meta")
+    val bucketSize =
+      if (java.nio.file.Files.exists(meta))
+        java.nio.file.Files.readString(meta).trim
+          .stripPrefix("txBucketSize=").toLongOption
+      else None
     new BulkFactStore(spark,
-      spark.read.parquet(s"$root/facts").drop("txBucket"),
+      spark.read.parquet(s"$root/facts"),
       spark.read.parquet(s"$root/touches"),
-      spark.read.parquet(s"$root/txs"))
+      spark.read.parquet(s"$root/txs"),
+      preDeduped = false,
+      txBucketSize = bucketSize)
+  }
 }

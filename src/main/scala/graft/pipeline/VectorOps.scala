@@ -47,17 +47,20 @@ object VectorOps {
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for (plane j,
-    * dim i): the sign bit of xxhash64(j, i). */
-  private def planeSign(j: Column, i: Column): Column =
-    when(xxhash64(j, i) >= 0, lit(1d)).otherwise(lit(-1d))
+  /** Deterministic Gaussian hyperplane matrix (seeded), embedded as a
+    * plan literal — per-row work is pure arithmetic, no per-(plane,dim)
+    * hashing (measured ~10M hash calls saved per 5k×64d corpus). */
+  private def planes(nPlanes: Int, dims: Int): Column = {
+    val rnd = new java.util.Random(1234567L)
+    typedlit(Seq.fill(nPlanes)(Seq.fill(dims)(rnd.nextGaussian())))
+  }
 
   /** `nPlanes`-bit signature of a vector under the shared hyperplane set:
-    * bit j = [Σ_i sign(j,i)·v_i > 0]. */
-  def lshSignature(v: Column, nPlanes: Int): Column =
-    transform(sequence(lit(0), lit(nPlanes - 1)), j =>
-      when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * planeSign(j, i)), lit(0d), (acc, x) => acc + x) > 0, 1).otherwise(0))
+    * bit j = [plane_j · v > 0]. */
+  def lshSignature(v: Column, nPlanes: Int, dims: Int): Column =
+    transform(planes(nPlanes, dims), p =>
+      when(aggregate(zip_with(v, p, (x, w) => x * w), lit(0d), (acc, x) => acc + x) > 0, 1)
+        .otherwise(0))
 
   /**
    * Approximate top-k: `bands` independent 8-plane signatures (bits
@@ -67,12 +70,12 @@ object VectorOps {
    * (band, bucket) — never all-pairs.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+              bands: Int = 4, rowsPerBand: Int = 8, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nPlanes = bands * rowsPerBand
     def withBands(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), dvec(col("embedding")).as(idCol + "v"),
-          lshSignature(dvec(col("embedding")), nPlanes).as("sig"))
+          lshSignature(dvec(col("embedding")), nPlanes, dims).as("sig"))
         .select(col(idCol), col(idCol + "v"),
           explode(transform(sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band"),
@@ -86,12 +89,18 @@ object VectorOps {
     // not once per band reference (CollapseProject would inline it)
     val c = withBands(corpus, "nb").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = broadcast(withBands(queries, "q"))
-    val cand = c.join(q, Seq("band", "bh"))
+    // dedup multi-band collisions on the (q, nb) id pair FIRST — distinct
+    // over two longs, not over 2×64-element double arrays — then join the
+    // vectors back for exact scoring of the surviving candidates.
+    val cand = c.select(col("nb"), col("band"), col("bh"))
+      .join(q.select(col("q"), col("band"), col("bh")), Seq("band", "bh"))
       .where(col("q") =!= col("nb"))
-      .select(col("q"), col("nb"), col("qv"), col("nbv"))
-      .distinct()
+      .select(col("q"), col("nb")).distinct()
+    val qv = broadcast(queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv")))
+    val cv = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("nbv"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
-    cand.select(col("q"), col("nb"), cosine(col("qv"), col("nbv")).as("sim"))
+    cand.join(qv, "q").join(cv, "nb")
+      .select(col("q"), col("nb"), cosine(col("qv"), col("nbv")).as("sim"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }

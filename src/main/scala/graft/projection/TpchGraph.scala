@@ -198,6 +198,8 @@ object TpchGraph {
     import spark.implicits._
     val txs = Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant")
     val touches = spark.emptyDataset[graft.model.Touch].toDF()
-    new BulkFactStore(spark, facts, touches, txs)
+    // single-tx backfill, no retractions ⇒ preDeduped: snapshots skip the
+    // latest-wins shuffle and read the projection as plain scans
+    new BulkFactStore(spark, facts, touches, txs, preDeduped = true)
   }
 }

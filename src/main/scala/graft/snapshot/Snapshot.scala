@@ -26,10 +26,20 @@ import graft.log.FactStore
 final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
 
   /** Facts visible in this snapshot's history (tx filter only, no dedup) —
-    * `db.history()` scoped to the checkpoint. */
-  def history: DataFrame =
-    if (asOfTx == Long.MaxValue) store.factsDF
-    else store.factsDF.where(col("tx") <= asOfTx)
+    * `db.history()` scoped to the checkpoint. For bucket-partitioned
+    * stores the tx predicate also lands on the txBucket partition column,
+    * so an asOf over a long history reads only the file ranges ≤ the
+    * checkpoint (partition pruning — no scan of later history). */
+  def history: DataFrame = {
+    val base =
+      if (asOfTx == Long.MaxValue) store.factsDF
+      else store.txBucketSize match {
+        case Some(sz) =>
+          store.factsDF.where(col("txBucket") <= lit(asOfTx / sz) && col("tx") <= asOfTx)
+        case None => store.factsDF.where(col("tx") <= asOfTx)
+      }
+    base.drop("txBucket")
+  }
 
   /** Facts appended after tx `t` — `db.since(t)` (ImmutableFluxGraph.java:81). */
   def since(t: Long): DataFrame = history.where(col("tx") > t)
@@ -37,17 +47,25 @@ final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
   /** The current (latest-wins, retraction-filtered) fact set: one row per
     * live (e, attr). */
   lazy val currentFacts: DataFrame = {
-    val payload = struct((Fact.valueCols :+ "added").map(col): _*)
-    // Ordering key (tx, seq): a tx that writes the same (e, attr) twice
-    // (e.g. removeProperty + setProperty buffered in one commit) resolves
-    // to the later statement, as in the reference's transactor.
-    history
-      .groupBy(col("e"), col("attr"))
-      .agg(max_by(payload, struct(col("tx"), col("seq"))).as("f"),
-        max(col("tx")).as("tx"))
-      .where(col("f.added"))
-      .select(Seq(col("e"), col("attr")) ++
-        Fact.valueCols.map(c => col(s"f.$c").as(c)) :+ col("tx"): _*)
+    if (store.preDeduped) {
+      // at most one fact per (e, attr) by construction: the latest-wins
+      // aggregation (and its shuffle) is an identity — skip it.
+      history.where(col("added"))
+        .select(Seq(col("e"), col("attr")) ++
+          Fact.valueCols.map(col) :+ col("tx"): _*)
+    } else {
+      val payload = struct((Fact.valueCols :+ "added").map(col): _*)
+      // Ordering key (tx, seq): a tx that writes the same (e, attr) twice
+      // (e.g. removeProperty + setProperty buffered in one commit) resolves
+      // to the later statement, as in the reference's transactor.
+      history
+        .groupBy(col("e"), col("attr"))
+        .agg(max_by(payload, struct(col("tx"), col("seq"))).as("f"),
+          max(col("tx")).as("tx"))
+        .where(col("f.added"))
+        .select(Seq(col("e"), col("attr")) ++
+          Fact.valueCols.map(c => col(s"f.$c").as(c)) :+ col("tx"): _*)
+    }
   }
 
   /** Live vertex ids: `(id)` — the AVET element-type scan

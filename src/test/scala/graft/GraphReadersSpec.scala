@@ -1,0 +1,98 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraftGraph
+import graft.io.GraphReaders
+
+/** Reader suites — structural assertions after loading the standard
+  * formats (mirrors the TCK GraphML/GraphSON/GML reader suites,
+  * FluxGraphTest.java:57-73), using the TinkerPop-classic 6V/6E shape. */
+class GraphReadersSpec extends AnyFunSuite {
+
+  private val graphml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+      |  <key id="name" for="node" attr.name="name" attr.type="string"/>
+      |  <key id="age" for="node" attr.name="age" attr.type="int"/>
+      |  <key id="lang" for="node" attr.name="lang" attr.type="string"/>
+      |  <key id="weight" for="edge" attr.name="weight" attr.type="float"/>
+      |  <graph id="G" edgedefault="directed">
+      |    <node id="1"><data key="name">marko</data><data key="age">29</data></node>
+      |    <node id="2"><data key="name">vadas</data><data key="age">27</data></node>
+      |    <node id="3"><data key="name">lop</data><data key="lang">java</data></node>
+      |    <node id="4"><data key="name">josh</data><data key="age">32</data></node>
+      |    <node id="5"><data key="name">ripple</data><data key="lang">java</data></node>
+      |    <node id="6"><data key="name">peter</data><data key="age">35</data></node>
+      |    <edge id="7" source="1" target="2" label="knows"><data key="weight">0.5</data></edge>
+      |    <edge id="8" source="1" target="4" label="knows"><data key="weight">1.0</data></edge>
+      |    <edge id="9" source="1" target="3" label="created"><data key="weight">0.4</data></edge>
+      |    <edge id="10" source="4" target="5" label="created"><data key="weight">1.0</data></edge>
+      |    <edge id="11" source="4" target="3" label="created"><data key="weight">0.4</data></edge>
+      |    <edge id="12" source="6" target="3" label="created"><data key="weight">0.2</data></edge>
+      |  </graph>
+      |</graphml>""".stripMargin
+
+  test("GraphML: TinkerPop classic loads with typed properties") {
+    val g = new GraftGraph(TestSpark.spark)
+    val vs = GraphReaders.inputGraphML(g,
+      new ByteArrayInputStream(graphml.getBytes(StandardCharsets.UTF_8)))
+    assert(g.getVertices().size == 6)
+    assert(g.getEdges().size == 6)
+    val marko = vs("1")
+    assert(marko.getProperty("name") == "marko")
+    assert(marko.getProperty("age") == 29L) // Integer → long round-trip
+    assert(marko.getEdges("out", "knows").size == 2)
+    assert(marko.getVertices("out", "created").map(_.getProperty("name")) == Seq("lop"))
+    val knows = marko.getEdges("out", "knows")
+      .map(e => e.getVertex("in").getProperty("name") -> e.getProperty("weight")).toMap
+    assert(knows == Map("vadas" -> 0.5f, "josh" -> 1.0f))
+    assert(g.getVertices("lang", "java").size == 2)
+  }
+
+  test("GraphSON 1.0: vertices/edges with flat properties") {
+    val json =
+      """{"graph": {"mode": "NORMAL",
+        |  "vertices": [
+        |    {"_id": "1", "_type": "vertex", "name": "marko", "age": 29},
+        |    {"_id": "2", "_type": "vertex", "name": "vadas", "age": 27}
+        |  ],
+        |  "edges": [
+        |    {"_id": "7", "_type": "edge", "_outV": "1", "_inV": "2", "_label": "knows", "weight": 0.5}
+        |  ]}}""".stripMargin
+    val g = new GraftGraph(TestSpark.spark)
+    val vs = GraphReaders.inputGraphSON(g, json)
+    assert(g.getVertices().size == 2 && g.getEdges().size == 1)
+    assert(vs("1").getProperty("name") == "marko")
+    assert(vs("1").getProperty("age") == 29L)
+    val e = vs("1").getEdges("out", "knows").head
+    assert(e.getVertex("in").getProperty("name") == "vadas")
+    assert(e.getProperty("weight") == 0.5d)
+  }
+
+  test("GML: node/edge blocks with typed literals") {
+    val gml =
+      """Creator "graft"
+        |graph [
+        |  directed 1
+        |  node [ id 1 name "marko" age 29 ]
+        |  node [ id 2 name "vadas" ]
+        |  edge [ source 1 target 2 label "knows" weight 0.5 ]
+        |]""".stripMargin
+    val g = new GraftGraph(TestSpark.spark)
+    val vs = GraphReaders.inputGML(g, gml)
+    assert(g.getVertices().size == 2 && g.getEdges().size == 1)
+    assert(vs("1").getProperty("name") == "marko")
+    assert(vs("1").getProperty("age") == 29L)
+    val e = vs("1").getEdges("out").head
+    assert(e.getLabel == "knows")
+    assert(e.getProperty("weight") == 0.5d)
+  }
+
+  test("supplied ids are ignored: engine ids assigned (FluxGraph.java:59)") {
+    val g = new GraftGraph(TestSpark.spark)
+    val vs = GraphReaders.inputGML(g, """graph [ node [ id 999999 name "x" ] ]""")
+    assert(vs("999999").id != 999999L)
+  }
+}

@@ -78,7 +78,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("LSH ANN: same-direction vectors share buckets, ranking is exact on candidates") {
-    val r = VectorOps.lshTopK(vecs, vecs.where(col("vec_id") === 0L), 3)
+    val r = VectorOps.lshTopK(vecs, vecs.where(col("vec_id") === 0L), 3, dims = 3)
       .collect().map(_.getAs[Long]("nb")).toSeq
     assert(r.contains(1L))  // near-identical direction must collide
     assert(!r.contains(0L)) // self excluded
