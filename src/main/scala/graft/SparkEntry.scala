@@ -126,6 +126,9 @@ object SparkEntry {
 
     "hop3_traversal" -> ((s, d) => hop3(s, d)),
 
+    "hop3_graphx" -> ((s, d) =>
+      graft.gx.GraphXTraversal.hop3(s, TpchGraph.snapshot(s, d))),
+
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
@@ -317,6 +320,13 @@ object SparkEntry {
         |WHERE o_custkey = 42""".stripMargin,
 
     "hop3_traversal" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_paths,
+        |       CAST(count(DISTINCT l2.l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM orders o
+        |JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+        |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey""".stripMargin,
+
+    "hop3_graphx" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_paths,
         |       CAST(count(DISTINCT l2.l_suppkey) AS BIGINT) AS n_suppliers
         |FROM orders o

@@ -1,0 +1,61 @@
+package graft.gx
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.snapshot.Snapshot
+
+/**
+ * GraphX bridge: materialize a snapshot as a `Graph[Unit, String]`
+ * (labels as edge attributes) and run the reference's exhaustive 3-hop
+ * OUT traversal (FluxBenchmarkTestSuite.java:30-56) as message passing —
+ * the iterative-analytics twin of the DataFrame join variant in
+ * SparkEntry.hop3. Per BASELINE.md both variants are recorded.
+ *
+ * Path counting by aggregateMessages rounds: hop k's vertex value is the
+ * number of length-k label-matching paths ending there; each round is one
+ * shuffle over the (partitioned) edge RDD — no per-vertex driver loop.
+ */
+object GraphXTraversal {
+
+  def graphOf(snap: Snapshot): Graph[Unit, String] = {
+    val edges: RDD[Edge[String]] = snap.edges
+      .select(col("outV"), col("inV"), col("label")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    val vertices: RDD[(VertexId, Unit)] =
+      snap.vertexIds.rdd.map(r => (r.getLong(0), ()))
+    Graph(vertices, edges)
+  }
+
+  /** Count label-sequence paths: start with 1 at every vertex with an
+    * out-edge of labels.head? No — start at ALL vertices (the reference
+    * iterates every vertex), then hop along each label in order. Returns
+    * (n_paths, n_destinations-with-paths). */
+  def labelPathCounts(g: Graph[Unit, String], labels: Seq[String]): (Long, Long) = {
+    // seed: every vertex roots one path of length 0
+    var counts: RDD[(VertexId, Long)] = g.vertices.mapValues(_ => 1L)
+    labels.foreach { label =>
+      val withCounts = g.outerJoinVertices(counts) {
+        (_, _, c) => c.getOrElse(0L)
+      }
+      counts = withCounts.aggregateMessages[Long](
+        ctx => if (ctx.attr == label && ctx.srcAttr > 0) ctx.sendToDst(ctx.srcAttr),
+        _ + _)
+      counts.persist()
+    }
+    val nPaths = counts.map(_._2).fold(0L)(_ + _)
+    val nDest = counts.count()
+    (nPaths, nDest)
+  }
+
+  /** The flagship traversal as a one-row DataFrame matching the
+    * hop3_traversal oracle: customer -placed-> order -contains-> part
+    * -supplied_by-> supplier. */
+  def hop3(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val (nPaths, nSuppliers) =
+      labelPathCounts(graphOf(snap), Seq("placed", "contains", "supplied_by"))
+    spark.createDataFrame(Seq((nPaths, nSuppliers)))
+      .toDF("n_paths", "n_suppliers")
+  }
+}

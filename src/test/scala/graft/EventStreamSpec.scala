@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stateless fact projection runs unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(0L, ts("2024-01-01 00:00:00"), 1L, "signup", 1.0),
+      Event(1L, ts("2024-01-01 01:00:00"), 1L, "error", 0.0),
+      Event(2L, ts("2024-01-01 02:00:00"), 2L, "click", 5.0))
+    val q = EventStream.factStream(source.toDF())
+      .writeStream.format("memory").queryName("facts_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val facts = spark.table("facts_sink")
+    assert(facts.count() == 6) // 2 fact rows per event
+    // error event emits a value RETRACTION
+    val retracted = facts.where(col("tx") === 2L && !col("added")).collect()
+    assert(retracted.length == 1 && retracted.head.getAs[String]("attr") == "value.double.vertex")
+  }
+
+  test("watermarked windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(0L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      Event(1L, ts("2024-01-01 00:20:00"), 2L, "click", 1.0),
+      Event(2L, ts("2024-01-01 01:10:00"), 1L, "view", 1.0),
+      Event(3L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0)) // advances watermark
+    val q = EventStream.windowedCounts(source.toDF())
+      .writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("win_sink")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // windows before the watermark (9:00 − 2h) have been finalized
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L)))
+    assert(rows.contains(("2024-01-01 01:00:00", "view", 1L)))
+  }
+
+  test("keyed state tracks per-user versions with retraction semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(0L, ts("2024-01-01 00:00:00"), 1L, "signup", 1.0),
+      Event(1L, ts("2024-01-01 01:00:00"), 1L, "purchase", 9.5),
+      Event(2L, ts("2024-01-01 02:00:00"), 2L, "error", 0.0))
+    val q = EventStream.latestPerUser(source.toDS())
+      .writeStream.format("memory").queryName("state_sink")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val byUser = spark.table("state_sink").as[EventStream.UserVersion]
+      .collect().groupBy(_.user_id).map { case (k, vs) => k -> vs.last }
+    assert(byUser(1L).versions == 2 && byUser(1L).value.contains(9.5))
+    assert(byUser(2L).versions == 1 && byUser(2L).value.isEmpty) // retracted
+  }
+}

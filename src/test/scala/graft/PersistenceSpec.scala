@@ -38,5 +38,12 @@ class PersistenceSpec extends AnyFunSuite {
     // the asOf plan prunes on the txBucket partition column
     val plan = feb.history.queryExecution.executedPlan.toString
     assert(plan.contains("txBucket"), s"expected txBucket pruning in plan:\n$plan")
+
+    // typed attr-equality lookups push down to the parquet scan
+    val lookup = head.prop("p", PropType.PLong, A.Vertex)
+    val lookupPlan = lookup.queryExecution.executedPlan.toString
+    assert(lookupPlan.contains("PushedFilters") &&
+      lookupPlan.contains("EqualTo(attr"),
+      s"expected attr filter pushed to parquet:\n$lookupPlan")
   }
 }
