@@ -232,6 +232,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => TextOps.simhashPairs(docs(s, d), 3)),
     "lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+    "doc_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
     // ---- LLM-pipeline: similarity search ----
     "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),

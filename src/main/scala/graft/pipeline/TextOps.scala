@@ -60,29 +60,44 @@ object TextOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select(col("doc_id"), col("group_size"))
 
-  /** Distinct word 3-gram shingles of the token stream (empty for docs
-    * with fewer than n tokens — such docs never pair). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  /** Distinct word 3-gram shingles from a TOKEN-ARRAY ATTRIBUTE. The
+    * argument must be a materialized column, not an expression: `t` is
+    * referenced size(t)+2 times here, and Spark inlines (re-evaluates)
+    * expression arguments per reference inside lambda bodies — passing
+    * `tokens(text)` directly makes tokenization O(tokens²) per doc
+    * (measured 12s → 0.3s for 5k docs when staged). */
+  def shinglesFromTokens(t: Column, n: Int = 3): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience for small inputs/tests; see [[shinglesFromTokens]] for
+    * the staged form used by the pipeline. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** MinHash signature. The `numHashes` hash family is derived as
     * h_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher double hashing): two
     * xxhash64 evaluations per shingle instead of `numHashes` — measured
     * ~7× faster at 5k docs. Built-ins only, stays inside codegen. */
-  def minhashSignature(sh: Column, numHashes: Int = 128): Column = {
-    // masked to 32 bits so h1 + i·h2 stays well inside a long under ANSI
-    // arithmetic (no wrapping overflow in Spark 4's default mode)
-    val pairs = transform(sh, s => struct(
+  /** Per-shingle (h1, h2) hash pairs — masked to 32 bits so h1 + i·h2
+    * stays well inside a long under ANSI arithmetic (no wrapping overflow
+    * in Spark 4's default mode). */
+  def hashPairs(sh: Column): Column =
+    transform(sh, s => struct(
       xxhash64(s, lit(0)).bitwiseAND(0xFFFFFFFFL).as("h1"),
       xxhash64(s, lit(1)).bitwiseAND(0xFFFFFFFFL).as("h2")))
+
+  /** Signature from a HASH-PAIR ATTRIBUTE (staged — see
+    * [[shinglesFromTokens]] for why the argument must be materialized:
+    * it is referenced numHashes times). */
+  def signatureFromPairs(hp: Column, numHashes: Int = 128): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(pairs, p => p.getField("h1") + i * p.getField("h2"))))
-  }
+      i => array_min(transform(hp, p => p.getField("h1") + i * p.getField("h2"))))
+
+  def minhashSignature(sh: Column, numHashes: Int = 128): Column =
+    signatureFromPairs(hashPairs(sh), numHashes)
 
   /**
    * Near-duplicate pairs via banded MinHash-LSH, verified with exact
@@ -101,20 +116,26 @@ object TextOps {
                       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val r = numHashes / bands
-    // persist() calls below are materialization BARRIERS, not just caches:
-    // without them Catalyst's CollapseProject inlines the shingle regexp
-    // into all 128 hash lambdas and the signature into all `bands` band
-    // hashes (and again on both sides of the self-join) — measured 100×
-    // slowdown. Each heavy expression must be evaluated once per row.
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // The persist() calls below are materialization BARRIERS, not just
+    // caches: every stage's heavy array expression is multi-referenced by
+    // the next stage's lambdas, and Spark re-evaluates expression (not
+    // attribute) references per use — unstaged, tokenization alone goes
+    // O(tokens²) and the signature is recomputed per band (measured 100×
+    // total slowdown at 5k docs).
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col("doc_id"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+    val sh = toks.select(col("doc_id"), shinglesFromTokens(col("t")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"), hashPairs(col("sh")).as("hp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), signatureFromPairs(col("hp"), numHashes).as("sig"))
 
-    val banded = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("bh"))))
-        .as("bb"))
+    val banded = sig
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("bh"))))
+          .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -136,11 +157,11 @@ object TextOps {
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
   }
 
-  /** 64-bit SimHash over the token multiset: bit j is the sign of
+  /** 64-bit SimHash from a TOKEN-ARRAY ATTRIBUTE (see
+    * [[shinglesFromTokens]]): bit j is the sign of
     * Σ_tokens (bit_j(xxhash64(token))·2−1). Pure column expressions:
     * nested higher-order functions, no UDF. */
-  def simhash(text: Column): Column = {
-    val t = tokens(text)
+  def simhashFromTokens(t: Column): Column = {
     val bitSums = transform(sequence(lit(0), lit(63)), j =>
       aggregate(t, lit(0L),
         (acc, tok) => acc + call_function("shiftright", xxhash64(tok), j).bitwiseAND(1L) * 2L - 1L))
@@ -150,15 +171,20 @@ object TextOps {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Convenience for small inputs/tests. */
+  def simhash(text: Column): Column = simhashFromTokens(tokens(text))
+
   /** SimHash near-dup candidates: split the 64-bit fingerprint into 4
     * 16-bit bands; docs agreeing on any band (≤3 differing bands ⇒
     * hamming ≤ 48, and in practice hamming ≤ 3 pairs collide on ≥1 exact
     * band) meet in a bucket equi-join. Returns (a, b, hamming ≤ maxHam). */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // barrier: keep the 64-bit fingerprint from being inlined 4× into the
-    // band projection and twice more into the self-join sides
-    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    // staged tokens (see shinglesFromTokens), then a fingerprint barrier:
+    // fp is referenced by 4 band projections and both self-join sides
+    val fp = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), simhashFromTokens(col("t")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
