@@ -247,6 +247,9 @@ object SparkEntry {
     },
     "label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(emb(s, d).withColumn("label", col("label").cast("long")))),
+    "dedup_embedding" -> ((s, d) =>
+      // threshold tuned to the synthetic corpus (max pairwise cosine ≈ .5)
+      VectorOps.embeddingNearDupPairs(emb(s, d), threshold = 0.45)),
   )
 
   // ---- DuckDB oracle twins (same column names/types, same values) ----

@@ -105,6 +105,43 @@ object VectorOps {
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b and
+    * cosine ≥ `threshold`. Candidates come from banded hyperplane-LSH
+    * buckets (self equi-join on (band, bucket) — never all-pairs), then
+    * exact cosine verifies. Band geometry tuned for dedup thresholds:
+    * P(bit agree) = 1 − θ/π ≈ 0.9 at cos 0.95, so 16 bands × 4 planes
+    * catch a true pair with p ≈ 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 5·10⁻⁴ per band
+    * set; raise `bands` for stricter recall. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                            bands: Int = 16, rowsPerBand: Int = 4,
+                            dims: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val nPlanes = bands * rowsPerBand
+    val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = vecs
+      .select(col("vec_id"), lshSignature(col("v"), nPlanes, dims).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            aggregate(zip_with(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              sequence(lit(0), lit(rowsPerBand - 1)),
+              (bit, j) => bit.cast("long") * call_function("shiftleft", lit(1L), j.cast("int"))),
+              lit(0L), (acc, x) => acc + x).as("bh")))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Per-label centroid norms — multimodal-ish aggregate over the vector
     * column: element-wise mean via posexplode + regroup (shuffles rows×dim
     * key pairs; at 100 TB you'd switch to a TypedImperativeAggregate, but

@@ -77,6 +77,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0L) == 1.0 && math.abs(r(1L) - 0.9055) < 1e-9)
   }
 
+  test("embedding near-dup: LSH buckets catch near-identical vectors, verify filters") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f).updated(0, 1.01f)), // ~identical to 0
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)),
+      (3L, Array.fill(8)(-1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = VectorOps.embeddingNearDupPairs(e, 0.99, dims = 8)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs == Set((0L, 1L))) // only the near-identical pair survives
+  }
+
   test("LSH ANN: same-direction vectors share buckets, ranking is exact on candidates") {
     val r = VectorOps.lshTopK(vecs, vecs.where(col("vec_id") === 0L), 3, dims = 3)
       .collect().map(_.getAs[Long]("nb")).toSeq
