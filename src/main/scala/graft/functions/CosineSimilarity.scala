@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/**
+ * Native Catalyst expression for cosine similarity over two
+ * `array<double>` columns — the hot-path scalar of the similarity-search
+ * operators. A single fused loop with full whole-stage codegen: no
+ * intermediate product array, no lambda-variable plumbing, ~3 passes
+ * collapsed into 1 vs the `aggregate(zip_with(...))` composition (which
+ * allocates a zipped array per row and evaluates lambdas interpreted).
+ *
+ * (The reference has no function library at all — SURVEY §2.7; this is
+ * the Spark-native extension point: custom Expression > UDF.)
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects (array<double>, array<double>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0d; var nx = 0d; var ny = 0d
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-extension registration (the public Catalyst extension point):
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * makes `graft_cosine(a, b)` resolvable; callers reach it through
+  * `call_function` (VectorOps falls back to the HOF composition when the
+  * extension is absent). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}
+
+object GraftExtensions {
+  val configValue: String = classOf[GraftExtensions].getName
+
+  /** True when this session was built with the graft extension. */
+  def loadedIn(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions"))
+}

@@ -30,6 +30,13 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native codegen'd [[graft.functions.CosineSimilarity]]
+    * when the graft session extension is loaded (single fused loop, no
+    * intermediate arrays); HOF composition otherwise. */
+  def cosineBest(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (graft.functions.GraftExtensions.loadedIn(spark)) call_function("graft_cosine", a, b)
+    else cosine(a, b)
+
   /** Per-vector L2 norms: (vec_id, norm). */
   def norms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), round(norm(dvec(col("embedding"))), 4).as("norm"))
@@ -41,7 +48,8 @@ object VectorOps {
     val q = broadcast(queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv")))
     val scored = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("cv"))
       .join(q, col("q") =!= col("nb")) // broadcast nested-loop: query side tiny
-      .select(col("q"), col("nb"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("q"), col("nb"),
+        cosineBest(corpus.sparkSession, col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
@@ -100,7 +108,8 @@ object VectorOps {
     val cv = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("nbv"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
     cand.join(qv, "q").join(cv, "nb")
-      .select(col("q"), col("nb"), cosine(col("qv"), col("nbv")).as("sim"))
+      .select(col("q"), col("nb"),
+        cosineBest(corpus.sparkSession, col("qv"), col("nbv")).as("sim"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
@@ -137,7 +146,8 @@ object VectorOps {
     cand
       .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), "b")
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("a"), col("b"),
+        cosineBest(emb.sparkSession, col("va"), col("vb")).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }

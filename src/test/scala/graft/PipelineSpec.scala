@@ -77,6 +77,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0L) == 1.0 && math.abs(r(1L) - 0.9055) < 1e-9)
   }
 
+  test("native graft_cosine expression: SQL-resolvable, agrees with the HOF composition") {
+    assert(graft.functions.GraftExtensions.loadedIn(spark))
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(3.0d, 2.0d, 1.0d)) AS c").head().getDouble(0)
+    assert(math.abs(r - 10.0 / 14.0) < 1e-12)
+    // parity with the zip_with/aggregate composition on real data
+    import spark.implicits._
+    val two = vecs.select(VectorOps.dvec(col("embedding")).as("v")).limit(2)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v"))
+    val hof = vecs.as("x").crossJoin(vecs.as("y"))
+      .where(col("x.vec_id") === 0L && col("y.vec_id") === 1L)
+      .select(VectorOps.cosine(VectorOps.dvec(col("x.embedding")), VectorOps.dvec(col("y.embedding"))).as("c"))
+      .head().getDouble(0)
+    val native = vecs.as("x").crossJoin(vecs.as("y"))
+      .where(col("x.vec_id") === 0L && col("y.vec_id") === 1L)
+      .select(VectorOps.cosineBest(spark, VectorOps.dvec(col("x.embedding")), VectorOps.dvec(col("y.embedding"))).as("c"))
+      .head().getDouble(0)
+    assert(hof == native)
+  }
+
   test("embedding near-dup: LSH buckets catch near-identical vectors, verify filters") {
     import spark.implicits._
     val e = Seq(
