@@ -250,6 +250,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       // threshold tuned to the synthetic corpus (max pairwise cosine ≈ .5)
       VectorOps.embeddingNearDupPairs(emb(s, d), threshold = 0.45)),
+    "clean_corpus" -> ((s, d) =>
+      TextOps.cleanCorpus(docs(s, d), Seq("en", "de"), 100L, 2000L)),
   )
 
   // ---- DuckDB oracle twins (same column names/types, same values) ----
@@ -403,6 +405,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
         |FROM documents GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    "clean_corpus" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM documents
+        |WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $shingleCte

@@ -225,4 +225,16 @@ object TextOps {
   /** Rolling-hash document fingerprint (content-defined): xxhash64 of the
     * normalized text — cheap identity for exact-dup clustering at scale. */
   def fingerprint(text: Column): Column = xxhash64(normText(text))
+
+  /** The composed corpus-cleaning pass a training pipeline actually runs:
+    * language allowlist → char-length band → exact-dedup survivors (min
+    * doc_id per normalized text). One filter + one hash-group shuffle. */
+  def cleanCorpus(docs: DataFrame, langs: Seq[String],
+                  minChars: Long, maxChars: Long): DataFrame =
+    docs
+      .where(col("lang").isin(langs: _*) &&
+        length(col("text")).between(minChars, maxChars))
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
 }

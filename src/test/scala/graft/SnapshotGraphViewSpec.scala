@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{GraftGraph, SnapshotGraphView}
+import graft.snapshot.Snapshot
+
+/** The read-only handle facade over a Snapshot must agree with the
+  * driver-side API over the same log (API parity for bulk stores). */
+class SnapshotGraphViewSpec extends AnyFunSuite {
+
+  test("handles over a snapshot mirror the interactive API") {
+    val g = new GraftGraph(TestSpark.spark)
+    val a = g.addVertex(); a.setProperty("name", "a"); a.setProperty("n", 7L)
+    val b = g.addVertex(); b.setProperty("name", "b")
+    val c = g.addVertex(); c.setProperty("name", "c")
+    val e1 = g.addEdge(a, b, "knows"); e1.setProperty("w", 0.5)
+    g.addEdge(a, c, "likes")
+
+    val view = new SnapshotGraphView(Snapshot.head(g.log))
+
+    assert(view.vertices().map(_.id).toSet == Set(a.id, b.id, c.id))
+    assert(view.edges().size == 2)
+    assert(view.vertex(a.id).get.getProperty("name") == "a")
+    assert(view.vertex(a.id).get.getProperty("n") == 7L)
+    assert(view.vertex(999999L).isEmpty)
+
+    val av = view.vertex(a.id).get
+    assert(av.getEdges("out").map(_.label).toSet == Set("knows", "likes"))
+    assert(av.getEdges("out", "knows").map(_.inV).toSeq == Seq(b.id))
+    assert(av.getVertices("out", "likes").map(_.id).toSeq == Seq(c.id))
+    assert(view.edge(e1.id).get.getProperty("w") == 0.5)
+    assert(view.edge(e1.id).get.getVertex("in").id == b.id)
+    assert(av.getPropertyKeys == Set("name", "n"))
+  }
+}
