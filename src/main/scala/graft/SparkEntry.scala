@@ -152,10 +152,8 @@ object SparkEntry {
       lt.join(vl, Seq("id"), "left")
     },
 
-    "version_count" -> { (s, d) =>
-      EventsReplay.snapshot(s, d).store.touchesDF
-        .groupBy(col("e").as("id")).agg(count(lit(1)).as("n_versions"))
-    },
+    "version_count" -> ((s, d) =>
+      graft.temporal.VersionChains.versionCounts(EventsReplay.snapshot(s, d).store)),
 
     "version_chain" -> { (s, d) =>
       val st = EventsReplay.snapshot(s, d).store

@@ -299,6 +299,8 @@ final class GraftGraph(val log: MemFactLog) {
   }
 
   def addEdge(outV: VertexHandle, inV: VertexHandle, label: String): EdgeHandle = {
+    require(!outV.isDeleted && !inV.isDeleted,
+      "It is not possible to create an edge on a deleted vertex")
     val id = log.newEntityId()
     buffer += Fact.of(id, A.ElementType, A.Edge, 0L)
     buffer += Fact.of(id, A.EdgeLabel, label, 0L)
