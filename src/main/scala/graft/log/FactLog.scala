@@ -153,6 +153,15 @@ final class MemFactLog(val spark: SparkSession) extends FactStore {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(root, "_graft_meta"), s"txBucketSize=$txBucketSize")
   }
+
+  /** Persist the log as a BUCKETED table (hash-bucketed + sorted by `e`):
+    * downstream per-entity joins and the latest-wins aggregation read
+    * co-located buckets and skip their shuffle (`bucketBy` needs a table
+    * catalog, hence saveAsTable rather than a path write). */
+  def saveBucketedTable(table: String, buckets: Int = 32): Unit =
+    factsDF.write.mode("overwrite")
+      .bucketBy(buckets, "e").sortBy("e", "attr")
+      .saveAsTable(table)
 }
 
 object FactLog {

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.GraftGraph
+import graft.util.SkewJoin
+
+class SkewAndBucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join matches the plain join on skewed data") {
+    import spark.implicits._
+    // 10k rows hammering one hot key + a sprinkle of others
+    val big = (1 to 10000).map(i => (if (i % 10 == 0) i % 7 else 0, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((0, "hot"), (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f"))
+      .toDF("k", "name")
+    val plain = big.join(small, "k").groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.salted(big, small, "k", col("payload"))
+      .groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    // the salted big side spreads the hot key over multiple sub-keys
+    val spread = big.withColumn("_salt", pmod(xxhash64(col("payload")), lit(16)))
+      .where(col("k") === 0).select("_salt").distinct().count()
+    assert(spread > 8)
+  }
+
+  test("saltedCount matches plain count per key") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val plain = df.groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedCount(df, "k", col("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed fact table: per-entity aggregation plans without an exchange") {
+    val g = new GraftGraph(spark)
+    val vs = (1 to 50).map(_ => g.addVertex())
+    vs.foreach(v => v.setProperty("p", 1L))
+    g.log.saveBucketedTable("graft_bucketed_facts", buckets = 4)
+    try {
+      val t = spark.table("graft_bucketed_facts")
+      // group by the bucket column: bucketed layout satisfies the
+      // distribution, so no shuffle exchange appears before the agg
+      val agg = t.groupBy(col("e")).agg(max(col("tx")))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(e#"),
+        s"expected no exchange on bucketed groupBy:\n$plan")
+      assert(agg.count() == 50) // one row per vertex entity
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_facts")
+    }
+  }
+}
