@@ -165,6 +165,25 @@ object SparkEntry {
         .select(col("tx"), col("t_start"), col("t_end"))
     },
 
+    "version_intervals" -> { (s, d) =>
+      val st = EventsReplay.snapshot(s, d).store
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      graft.temporal.VersionChains.intervals(st)
+        .select(col("e").as("id"), col("tx"),
+          date_format(col("validFrom"), fmt).as("v_from"),
+          date_format(col("validTo"), fmt).as("v_to"))
+    },
+
+    "neighbors_by_name" -> { (s, d) =>
+      // attribute filter + reverse traversal: everyone in nation NATION_7
+      val snap = TpchGraph.snapshot(s, d)
+      val nation = snap.elementsByProp("name", PropType.PString, "NATION_7", A.Vertex)
+        .select(col("id").as("nid"))
+      snap.edges.where(col("label") === "in_nation")
+        .join(nation, col("inV") === col("nid"))
+        .select(col("outV").as("id"))
+    },
+
     "asof_diff" -> { (s, d) =>
       def vals(t: String) =
         vprop(EventsReplay.snapshot(s, d).asOf(ts(t)), "value", PropType.PDouble, "value")
@@ -360,6 +379,19 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS t_start,
         |  lead(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) OVER (ORDER BY event_id) AS t_end
         |FROM events WHERE user_id = 7""".stripMargin,
+
+    "version_intervals" ->
+      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS v_from,
+        |  lead(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) OVER (PARTITION BY user_id ORDER BY event_id) AS v_to
+        |FROM events""".stripMargin,
+
+    "neighbors_by_name" ->
+      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+        |UNION ALL
+        |SELECT CAST(4000000 + s_suppkey AS BIGINT)
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin,
 
     "asof_diff" ->
       s"""WITH v1 AS (SELECT user_id, value FROM (${latestEventSql("2024-01-10 00:00:00")})
