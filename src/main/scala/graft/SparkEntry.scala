@@ -450,6 +450,19 @@ object SparkEntry {
          |WHERE len(a.s) > 0 AND len(b.s) > 0
          |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
 
+    "lang_id" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, list_max([
+        |    {'s': len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','that','for','with']))), 'l': 'en'},
+        |    {'s': len(list_distinct(list_intersect(t, ['der','die','das','und','ist','von','mit','ein','nicht','auf']))), 'l': 'de'},
+        |    {'s': len(list_distinct(list_intersect(t, ['le','la','les','et','de','est','un','une','pour','dans']))), 'l': 'fr'},
+        |    {'s': len(list_distinct(list_intersect(t, ['el','la','los','y','de','es','un','una','por','con']))), 'l': 'es'}
+        |  ]) AS best
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |        FROM documents))""".stripMargin,
+
     "embedding_norms" ->
       """SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS norm
