@@ -25,7 +25,12 @@ object SparkEntry {
 
   // ---- helpers ----
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  /** Parse a wall-clock literal AS UTC, independent of the JVM default
+    * timezone (Timestamp.valueOf would use the host zone, silently
+    * shifting every asOf boundary vs the oracle's naive timestamps). */
+  private def ts(s: String) = Timestamp.from(
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
 
   private def docs(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -59,11 +59,17 @@ final class GraftGraph(val log: MemFactLog) {
 
   /** Batch several mutations into ONE transaction (the reference exposes
     * no user transactions — supportsTransactions=false — but clear() and
-    * removeVertex internally batch; this is that mechanism, made explicit). */
+    * removeVertex internally batch; this is that mechanism, made explicit).
+    * A throwing body rolls the buffered facts back — nothing leaks into
+    * the next commit. */
   def inTx[T](body: => T): (T, Long) = {
     require(!batching, "nested inTx")
     batching = true
-    val r = try body finally batching = false
+    val r = try body catch {
+      case e: Throwable =>
+        buffer.clear(); touched.clear()
+        throw e
+    } finally batching = false
     val tx = transact()
     (r, tx)
   }
@@ -436,17 +442,32 @@ final class GraftGraph(val log: MemFactLog) {
 
   private case class EdgeRec(id: Long, label: String, outV: Long, inV: Long)
 
-  private def liveFacts(asOf: Long): Seq[Fact] =
-    log.allFacts.filter(_.tx <= asOf)
-      .groupBy(f => (f.e, f.attr)).valuesIterator
+  /** Uncommitted buffered facts, made visible to current-view reads while
+    * batching (stamped one past the head so latest-wins sees them last) —
+    * otherwise an element created inside inTx looks deleted to validate()
+    * and can't be used until the commit. */
+  private def pendingFacts: Seq[Fact] =
+    if (buffer.isEmpty) Nil
+    else buffer.toSeq.zipWithIndex.map { case (f, i) =>
+      f.copy(tx = log.headTx + 1, seq = i.toLong)
+    }
+
+  private def liveFacts(asOf: Long): Seq[Fact] = {
+    val base = if (asOf == Long.MaxValue) log.allFacts ++ pendingFacts
+               else log.allFacts.filter(_.tx <= asOf)
+    base.groupBy(f => (f.e, f.attr)).valuesIterator
       .map(_.maxBy(f => (f.tx, f.seq)))
       .filter(_.added).toSeq
+  }
 
-  private def liveFactsOf(e: Long, asOf: Long): Seq[Fact] =
-    log.allFacts.filter(f => f.e == e && f.tx <= asOf)
+  private def liveFactsOf(e: Long, asOf: Long): Seq[Fact] = {
+    val base = if (asOf == Long.MaxValue) log.allFacts ++ pendingFacts
+               else log.allFacts.filter(_.tx <= asOf)
+    base.filter(f => f.e == e)
       .groupBy(_.attr).valuesIterator
       .map(_.maxBy(f => (f.tx, f.seq)))
       .filter(_.added).toSeq
+  }
 
   private def edgeRecords(asOf: Long): Seq[EdgeRec] = {
     val live = liveFacts(asOf)

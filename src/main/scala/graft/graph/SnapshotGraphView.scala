@@ -43,8 +43,10 @@ final class SnapshotGraphView(val snap: Snapshot) {
   }
 
   sealed abstract class ElemView(val id: Long, kind: String) {
-    /** All live user properties of this element, decoded (one job). */
-    def properties: Map[String, Any] =
+    /** All live user properties of this element, decoded — computed once
+      * per handle (the snapshot is immutable; a def would launch one
+      * Spark job per getProperty call). */
+    lazy val properties: Map[String, Any] =
       snap.propFacts(kind).where(col("e") === id).collect().map { r =>
         val key = r.getAs[String]("key")
         val v = Seq[Any](r.getAs[Any]("vStr"), r.getAs[Any]("vLong"),

@@ -35,6 +35,7 @@ object GraphXTraversal {
   def labelPathCounts(g: Graph[Unit, String], labels: Seq[String]): (Long, Long) = {
     // seed: every vertex roots one path of length 0
     var counts: RDD[(VertexId, Long)] = g.vertices.mapValues(_ => 1L)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[RDD[(VertexId, Long)]]
     labels.foreach { label =>
       val withCounts = g.outerJoinVertices(counts) {
         (_, _, c) => c.getOrElse(0L)
@@ -43,9 +44,13 @@ object GraphXTraversal {
         ctx => if (ctx.attr == label && ctx.srcAttr > 0) ctx.sendToDst(ctx.srcAttr),
         _ + _)
       counts.persist()
+      cached += counts
     }
     val nPaths = counts.map(_._2).fold(0L)(_ + _)
     val nDest = counts.count()
+    // both results materialized — release every round's cache + the graph
+    cached.foreach(_.unpersist(blocking = false))
+    g.unpersist(blocking = false)
     (nPaths, nDest)
   }
 

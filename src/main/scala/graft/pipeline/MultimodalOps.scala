@@ -84,7 +84,7 @@ object MultimodalOps {
     * the per-frame decode would hang off the same partition-mapped stage
     * as [[extractFeatures]]. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
-    media.where(col("kind") === "video" && col("meta.duration_ms").isNotNull)
+    media.where(col("kind") === "video" && col("meta.duration_ms") > 0)
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))

@@ -126,12 +126,12 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = toks.select(col("doc_id"), shinglesFromTokens(col("t")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col("doc_id"), hashPairs(col("sh")).as("hp"))
+    val hp = sh.select(col("doc_id"), hashPairs(col("sh")).as("hp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-      .select(col("doc_id"), signatureFromPairs(col("hp"), numHashes).as("sig"))
+    val sig = hp.select(col("doc_id"), signatureFromPairs(col("hp"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig
-      .persist(StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("bh"))))
@@ -150,11 +150,16 @@ object TextOps {
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val union = size(array_union(col("sha"), col("shb"))).cast("double")
-    withSets
+    val out = withSets
       .where(size(col("sha")) > 0 && size(col("shb")) > 0) // no 0/0 NaN
       .withColumn("jac", inter / union)
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
+    // materialize the (small) result, then release the stage caches —
+    // otherwise every call pins 5 intermediates for the session lifetime
+    val res = out.localCheckpoint(true)
+    Seq(toks, sh, hp, sig, banded).foreach(_.unpersist(false))
+    res
   }
 
   /** 64-bit SimHash from a TOKEN-ARRAY ATTRIBUTE (see
@@ -182,9 +187,9 @@ object TextOps {
     import org.apache.spark.storage.StorageLevel
     // staged tokens (see shinglesFromTokens), then a fingerprint barrier:
     // fp is referenced by 4 band projections and both self-join sides
-    val fp = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val toksF = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-      .select(col("doc_id"), simhashFromTokens(col("t")).as("fp"))
+    val fp = toksF.select(col("doc_id"), simhashFromTokens(col("t")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -196,12 +201,15 @@ object TextOps {
       val x = col("x.fp").bitwiseXOR(col("y.fp"))
       bit_count(x)
     }
-    banded.as("x").join(banded.as("y"),
+    val out = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), ham.as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHam)
+    val res = out.localCheckpoint(true)
+    Seq(toksF, fp).foreach(_.unpersist(false))
+    res
   }
 
   /** n-gram-frequency language-ID heuristic: scores text against small

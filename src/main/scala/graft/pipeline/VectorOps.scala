@@ -107,11 +107,14 @@ object VectorOps {
     val qv = broadcast(queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv")))
     val cv = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("nbv"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
-    cand.join(qv, "q").join(cv, "nb")
+    val out = cand.join(qv, "q").join(cv, "nb")
       .select(col("q"), col("nb"),
         cosineBest(corpus.sparkSession, col("qv"), col("nbv")).as("sim"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
+    val res = out.localCheckpoint(true)
+    c.unpersist(false)
+    res
   }
 
   /** Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b and
@@ -128,9 +131,10 @@ object VectorOps {
     val nPlanes = bands * rowsPerBand
     val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = vecs
+    val sigF = vecs
       .select(col("vec_id"), lshSignature(col("v"), nPlanes, dims).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigF
       .select(col("vec_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
@@ -143,13 +147,16 @@ object VectorOps {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
-    cand
+    val out = cand
       .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"),
         cosineBest(emb.sparkSession, col("va"), col("vb")).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+    val res = out.localCheckpoint(true)
+    Seq(vecs, sigF).foreach(_.unpersist(false))
+    res
   }
 
   /** Per-label centroid norms — multimodal-ish aggregate over the vector

@@ -48,8 +48,18 @@ object EventsReplay {
   def build(spark: SparkSession, dir: String): BulkFactStore = {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects;
     // read it as a long and truncate to micros (values are µs-precision).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // The legacy flag is scoped to THIS read (schema resolves eagerly at
+    // read.parquet; the flag is restored so unrelated reads in the same
+    // session keep their normal timestamp semantics).
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    val raw = try spark.read.parquet(s"$dir/events.parquet")
+      finally prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    val ev = raw
       .select(
         (col("event_id") + 1).cast("long").as("tx"),
         expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)").as("ts"),

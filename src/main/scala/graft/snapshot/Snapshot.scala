@@ -117,8 +117,14 @@ final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
   lazy val vertices: DataFrame =
     vertexIds.join(
       propFacts(A.Vertex)
+        // one user key can be live under two type-qualified attributes
+        // (e.g. x.long.vertex + x.string.vertex written by bulk loads);
+        // deterministically keep one per key — map_from_entries would
+        // throw DUPLICATE_MAP_KEY otherwise
+        .groupBy(col("e"), col("key"))
+        .agg(max_by(valueAsString, col("attr")).as("v"))
         .groupBy(col("e"))
-        .agg(map_from_entries(collect_list(struct(col("key"), valueAsString)))
+        .agg(map_from_entries(collect_list(struct(col("key"), col("v"))))
           .as("props"))
         .select(col("e").as("id"), col("props")),
       Seq("id"), "left")

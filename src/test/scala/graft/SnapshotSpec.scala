@@ -64,6 +64,36 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(a.id))
   }
 
+  test("inTx: elements created in the batch are usable within it") {
+    val g = new GraftGraph(TestSpark.spark)
+    val head0 = g.log.headTx
+    val ((a, b), tx) = g.inTx {
+      val a = g.addVertex()
+      a.setProperty("name", "a")        // must see the buffered type fact
+      val b = g.addVertex()
+      g.addEdge(a, b, "knows")          // endpoints live only in the buffer
+      (a, b)
+    }
+    assert(tx == head0 + 1)
+    assert(a.getProperty("name") == "a")
+    assert(a.getEdges("out", "knows").head.getVertex("in").id == b.id)
+  }
+
+  test("inTx: a throwing body rolls the buffer back") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    intercept[RuntimeException] {
+      g.inTx { v.setProperty("p", 1L); throw new RuntimeException("boom") }
+    }
+    val head = g.log.headTx
+    val w = g.addVertex()
+    w.setProperty("q", 2L)
+    // the failed batch's fact must NOT leak into later commits
+    assert(v.getProperty("p") == null)
+    assert(g.log.allFacts.forall(f => !(f.e == v.id && f.attr == "p.long.vertex")))
+    assert(g.log.headTx == head + 2) // addVertex + setProperty only
+  }
+
   test("inTx batching: one tx, atomic visibility") {
     val g = new GraftGraph(TestSpark.spark)
     val v = g.addVertex()
