@@ -267,6 +267,10 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.lshTopK(e, e.where(col("vec_id") < 10), 10)
     },
+    "ann_ivf" -> { (s, d) =>
+      val e = emb(s, d)
+      VectorOps.ivfTopK(e, e.where(col("vec_id") < 10), 10)
+    },
     "label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(emb(s, d).withColumn("label", col("label").cast("long")))),
     "dedup_embedding" -> ((s, d) =>

@@ -159,6 +159,78 @@ object VectorOps {
     res
   }
 
+  /**
+   * IVF (inverted-file) ANN — the second scale path beside [[lshTopK]]:
+   * a coarse k-means quantizer (trained on a deterministic sample,
+   * driver-coordinated over tiny k×dims centroid state) partitions the
+   * corpus into `k` cells; queries probe only the `nProbe` nearest cells
+   * and exact-rank candidates there. Corpus-side work per query scales
+   * with nProbe/k of the data, and the assignment pass is a single map
+   * with the centroid matrix as a plan literal — no row multiplication.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 10,
+              k: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val vecs = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic init: the k lowest vec_ids
+    var centroids: Array[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toSeq)
+
+    def cellOf(v: Column): Column = {
+      // argmax over k cosine scores, built from literal centroid rows
+      val scored = centroids.zipWithIndex.map { case (c, j) =>
+        struct(cosine(v, typedlit(c)).as("s"), lit(j).as("cell"))
+      }
+      array_max(array(scored: _*)).getField("cell")
+    }
+
+    // Lloyd iterations on a sample; centroid state stays driver-side
+    // (k×dims doubles), the heavy work is the sampled assignment scan.
+    val sample = vecs.where(pmod(col("vec_id"), lit(5)) === 0)
+    (1 to iters).foreach { _ =>
+      val assigned = sample.select(col("v"), cellOf(col("v")).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(map_from_entries(collect_list(struct(col("i"), col("m")))).as("mm"))
+        .collect().map { r =>
+          val mm = r.getAs[Map[Int, Double]]("mm")
+          r.getAs[Int]("cell") -> (0 until mm.size).map(mm)
+        }.toMap
+      centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j))).toArray
+    }
+
+    val indexed = vecs.select(col("vec_id").as("nb"), col("v").as("nbv"),
+      cellOf(col("v")).as("cell")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // queries probe their nProbe closest cells (sort ascending on the
+    // NEGATED score → most similar cells first)
+    def probeCells(v: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, j) =>
+        struct((-cosine(v, typedlit(c))).as("negs"), lit(j).as("cell"))
+      }
+      slice(array_sort(array(scored: _*)), 1, nProbe)
+    }
+    val q = broadcast(queries
+      .select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
+      .select(col("q"), col("qv"), explode(probeCells(col("qv")).getField("cell")).as("cell")))
+
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
+    val out = indexed.join(q, Seq("cell"))
+      .where(col("q") =!= col("nb"))
+      .select(col("q"), col("nb"),
+        cosineBest(corpus.sparkSession, col("qv"), col("nbv")).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+      .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
+    val res = out.localCheckpoint(true)
+    Seq(vecs, indexed).foreach(_.unpersist(false))
+    res
+  }
+
   /** Per-label centroid norms — multimodal-ish aggregate over the vector
     * column: element-wise mean via posexplode + regroup (shuffles rows×dim
     * key pairs; at 100 TB you'd switch to a TypedImperativeAggregate, but

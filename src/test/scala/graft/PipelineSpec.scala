@@ -110,6 +110,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L))) // only the near-identical pair survives
   }
 
+  test("IVF ANN: clustered vectors resolve to their cluster-mates; recall vs brute force") {
+    import spark.implicits._
+    // three tight direction-clusters, 8 vectors each
+    def jitter(base: Array[Float], seed: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + ((seed * 31 + i) % 7) * 0.01f }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f); val c = Array(0f, 0f, 1f, 0f)
+    val rows = (0 until 8).flatMap(s => Seq(
+      (s.toLong, jitter(a, s)), (100L + s, jitter(b, s)), (200L + s, jitter(c, s))))
+    val e = rows.toDF("vec_id", "embedding")
+    val r = VectorOps.ivfTopK(e, e.where(col("vec_id") === 0L), topK = 5, k = 3, nProbe = 1)
+      .collect().map(_.getAs[Long]("nb")).toSeq
+    assert(r.nonEmpty && r.forall(_ < 100L), s"expected cluster-A mates, got $r")
+
+    // recall against exact brute force on the real embeddings table
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qs = realE.where(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(realE, qs, 10)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
+    val ivf = VectorOps.ivfTopK(realE, qs, 10, k = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("LSH ANN: same-direction vectors share buckets, ranking is exact on candidates") {
     val r = VectorOps.lshTopK(vecs, vecs.where(col("vec_id") === 0L), 3, dims = 3)
       .collect().map(_.getAs[Long]("nb")).toSeq
