@@ -517,8 +517,21 @@ final class GraftGraph(val log: MemFactLog) {
 }
 
 /** Read-only graph materialized from difference facts
-  * (ImmutableFluxGraph.java:19-109): mutations absent by construction. */
+  * (ImmutableFluxGraph.java:19-109): mutations absent by construction.
+  * [[asStore]] lifts it into a [[graft.log.BulkFactStore]] so the full
+  * set-oriented read stack (Snapshot views, SnapshotGraphView handles)
+  * queries a diff exactly like any other graph — the reference seeds a
+  * fresh in-mem Datomic db for the same purpose. */
 final case class DiffGraph(facts: Seq[Fact]) {
+
+  def asStore(spark: org.apache.spark.sql.SparkSession): graft.log.BulkFactStore = {
+    import spark.implicits._
+    new graft.log.BulkFactStore(
+      spark,
+      spark.createDataset(facts).toDF(),
+      spark.emptyDataset[Touch].toDF(),
+      Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant"))
+  }
   def elementIds: Seq[Long] = facts.map(_.e).distinct.sorted
   def vertexIds: Seq[Long] =
     facts.collect { case f if f.attr == A.ElementType && f.vStr == A.Vertex => f.e }.distinct.sorted

@@ -133,6 +133,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(diff2.props(v.id, "p") == Seq(1L))
   }
 
+  test("a DiffGraph is queryable through the standard engine stack") {
+    val g = new GraftGraph(TestSpark.spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex(); v.setProperty("p", 1L); v.setProperty("name", "v")
+    g.setTransactionTime(ts("2024-02-01 00:00:00"))
+    v.setProperty("p", 2L)
+    val diff = g.difference(Seq(v.id), ts("2024-02-15 00:00:00"), ts("2024-01-15 00:00:00"))
+    val view = new graft.graph.SnapshotGraphView(
+      graft.snapshot.Snapshot.head(diff.asStore(TestSpark.spark)))
+    val h = view.vertex(v.id).get
+    assert(h.getProperty("p") == 2L)     // only the changed fact survives
+    assert(h.getProperty("name") == null) // unchanged fact not in the diff
+  }
+
   test("per-element difference of two versions") {
     val g = new GraftGraph(TestSpark.spark)
     val v = g.addVertex()
