@@ -147,6 +147,15 @@ object SparkEntry {
     "property_keys" -> ((s, d) =>
       TpchGraph.snapshot(s, d).propFacts(A.Vertex).select(col("key")).distinct()),
 
+    "edge_property_keys" -> ((s, d) =>
+      TpchGraph.snapshot(s, d).propFacts(A.Edge).select(col("key")).distinct()),
+
+    "edge_props" -> { (s, d) =>
+      // typed property read on edges: quantity of every `contains` edge
+      TpchGraph.snapshot(s, d).prop("quantity", PropType.PDouble, A.Edge)
+        .select(col("e").as("id"), col("v").as("quantity"))
+    },
+
     // ---- §2.6 temporal (events replayed as backdated txs) ----
     "asof_values" -> { (s, d) =>
       val snap = EventsReplay.snapshot(s, d).asOf(ts("2024-01-15 00:00:00"))
@@ -373,6 +382,17 @@ object SparkEntry {
     "property_keys" ->
       """SELECT key FROM (VALUES ('name'),('acctbal'),('mktsegment'),('size'),('brand'),
         |('type'),('retailprice'),('orderstatus'),('totalprice'),('orderdate'),('orderpriority')) t(key)""".stripMargin,
+
+    "edge_property_keys" ->
+      """SELECT key FROM (VALUES ('quantity'),('extendedprice'),('discount'),
+        |('returnflag'),('shipdate')) t(key)""".stripMargin,
+
+    "edge_props" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(100000000 + l_orderkey * 16 + seq AS BIGINT) AS id, l_quantity AS quantity
+        |FROM liseq""".stripMargin,
 
     "asof_values" ->
       s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
