@@ -199,11 +199,29 @@ object SparkEntry {
     },
 
     "asof_diff" -> { (s, d) =>
-      def vals(t: String) =
-        vprop(EventsReplay.snapshot(s, d).asOf(ts(t)), "value", PropType.PDouble, "value")
-          .select(col("e").as("id"), col("value"))
-      vals("2024-01-20 00:00:00").join(vals("2024-01-10 00:00:00"),
-        Seq("id", "value"), "left_anti")
+      // the engine-API difference graph (DiffGraph.of → Snapshot
+      // .differenceFacts), projected onto the `value` property — same
+      // result as a hand-written anti-join of the two asOf value views
+      val head = EventsReplay.snapshot(s, d)
+      graft.graph.DiffGraph.of(
+          head.asOf(ts("2024-01-20 00:00:00")), head.asOf(ts("2024-01-10 00:00:00")))
+        .factsDF
+        .where(col("attr") === "value.double." + A.Vertex)
+        .select(col("e").as("id"), col("vDouble").as("value"))
+    },
+
+    "diff_workingset" -> { (s, d) =>
+      // difference(ws, d1, d2) over the bulk store, scoped to users 0-49:
+      // every changed fact (both properties) with the normalize step
+      val head = EventsReplay.snapshot(s, d)
+      val ws = s.range(0, 50).select((lit(EventsReplay.VUser) + col("id")).as("e"))
+      graft.graph.DiffGraph.of(
+          head.asOf(ts("2024-01-20 00:00:00")), head.asOf(ts("2024-01-10 00:00:00")),
+          Some(ws))
+        .factsDF
+        .where(col("attr") =!= A.ElementType)
+        .select(col("e").as("id"), col("attr"),
+          col("vStr").as("v_str"), col("vDouble").as("v_dbl"))
     },
 
     // ---- §2.2 mutations through the interactive API (static oracles) ----
@@ -430,6 +448,27 @@ object SparkEntry {
          |SELECT CAST(7000000 + v2.user_id AS BIGINT) AS id, v2.value AS value
          |FROM v2 LEFT JOIN v1 ON v2.user_id = v1.user_id AND v2.value = v1.value
          |WHERE v1.user_id IS NULL""".stripMargin,
+
+    "diff_workingset" ->
+      s"""WITH s1 AS (SELECT user_id, event_type, value
+         |            FROM (${latestEventSql("2024-01-20 00:00:00")}) WHERE rn = 1),
+         |     s2 AS (SELECT user_id, event_type, value
+         |            FROM (${latestEventSql("2024-01-10 00:00:00")}) WHERE rn = 1),
+         |     f1 AS (SELECT user_id, 'last$$type.string.vertex' AS attr,
+         |                   event_type AS v_str, CAST(NULL AS DOUBLE) AS v_dbl FROM s1
+         |            UNION ALL
+         |            SELECT user_id, 'value.double.vertex', NULL, value
+         |            FROM s1 WHERE event_type <> 'error'),
+         |     f2 AS (SELECT user_id, 'last$$type.string.vertex' AS attr,
+         |                   event_type AS v_str, CAST(NULL AS DOUBLE) AS v_dbl FROM s2
+         |            UNION ALL
+         |            SELECT user_id, 'value.double.vertex', NULL, value
+         |            FROM s2 WHERE event_type <> 'error')
+         |SELECT CAST(7000000 + f1.user_id AS BIGINT) AS id, f1.attr, f1.v_str, f1.v_dbl
+         |FROM f1 WHERE f1.user_id < 50 AND NOT EXISTS (
+         |  SELECT 1 FROM f2 WHERE f2.user_id = f1.user_id AND f2.attr = f1.attr
+         |    AND f2.v_str IS NOT DISTINCT FROM f1.v_str
+         |    AND f2.v_dbl IS NOT DISTINCT FROM f1.v_dbl)""".stripMargin,
 
     "mutations_crud" ->
       """SELECT 'alice' AS src_name, 'knows' AS label, 'bob' AS dst_name

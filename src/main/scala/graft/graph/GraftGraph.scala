@@ -417,7 +417,13 @@ final class GraftGraph(val log: MemFactLog) {
   /** Facts present at d1 but NOT at d2, over the working set — the
     * difference graph (FluxGraph.java:250-273, FluxUtil.java:241-319).
     * Keeps structural facts of surviving elements, drops orphaned
-    * element-type facts (normalize), and records original ids. */
+    * element-type facts (normalize), and records original ids.
+    *
+    * This is the driver-side shortcut for interactive (TCK-scale) graphs;
+    * the set-oriented engine path over ANY store — including a
+    * parquet-backed bulk log — is [[DiffGraph.of]] /
+    * [[graft.snapshot.Snapshot.differenceFacts]], with identical
+    * semantics (asserted by TemporalSpec parity). */
   def difference(workingSet: Seq[Long], d1: Timestamp, d2: Timestamp): DiffGraph = {
     val ws = workingSet.toSet
     val f1 = liveFacts(log.resolveTx(d1)).filter(f => ws(f.e))
@@ -428,7 +434,7 @@ final class GraftGraph(val log: MemFactLog) {
     // normalize: drop elements whose ONLY remaining fact is the type fact
     val byE = diff.groupBy(_.e)
     val kept = byE.filter { case (_, fs) => fs.exists(_.attr != A.ElementType) }
-    DiffGraph(kept.values.flatten.toSeq)
+    DiffGraph.fromFacts(log.spark, kept.values.flatten.toSeq)
   }
 
   /** Per-element difference of two version handles (FluxGraph.java:275-280). */
@@ -518,20 +524,44 @@ final class GraftGraph(val log: MemFactLog) {
 
 /** Read-only graph materialized from difference facts
   * (ImmutableFluxGraph.java:19-109): mutations absent by construction.
-  * [[asStore]] lifts it into a [[graft.log.BulkFactStore]] so the full
-  * set-oriented read stack (Snapshot views, SnapshotGraphView handles)
-  * queries a diff exactly like any other graph — the reference seeds a
-  * fresh in-mem Datomic db for the same purpose. */
-final case class DiffGraph(facts: Seq[Fact]) {
+  *
+  * DataFrame-backed: [[factsDF]] is the authoritative content (a valid
+  * fact-log slice — at 100 TB the diff of two snapshots never lands on the
+  * driver), and [[asStore]] lifts it into a [[graft.log.BulkFactStore]] so
+  * the full set-oriented read stack (Snapshot views, SnapshotGraphView
+  * handles) queries a diff exactly like any other graph — the reference
+  * seeds a fresh in-mem Datomic db for the same purpose. The `Seq`-returning
+  * accessors ([[facts]], [[vertexIds]], [[props]], …) are driver
+  * conveniences for TCK-scale diffs and collect once, lazily. */
+final class DiffGraph private (
+    val spark: org.apache.spark.sql.SparkSession,
+    mkDF: () => org.apache.spark.sql.DataFrame,
+    seed: Option[Seq[Fact]]) {
 
-  def asStore(spark: org.apache.spark.sql.SparkSession): graft.log.BulkFactStore = {
+  lazy val factsDF: org.apache.spark.sql.DataFrame = mkDF()
+
+  /** Driver-side view of the diff facts (collects when DataFrame-backed). */
+  lazy val facts: Seq[Fact] = seed.getOrElse {
+    import spark.implicits._
+    factsDF.as[Fact].collect().toSeq
+  }
+
+  /** Lift into the standard engine stack. Diff facts are one row per
+    * (e, attr) by construction (both inputs were latest-wins deduped), so
+    * the store is preDeduped and snapshot reads over it skip the
+    * latest-wins shuffle entirely. */
+  def asStore: graft.log.BulkFactStore = {
     import spark.implicits._
     new graft.log.BulkFactStore(
       spark,
-      spark.createDataset(facts).toDF(),
+      factsDF,
       spark.emptyDataset[Touch].toDF(),
-      Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant"))
+      Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant"),
+      preDeduped = true)
   }
+  /** Back-compat overload (the session is fixed at construction). */
+  def asStore(spark: org.apache.spark.sql.SparkSession): graft.log.BulkFactStore = asStore
+
   def elementIds: Seq[Long] = facts.map(_.e).distinct.sorted
   def vertexIds: Seq[Long] =
     facts.collect { case f if f.attr == A.ElementType && f.vStr == A.Vertex => f.e }.distinct.sorted
@@ -544,4 +574,21 @@ final case class DiffGraph(facts: Seq[Fact]) {
       Seq[Any](f.vStr, f.vLong, f.vDouble, f.vDec, f.vBool, f.vTs, f.vRef)
         .find(_ != null).orNull
     }
+}
+
+object DiffGraph {
+  /** Driver-path constructor (small graphs — the interactive API). */
+  def fromFacts(spark: org.apache.spark.sql.SparkSession, facts: Seq[Fact]): DiffGraph =
+    new DiffGraph(spark, () => {
+      import spark.implicits._
+      spark.createDataset(facts).toDF()
+    }, Some(facts))
+
+  /** The engine-API difference over ANY [[graft.log.FactStore]]: facts
+    * live in `s1` but absent from `s2` (FluxGraph.java:250-273), lazily
+    * computed as a set-oriented anti-join ([[graft.snapshot.Snapshot
+    * .differenceFacts]]) — works unchanged on a parquet-backed 100 TB log. */
+  def of(s1: graft.snapshot.Snapshot, s2: graft.snapshot.Snapshot,
+         workingSet: Option[org.apache.spark.sql.DataFrame] = None): DiffGraph =
+    new DiffGraph(s1.store.spark, () => s1.differenceFacts(s2, workingSet), None)
 }

@@ -144,6 +144,51 @@ final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
   def elementsByProp(key: String, t: PropType, v: Any, kind: String): DataFrame =
     prop(key, t, kind).where(col("v") === lit(v)).select(col("e").as("id"))
 
+  /**
+   * Facts live in THIS snapshot but absent from `other` — the set-oriented
+   * difference graph (FluxGraph.java:250-273, FluxUtil.java:241-319),
+   * optionally scoped to a working set of element ids (a one-column
+   * DataFrame; the reference takes an explicit working set too).
+   *
+   * Shape: a null-safe left-anti join of the two deduped fact sets on
+   * (e, attr, every value column) — tx is provenance, not identity, so a
+   * re-assertion of the same value at a later tx is NOT a difference —
+   * followed by the reference's normalize step: an element survives only
+   * if a non-type fact survives, and surviving elements keep their
+   * element-type fact so the result is a well-formed (sub)graph. Both
+   * sides are one shuffle each (the currentFacts aggregation); the anti
+   * join hashes on `e` — at 100 TB this is the same join the engine
+   * already runs for asOf reads, never a driver collect.
+   *
+   * Output has the full [[Fact]] schema (seq = 0, added = true): a valid
+   * fact-log slice, loadable as a [[graft.log.BulkFactStore]].
+   */
+  def differenceFacts(other: Snapshot, workingSet: Option[DataFrame] = None): DataFrame = {
+    def scoped(df: DataFrame): DataFrame = workingSet match {
+      case Some(ws) =>
+        val ids = ws.select(col(ws.columns.head).cast("long").as("e"))
+        df.join(ids, Seq("e"), "left_semi")
+      case None => df
+    }
+    val f1 = scoped(currentFacts)
+    // renamed projection: the two sides may derive from the SAME base plan
+    // (two asOf pins over one store) — unrenamed self-joins are ambiguous
+    val right = scoped(other.currentFacts)
+      .where(col("attr") =!= A.ElementType)
+      .select(Seq(col("e").as("e2"), col("attr").as("attr2")) ++
+        Fact.valueCols.map(c => col(c).as(c + "2")): _*)
+    val cond = col("e") === col("e2") && col("attr") === col("attr2") &&
+      Fact.valueCols.map(c => col(c) <=> col(c + "2")).reduce(_ && _)
+    val changed = f1.where(col("attr") =!= A.ElementType).join(right, cond, "left_anti")
+    // normalize (FluxUtil.java:288-319): keep type facts only for elements
+    // with at least one surviving non-type fact
+    val typeFacts = f1.where(col("attr") === A.ElementType)
+      .join(changed.select(col("e")).distinct(), Seq("e"), "left_semi")
+    changed.unionByName(typeFacts)
+      .select(Seq(col("e"), col("attr")) ++ Fact.valueCols.map(col) ++
+        Seq(col("tx"), lit(0L).as("seq"), lit(true).as("added")): _*)
+  }
+
   /** Pin to an earlier tx (returns a narrower snapshot). */
   def asOfTxId(tx: Long): Snapshot = new Snapshot(store, math.min(tx, asOfTx))
 

@@ -147,6 +147,39 @@ class TemporalSpec extends AnyFunSuite {
     assert(h.getProperty("name") == null) // unchanged fact not in the diff
   }
 
+  test("set-oriented difference (DiffGraph.of) matches the driver-side path") {
+    val spark = TestSpark.spark
+    val g = new GraftGraph(spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex(); v.setProperty("p", 1L); v.setProperty("name", "v")
+    val w = g.addVertex(); w.setProperty("q", 9L)
+    val x = g.addVertex(); x.setProperty("r", 5L) // outside the working set
+    g.setTransactionTime(ts("2024-02-01 00:00:00"))
+    v.setProperty("p", 2L)
+    x.setProperty("r", 6L)
+
+    def key(f: graft.model.Fact) =
+      (f.e, f.attr, f.vStr, f.vLong, f.vDouble, f.vDec, f.vBool, f.vTs, f.vRef)
+    for ((d1, d2) <- Seq(
+      ("2024-02-15 00:00:00", "2024-01-15 00:00:00"),
+      ("2024-01-15 00:00:00", "2024-02-15 00:00:00"))) {
+      val drv = g.difference(Seq(v.id, w.id), ts(d1), ts(d2))
+      val head = graft.snapshot.Snapshot.head(g.log)
+      import spark.implicits._
+      val ws = Seq(v.id, w.id).toDF("e")
+      val set = graft.graph.DiffGraph.of(
+        head.asOf(ts(d1)), head.asOf(ts(d2)), Some(ws))
+      assert(set.facts.map(key).toSet == drv.facts.map(key).toSet)
+      assert(set.vertexIds == drv.vertexIds)
+    }
+    // unscoped set-oriented diff additionally sees x's change
+    val all = graft.graph.DiffGraph.of(
+      graft.snapshot.Snapshot.head(g.log).asOf(ts("2024-02-15 00:00:00")),
+      graft.snapshot.Snapshot.head(g.log).asOf(ts("2024-01-15 00:00:00")))
+    assert(all.vertexIds == Seq(v.id, x.id))
+    assert(all.props(x.id, "r") == Seq(6L))
+  }
+
   test("per-element difference of two versions") {
     val g = new GraftGraph(TestSpark.spark)
     val v = g.addVertex()
