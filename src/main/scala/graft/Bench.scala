@@ -2,11 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Failed queries are reported
-  * in an explicit "errors" object (never as fake timings — VERDICT r1). */
+  * in an explicit "errors" object (never as fake timings — VERDICT r1).
+  *
+  * Methodology (VERDICT r2): one-time projection builds are timed
+  * separately as `builds` (build_tpch / build_events / build_graphx) so a
+  * query's number is the QUERY, not the shared warm-up it happens to run
+  * first; each query then runs `SPARK_GRAFT_BENCH_REPS` (default 3) times
+  * and reports the MEDIAN. Results are consumed through the noop sink —
+  * every column is computed and written, unlike `.count()` which lets
+  * Spark skip unused columns. "value" = builds + query medians (the
+  * honest end-to-end total); `query_total` is the number comparable to
+  * BASELINE.md's per-query band. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,13 +26,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+
+    // ---- phase 0: shared projection builds (billed once, separately) ----
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    builds("build_tpch") = time {
+      val s = projection.TpchGraph.snapshot(spark, sfDir)
+      s.currentFacts.count(); s.edges.count()
+    }
+    builds("build_events") = time {
+      projection.EventsReplay.snapshot(spark, sfDir).currentFacts.count()
+    }
+    builds("build_graphx") = time {
+      gx.GraphXTraversal.cachedGraph(
+        projection.TpchGraph.snapshot(spark, sfDir)).edges.count()
+    }
+
+    // ---- phase 1: per-query reps, median ----
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val ts = (1 to reps).map { _ =>
+          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        }
+        timings(name) = median(ts)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -29,9 +64,12 @@ object Bench {
       }
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val bs = builds.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val queryTotal = timings.values.sum
+    val buildTotal = builds.values.sum
+    val total = queryTotal + buildTotal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -224,7 +224,119 @@ object SparkEntry {
           col("vStr").as("v_str"), col("vDouble").as("v_dbl"))
     },
 
+    "version_prev_values" -> { (s, d) =>
+      // getPreviousVersion's value read, set-at-a-time for EVERY version of
+      // EVERY element: one lag window partitioned by element (§2.6 41-44)
+      val st = EventsReplay.snapshot(s, d).store
+      val w = Window.partitionBy(col("e")).orderBy(col("tx"))
+      st.factsDF.where(col("attr") === "value.double." + A.Vertex)
+        .select(col("e"), col("tx"), when(col("added"), col("vDouble")).as("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("e").as("id"), col("tx"), col("value"), col("prev_value"))
+    },
+
     // ---- §2.2 mutations through the interactive API (static oracles) ----
+    "crud_timeline" -> { (s, d) =>
+      // removeEdge (§2.2 #14) + clear (#18) + asOf reads: live element
+      // counts at three checkpoints spanning an edge removal and a clear()
+      val g = new GraftGraph(s)
+      g.setTransactionTime(ts("2024-01-01 00:00:00"))
+      val a = g.addVertex(); val b = g.addVertex(); val c = g.addVertex()
+      val e1 = g.addEdge(a, b, "knows")
+      g.addEdge(b, c, "knows"); g.addEdge(c, a, "knows")
+      g.setTransactionTime(ts("2024-02-01 00:00:00")); g.removeEdge(e1)
+      g.setTransactionTime(ts("2024-03-01 00:00:00")); g.clear()
+      val head = Snapshot.head(g.log)
+      Seq("jan" -> "2024-01-15 00:00:00", "feb" -> "2024-02-15 00:00:00",
+        "mar" -> "2024-03-15 00:00:00").map { case (tag, at) =>
+        head.asOf(ts(at)).currentFacts.where(col("attr") === A.ElementType)
+          .agg(
+            coalesce(sum(when(col("vStr") === A.Vertex, 1L).otherwise(0L)), lit(0L)).as("n_vertices"),
+            coalesce(sum(when(col("vStr") === A.Edge, 1L).otherwise(0L)), lit(0L)).as("n_edges"))
+          .select(lit(tag).as("tag"), col("n_vertices"), col("n_edges"))
+      }.reduce(_.unionAll(_))
+    },
+
+    "crud_is_deleted" -> { (s, d) =>
+      // isDeleted (§2.3 #23) set-at-a-time: elements with history but no
+      // live facts — an anti-join of ever-seen ids against the snapshot
+      val g = crudGraph(s)
+      val snap = Snapshot.head(g.log)
+      snap.history.select(col("e")).distinct()
+        .join(snap.currentFacts.select(col("e")).distinct(), Seq("e"), "left_anti")
+        .select(col("e").as("id"))
+    },
+
+    "element_version_diff" -> { (s, d) =>
+      // per-element difference of two version handles (§2.6 #47)
+      val g = new GraftGraph(s)
+      val v = g.addVertex()
+      v.setProperty("age", 30L); v.setProperty("name", "alice")
+      v.setProperty("age", 31L)
+      val facts = g.difference(v, v.getPreviousVersion)
+      s.createDataFrame(facts.map(f => (f.attr, f.vLong.longValue)))
+        .toDF("attr", "v_long")
+    },
+
+    "persist_roundtrip" -> { (s, d) =>
+      // storage URI save + open (§2.1 #11): write the CRUD session's log
+      // as tx-bucketed parquet, reopen as a bulk store, count live elements
+      val g = crudGraph(s)
+      val root = "/root/repo/target/tmp/persist_roundtrip"
+      g.log.save(root, txBucketSize = 10L)
+      Snapshot.head(graft.log.FactLog.open(s, root))
+        .currentFacts.where(col("attr") === A.ElementType)
+        .agg(
+          coalesce(sum(when(col("vStr") === A.Vertex, 1L).otherwise(0L)), lit(0L)).as("n_vertices"),
+          coalesce(sum(when(col("vStr") === A.Edge, 1L).otherwise(0L)), lit(0L)).as("n_edges"))
+    },
+
+    "read_formats" -> { (s, d) =>
+      // GraphML / GraphSON / GML sources (§2.1 #8-10): load the same tiny
+      // graph from each format, read edges back through the snapshot stack
+      def edgesOf(load: GraftGraph => Unit, fmt: String): DataFrame = {
+        val g = new GraftGraph(s)
+        load(g)
+        val snap = Snapshot.head(g.log)
+        val names = snap.prop("name", PropType.PString, A.Vertex)
+        snap.edges
+          .join(names.select(col("e").as("outV"), col("v").as("src_name")), "outV")
+          .join(names.select(col("e").as("inV"), col("v").as("dst_name")), "inV")
+          .select(lit(fmt).as("fmt"), col("src_name"), col("label"), col("dst_name"))
+      }
+      val graphml =
+        """<?xml version="1.0" encoding="UTF-8"?>
+          |<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+          |  <key id="name" for="node" attr.name="name" attr.type="string"/>
+          |  <key id="weight" for="edge" attr.name="weight" attr.type="float"/>
+          |  <graph id="G" edgedefault="directed">
+          |    <node id="1"><data key="name">marko</data></node>
+          |    <node id="2"><data key="name">vadas</data></node>
+          |    <edge id="7" source="1" target="2" label="knows"><data key="weight">0.5</data></edge>
+          |  </graph>
+          |</graphml>""".stripMargin
+      val graphson =
+        """{"graph": {"mode": "NORMAL",
+          |  "vertices": [
+          |    {"_id": "1", "_type": "vertex", "name": "marko"},
+          |    {"_id": "2", "_type": "vertex", "name": "vadas"}
+          |  ],
+          |  "edges": [
+          |    {"_id": "7", "_type": "edge", "_outV": "1", "_inV": "2", "_label": "knows", "weight": 0.5}
+          |  ]}}""".stripMargin
+      val gml =
+        """graph [
+          |  directed 1
+          |  node [ id 1 name "marko" ]
+          |  node [ id 2 name "vadas" ]
+          |  edge [ source 1 target 2 label "knows" weight 0.5 ]
+          |]""".stripMargin
+      edgesOf(g => { graft.io.GraphReaders.inputGraphML(g,
+          new java.io.ByteArrayInputStream(graphml.getBytes("UTF-8"))); () }, "graphml")
+        .unionAll(edgesOf(g => { graft.io.GraphReaders.inputGraphSON(g, graphson); () }, "graphson"))
+        .unionAll(edgesOf(g => { graft.io.GraphReaders.inputGML(g, gml); () }, "gml"))
+    },
+
     "mutations_crud" -> { (s, d) =>
       val g = crudGraph(s)
       val snap = Snapshot.head(g.log)
@@ -469,6 +581,36 @@ object SparkEntry {
          |  SELECT 1 FROM f2 WHERE f2.user_id = f1.user_id AND f2.attr = f1.attr
          |    AND f2.v_str IS NOT DISTINCT FROM f1.v_str
          |    AND f2.v_dbl IS NOT DISTINCT FROM f1.v_dbl)""".stripMargin,
+
+    "version_prev_values" ->
+      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+        |  lag(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |FROM events""".stripMargin,
+
+    // scripted CRUD sessions → static oracles (deterministic id assignment)
+    "crud_timeline" ->
+      """SELECT 'jan' AS tag, CAST(3 AS BIGINT) AS n_vertices, CAST(3 AS BIGINT) AS n_edges
+        |UNION ALL SELECT 'feb', 3, 2
+        |UNION ALL SELECT 'mar', 0, 0""".stripMargin,
+
+    "crud_is_deleted" ->
+      // crudGraph ids: vertices 1-4 (dave=4), edges 5-8; removeVertex(dave)
+      // cascades dave→alice (7) and carol→dave (8)
+      """SELECT CAST(4 AS BIGINT) AS id
+        |UNION ALL SELECT 7 UNION ALL SELECT 8""".stripMargin,
+
+    "element_version_diff" ->
+      "SELECT 'age.long.vertex' AS attr, CAST(31 AS BIGINT) AS v_long",
+
+    "persist_roundtrip" ->
+      "SELECT CAST(3 AS BIGINT) AS n_vertices, CAST(2 AS BIGINT) AS n_edges",
+
+    "read_formats" ->
+      """SELECT 'graphml' AS fmt, 'marko' AS src_name, 'knows' AS label, 'vadas' AS dst_name
+        |UNION ALL SELECT 'graphson', 'marko', 'knows', 'vadas'
+        |UNION ALL SELECT 'gml', 'marko', 'knows', 'vadas'""".stripMargin,
 
     "mutations_crud" ->
       """SELECT 'alice' AS src_name, 'knows' AS label, 'bob' AS dst_name

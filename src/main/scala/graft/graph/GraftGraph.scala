@@ -149,23 +149,20 @@ final class GraftGraph(val log: MemFactLog) {
     protected def at(tx: Long): Elem
 
     /** Previous version: handle pinned to the prior touching tx; null at
-      * the chain start (FluxVertex.java:28-37, FluxUtil.java:169-180). */
-    def getPreviousVersion: Elem = {
-      val cur = getTimeId
-      val prev = txsTouching(id).filter(_ < cur)
-      if (prev.isEmpty) null else at(prev.max)
-    }
+      * the chain start (FluxVertex.java:28-37, FluxUtil.java:169-180).
+      * O(log chain) via the log's per-element tx index. */
+    def getPreviousVersion: Elem =
+      log.prevTxOf(id, getTimeId).map(at).orNull
 
     /** Next version; the *current unpinned* handle at the head
       * (FluxVertex.java:39-54, FluxUtil.java:182-194); null if this IS the
       * head version. */
-    def getNextVersion: Elem = {
-      val cur = getTimeId
-      val nxt = txsTouching(id).filter(_ > cur)
-      if (nxt.isEmpty) null
-      else if (nxt.min == timeIdOf(id, Long.MaxValue)) at(Long.MaxValue)
-      else at(nxt.min)
-    }
+    def getNextVersion: Elem =
+      log.nextTxOf(id, getTimeId) match {
+        case None => null
+        case Some(nxt) =>
+          if (nxt == timeIdOf(id, Long.MaxValue)) at(Long.MaxValue) else at(nxt)
+      }
 
     /** Walk backwards/forwards through all versions, optionally filtered
       * (FluxTimeIterable.java:10-107, TimeAwareFilter.java). */
@@ -488,15 +485,9 @@ final class GraftGraph(val log: MemFactLog) {
     }.toSeq
   }
 
-  private def timeIdOf(e: Long, asOf: Long): Long = {
-    val fromFacts = log.allFacts.filter(f => f.e == e && f.tx <= asOf).map(_.tx)
-    val fromTouches = log.allTouches.filter(t => t.e == e && t.tx <= asOf).map(_.tx)
-    (fromFacts ++ fromTouches).foldLeft(-1L)(math.max)
-  }
-
-  private def txsTouching(e: Long): Seq[Long] =
-    (log.allFacts.filter(_.e == e).map(_.tx) ++
-      log.allTouches.filter(_.e == e).map(_.tx)).distinct.sorted
+  private def timeIdOf(e: Long, asOf: Long): Long =
+    if (asOf == Long.MaxValue) log.timeIdOf(e).getOrElse(-1L)
+    else log.timeIdAt(e, asOf)
 
   /** Decode a fact's value back to the reference's surface type.
     * Integer-typed writes come back as Long (Datomic :db.type/long

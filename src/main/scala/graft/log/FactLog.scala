@@ -87,6 +87,14 @@ final class MemFactLog(val spark: SparkSession) extends FactStore {
     * the incremental form of getTimeId's history Datalog rule
     * (FluxUtil.java:196-217). */
   private val elemMaxTx = mutable.LongMap.empty[Long]
+  /** tx → instant (O(1) instantOf; the linear scan made getTimeInterval
+    * walks O(chain²) over long chains). */
+  private val txInstants = mutable.LongMap.empty[Timestamp]
+  /** per-element ordered tx set (facts ∪ touches) — the version chain as a
+    * sorted index, so prev/next-version navigation is O(log n) instead of
+    * a full-log scan per step (the reference's EAVT/log indexes give it
+    * the same asymptotics). */
+  private val elemTxs = mutable.LongMap.empty[mutable.TreeSet[Long]]
   private var nextTx: Long = 0L
   private var nextEntity: Long = 1L
 
@@ -105,6 +113,9 @@ final class MemFactLog(val spark: SparkSession) extends FactStore {
     val tx = nextTx; nextTx += 1
     val instant = at.getOrElse(new Timestamp(System.currentTimeMillis()))
     txs += TxMeta(tx, instant)
+    txInstants(tx) = instant
+    def index(e: Long): Unit =
+      elemTxs.getOrElseUpdate(e, mutable.TreeSet.empty[Long]) += tx
     // prevTx resolved against pre-commit state, then state advanced.
     touched.distinct.foreach { e =>
       touches += Touch(e, tx, elemMaxTx.getOrElse(e, -1L))
@@ -112,17 +123,34 @@ final class MemFactLog(val spark: SparkSession) extends FactStore {
     txData.zipWithIndex.foreach { case (f, i) =>
       facts += f.copy(tx = tx, seq = i.toLong)
       elemMaxTx(f.e) = tx
+      index(f.e)
     }
-    touched.foreach(e => elemMaxTx(e) = tx)
+    touched.foreach { e => elemMaxTx(e) = tx; index(e) }
     tx
   }
 
   /** getTimeId parity: max tx that touched the element (FluxElement.java:39-42). */
   def timeIdOf(e: Long): Option[Long] = synchronized(elemMaxTx.get(e))
 
-  /** Instant of a committed tx. */
+  /** getTimeId pinned to a view: max tx ≤ asOf that touched the element —
+    * O(log chain) via the per-element tx index. -1 when none. */
+  def timeIdAt(e: Long, asOf: Long): Long = synchronized {
+    elemTxs.get(e).flatMap(_.rangeTo(asOf).lastOption).getOrElse(-1L)
+  }
+
+  /** Latest tx of `e` strictly before `before` (previous-version step). */
+  def prevTxOf(e: Long, before: Long): Option[Long] = synchronized {
+    elemTxs.get(e).flatMap(_.rangeUntil(before).lastOption)
+  }
+
+  /** Earliest tx of `e` strictly after `after` (next-version step). */
+  def nextTxOf(e: Long, after: Long): Option[Long] = synchronized {
+    elemTxs.get(e).flatMap(_.rangeFrom(after + 1).headOption)
+  }
+
+  /** Instant of a committed tx (O(1) map lookup). */
   def instantOf(tx: Long): Option[Timestamp] =
-    synchronized(txs.find(_.tx == tx).map(_.txInstant))
+    synchronized(txInstants.get(tx))
 
   def resolveTx(at: Timestamp): Long = synchronized {
     txs.iterator.filter(!_.txInstant.after(at)).map(_.tx)
@@ -165,6 +193,23 @@ final class MemFactLog(val spark: SparkSession) extends FactStore {
 }
 
 object FactLog {
+  /** Open a hash-bucketed fact table (saved by
+    * [[MemFactLog.saveBucketedTable]] or any `bucketBy(n, "e")` writer) as
+    * a store for point-read-heavy workloads: an `e = id` filter prunes the
+    * scan to ONE bucket (the plan shows `SelectedBucketsCount: 1 out of n`)
+    * instead of scanning the whole fact set — the Spark analog of the
+    * reference's O(log n) EAVT point read (FluxGraph.java:186-198). The
+    * same layout co-locates per-entity joins/aggregations (no exchange). */
+  def openBucketedTable(spark: SparkSession, table: String,
+                        preDeduped: Boolean = false): BulkFactStore = {
+    import spark.implicits._
+    new BulkFactStore(spark,
+      spark.table(table),
+      spark.emptyDataset[Touch].toDF(),
+      Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant"),
+      preDeduped = preDeduped)
+  }
+
   /** Reopen a saved log as a bulk store; the retained txBucket partition
     * column lets Snapshot asOf reads prune whole tx-range directories. */
   def open(spark: SparkSession, root: String): BulkFactStore = {

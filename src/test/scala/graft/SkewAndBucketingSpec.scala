@@ -37,6 +37,29 @@ class SkewAndBucketingSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed fact table: point lookup prunes to one bucket and reads correct values") {
+    val g = new GraftGraph(spark)
+    val vs = (1 to 50).map(i => { val v = g.addVertex(); v.setProperty("n", i.toLong); v })
+    g.log.saveBucketedTable("graft_point_facts", buckets = 8)
+    try {
+      val store = graft.log.FactLog.openBucketedTable(spark, "graft_point_facts")
+      val target = vs(16)
+      // point read THROUGH the snapshot stack: the e = id filter must push
+      // below the latest-wins aggregation into the bucketed scan
+      val snap = graft.snapshot.Snapshot.head(store)
+      val df = snap.currentFacts.where(col("e") === target.id)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning on point lookup:\n$plan")
+      // and the handle facade reads the right value over the same store
+      val view = new graft.graph.SnapshotGraphView(snap)
+      assert(view.vertex(target.id).get.getProperty("n") == 17L)
+      assert(view.vertex(-1L).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_point_facts")
+    }
+  }
+
   test("bucketed fact table: per-entity aggregation plans without an exchange") {
     val g = new GraftGraph(spark)
     val vs = (1 to 50).map(_ => g.addVertex())

@@ -188,6 +188,33 @@ class TemporalSpec extends AnyFunSuite {
     assert(facts.size == 1 && facts.head.vLong == 2L)
   }
 
+  test("10k-version chain walk is index-backed (no O(chain^2) scans)") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    // build the chain through the log directly (each commit is O(1));
+    // the interactive setProperty path re-reads properties per call and
+    // is not the bulk-history ingestion route
+    (1 to 10000).foreach { i =>
+      g.log.commit(
+        Seq(graft.model.Fact.of(v.id, "p.long.vertex", i.toLong, 0L)),
+        touched = Seq(v.id))
+    }
+    val t0 = System.nanoTime()
+    var n = 0
+    var cur = v.getPreviousVersion
+    var mid: g.Elem = null
+    while (cur != null) {
+      n += 1
+      if (n == 5000) mid = cur
+      cur = cur.getPreviousVersion
+    }
+    assert(n == 10000)
+    val (start, end) = mid.getTimeInterval
+    assert(start != null && end != null && !end.before(start))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 5.0, s"chain walk took ${secs}s — navigation degraded to a full-log scan per step")
+  }
+
   test("isDeleted across time") {
     val g = new GraftGraph(TestSpark.spark)
     g.setTransactionTime(ts("2024-01-01 00:00:00"))
