@@ -693,7 +693,9 @@ object SparkEntry {
         |                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |      GROUP BY label, i)
         |GROUP BY label""".stripMargin,
-    // dedup_simhash / ann_lsh / lang_id: engine-specific hash/heuristic
-    // ops, not SQL-expressible → rows-only check (per the driver contract).
+    // Oracle-less (rows-only per the driver contract) — engine-specific
+    // hash/geometry internals not DuckDB-expressible: dedup_simhash,
+    // ann_lsh, ann_ivf, dedup_embedding (xxhash64 / seeded-hyperplane /
+    // k-means buckets), doc_fingerprint (xxhash64 rolling hash).
   )
 }

@@ -91,20 +91,29 @@ final class GraftGraph(val log: MemFactLog) {
       require(!isDeleted, "It is not possible to modify a deleted element")
     }
 
-    /** Decoded, non-reserved property keys (FluxElement.java:58-73). */
-    def getPropertyKeys: Set[String] =
-      liveFactsOf(id, pinnedTx).iterator
+    /** Decoded, non-reserved property keys (FluxElement.java:58-73).
+      * Like the reference, reading a DELETED element's keys throws
+      * (FluxElement.java:60-62). */
+    def getPropertyKeys: Set[String] = {
+      val live = liveFactsOf(id, pinnedTx)
+      require(live.nonEmpty, "It is not possible to get properties on a deleted element")
+      live.iterator
         .filterNot(f => A.reserved(f.attr))
         .flatMap(f => Option(AttrCodec.decode(f.attr)))
         .toSet
+    }
 
-    /** Typed property lookup (FluxElement.java:75-97). Null when absent. */
-    def getProperty(key: String): Any =
-      liveFactsOf(id, pinnedTx).iterator
+    /** Typed property lookup (FluxElement.java:75-97). Null when absent;
+      * throws on a deleted element (FluxElement.java:75-78). */
+    def getProperty(key: String): Any = {
+      val live = liveFactsOf(id, pinnedTx)
+      require(live.nonEmpty, "It is not possible to get properties on a deleted element")
+      live.iterator
         .filter(f => !A.reserved(f.attr) && AttrCodec.decode(f.attr) == key &&
           f.attr.endsWith("." + kind))
         .toSeq.sortBy(f => (f.tx, f.seq)).lastOption
         .map(decodeValue).orNull
+    }
 
     def setProperty(key: String, value: Any): Unit = {
       validate()
@@ -378,6 +387,29 @@ final class GraftGraph(val log: MemFactLog) {
       buffer += f.copy(tx = 0L, seq = 0L, added = false)
     }
 
+  /** Blueprints Features flags (FluxGraph.java:48-82 FEATURES) — the TCK
+    * reads these to decide which suites apply. Divergences from the
+    * reference are deliberate and noted inline. */
+  def getFeatures: GraftGraph.Features.type = GraftGraph.Features
+
+  /** Read-only index handle (FluxIndex.java:25-124): get/count ride the
+    * attribute-value scan (with the edge-label fast path); put/remove/
+    * query throw UnsupportedOperationException exactly like the reference
+    * (FluxIndex.java:56-58,89-92,117-119). */
+  final class Index(val name: String, val kind: String) {
+    def get(key: String, value: Any): Seq[Elem] =
+      if (kind == A.Vertex) getVertices(key, value) else getEdges(key, value)
+    def count(key: String, value: Any): Long =
+      if (kind == A.Vertex) countVertices(key, value) else countEdges(key, value)
+    def put(key: String, value: Any, element: Elem): Unit =
+      throw new UnsupportedOperationException("Manual index mutation is not supported")
+    def remove(key: String, value: Any, element: Elem): Unit =
+      throw new UnsupportedOperationException("Manual index mutation is not supported")
+    def query(key: String, q: Any): Nothing =
+      throw new UnsupportedOperationException("Index query is not supported")
+  }
+  def index(name: String, kind: String): Index = new Index(name, kind)
+
   // ---- key-index registry (§2.8; FluxGraph.java:287-300) ----
   private val keyIndexes = mutable.Set.empty[(String, String)]
   def createKeyIndex(key: String, kind: String): Unit = keyIndexes += (key -> kind)
@@ -510,6 +542,41 @@ final class GraftGraph(val log: MemFactLog) {
       case "ts"      => f.vTs
       case _         => f.vStr
     }
+  }
+}
+
+object GraftGraph {
+  /** Blueprints Features flags, value-for-value from the reference
+    * (FluxGraph.java:48-82) except where graft genuinely differs:
+    * isPersistent is true here (FactLog.save/open persists the log;
+    * the reference's false reflects its in-mem Datomic default). */
+  object Features {
+    val supportsDuplicateEdges = true   // FluxGraph.java:51
+    val supportsSelfLoops = true        // FluxGraph.java:52
+    val isPersistent = true             // divergence: FactLog.save/open
+    val supportsVertexIteration = true
+    val supportsEdgeIteration = true
+    val ignoresSuppliedIds = true       // FluxGraph.java:59
+    val supportsEdgeRetrieval = true
+    val supportsVertexProperties = true
+    val supportsEdgeProperties = true
+    val supportsTransactions = false    // auto-commit per op (FluxGraph.java:63)
+    val supportsIndices = false         // manual indices unsupported (FluxIndex stubs)
+    val supportsKeyIndices = true       // FluxGraph.java:79-81
+    val supportsVertexKeyIndex = true
+    val supportsEdgeKeyIndex = true
+    val supportsBooleanProperty = true
+    val supportsDoubleProperty = true
+    val supportsFloatProperty = true
+    val supportsIntegerProperty = true
+    val supportsLongProperty = true
+    val supportsStringProperty = true
+    val supportsSerializableObjectProperty = false
+    val supportsPrimitiveArrayProperty = false
+    val supportsUniformListProperty = false
+    val supportsMixedListProperty = false
+    val supportsMapProperty = false
+    val supportsThreadedTransactions = false
   }
 }
 

@@ -42,17 +42,33 @@ final class SnapshotGraphView(val snap: Snapshot) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
 
+  /** Decode a prop-fact row to the reference's surface type using the
+    * attr's embedded type name — read-path parity with
+    * GraftGraph.decodeValue (a float-typed property comes back as Float,
+    * bigint as BigInteger, on BOTH read surfaces). */
+  private def decodeRow(r: Row): Any = r.getAs[String]("ptype") match {
+    case "string"  => r.getAs[String]("vStr")
+    case "uuid"    => java.util.UUID.fromString(r.getAs[String]("vStr"))
+    case "uri"     => java.net.URI.create(r.getAs[String]("vStr"))
+    case "boolean" => r.getAs[Any]("vBool")
+    case "long"    => r.getAs[Any]("vLong")
+    case "bigint"  => Option(r.getAs[java.math.BigDecimal]("vDec"))
+      .map(_.toBigInteger).orNull
+    case "float"   => Option(r.getAs[java.lang.Double]("vDouble"))
+      .map(d => java.lang.Float.valueOf(d.floatValue)).orNull
+    case "double"  => r.getAs[Any]("vDouble")
+    case "bigdec"  => r.getAs[Any]("vDec")
+    case "ts"      => r.getAs[Any]("vTs")
+    case _         => r.getAs[Any]("vStr")
+  }
+
   sealed abstract class ElemView(val id: Long, kind: String) {
     /** All live user properties of this element, decoded — computed once
       * per handle (the snapshot is immutable; a def would launch one
       * Spark job per getProperty call). */
     lazy val properties: Map[String, Any] =
       snap.propFacts(kind).where(col("e") === id).collect().map { r =>
-        val key = r.getAs[String]("key")
-        val v = Seq[Any](r.getAs[Any]("vStr"), r.getAs[Any]("vLong"),
-          r.getAs[Any]("vDouble"), r.getAs[Any]("vDec"), r.getAs[Any]("vBool"),
-          r.getAs[Any]("vTs"), r.getAs[Any]("vRef")).find(_ != null).orNull
-        key -> v
+        r.getAs[String]("key") -> decodeRow(r)
       }.toMap
     def getProperty(key: String): Any = properties.getOrElse(key, null)
     def getPropertyKeys: Set[String] = properties.keySet

@@ -151,6 +151,36 @@ class GraphCrudSpec extends AnyFunSuite {
     assert(graph.getIndexedKeys("vertex") == Set.empty)
   }
 
+  test("TCK edge cases: bad edge id, deleted-element reads throw, indexed lookup") {
+    val graph = g
+    val a = graph.addVertex(); a.setProperty("name", "a")
+    val b = graph.addVertex(); b.setProperty("name", "b")
+    graph.addEdge(a, b, "knows")
+    assert(graph.getEdge(999999L) == null) // bad id → null, no throw
+    // lookup through a declared key index returns the same elements
+    graph.createKeyIndex("name", "vertex")
+    assert(graph.getVertices("name", "a").map(_.id) == Seq(a.id))
+    // deleted-element property reads throw (FluxElement.java:60-78)
+    graph.removeVertex(b)
+    intercept[IllegalArgumentException](b.getProperty("name"))
+    intercept[IllegalArgumentException](b.getPropertyKeys)
+  }
+
+  test("feature flags and manual-index stubs match the reference surface") {
+    val graph = g
+    val f = graph.getFeatures
+    assert(f.supportsDuplicateEdges && f.supportsSelfLoops && f.ignoresSuppliedIds)
+    assert(!f.supportsTransactions && !f.supportsIndices && f.supportsKeyIndices)
+    val a = graph.addVertex(); a.setProperty("color", "red")
+    val idx = graph.index("byColor", graft.model.A.Vertex)
+    assert(idx.get("color", "red").map(_.id) == Seq(a.id))
+    assert(idx.count("color", "red") == 1L)
+    // put/remove/query are unsupported, as in FluxIndex.java:56-58,89-92,117-119
+    intercept[UnsupportedOperationException](idx.put("color", "red", a))
+    intercept[UnsupportedOperationException](idx.remove("color", "red", a))
+    intercept[UnsupportedOperationException](idx.query("color", "r*"))
+  }
+
   test("query builder: has / interval / labels / limit") {
     val graph = g
     val a = graph.addVertex()

@@ -123,15 +123,19 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("nb")).toSeq
     assert(r.nonEmpty && r.forall(_ < 100L), s"expected cluster-A mates, got $r")
 
-    // recall against exact brute force on the real embeddings table
+    // recall gate against exact brute force on the real embeddings table,
+    // at the REGISTERED defaults (k=16, nProbe=10) — the general-ANN
+    // contract (VERDICT r2): recall@10 ≥ 0.9 even on this weak-neighbor
+    // corpus (max pairwise cosine ≈ 0.5, worst case for a pruning index)
     val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val qs = realE.where(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(realE, qs, 10)
       .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
-    val ivf = VectorOps.ivfTopK(realE, qs, 10, k = 16, nProbe = 4)
+    val ivf = VectorOps.ivfTopK(realE, qs, 10)
       .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    info(s"IVF recall@10 at defaults: $recall")
+    assert(recall >= 0.9, s"IVF recall gate failed: $recall < 0.9")
   }
 
   test("LSH ANN: same-direction vectors share buckets, ranking is exact on candidates") {

@@ -32,4 +32,28 @@ class SnapshotGraphViewSpec extends AnyFunSuite {
     assert(view.edge(e1.id).get.getVertex("in").id == b.id)
     assert(av.getPropertyKeys == Set("name", "n"))
   }
+
+  test("typed decode parity: both read surfaces return the same types") {
+    val g = new GraftGraph(TestSpark.spark)
+    val v = g.addVertex()
+    v.setProperty("f", 1.5f)
+    v.setProperty("bi", new java.math.BigInteger("12345678901234567890"))
+    v.setProperty("bd", new java.math.BigDecimal("2.25"))
+    v.setProperty("u", java.util.UUID.fromString("00000000-0000-0000-0000-000000000001"))
+    v.setProperty("b", java.lang.Boolean.TRUE)
+    val view = new SnapshotGraphView(Snapshot.head(g.log))
+    val h = view.vertex(v.id).get
+    for (k <- Seq("f", "bi", "bd", "u", "b")) {
+      val drv = v.getProperty(k); val set = h.getProperty(k)
+      assert(set.getClass == drv.getClass,
+        s"key $k: facade gave ${set.getClass}, driver gave ${drv.getClass}")
+      (set, drv) match {
+        // decimals round-trip at the storage scale (38,18): equal value,
+        // not necessarily equal scale — BigDecimal.equals is scale-aware
+        case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+          assert(a.compareTo(b) == 0, s"key $k: $a != $b")
+        case _ => assert(set == drv, s"key $k: $set != $drv")
+      }
+    }
+  }
 }
