@@ -65,7 +65,13 @@ object EventsReplay {
         expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)").as("ts"),
         (lit(VUser) + col("user_id")).cast("long").as("e"),
         col("event_type"), col("value"))
+    fromNormalized(spark, ev)
+  }
 
+  /** Build from an already-normalized event set `(tx, ts, e, event_type,
+    * value)` — shared by the parquet replay above and the streaming-ingest
+    * parity path ([[graft.streaming.EventStream]]). */
+  def fromNormalized(spark: SparkSession, ev: org.apache.spark.sql.DataFrame): BulkFactStore = {
     // vertex-type fact at each user's first event tx
     val typeFacts = explodeFacts(
       ev.groupBy(col("e")).agg(min(col("tx")).as("tx")),

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /**
  * Structured-Streaming ingestion of the events feed — the streaming twin
@@ -40,6 +41,47 @@ object EventStream {
         vDouble = when(col("event_type") =!= "error", col("value")),
         tx = col("tx"),
         added = col("event_type") =!= "error")))
+  }
+
+  /** Land the streaming fact projection in a PERSISTED fact log: each
+    * micro-batch appends its fact rows and tx metadata as parquet under
+    * `root` via foreachBatch. Transaction assignment is monotonic because
+    * tx derives from event_id — the SAME rule as the batch replay
+    * (EventsReplay), so a log ingested from the stream and a log replayed
+    * from the table are bit-identical (EventStreamSpec asserts this).
+    * The checkpoint makes restarts resume from the last committed batch. */
+  def ingestToLog(events: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val df = batch.toDF()
+        factStream(df).write.mode("append").parquet(s"$root/facts")
+        df.select((col("event_id") + 1).cast("long").as("tx"),
+            col("ts").cast("timestamp").as("txInstant"))
+          .write.mode("append").parquet(s"$root/txs")
+        ()
+      }
+      .start()
+
+  /** Reopen a stream-ingested log as a [[graft.log.BulkFactStore]].
+    * Vertex-type facts and touch rows are DERIVED (type fact at each
+    * user's first tx, touches = per-element tx chain with a lag window)
+    * rather than streamed — deriving them needs cross-batch state the
+    * append-only sink deliberately avoids, and both are pure functions of
+    * the ingested prop facts. */
+  def openIngested(spark: SparkSession, root: String): graft.log.BulkFactStore = {
+    import graft.projection.FactCols
+    val props = spark.read.parquet(s"$root/facts")
+    val typeFacts = FactCols.explodeFacts(
+      props.groupBy(col("e")).agg(min(col("tx")).as("tx")),
+      Seq(FactCols.vertexType(col("e"), tx = col("tx"))))
+    val facts = props.unionByName(typeFacts)
+    val txs = spark.read.parquet(s"$root/txs").distinct()
+    val touches = props.select(col("e"), col("tx")).distinct()
+      .withColumn("prevTx", coalesce(
+        lag(col("tx"), 1).over(Window.partitionBy(col("e")).orderBy(col("tx"))),
+        lit(-1L)))
+    new graft.log.BulkFactStore(spark, facts, touches, txs)
   }
 
   /** Watermarked tumbling-window event counts per type — late data beyond
