@@ -380,6 +380,7 @@ object SparkEntry {
 
     // ---- LLM-pipeline: text analysis + dedup ----
     "text_stats" -> ((s, d) => TextOps.textStats(docs(s, d))),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "lang_stats" -> ((s, d) => TextOps.langStats(docs(s, d))),
     "quality_scores" -> { (s, d) =>
       TextOps.qualityScores(docs(s, d)).select(col("doc_id"),
@@ -628,6 +629,12 @@ object SparkEntry {
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
 
     "lang_stats" ->

@@ -21,12 +21,28 @@ object TextOps {
   def nTokens(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
 
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, and punctuation runs
+    * as separate tokens (the shape a byte-pair encoder's pre-tokenization
+    * regex produces; ASCII classes so Java regex and RE2 oracles agree). */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeTokenPattern), lit(0))
+
   /** Per-document stats: (doc_id, n_chars2, n_tokens). */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars2"),
       nTokens(col("text")).cast("long").as("n_tokens"))
+
+  /** Token counting under both tokenizers: whitespace (n_ws) and the
+    * BPE-ish pre-tokenizer (n_bpe) — the number a training pipeline
+    * budgets against. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      nTokens(col("text")).cast("long").as("n_ws"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe"))
 
   /** Corpus stats by language: (lang, n_docs, total_chars). */
   def langStats(docs: DataFrame): DataFrame =

@@ -189,6 +189,21 @@ final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
         Seq(col("tx"), lit(0L).as("seq"), lit(true).as("added")): _*)
   }
 
+  /** Register this snapshot's relational views as session temp views
+    * (`<prefix>_facts`, `<prefix>_vertices`, `<prefix>_edges`,
+    * `<prefix>_vertex_props`, `<prefix>_edge_props`) so the whole graph
+    * state is queryable with plain `spark.sql` — the Spark-native query
+    * surface the reference lacks (its Datalog layer is internal-only).
+    * Views are lazy plans over this snapshot: Catalyst still prunes and
+    * pushes down through them like any other subquery. */
+  def createViews(prefix: String = "graft"): Unit = {
+    currentFacts.createOrReplaceTempView(s"${prefix}_facts")
+    vertices.createOrReplaceTempView(s"${prefix}_vertices")
+    edges.createOrReplaceTempView(s"${prefix}_edges")
+    propFacts(A.Vertex).createOrReplaceTempView(s"${prefix}_vertex_props")
+    propFacts(A.Edge).createOrReplaceTempView(s"${prefix}_edge_props")
+  }
+
   /** Pin to an earlier tx (returns a narrower snapshot). */
   def asOfTxId(tx: Long): Snapshot = new Snapshot(store, math.min(tx, asOfTx))
 

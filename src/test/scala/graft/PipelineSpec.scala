@@ -22,6 +22,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0L) == 9 && r(2L) == 9 && r(4L) == 1)
   }
 
+  test("BPE-ish pre-tokenizer: letter/digit/punct runs as separate tokens") {
+    val d = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(d).head()
+    // whitespace: [Hello,][world!][42][times] = 4
+    // bpe-ish:    [Hello][,][world][!][42][times] = 6
+    assert(r.getAs[Long]("n_ws") == 4 && r.getAs[Long]("n_bpe") == 6)
+  }
+
   test("exact dedup groups whitespace/case variants") {
     val r = TextOps.dedupExact(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_size")).toMap

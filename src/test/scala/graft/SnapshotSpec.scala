@@ -27,6 +27,26 @@ class SnapshotSpec extends AnyFunSuite {
     assert(props(a.id) == Map("name" -> "a"))
   }
 
+  test("SQL surface: temp views over a snapshot answer spark.sql queries") {
+    val spark = TestSpark.spark
+    val g = new GraftGraph(spark)
+    val a = g.addVertex(); a.setProperty("name", "alice")
+    val b = g.addVertex(); b.setProperty("name", "bob")
+    val c = g.addVertex(); c.setProperty("name", "carol")
+    g.addEdge(a, b, "knows"); g.addEdge(a, c, "knows"); g.addEdge(b, c, "likes")
+    Snapshot.head(g.log).createViews("gsql")
+    assert(spark.sql("SELECT count(*) AS n FROM gsql_edges WHERE label = 'knows'")
+      .head().getLong(0) == 2L)
+    // relational traversal: alice's out-neighbors by name, pure SQL
+    val names = spark.sql(
+      """SELECT p2.vStr AS nb FROM gsql_edges e
+        |JOIN gsql_vertex_props p1 ON p1.e = e.outV AND p1.key = 'name' AND p1.vStr = 'alice'
+        |JOIN gsql_vertex_props p2 ON p2.e = e.inV AND p2.key = 'name'
+        |WHERE e.label = 'knows'""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("bob", "carol"))
+  }
+
   test("retraction visibility: snapshot loses the fact, history keeps it") {
     val g = new GraftGraph(TestSpark.spark)
     val v = g.addVertex()
