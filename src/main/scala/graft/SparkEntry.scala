@@ -224,6 +224,28 @@ object SparkEntry {
           col("vStr").as("v_str"), col("vDouble").as("v_dbl"))
     },
 
+    "supplier_revenue" -> { (s, d) =>
+      // analytics over EDGE properties: revenue per supplier. The contains
+      // edge (order→part) carries the lineitem measures; the supplied_by
+      // edge (part→supplier) of the SAME lineitem shares its key offset —
+      // pure equi-joins over the snapshot views, decimal sums for an
+      // order-independent exact aggregate.
+      val snap = TpchGraph.snapshot(s, d)
+      val ep = snap.prop("extendedprice", PropType.PDouble, A.Edge)
+        .select(col("e"), col("v").as("extendedprice"))
+      val di = snap.prop("discount", PropType.PDouble, A.Edge)
+        .select(col("e"), col("v").as("discount"))
+      val sb = snap.edges.where(col("label") === "supplied_by")
+        .select((col("id") - ESuppliedBy + EContains).as("e"),
+          col("inV").as("supplier"))
+      ep.join(di, "e").join(sb, "e")
+        .groupBy(col("supplier"))
+        // sum in DECIMAL (order-independent, exact), present as double
+        .agg(sum((col("extendedprice") * (lit(1d) - col("discount")))
+          .cast("decimal(18,4)")).as("revenue"))
+        .select(col("supplier"), round(col("revenue").cast("double"), 2).as("revenue"))
+    },
+
     "version_prev_values" -> { (s, d) =>
       // getPreviousVersion's value read, set-at-a-time for EVERY version of
       // EVERY element: one lag window partitioned by element (§2.6 41-44)
@@ -582,6 +604,11 @@ object SparkEntry {
          |  SELECT 1 FROM f2 WHERE f2.user_id = f1.user_id AND f2.attr = f1.attr
          |    AND f2.v_str IS NOT DISTINCT FROM f1.v_str
          |    AND f2.v_dbl IS NOT DISTINCT FROM f1.v_dbl)""".stripMargin,
+
+    "supplier_revenue" ->
+      """SELECT CAST(4000000 + l_suppkey AS BIGINT) AS supplier,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
 
     "version_prev_values" ->
       """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,

@@ -1,0 +1,127 @@
+package graft.io
+
+import graft.graph.GraftGraph
+
+/**
+ * Graph-format writers — the output twins of [[GraphReaders]], so a graft
+ * graph round-trips through GraphML / GraphSON 1.0 / GML (the reference
+ * delegates the same job to TinkerPop's GraphMLWriter et al.; we emit the
+ * same dialects our readers parse, asserted by round-trip specs).
+ *
+ * Driver-side string building over the interactive API — fixture-scale by
+ * design, like the readers: a 100 TB export is a parquet write of the
+ * fact log ([[graft.log.MemFactLog.save]]), not a GraphML document.
+ *
+ * Property typing: values are emitted with the GraphML `attr.type` (or
+ * native JSON/GML literal shape) that the readers map back onto the same
+ * reference property type, so a write→read cycle preserves types within
+ * each format's type system (GraphML int/long/float/double/boolean/string;
+ * GraphSON long/double/boolean/string; GML long/double/string).
+ */
+object GraphWriters {
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def attrType(v: Any): String = v match {
+    case _: java.lang.Boolean => "boolean"
+    case _: java.lang.Long    => "long"
+    case _: java.lang.Float   => "float"
+    case _: java.lang.Double  => "double"
+    case _                    => "string"
+  }
+
+  /** Emit TinkerPop-flavor GraphML (the dialect [[GraphReaders.inputGraphML]]
+    * parses: key decls, node/edge elements, data values). */
+  def outputGraphML(g: GraftGraph): String = {
+    val vs = g.getVertices().sortBy(_.id)
+    val es = g.getEdges().sortBy(_.id)
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n"
+    // one key decl per (key, kind, type) actually present
+    def keyDecls(kind: String, elems: Seq[(Long, Map[String, Any])]): Unit =
+      elems.flatMap { case (_, props) => props.toSeq }
+        .map { case (k, v) => (k, attrType(v)) }.distinct.sortBy(_._1)
+        .foreach { case (k, t) =>
+          sb ++= s"""  <key id="${xmlEscape(k)}" for="$kind" attr.name="${xmlEscape(k)}" attr.type="$t"/>\n"""
+        }
+    val vProps = vs.map(v => v.id -> v.getPropertyKeys.map(k => k -> v.getProperty(k)).toMap)
+    val eProps = es.map(e => e.id -> e.getPropertyKeys.map(k => k -> e.getProperty(k)).toMap)
+    keyDecls("node", vProps)
+    keyDecls("edge", eProps)
+    sb ++= "  <graph id=\"G\" edgedefault=\"directed\">\n"
+    vProps.foreach { case (id, props) =>
+      sb ++= s"""    <node id="$id">"""
+      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb ++= s"""<data key="${xmlEscape(k)}">${xmlEscape(v.toString)}</data>""" }
+      sb ++= "</node>\n"
+    }
+    es.foreach { e =>
+      sb ++= s"""    <edge id="${e.id}" source="${e.getVertex("out").id}" target="${e.getVertex("in").id}" label="${xmlEscape(e.getLabel)}">"""
+      e.getPropertyKeys.toSeq.sorted.foreach { k =>
+        sb ++= s"""<data key="${xmlEscape(k)}">${xmlEscape(e.getProperty(k).toString)}</data>""" }
+      sb ++= "</edge>\n"
+    }
+    sb ++= "  </graph>\n</graphml>\n"
+    sb.toString
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case b: java.lang.Boolean => b.toString
+    case n: java.lang.Long    => n.toString
+    case n: java.lang.Double  => n.toString
+    case n: java.lang.Float   => n.toString
+    case other =>
+      "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  }
+
+  /** Emit Blueprints GraphSON 1.0, mode NORMAL (the dialect
+    * [[GraphReaders.inputGraphSON]] parses). */
+  def outputGraphSON(g: GraftGraph): String = {
+    def propsJson(keys: Set[String], get: String => Any): String =
+      keys.toSeq.sorted.map(k => s""""${k}": ${jsonValue(get(k))}""") match {
+        case Nil => ""
+        case xs => xs.mkString(", ", ", ", "")
+      }
+    val vs = g.getVertices().sortBy(_.id).map { v =>
+      s"""    {"_id": "${v.id}", "_type": "vertex"${propsJson(v.getPropertyKeys, v.getProperty)}}"""
+    }
+    val es = g.getEdges().sortBy(_.id).map { e =>
+      s"""    {"_id": "${e.id}", "_type": "edge", "_outV": "${e.getVertex("out").id}", "_inV": "${e.getVertex("in").id}", "_label": ${jsonValue(e.getLabel)}${propsJson(e.getPropertyKeys, e.getProperty)}}"""
+    }
+    s"""{"graph": {"mode": "NORMAL",
+       |  "vertices": [
+       |${vs.mkString(",\n")}
+       |  ],
+       |  "edges": [
+       |${es.mkString(",\n")}
+       |  ]}}""".stripMargin
+  }
+
+  private def gmlValue(v: Any): String = v match {
+    case n: java.lang.Long   => n.toString
+    case n: java.lang.Double => n.toString
+    case n: java.lang.Float  => n.toString
+    case other => "\"" + other.toString.replace("\"", "'") + "\""
+  }
+
+  /** Emit GML (the dialect [[GraphReaders.inputGML]] parses). */
+  def outputGML(g: GraftGraph): String = {
+    val sb = new StringBuilder
+    sb ++= "Creator \"graft\"\ngraph [\n  directed 1\n"
+    g.getVertices().sortBy(_.id).foreach { v =>
+      sb ++= s"  node [ id ${v.id}"
+      v.getPropertyKeys.toSeq.sorted.foreach(k => sb ++= s" $k ${gmlValue(v.getProperty(k))}")
+      sb ++= " ]\n"
+    }
+    g.getEdges().sortBy(_.id).foreach { e =>
+      sb ++= s"""  edge [ source ${e.getVertex("out").id} target ${e.getVertex("in").id} label ${gmlValue(e.getLabel)}"""
+      e.getPropertyKeys.toSeq.sorted.foreach(k => sb ++= s" $k ${gmlValue(e.getProperty(k))}")
+      sb ++= " ]\n"
+    }
+    sb ++= "]\n"
+    sb.toString
+  }
+}

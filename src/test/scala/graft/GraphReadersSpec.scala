@@ -90,6 +90,37 @@ class GraphReadersSpec extends AnyFunSuite {
     assert(e.getProperty("weight") == 0.5d)
   }
 
+  test("writers round-trip through their readers, all three formats") {
+    def build(): GraftGraph = {
+      val g = new GraftGraph(TestSpark.spark)
+      val a = g.addVertex(); a.setProperty("name", "marko"); a.setProperty("age", 29L)
+      val b = g.addVertex(); b.setProperty("name", "vadas")
+      val e = g.addEdge(a, b, "knows"); e.setProperty("weight", 0.5)
+      g
+    }
+    def shape(g: GraftGraph): (Int, Int, Set[(String, String, String)], Any, Any) = (
+      g.getVertices().size, g.getEdges().size,
+      g.getEdges().map(e => (e.getVertex("out").getProperty("name").toString,
+        e.getLabel, e.getVertex("in").getProperty("name").toString)).toSet,
+      g.getVertices("name", "marko").head.getProperty("age"),
+      g.getEdges("label", "knows").head.getProperty("weight"))
+    val src = build()
+    val expected = shape(src)
+
+    val g1 = new GraftGraph(TestSpark.spark)
+    graft.io.GraphReaders.inputGraphML(g1, new ByteArrayInputStream(
+      graft.io.GraphWriters.outputGraphML(src).getBytes(StandardCharsets.UTF_8)))
+    assert(shape(g1) == expected)
+
+    val g2 = new GraftGraph(TestSpark.spark)
+    graft.io.GraphReaders.inputGraphSON(g2, graft.io.GraphWriters.outputGraphSON(src))
+    assert(shape(g2) == expected)
+
+    val g3 = new GraftGraph(TestSpark.spark)
+    graft.io.GraphReaders.inputGML(g3, graft.io.GraphWriters.outputGML(src))
+    assert(shape(g3) == expected)
+  }
+
   test("supplied ids are ignored: engine ids assigned (FluxGraph.java:59)") {
     val g = new GraftGraph(TestSpark.spark)
     val vs = GraphReaders.inputGML(g, """graph [ node [ id 999999 name "x" ] ]""")
