@@ -108,7 +108,23 @@ object SparkEntry {
       TpchGraph.snapshot(s, d).edges.where(col("label") === "placed")
         .select(col("id"), col("outV"), col("inV"))),
 
+    "edges_by_prop" -> ((s, d) =>
+      // attr-value scan on EDGE properties (§2.1 #6, beyond the label
+      // fast-path): every contains edge whose returnflag is 'R'
+      TpchGraph.snapshot(s, d)
+        .elementsByProp("returnflag", PropType.PString, "R", A.Edge)
+        .select(col("id"))),
+
     // ---- §2.4 traversals ----
+    "both_edges" -> { (s, d) =>
+      // BOTH-direction incident edges as the reference's out ++ in concat
+      // (bag semantics, §2.4 #38) for one part vertex
+      val vid = VPart + 42L
+      val e = TpchGraph.snapshot(s, d).edges
+      e.where(col("outV") === vid).select(col("id"), lit("out").as("dir"))
+        .unionAll(e.where(col("inV") === vid).select(col("id"), lit("in").as("dir")))
+    },
+
     "out_edges" -> { (s, d) =>
       TpchGraph.snapshot(s, d).edges
         .where(col("outV") === (VCustomer + 42L))
@@ -498,6 +514,23 @@ object SparkEntry {
       """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id,
         |       CAST(3000000 + o_custkey AS BIGINT) AS outV,
         |       CAST(6000000 + o_orderkey AS BIGINT) AS inV FROM orders""".stripMargin,
+
+    "edges_by_prop" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(100000000 + l_orderkey * 16 + seq AS BIGINT) AS id
+        |FROM liseq WHERE l_returnflag = 'R'""".stripMargin,
+
+    "both_edges" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(200000000 + l_orderkey * 16 + seq AS BIGINT) AS id, 'out' AS dir
+        |FROM liseq WHERE l_partkey = 42
+        |UNION ALL
+        |SELECT CAST(100000000 + l_orderkey * 16 + seq AS BIGINT), 'in'
+        |FROM liseq WHERE l_partkey = 42""".stripMargin,
 
     "out_edges" ->
       """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
