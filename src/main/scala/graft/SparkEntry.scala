@@ -295,6 +295,38 @@ object SparkEntry {
       }.reduce(_.unionAll(_))
     },
 
+    "crud_intx" -> { (s, d) =>
+      // explicit transaction batching (§2.2 #19): one inTx commits several
+      // ops as ONE tx; a throwing inTx rolls back and leaks nothing
+      val g = new GraftGraph(s)
+      g.inTx {
+        val a = g.addVertex(); val b = g.addVertex()
+        g.addEdge(a, b, "knows")
+        a.setProperty("name", "a")
+      }
+      val h1 = g.log.headTx
+      val n1 = (g.getVertices().size + g.getEdges().size).toLong
+      try g.inTx { g.addVertex(); throw new RuntimeException("rollback me") }
+      catch { case e: RuntimeException if e.getMessage == "rollback me" => }
+      val h2 = g.log.headTx
+      val n2 = (g.getVertices().size + g.getEdges().size).toLong
+      s.createDataFrame(Seq(("batch", h1, n1), ("rollback", h2, n2)))
+        .toDF("tag", "head_tx", "n_elements")
+    },
+
+    "key_index_registry" -> { (s, d) =>
+      // key-index registry round-trip (§2.8 #50-52)
+      val g = new GraftGraph(s)
+      g.createKeyIndex("name", A.Vertex)
+      g.createKeyIndex("weight", A.Edge)
+      g.createKeyIndex("age", A.Vertex)
+      g.dropKeyIndex("age", A.Vertex)
+      s.createDataFrame(
+        g.getIndexedKeys(A.Vertex).toSeq.sorted.map(k => (A.Vertex, k)) ++
+          g.getIndexedKeys(A.Edge).toSeq.sorted.map(k => (A.Edge, k)))
+        .toDF("kind", "key")
+    },
+
     "crud_is_deleted" -> { (s, d) =>
       // isDeleted (§2.3 #23) set-at-a-time: elements with history but no
       // live facts — an anti-join of ever-seen ids against the snapshot
@@ -655,6 +687,16 @@ object SparkEntry {
       """SELECT 'jan' AS tag, CAST(3 AS BIGINT) AS n_vertices, CAST(3 AS BIGINT) AS n_edges
         |UNION ALL SELECT 'feb', 3, 2
         |UNION ALL SELECT 'mar', 0, 0""".stripMargin,
+
+    "crud_intx" ->
+      // one batched tx (head_tx 0) holding 2 vertices + 1 edge; the
+      // rolled-back tx changes nothing
+      """SELECT 'batch' AS tag, CAST(0 AS BIGINT) AS head_tx, CAST(3 AS BIGINT) AS n_elements
+        |UNION ALL SELECT 'rollback', 0, 3""".stripMargin,
+
+    "key_index_registry" ->
+      """SELECT 'vertex' AS kind, 'name' AS key
+        |UNION ALL SELECT 'edge', 'weight'""".stripMargin,
 
     "crud_is_deleted" ->
       // crudGraph ids: vertices 1-4 (dave=4), edges 5-8; removeVertex(dave)
