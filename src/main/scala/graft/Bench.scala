@@ -34,23 +34,32 @@ object Bench {
       val s = xs.sorted; s(s.size / 2)
     }
 
-    // ---- phase 0: shared projection builds (billed once, separately) ----
+    // ---- phase 0: shared projection builds (billed once, separately).
+    // A failed build lands in `errors` and the affected queries fail
+    // individually — the bench must always print its JSON line. ----
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    builds("build_tpch") = time {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def build(name: String)(body: => Unit): Unit =
+      try builds(name) = time(body)
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+    build("build_tpch") {
       val s = projection.TpchGraph.snapshot(spark, sfDir)
       s.currentFacts.count(); s.edges.count()
     }
-    builds("build_events") = time {
-      projection.EventsReplay.snapshot(spark, sfDir).currentFacts.count()
+    build("build_events") {
+      projection.EventsReplay.snapshot(spark, sfDir).currentFacts.count(); ()
     }
-    builds("build_graphx") = time {
+    build("build_graphx") {
       gx.GraphXTraversal.cachedGraph(
-        projection.TpchGraph.snapshot(spark, sfDir)).edges.count()
+        projection.TpchGraph.snapshot(spark, sfDir)).edges.count(); ()
     }
 
     // ---- phase 1: per-query reps, median ----
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val ts = (1 to reps).map { _ =>

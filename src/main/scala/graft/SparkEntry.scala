@@ -41,6 +41,13 @@ object SparkEntry {
   private def vprop(s: Snapshot, key: String, t: PropType, alias: String): DataFrame =
     s.prop(key, t, A.Vertex).select(col("e"), col("v").as(alias))
 
+  /** One-row (n_vertices, n_edges) of live elements in a snapshot. */
+  private def liveElementCounts(snap: Snapshot): DataFrame =
+    snap.currentFacts.where(col("attr") === A.ElementType)
+      .agg(
+        coalesce(sum(when(col("vStr") === A.Vertex, 1L).otherwise(0L)), lit(0L)).as("n_vertices"),
+        coalesce(sum(when(col("vStr") === A.Edge, 1L).otherwise(0L)), lit(0L)).as("n_edges"))
+
   private def hop3(spark: SparkSession, dir: String): DataFrame = {
     // customer -placed-> order -contains-> part -supplied_by-> supplier,
     // purely as chained edge equi-joins on the snapshot's edges view (the
@@ -287,10 +294,7 @@ object SparkEntry {
       val head = Snapshot.head(g.log)
       Seq("jan" -> "2024-01-15 00:00:00", "feb" -> "2024-02-15 00:00:00",
         "mar" -> "2024-03-15 00:00:00").map { case (tag, at) =>
-        head.asOf(ts(at)).currentFacts.where(col("attr") === A.ElementType)
-          .agg(
-            coalesce(sum(when(col("vStr") === A.Vertex, 1L).otherwise(0L)), lit(0L)).as("n_vertices"),
-            coalesce(sum(when(col("vStr") === A.Edge, 1L).otherwise(0L)), lit(0L)).as("n_edges"))
+        liveElementCounts(head.asOf(ts(at)))
           .select(lit(tag).as("tag"), col("n_vertices"), col("n_edges"))
       }.reduce(_.unionAll(_))
     },
@@ -354,11 +358,7 @@ object SparkEntry {
       val g = crudGraph(s)
       val root = "/root/repo/target/tmp/persist_roundtrip"
       g.log.save(root, txBucketSize = 10L)
-      Snapshot.head(graft.log.FactLog.open(s, root))
-        .currentFacts.where(col("attr") === A.ElementType)
-        .agg(
-          coalesce(sum(when(col("vStr") === A.Vertex, 1L).otherwise(0L)), lit(0L)).as("n_vertices"),
-          coalesce(sum(when(col("vStr") === A.Edge, 1L).otherwise(0L)), lit(0L)).as("n_edges"))
+      liveElementCounts(Snapshot.head(graft.log.FactLog.open(s, root)))
     },
 
     "read_formats" -> { (s, d) =>

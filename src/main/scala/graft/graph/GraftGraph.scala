@@ -608,15 +608,8 @@ final class DiffGraph private (
     * (e, attr) by construction (both inputs were latest-wins deduped), so
     * the store is preDeduped and snapshot reads over it skip the
     * latest-wins shuffle entirely. */
-  def asStore: graft.log.BulkFactStore = {
-    import spark.implicits._
-    new graft.log.BulkFactStore(
-      spark,
-      factsDF,
-      spark.emptyDataset[Touch].toDF(),
-      Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant"),
-      preDeduped = true)
-  }
+  def asStore: graft.log.BulkFactStore =
+    graft.log.BulkFactStore.singleTx(spark, factsDF, preDeduped = true)
   /** Back-compat overload (the session is fixed at construction). */
   def asStore(spark: org.apache.spark.sql.SparkSession): graft.log.BulkFactStore = asStore
 

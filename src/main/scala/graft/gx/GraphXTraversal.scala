@@ -31,10 +31,28 @@ object GraphXTraversal {
   /** Memoized, persisted graph per snapshot: the vertex/edge RDD build is
     * a one-time projection cost (like TpchGraph.snapshot's persist), so
     * repeated traversals pay only the message-passing rounds. Snapshots
-    * are immutable — identity-keying is safe. */
-  private val cache = scala.collection.mutable.Map.empty[Snapshot, Graph[Unit, String]]
+    * are immutable — identity-keying is safe. BOUNDED: at most
+    * [[MaxCachedGraphs]] graphs stay pinned; the least-recently-used entry
+    * is unpersisted on eviction, so per-job snapshots in a long-lived
+    * session can't accumulate cached RDDs until storage memory dies. */
+  private val MaxCachedGraphs = 4
+  private val cache = new java.util.LinkedHashMap[Snapshot, Graph[Unit, String]](
+    16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Snapshot, Graph[Unit, String]]): Boolean = {
+      val evict = size() > MaxCachedGraphs
+      if (evict) e.getValue.unpersist(blocking = false)
+      evict
+    }
+  }
   def cachedGraph(snap: Snapshot): Graph[Unit, String] = synchronized {
-    cache.getOrElseUpdate(snap, graphOf(snap).cache())
+    val hit = cache.get(snap)
+    if (hit != null) hit
+    else {
+      val g = graphOf(snap).cache()
+      cache.put(snap, g)
+      g
+    }
   }
 
   /** Count label-sequence paths: start with 1 at every vertex with an

@@ -146,7 +146,10 @@ object GraphReaders {
     val tok = mutable.ArrayBuffer.empty[String]
     val m = java.util.regex.Pattern
       .compile("\"([^\"]*)\"|\\[|\\]|[^\\s\\[\\]]+").matcher(gml)
-    while (m.find()) tok += (if (m.group(1) != null) "\"" + m.group(1) else m.group())
+    // decode the GML-spec HTML entities GraphWriters emits for quotes
+    def unescape(s: String): String =
+      s.replace("&quot;", "\"").replace("&amp;", "&")
+    while (m.find()) tok += (if (m.group(1) != null) "\"" + unescape(m.group(1)) else m.group())
 
     var i = 0
     def parseBlock(): Seq[(String, Any)] = {

@@ -33,39 +33,62 @@ object GraphWriters {
   }
 
   /** Emit TinkerPop-flavor GraphML (the dialect [[GraphReaders.inputGraphML]]
-    * parses: key decls, node/edge elements, data values). */
+    * parses: key decls, node/edge elements, data values). Key decl ids are
+    * qualified by (kind, type) — the SAME key name on nodes and edges (or
+    * under two value types) must not collide in the reader's id-keyed decl
+    * map, or values parse with the wrong type. */
   def outputGraphML(g: GraftGraph): String = {
     val vs = g.getVertices().sortBy(_.id)
     val es = g.getEdges().sortBy(_.id)
+    def keyId(kind: String, k: String, t: String) = s"${kind}_${t}_$k"
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
     sb ++= "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n"
-    // one key decl per (key, kind, type) actually present
+    // one key decl per (kind, key, type) actually present, unique id each
     def keyDecls(kind: String, elems: Seq[(Long, Map[String, Any])]): Unit =
       elems.flatMap { case (_, props) => props.toSeq }
-        .map { case (k, v) => (k, attrType(v)) }.distinct.sortBy(_._1)
+        .map { case (k, v) => (k, attrType(v)) }.distinct.sortBy(p => (p._1, p._2))
         .foreach { case (k, t) =>
-          sb ++= s"""  <key id="${xmlEscape(k)}" for="$kind" attr.name="${xmlEscape(k)}" attr.type="$t"/>\n"""
+          sb ++= s"""  <key id="${xmlEscape(keyId(kind, k, t))}" for="$kind" attr.name="${xmlEscape(k)}" attr.type="$t"/>\n"""
         }
     val vProps = vs.map(v => v.id -> v.getPropertyKeys.map(k => k -> v.getProperty(k)).toMap)
     val eProps = es.map(e => e.id -> e.getPropertyKeys.map(k => k -> e.getProperty(k)).toMap)
     keyDecls("node", vProps)
     keyDecls("edge", eProps)
     sb ++= "  <graph id=\"G\" edgedefault=\"directed\">\n"
+    def dataEls(kind: String, props: Map[String, Any]): Unit =
+      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb ++= s"""<data key="${xmlEscape(keyId(kind, k, attrType(v)))}">${xmlEscape(v.toString)}</data>""" }
     vProps.foreach { case (id, props) =>
       sb ++= s"""    <node id="$id">"""
-      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        sb ++= s"""<data key="${xmlEscape(k)}">${xmlEscape(v.toString)}</data>""" }
+      dataEls("node", props)
       sb ++= "</node>\n"
     }
     es.foreach { e =>
       sb ++= s"""    <edge id="${e.id}" source="${e.getVertex("out").id}" target="${e.getVertex("in").id}" label="${xmlEscape(e.getLabel)}">"""
-      e.getPropertyKeys.toSeq.sorted.foreach { k =>
-        sb ++= s"""<data key="${xmlEscape(k)}">${xmlEscape(e.getProperty(k).toString)}</data>""" }
+      dataEls("edge", e.getPropertyKeys.map(k => k -> e.getProperty(k)).toMap)
       sb ++= "</edge>\n"
     }
     sb ++= "  </graph>\n</graphml>\n"
     sb.toString
+  }
+
+  /** Full JSON string escaping — quotes, backslashes AND control chars
+    * (an unescaped newline makes jackson reject the round-trip). */
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').toString
   }
 
   private def jsonValue(v: Any): String = v match {
@@ -73,15 +96,14 @@ object GraphWriters {
     case n: java.lang.Long    => n.toString
     case n: java.lang.Double  => n.toString
     case n: java.lang.Float   => n.toString
-    case other =>
-      "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other                => jsonString(other.toString)
   }
 
   /** Emit Blueprints GraphSON 1.0, mode NORMAL (the dialect
     * [[GraphReaders.inputGraphSON]] parses). */
   def outputGraphSON(g: GraftGraph): String = {
     def propsJson(keys: Set[String], get: String => Any): String =
-      keys.toSeq.sorted.map(k => s""""${k}": ${jsonValue(get(k))}""") match {
+      keys.toSeq.sorted.map(k => s"${jsonString(k)}: ${jsonValue(get(k))}") match {
         case Nil => ""
         case xs => xs.mkString(", ", ", ", "")
       }
@@ -104,7 +126,10 @@ object GraphWriters {
     case n: java.lang.Long   => n.toString
     case n: java.lang.Double => n.toString
     case n: java.lang.Float  => n.toString
-    case other => "\"" + other.toString.replace("\"", "'") + "\""
+    // GML escapes quotes as HTML entities (&quot; per the GML spec);
+    // inputGML decodes them back, so the round-trip is value-preserving
+    case other => "\"" + other.toString
+      .replace("&", "&amp;").replace("\"", "&quot;") + "\""
   }
 
   /** Emit GML (the dialect [[GraphReaders.inputGML]] parses). */

@@ -71,6 +71,20 @@ final class BulkFactStore(
   }
 }
 
+object BulkFactStore {
+  /** Single-epoch scaffold — empty touches + one tx-0 metadata row: the
+    * shape every one-shot backfill store shares (bulk projections, diff
+    * graphs, reopened bucketed tables). */
+  def singleTx(spark: SparkSession, factsDF: DataFrame,
+               preDeduped: Boolean = false): BulkFactStore = {
+    import spark.implicits._
+    new BulkFactStore(spark, factsDF,
+      spark.emptyDataset[Touch].toDF(),
+      Seq((0L, new Timestamp(0L))).toDF("tx", "txInstant"),
+      preDeduped = preDeduped)
+  }
+}
+
 /**
  * Driver-side mutable fact log: the write path of the interactive graph
  * API. All commits are serialized through this object (single-writer,
@@ -201,14 +215,8 @@ object FactLog {
     * reference's O(log n) EAVT point read (FluxGraph.java:186-198). The
     * same layout co-locates per-entity joins/aggregations (no exchange). */
   def openBucketedTable(spark: SparkSession, table: String,
-                        preDeduped: Boolean = false): BulkFactStore = {
-    import spark.implicits._
-    new BulkFactStore(spark,
-      spark.table(table),
-      spark.emptyDataset[Touch].toDF(),
-      Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant"),
-      preDeduped = preDeduped)
-  }
+                        preDeduped: Boolean = false): BulkFactStore =
+    BulkFactStore.singleTx(spark, spark.table(table), preDeduped)
 
   /** Reopen a saved log as a bulk store; the retained txBucket partition
     * column lets Snapshot asOf reads prune whole tx-range directories. */

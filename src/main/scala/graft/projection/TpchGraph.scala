@@ -195,11 +195,8 @@ object TpchGraph {
     val facts = Seq(regionFacts, nationFacts, customerFacts, supplierFacts,
       partFacts, orderFacts, lineitemFacts).reduce(_.unionAll(_))
 
-    import spark.implicits._
-    val txs = Seq((0L, new java.sql.Timestamp(0L))).toDF("tx", "txInstant")
-    val touches = spark.emptyDataset[graft.model.Touch].toDF()
     // single-tx backfill, no retractions ⇒ preDeduped: snapshots skip the
     // latest-wins shuffle and read the projection as plain scans
-    new BulkFactStore(spark, facts, touches, txs, preDeduped = true)
+    BulkFactStore.singleTx(spark, facts, preDeduped = true)
   }
 }

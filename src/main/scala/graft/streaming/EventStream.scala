@@ -53,12 +53,16 @@ object EventStream {
   def ingestToLog(events: DataFrame, root: String, checkpoint: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // one directory per micro-batch, OVERWRITTEN on write: foreachBatch
+        // is at-least-once, so a retried batch replaces its own output
+        // instead of appending duplicate fact rows (exactly-once sink)
         val df = batch.toDF()
-        factStream(df).write.mode("append").parquet(s"$root/facts")
+        factStream(df).write.mode("overwrite")
+          .parquet(s"$root/facts/batch=$batchId")
         df.select((col("event_id") + 1).cast("long").as("tx"),
             col("ts").cast("timestamp").as("txInstant"))
-          .write.mode("append").parquet(s"$root/txs")
+          .write.mode("overwrite").parquet(s"$root/txs/batch=$batchId")
         ()
       }
       .start()
@@ -71,12 +75,13 @@ object EventStream {
     * the ingested prop facts. */
   def openIngested(spark: SparkSession, root: String): graft.log.BulkFactStore = {
     import graft.projection.FactCols
-    val props = spark.read.parquet(s"$root/facts")
+    // drop the per-micro-batch partition column the idempotent sink added
+    val props = spark.read.parquet(s"$root/facts").drop("batch")
     val typeFacts = FactCols.explodeFacts(
       props.groupBy(col("e")).agg(min(col("tx")).as("tx")),
       Seq(FactCols.vertexType(col("e"), tx = col("tx"))))
     val facts = props.unionByName(typeFacts)
-    val txs = spark.read.parquet(s"$root/txs").distinct()
+    val txs = spark.read.parquet(s"$root/txs").drop("batch").distinct()
     val touches = props.select(col("e"), col("tx")).distinct()
       .withColumn("prevTx", coalesce(
         lag(col("tx"), 1).over(Window.partitionBy(col("e")).orderBy(col("tx"))),

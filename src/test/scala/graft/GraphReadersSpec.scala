@@ -121,6 +121,34 @@ class GraphReadersSpec extends AnyFunSuite {
     assert(shape(g3) == expected)
   }
 
+  test("writer round-trip edge cases: shared keys across kinds, control chars, quotes") {
+    val src = new GraftGraph(TestSpark.spark)
+    val a = src.addVertex(); a.setProperty("name", "abc")        // string on vertex
+    val b = src.addVertex(); b.setProperty("name", "x")
+    val e = src.addEdge(a, b, "knows"); e.setProperty("name", 7L) // SAME key, long, on edge
+
+    // GraphML: key decls must not collide across (kind, type)
+    val g1 = new GraftGraph(TestSpark.spark)
+    val vs1 = graft.io.GraphReaders.inputGraphML(g1, new ByteArrayInputStream(
+      graft.io.GraphWriters.outputGraphML(src).getBytes(StandardCharsets.UTF_8)))
+    assert(g1.getVertices("name", "abc").size == 1)
+    assert(vs1.values.flatMap(_.getEdges("out")).headOption.map(_.getProperty("name")).contains(7L))
+
+    // GraphSON: control characters survive as valid JSON
+    val s2 = new GraftGraph(TestSpark.spark)
+    val v2 = s2.addVertex(); v2.setProperty("bio", "line1\nline2\ttabbed \"q\"")
+    val g2 = new GraftGraph(TestSpark.spark)
+    val vs2 = graft.io.GraphReaders.inputGraphSON(g2, graft.io.GraphWriters.outputGraphSON(s2))
+    assert(vs2(v2.id.toString).getProperty("bio") == "line1\nline2\ttabbed \"q\"")
+
+    // GML: quotes round-trip through the spec's HTML entities
+    val s3 = new GraftGraph(TestSpark.spark)
+    val v3 = s3.addVertex(); v3.setProperty("quote", "say \"hi\" & bye")
+    val g3 = new GraftGraph(TestSpark.spark)
+    val vs3 = graft.io.GraphReaders.inputGML(g3, graft.io.GraphWriters.outputGML(s3))
+    assert(vs3(v3.id.toString).getProperty("quote") == "say \"hi\" & bye")
+  }
+
   test("supplied ids are ignored: engine ids assigned (FluxGraph.java:59)") {
     val g = new GraftGraph(TestSpark.spark)
     val vs = GraphReaders.inputGML(g, """graph [ node [ id 999999 name "x" ] ]""")
