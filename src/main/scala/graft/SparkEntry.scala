@@ -198,7 +198,8 @@ object SparkEntry {
       st.touchesDF.where(col("e") === lit(EventsReplay.VUser + 7L))
         .join(st.txsDF, "tx")
         .withColumn("t_start", date_format(col("txInstant"), fmt))
-        .withColumn("t_end", lead(col("t_start"), 1).over(Window.orderBy(col("tx"))))
+        .withColumn("t_end",
+          lead(col("t_start"), 1).over(Window.partitionBy(col("e")).orderBy(col("tx"))))
         .select(col("tx"), col("t_start"), col("t_end"))
     },
 

@@ -180,6 +180,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(all.props(x.id, "r") == Seq(6L))
   }
 
+  test("fused same-store difference matches the cross-store general path") {
+    // same mutations as above: v changes inside the ws, w is unchanged,
+    // x changes outside the ws; plus a retraction so the liveness edge
+    // cases differ between the two pins
+    val spark = TestSpark.spark
+    val g = new GraftGraph(spark)
+    g.setTransactionTime(ts("2024-01-01 00:00:00"))
+    val v = g.addVertex(); v.setProperty("p", 1L); v.setProperty("name", "v")
+    val w = g.addVertex(); w.setProperty("q", 9L)
+    val x = g.addVertex(); x.setProperty("r", 5L)
+    g.setTransactionTime(ts("2024-02-01 00:00:00"))
+    v.setProperty("p", 2L)
+    v.removeProperty("name") // live at Jan, retracted at Feb
+    x.setProperty("r", 6L)
+
+    val head = graft.snapshot.Snapshot.head(g.log)
+    // a DISTINCT store instance with identical content forces the
+    // cross-store general path (anti-join); same-store pins take the
+    // fused single-aggregation path
+    val copy = new graft.log.BulkFactStore(
+      spark, g.log.factsDF, g.log.touchesDF, g.log.txsDF)
+    val copyHead = graft.snapshot.Snapshot.head(copy)
+    import spark.implicits._
+    val ws = Seq(v.id, w.id).toDF("e")
+    val cols = Seq("e", "attr", "vStr", "vLong", "vDouble", "vDec", "vBool", "vTs", "vRef")
+    for ((d1, d2) <- Seq(
+      ("2024-02-15 00:00:00", "2024-01-15 00:00:00"),
+      ("2024-01-15 00:00:00", "2024-02-15 00:00:00"));
+         scope <- Seq(None, Some(ws))) {
+      val fused = head.asOf(ts(d1)).differenceFacts(head.asOf(ts(d2)), scope)
+      val general = head.asOf(ts(d1)).differenceFacts(copyHead.asOf(ts(d2)), scope)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().map(_.toSeq).toSet
+      assert(rows(fused) == rows(general), s"d1=$d1 d2=$d2 scoped=${scope.isDefined}")
+    }
+  }
+
   test("per-element difference of two versions") {
     val g = new GraftGraph(TestSpark.spark)
     val v = g.addVertex()
