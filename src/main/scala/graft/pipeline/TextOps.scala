@@ -250,6 +250,118 @@ object TextOps {
     * normalized text — cheap identity for exact-dup clustering at scale. */
   def fingerprint(text: Column): Column = xxhash64(normText(text))
 
+  /**
+   * Per-document repetition signals — the Gopher-style quality filters
+   * that catch boilerplate and degenerate generations:
+   * (doc_id, n_tokens, distinct_ratio, top_token_ratio,
+   * bigram_distinct_ratio).
+   *
+   * Token frequencies go through explode → two hash aggregations (linear
+   * per token, map-side partials) rather than an O(tokens²)
+   * count-per-distinct-token lambda — at 100 TB the shuffle is on
+   * (doc_id, token), never quadratic per row. The bigram ratio reuses the
+   * staged token attribute ([[shinglesFromTokens]] re-eval trap).
+   */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val out = toks.join(freq, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        round(coalesce(col("n_distinct") / col("n_tokens"), lit(0d)), 4)
+          .as("distinct_ratio"),
+        round(coalesce(col("top_c") / col("n_tokens"), lit(0d)), 4)
+          .as("top_token_ratio"),
+        when(size(col("t")) >= 2,
+          round(size(shinglesFromTokens(col("t"), 2)).cast("double") /
+            (size(col("t")) - 1), 4))
+          .otherwise(lit(1d)).as("bigram_distinct_ratio"))
+    val res = out.localCheckpoint(true)
+    toks.unpersist(false)
+    res
+  }
+
+  // PII patterns shared with the DuckDB oracle: ASCII classes + \b only,
+  // so Java regex (Spark) and RE2 (DuckDB) match identically.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}-\\d{3,4}-\\d{4}\\b"
+
+  /** PII scrubbing: count and redact emails, IPv4 addresses and
+    * NNN-NNN(N)-NNNN phone numbers in `textCol` — pure regexp column
+    * expressions (codegen'd, embarrassingly parallel; the shape every
+    * training-data pipeline runs before anything else). Counts are taken
+    * on the original text; redaction applies email → ip → phone, whose
+    * patterns are mutually exclusive. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(emailPattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(ipv4Pattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(phonePattern)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailPattern, "[EMAIL]"),
+            ipv4Pattern, "[IP]"),
+          phonePattern, "[PHONE]"))
+  }
+
+  /**
+   * Deterministic train/val/test assignment by id hash — the reproducible
+   * split every training pipeline needs. Knuth multiplicative hashing
+   * (id·2654435761 mod 2³²) mod 100 gives a uniform bucket that is stable
+   * across runs, engines and partitionings (pure arithmetic — the DuckDB
+   * oracle reproduces it bit-for-bit); rows never shuffle, the split is a
+   * projection. trainPct + valPct < 100; the rest is test.
+   */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val bucket = ((col(idCol) * lit(2654435761L)) % lit(4294967296L)) % lit(100L)
+    df.withColumn("bucket", bucket.cast("long"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /**
+   * Fixed-size token chunking with stride (overlap = chunkTokens −
+   * stride): the sequence-packing step before tokenizer/embedding stages.
+   * Emits (doc_id, chunk_id, chunk, n_chunk_tokens) — one row per window
+   * start 0, stride, 2·stride … while < n_tokens. Chunks are derived with
+   * sequence → slice over a STAGED token attribute (each chunk slices the
+   * materialized array; unstaged, Spark would re-tokenize per chunk), and
+   * the explode is the only row multiplier — no shuffle at all.
+   */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nChunks = floor((size(col("t")) - 1) / lit(stride)) + 1
+    val out = toks
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), nChunks - 1), i =>
+          struct(i.as("chunk_id"),
+            concat_ws(" ", slice(col("t"), (i * stride + 1).cast("int"), lit(chunkTokens)))
+              .as("chunk"),
+            least(lit(chunkTokens), size(col("t")) - i.cast("int") * stride)
+              .cast("long").as("n_chunk_tokens")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"), col("c.n_chunk_tokens"))
+    val res = out.localCheckpoint(true)
+    toks.unpersist(false)
+    res
+  }
+
   /** The composed corpus-cleaning pass a training pipeline actually runs:
     * language allowlist → char-length band → exact-dedup survivors (min
     * doc_id per normalized text). One filter + one hash-group shuffle. */

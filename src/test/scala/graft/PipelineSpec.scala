@@ -152,4 +152,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.contains(1L))  // near-identical direction must collide
     assert(!r.contains(0L)) // self excluded
   }
+
+  test("repetition stats: degenerate docs score low distinct ratios") {
+    val d = Seq(
+      (0L, "spam spam spam spam"),              // 1 distinct of 4
+      (1L, "all words here are unique tokens"), // all distinct
+      (2L, "ab ab cd cd ab ab cd cd")           // 2 distinct, 1 distinct bigram pattern
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tokens") == 4)
+    assert(r(0L).getAs[Double]("distinct_ratio") == 0.25)
+    assert(r(0L).getAs[Double]("top_token_ratio") == 1.0)
+    assert(r(1L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(math.abs(r(1L).getAs[Double]("top_token_ratio") - 1.0 / 6) < 0.0001)
+    // doc 2: bigrams = [ab ab, ab cd, cd cd, cd ab, ...] distinct 4 of 7
+    assert(math.abs(r(2L).getAs[Double]("bigram_distinct_ratio") - 4.0 / 7) < 0.001)
+  }
+
+  test("PII redaction: emails, IPs, phones counted and replaced") {
+    val d = Seq(
+      (0L, "mail a.b+c@foo-bar.example.org or x@y.io, host 192.168.0.1, call 555-0142-9876"),
+      (1L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(d, "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_emails") == 2)
+    assert(r(0L).getAs[Long]("n_ips") == 1)
+    assert(r(0L).getAs[Long]("n_phones") == 1)
+    assert(r(0L).getAs[String]("redacted") ==
+      "mail [EMAIL] or [EMAIL], host [IP], call [PHONE]")
+    assert(r(1L).getAs[Long]("n_emails") == 0)
+    assert(r(1L).getAs[String]("redacted") == "nothing sensitive here")
+  }
+
+  test("split assignment: deterministic, uniform, correctly proportioned") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val r = TextOps.splitAssign(ids, "id").groupBy("split").count()
+      .collect().map(x => x.getAs[String]("split") -> x.getAs[Long]("count")).toMap
+    // 90/5/5 ± a few % at n=10k under a uniform hash
+    assert(math.abs(r("train") - 9000L) < 300, r.toString)
+    assert(math.abs(r("val") - 500L) < 150, r.toString)
+    assert(math.abs(r("test") - 500L) < 150, r.toString)
+    // stability: same id always lands in the same split
+    val twice = TextOps.splitAssign(ids, "id").select("id", "split")
+      .except(TextOps.splitAssign(ids, "id").select("id", "split"))
+    assert(twice.isEmpty)
+  }
+
+  test("chunking: stride windows cover every token, boundaries exact") {
+    val d = Seq((0L, "t1 t2 t3 t4 t5 t6 t7"), (1L, "")).toDF("doc_id", "text")
+    val r = TextOps.chunkDocs(d, chunkTokens = 3, stride = 2).collect()
+      .map(x => (x.getAs[Long]("chunk_id"), x.getAs[String]("chunk"),
+        x.getAs[Long]("n_chunk_tokens")))
+      .sortBy(_._1)
+    // starts 0,2,4,6 → windows of ≤3 tokens; empty doc emits nothing
+    assert(r.toSeq == Seq(
+      (0L, "t1 t2 t3", 3L), (1L, "t3 t4 t5", 3L),
+      (2L, "t5 t6 t7", 3L), (3L, "t7", 1L)))
+  }
+
+  test("int8 quantization: scale and reconstruction error") {
+    // 63.5 and -32 are exact binary floats on the q-grid of scale
+    // 63.5/127 = 0.5, so reconstruction is exact → rms 0
+    val d = Seq(
+      (0L, Array(63.5f, -32f, 0f)),
+      (1L, Array(0f, 0f, 0f))           // zero vector excluded
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.quantizeInt8(d).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("scale") == 0.5)
+    assert(r.head.getAs[Double]("rms_err") == 0.0)
+  }
 }
