@@ -270,6 +270,30 @@ object SparkEntry {
         .select(col("supplier"), round(col("revenue").cast("double"), 2).as("revenue"))
     },
 
+    "version_next_values" -> { (s, d) =>
+      // getNextVersion's value read (§2.6 #43-44), the lead twin of
+      // version_prev_values: null next_value marks the head version
+      val st = EventsReplay.snapshot(s, d).store
+      val w = Window.partitionBy(col("e")).orderBy(col("tx"))
+      st.factsDF.where(col("attr") === "value.double." + A.Vertex)
+        .select(col("e"), col("tx"), when(col("added"), col("vDouble")).as("value"))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .select(col("e").as("id"), col("tx"), col("value"), col("next_value"))
+    },
+
+    "time_aware_filter" -> { (s, d) =>
+      // TimeAwareFilter (§2.3 #26) set-at-a-time: the versions of one
+      // element whose tx instant falls inside [Jan 10, Jan 20) — the bulk
+      // twin of getPreviousVersions(intervalFilter) on a handle
+      val st = EventsReplay.snapshot(s, d).store
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      st.touchesDF.where(col("e") === lit(EventsReplay.VUser + 7L))
+        .join(st.txsDF, "tx")
+        .where(col("txInstant") >= lit(ts("2024-01-10 00:00:00")) &&
+          col("txInstant") < lit(ts("2024-01-20 00:00:00")))
+        .select(col("tx"), date_format(col("txInstant"), fmt).as("at"))
+    },
+
     "version_prev_values" -> { (s, d) =>
       // getPreviousVersion's value read, set-at-a-time for EVERY version of
       // EVERY element: one lag window partitioned by element (§2.6 41-44)
@@ -298,6 +322,37 @@ object SparkEntry {
         liveElementCounts(head.asOf(ts(at)))
           .select(lit(tag).as("tag"), col("n_vertices"), col("n_edges"))
       }.reduce(_.unionAll(_))
+    },
+
+    "crud_remove_property" -> { (s, d) =>
+      // removeProperty (§2.2 #17) with temporal visibility: `age` is live
+      // at jan, retracted at feb; `name` survives both checkpoints
+      val g = new GraftGraph(s)
+      g.setTransactionTime(ts("2024-01-01 00:00:00"))
+      val v = g.addVertex()
+      v.setProperty("name", "n"); v.setProperty("age", 30L)
+      g.setTransactionTime(ts("2024-02-01 00:00:00"))
+      v.removeProperty("age")
+      val head = Snapshot.head(g.log)
+      Seq("jan" -> "2024-01-15 00:00:00", "feb" -> "2024-02-15 00:00:00")
+        .map { case (tag, at) =>
+          head.asOf(ts(at)).propFacts(A.Vertex).where(col("e") === v.id)
+            .select(lit(tag).as("tag"), col("key"))
+        }.reduce(_.unionAll(_))
+    },
+
+    "crud_version_pins" -> { (s, d) =>
+      // isCurrentVersion (§2.3 #24) + getPreviousVersion's read surface
+      // (§2.6 #42) through the handle API: the unpinned head sees the
+      // latest value, the pinned previous version the old one
+      val g = new GraftGraph(s)
+      val v = g.addVertex()
+      v.setProperty("p", 1L); v.setProperty("p", 2L)
+      val prev = v.getPreviousVersion
+      s.createDataFrame(Seq(
+        ("head", v.isCurrentVersion, v.getProperty("p").asInstanceOf[Long]),
+        ("prev", prev.isCurrentVersion, prev.getProperty("p").asInstanceOf[Long])))
+        .toDF("tag", "is_current", "p")
     },
 
     "crud_intx" -> { (s, d) =>
@@ -489,6 +544,29 @@ object SparkEntry {
       VectorOps.embeddingNearDupPairs(emb(s, d), threshold = 0.45)),
     "clean_corpus" -> ((s, d) =>
       TextOps.cleanCorpus(docs(s, d), Seq("en", "de"), 100L, 2000L)),
+
+    // ---- LLM-pipeline: curation ops (repetition / PII / split / chunk /
+    //      quantize) ----
+    "repetition_stats" -> ((s, d) => TextOps.repetitionStats(docs(s, d))),
+    "pii_scrub" -> { (s, d) =>
+      // the corpus is synthetic word salad with no PII, so inject a
+      // deterministic email + IPv4 + phone per doc — the oracle replays
+      // the same injection, making the count AND redaction paths
+      // hash-checked end-to-end rather than trivially zero
+      val withPii = docs(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".1 call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-1234")))
+      TextOps.piiRedact(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("redacted"))
+    },
+    "split_assign" -> ((s, d) =>
+      TextOps.splitAssign(docs(s, d), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split"))),
+    "chunk_docs" -> ((s, d) => TextOps.chunkDocs(docs(s, d))),
+    "quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(emb(s, d))),
   )
 
   // ---- DuckDB oracle twins (same column names/types, same values) ----
@@ -676,6 +754,18 @@ object SparkEntry {
         |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
 
+    "version_next_values" ->
+      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+        |  lead(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+        |FROM events""".stripMargin,
+
+    "time_aware_filter" ->
+      """SELECT CAST(event_id + 1 AS BIGINT) AS tx, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS at
+        |FROM events WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
     "version_prev_values" ->
       """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
@@ -688,6 +778,15 @@ object SparkEntry {
       """SELECT 'jan' AS tag, CAST(3 AS BIGINT) AS n_vertices, CAST(3 AS BIGINT) AS n_edges
         |UNION ALL SELECT 'feb', 3, 2
         |UNION ALL SELECT 'mar', 0, 0""".stripMargin,
+
+    "crud_remove_property" ->
+      """SELECT 'jan' AS tag, 'age' AS key
+        |UNION ALL SELECT 'jan', 'name'
+        |UNION ALL SELECT 'feb', 'name'""".stripMargin,
+
+    "crud_version_pins" ->
+      """SELECT 'head' AS tag, true AS is_current, CAST(2 AS BIGINT) AS p
+        |UNION ALL SELECT 'prev', false, 1""".stripMargin,
 
     "crud_intx" ->
       // one batched tx (head_tx 0) holding 2 vertices + 1 edge; the
@@ -803,6 +902,55 @@ object SparkEntry {
         |                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |      GROUP BY label, i)
         |GROUP BY label""".stripMargin,
+    "repetition_stats" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c FROM cnt GROUP BY 1)
+        |SELECT t.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  round(coalesce(n_distinct / n_tokens, 0), 4) AS distinct_ratio,
+        |  round(coalesce(top_c / n_tokens, 0), 4) AS top_token_ratio,
+        |  CASE WHEN len(t.t) >= 2
+        |    THEN round(len(list_distinct([t.t[i] || ' ' || t.t[i+1] for i in range(1, len(t.t))])) / (len(t.t) - 1), 4)
+        |    ELSE 1.0 END AS bigram_distinct_ratio
+        |FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      ("""WITH pii AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+        |  (doc_id % 256) || '.1 call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-1234' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '""" + TextOps.emailPattern + """')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '""" + TextOps.ipv4Pattern + """')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '""" + TextOps.phonePattern + """')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '""" + TextOps.emailPattern + """', '[EMAIL]', 'g'),
+        |    '""" + TextOps.ipv4Pattern + """', '[IP]', 'g'),
+        |    '""" + TextOps.phonePattern + """', '[PHONE]', 'g') AS redacted
+        |FROM pii""").stripMargin,
+
+    "split_assign" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(((doc_id * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
+        |      FROM documents)""".stripMargin,
+
+    "chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents)
+        |SELECT doc_id, i AS chunk_id, array_to_string(t[(i*40+1):(i*40+50)], ' ') AS chunk,
+        |       CAST(least(50, len(t) - i*40) AS BIGINT) AS n_chunk_tokens
+        |FROM toks, UNNEST(range(0, ((len(t)-1)//40) + 1)) AS u(i)
+        |WHERE len(t) >= 1""".stripMargin,
+
+    "quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |s AS (SELECT vec_id, x, list_max(list_transform(x, a -> abs(a))) / 127 AS scale FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(sqrt(list_sum(list_transform(x, a -> pow(a - round(a/scale)*scale, 2))) / len(x)), 6) AS rms_err
+        |FROM s WHERE scale > 0""".stripMargin,
+
     // Oracle-less (rows-only per the driver contract) — engine-specific
     // hash/geometry internals not DuckDB-expressible: dedup_simhash,
     // ann_lsh, ann_ivf, dedup_embedding (xxhash64 / seeded-hyperplane /
