@@ -57,7 +57,14 @@ final class BulkFactStore(
     val touchesDF: DataFrame,
     val txsDF: DataFrame,
     override val preDeduped: Boolean = false,
-    override val txBucketSize: Option[Long] = None) extends FactStore {
+    override val txBucketSize: Option[Long] = None,
+    /** Optional pre-built `(id, label, outV, inV)` edges view. A bulk
+      * projection KNOWS the edge rows it is encoding into facts, so it can
+      * hand the edges view over directly and spare every head snapshot the
+      * 4-facts-per-edge pivot aggregation (at 100 TB: one shuffle of 4×
+      * |edges| rows per reader, gone). Only valid for the head view of a
+      * single-epoch store — pinned snapshots fall back to the pivot. */
+    val providedEdges: Option[DataFrame] = None) extends FactStore {
   import org.apache.spark.sql.functions._
 
   def resolveTx(at: Timestamp): Long = {
@@ -76,12 +83,13 @@ object BulkFactStore {
     * shape every one-shot backfill store shares (bulk projections, diff
     * graphs, reopened bucketed tables). */
   def singleTx(spark: SparkSession, factsDF: DataFrame,
-               preDeduped: Boolean = false): BulkFactStore = {
+               preDeduped: Boolean = false,
+               providedEdges: Option[DataFrame] = None): BulkFactStore = {
     import spark.implicits._
     new BulkFactStore(spark, factsDF,
       spark.emptyDataset[Touch].toDF(),
       Seq((0L, new Timestamp(0L))).toDF("tx", "txInstant"),
-      preDeduped = preDeduped)
+      preDeduped = preDeduped, providedEdges = providedEdges)
   }
 }
 

@@ -39,7 +39,16 @@ object EventsReplay {
 
   def snapshot(spark: SparkSession, dir: String): Snapshot = synchronized {
     cache.getOrElseUpdate((spark, dir), {
-      val snap = Snapshot.head(build(spark, dir))
+      val store = build(spark, dir)
+      // persist the LOG tables, not just the head view: every asOf-pinned
+      // read (asof_values/asof_diff/diff_*), version-chain walk and the
+      // fused difference re-aggregates history from factsDF/touchesDF —
+      // uncached, each of those pays the parquet read + fact explode
+      // again (BulkFactStore returns the same DataFrame instances, so
+      // this persist is hit by all downstream plans)
+      store.factsDF.persist(StorageLevel.MEMORY_AND_DISK)
+      store.touchesDF.persist(StorageLevel.MEMORY_AND_DISK)
+      val snap = Snapshot.head(store)
       snap.currentFacts.persist(StorageLevel.MEMORY_AND_DISK)
       snap
     })

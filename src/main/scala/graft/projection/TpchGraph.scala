@@ -195,8 +195,31 @@ object TpchGraph {
     val facts = Seq(regionFacts, nationFacts, customerFacts, supplierFacts,
       partFacts, orderFacts, lineitemFacts).reduce(_.unionAll(_))
 
+    // The projection KNOWS every edge row it just encoded as 4 facts —
+    // hand the head edges view over directly (narrow per-table selects +
+    // union) so readers skip the 4×|edges| pivot aggregation entirely.
+    // scan_edges' oracle hash-checks this view against the fact encoding.
+    def e4(id: Column, label: String, outV: Column, inV: Column) = Seq(
+      id.cast("long").as("id"), lit(label).as("label"),
+      outV.cast("long").as("outV"), inV.cast("long").as("inV"))
+    val edgesDirect = Seq(
+      nation.select(e4(lit(EInRegion) + col("n_nationkey"), "in_region",
+        lit(VNation) + col("n_nationkey"), lit(VRegion) + col("n_regionkey")): _*),
+      customer.select(e4(lit(EInNationC) + col("c_custkey"), "in_nation",
+        lit(VCustomer) + col("c_custkey"), lit(VNation) + col("c_nationkey")): _*),
+      supplier.select(e4(lit(EInNationS) + col("s_suppkey"), "in_nation",
+        lit(VSupplier) + col("s_suppkey"), lit(VNation) + col("s_nationkey")): _*),
+      orders.select(e4(lit(EPlaced) + col("o_orderkey"), "placed",
+        lit(VCustomer) + col("o_custkey"), lit(VOrder) + col("o_orderkey")): _*),
+      liSeq.select(e4(lit(EContains) + liKey, "contains",
+        lit(VOrder) + col("l_orderkey"), lit(VPart) + col("l_partkey")): _*),
+      liSeq.select(e4(lit(ESuppliedBy) + liKey, "supplied_by",
+        lit(VPart) + col("l_partkey"), lit(VSupplier) + col("l_suppkey")): _*)
+    ).reduce(_.unionAll(_))
+
     // single-tx backfill, no retractions ⇒ preDeduped: snapshots skip the
     // latest-wins shuffle and read the projection as plain scans
-    BulkFactStore.singleTx(spark, facts, preDeduped = true)
+    BulkFactStore.singleTx(spark, facts, preDeduped = true,
+      providedEdges = Some(edgesDirect))
   }
 }

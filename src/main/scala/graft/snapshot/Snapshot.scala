@@ -78,17 +78,25 @@ final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
   /** Live edges: `(id, label, outV, inV)` — one conditional aggregation
     * over the four reserved attributes (FluxGraph.java:136-140 plus the
     * endpoint/label point lookups of FluxEdge.java:77-90, set-at-a-time). */
-  lazy val edges: DataFrame =
-    currentFacts
-      .where(col("attr").isin(A.ElementType, A.EdgeLabel, A.EdgeOut, A.EdgeIn))
-      .groupBy(col("e"))
-      .agg(
-        max(when(col("attr") === A.ElementType, col("vStr"))).as("etype"),
-        max(when(col("attr") === A.EdgeLabel, col("vStr"))).as("label"),
-        max(when(col("attr") === A.EdgeOut, col("vRef"))).as("outV"),
-        max(when(col("attr") === A.EdgeIn, col("vRef"))).as("inV"))
-      .where(col("etype") === A.Edge)
-      .select(col("e").as("id"), col("label"), col("outV"), col("inV"))
+  lazy val edges: DataFrame = store match {
+    // a bulk projection that pre-built its edges view hands it over
+    // as-is for the HEAD snapshot (pinned views must still resolve
+    // retractions, so they take the pivot below)
+    case b: graft.log.BulkFactStore
+      if b.providedEdges.isDefined && asOfTx == Long.MaxValue =>
+      b.providedEdges.get
+    case _ =>
+      currentFacts
+        .where(col("attr").isin(A.ElementType, A.EdgeLabel, A.EdgeOut, A.EdgeIn))
+        .groupBy(col("e"))
+        .agg(
+          max(when(col("attr") === A.ElementType, col("vStr"))).as("etype"),
+          max(when(col("attr") === A.EdgeLabel, col("vStr"))).as("label"),
+          max(when(col("attr") === A.EdgeOut, col("vRef"))).as("outV"),
+          max(when(col("attr") === A.EdgeIn, col("vRef"))).as("inV"))
+        .where(col("etype") === A.Edge)
+        .select(col("e").as("id"), col("label"), col("outV"), col("inV"))
+  }
 
   /** Decode a type-qualified attribute to its user key (FluxUtil.java:41-47)
     * as a Column: prefix before the first '.', '$'→'_'. */
