@@ -138,6 +138,23 @@ object SparkEntry {
         .select(col("id"), col("label"))
     },
 
+    "out_edges_labeled" -> { (s, d) =>
+      // vertex.getEdges(dir, labels...) (§2.4 #28): direction + label
+      // filter in one pass over the edges view
+      TpchGraph.snapshot(s, d).edges
+        .where(col("outV") === (VCustomer + 42L) && col("label") === "placed")
+        .select(col("id"), col("label"))
+    },
+
+    "degree_histogram" -> { (s, d) =>
+      // graph-wide degree distribution: two hash aggregations (outV, then
+      // degree), both with map-side partials — the standard analytics
+      // shape over the edges view
+      TpchGraph.snapshot(s, d).edges
+        .groupBy(col("outV")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+    },
+
     "hop1_neighbors" -> { (s, d) =>
       TpchGraph.snapshot(s, d).edges.where(col("label") === "placed")
         .select(col("outV").as("src"), col("inV").as("dst"))
@@ -590,25 +607,37 @@ object SparkEntry {
       |  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
       |  ELSE [] END AS s FROM toks)""".stripMargin
 
+  private val edgeUnion =
+    """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+      |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+      |SELECT CAST(10000000 + n_nationkey AS BIGINT) AS id, 'in_region' AS label,
+      |       CAST(2000000 + n_nationkey AS BIGINT) AS outV, CAST(1000000 + n_regionkey AS BIGINT) AS inV FROM nation
+      |UNION ALL SELECT CAST(11000000 + c_custkey AS BIGINT), 'in_nation',
+      |       CAST(3000000 + c_custkey AS BIGINT), CAST(2000000 + c_nationkey AS BIGINT) FROM customer
+      |UNION ALL SELECT CAST(12000000 + s_suppkey AS BIGINT), 'in_nation',
+      |       CAST(4000000 + s_suppkey AS BIGINT), CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
+      |UNION ALL SELECT CAST(13000000 + o_orderkey AS BIGINT), 'placed',
+      |       CAST(3000000 + o_custkey AS BIGINT), CAST(6000000 + o_orderkey AS BIGINT) FROM orders
+      |UNION ALL SELECT CAST(100000000 + l_orderkey * 16 + seq AS BIGINT), 'contains',
+      |       CAST(6000000 + l_orderkey AS BIGINT), CAST(5000000 + l_partkey AS BIGINT) FROM liseq
+      |UNION ALL SELECT CAST(200000000 + l_orderkey * 16 + seq AS BIGINT), 'supplied_by',
+      |       CAST(5000000 + l_partkey AS BIGINT), CAST(4000000 + l_suppkey AS BIGINT) FROM liseq""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "scan_vertices" -> vertexUnion,
 
-    "scan_edges" ->
-      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
-        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(10000000 + n_nationkey AS BIGINT) AS id, 'in_region' AS label,
-        |       CAST(2000000 + n_nationkey AS BIGINT) AS outV, CAST(1000000 + n_regionkey AS BIGINT) AS inV FROM nation
-        |UNION ALL SELECT CAST(11000000 + c_custkey AS BIGINT), 'in_nation',
-        |       CAST(3000000 + c_custkey AS BIGINT), CAST(2000000 + c_nationkey AS BIGINT) FROM customer
-        |UNION ALL SELECT CAST(12000000 + s_suppkey AS BIGINT), 'in_nation',
-        |       CAST(4000000 + s_suppkey AS BIGINT), CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
-        |UNION ALL SELECT CAST(13000000 + o_orderkey AS BIGINT), 'placed',
-        |       CAST(3000000 + o_custkey AS BIGINT), CAST(6000000 + o_orderkey AS BIGINT) FROM orders
-        |UNION ALL SELECT CAST(100000000 + l_orderkey * 16 + seq AS BIGINT), 'contains',
-        |       CAST(6000000 + l_orderkey AS BIGINT), CAST(5000000 + l_partkey AS BIGINT) FROM liseq
-        |UNION ALL SELECT CAST(200000000 + l_orderkey * 16 + seq AS BIGINT), 'supplied_by',
-        |       CAST(5000000 + l_partkey AS BIGINT), CAST(4000000 + l_suppkey AS BIGINT) FROM liseq""".stripMargin,
+    "scan_edges" -> edgeUnion,
+
+    "out_edges_labeled" ->
+      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
+        |FROM orders WHERE o_custkey = 42""".stripMargin,
+
+    "degree_histogram" ->
+      s"""WITH edges AS ($edgeUnion)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM (SELECT outV, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY outV)
+         |GROUP BY deg""".stripMargin,
 
     "lookup_vertex" ->
       """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id, c_name AS name,

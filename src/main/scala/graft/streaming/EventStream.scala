@@ -100,6 +100,20 @@ object EventStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup for a live document feed: drop re-deliveries
+    * and content duplicates whose normalized-text hash was already seen
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` keys
+    * the state on the 64-bit hash only (not the text), so state is
+    * bounded by (docs per watermark window) × 8 bytes — the streaming twin
+    * of [[graft.pipeline.TextOps.dedupExact]]. */
+  def dedupDocStream(docs: DataFrame, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("norm_hash",
+        xxhash64(graft.pipeline.TextOps.normText(col("text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("norm_hash")
+
   /** Per-user latest state via explicit keyed state (the streaming
     * equivalent of the per-element version chain): each group folds its
     * new events in event_id order into (version count, last type, current

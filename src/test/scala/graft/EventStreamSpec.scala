@@ -101,6 +101,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L)))
   }
 
+  test("streaming dedup drops content duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    source.addData(
+      (0L, ts("2024-01-01 00:00:00"), "the quick brown fox"),
+      (1L, ts("2024-01-01 00:10:00"), "THE  quick   BROWN fox"), // dup of 0 normalized
+      (2L, ts("2024-01-01 00:20:00"), "something else entirely"))
+    val q = EventStream.dedupDocStream(
+        source.toDF().toDF("doc_id", "ts", "text"), "ts")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // re-delivery of doc 0's content in a later batch, still in-window
+      source.addData((3L, ts("2024-01-01 00:30:00"), "the quick brown fox"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_sink").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 2L)) // 1 and 3 deduped against 0's hash
+  }
+
   test("keyed state tracks per-user versions with retraction semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
