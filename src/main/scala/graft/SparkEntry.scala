@@ -287,6 +287,16 @@ object SparkEntry {
         .select(col("supplier"), round(col("revenue").cast("double"), 2).as("revenue"))
     },
 
+    "since_facts" -> { (s, d) =>
+      // db.since(t) (ImmutableFluxGraph.java:81): raw facts appended
+      // after a checkpoint — the incremental-consumer surface (instants
+      // are monotone in tx, so the instant cut equals the tx cut)
+      val head = EventsReplay.snapshot(s, d)
+      val t = head.store.resolveTx(ts("2024-01-20 00:00:00"))
+      head.since(t).where(col("attr") === "value.double." + A.Vertex)
+        .select(col("e").as("id"), col("tx"), col("vDouble").as("value"), col("added"))
+    },
+
     "version_next_values" -> { (s, d) =>
       // getNextVersion's value read (§2.6 #43-44), the lead twin of
       // version_prev_values: null next_value marks the head version
@@ -782,6 +792,12 @@ object SparkEntry {
       """SELECT CAST(4000000 + l_suppkey AS BIGINT) AS supplier,
         |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "since_facts" ->
+      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+        |  event_type <> 'error' AS added
+        |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
 
     "version_next_values" ->
       """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,

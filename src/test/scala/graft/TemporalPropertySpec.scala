@@ -85,6 +85,36 @@ class TemporalPropertySpec extends AnyFunSuite {
         assert(view.edges.size == exp.edges.size, s"edge count at tx $tx")
       }
 
+      // (b') fused same-store difference agrees with the model at sampled
+      // pin pairs (both directions): a live (e, key, x) at t1 is in the
+      // diff iff t2's live view lacks that exact value
+      {
+        val txsAll = timeline.map(_._1).distinct.sorted
+        val pairs = Seq(
+          (txsAll.last, txsAll.head), (txsAll.head, txsAll.last),
+          (txsAll(txsAll.size / 2), txsAll.last)).distinct
+        def liveProps(st: MState, i: Int): Map[String, Long] =
+          if (st.alive(i)) st.props(i) else Map.empty
+        pairs.foreach { case (t1, t2) =>
+          val s1 = timeline.reverse.find(_._1 <= t1).get._2
+          val s2 = timeline.reverse.find(_._1 <= t2).get._2
+          val expected = (0 to 3).flatMap { i =>
+            liveProps(s1, i).collect {
+              case (k, x) if !liveProps(s2, i).get(k).contains(x) => (vs(i).id, k, x)
+            }
+          }.toSet
+          val got = new Snapshot(g.log, t1)
+            .differenceFacts(new Snapshot(g.log, t2))
+            .where(org.apache.spark.sql.functions.col("attr")
+              .isin("p.long.vertex", "q.long.vertex"))
+            .collect()
+            .map(r => (r.getAs[Long]("e"),
+              r.getAs[String]("attr").takeWhile(_ != '.'),
+              r.getAs[Long]("vLong"))).toSet
+          assert(got == expected, s"fused diff t1=$t1 t2=$t2")
+        }
+      }
+
       // (b) Spark Snapshot path at three sampled txs
       val samples = timeline.map(_._1).distinct.sorted
       val picks = Seq(samples.head, samples(samples.size / 2), samples.last).distinct
