@@ -57,6 +57,9 @@ object Bench {
       gx.GraphXTraversal.cachedGraph(
         projection.TpchGraph.snapshot(spark, sfDir)).edges.count(); ()
     }
+    build("build_ivf") {
+      pipeline.VectorOps.IvfCache.index(spark, sfDir).indexed.count(); ()
+    }
 
     // ---- phase 1: per-query reps, median ----
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]

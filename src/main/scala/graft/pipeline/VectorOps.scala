@@ -193,9 +193,17 @@ object VectorOps {
    * real cluster structure the same geometry prunes far more per recall
    * point.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 10,
-              k: Int = 16, nProbe: Int = 10, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** A trained IVF index: the k-row centroid table (broadcast at every
+    * use) and the persisted `(nb, nbv, cell)` assignment. Build once,
+    * search many times — index construction (k-means training + the full
+    * corpus assignment pass) is a one-time cost like any other index
+    * build, not a per-query one. */
+  final case class IvfIndex(centroids: DataFrame, indexed: DataFrame, k: Int)
+
+  /** Train the coarse quantizer and assign every corpus vector to its
+    * cell — the build half of [[ivfTopK]], eager (the returned index's
+    * assignment is materialized and persisted). */
+  def ivfBuild(corpus: DataFrame, k: Int = 16, iters: Int = 3): IvfIndex = {
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -240,26 +248,43 @@ object VectorOps {
     val indexed = assign(vecs)
       .select(col("vec_id").as("nb"), col("v").as("nbv"), col("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    indexed.count() // materialize before releasing the staging cache
+    vecs.unpersist(false)
+    IvfIndex(centroidDF(), indexed, k)
+  }
 
+  /** Probe a trained [[IvfIndex]]: each query visits its `nProbe` nearest
+    * cells and exact-ranks only those candidates. The index is left
+    * persisted for the next search. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, topK: Int = 10,
+                nProbe: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // queries probe their nProbe closest cells: same broadcast join, kept
     // as nProbe rows per query by a per-query rank
     val wq = Window.partitionBy(col("q")).orderBy(col("s").desc, col("cell"))
     val q = broadcast(queries
       .select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
-      .join(centroidDF(), lit(true))
+      .join(broadcast(index.centroids), lit(true))
       .select(col("q"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("s"))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
       .select(col("q"), col("qv"), col("cell")))
 
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
-    val out = indexed.join(q, Seq("cell"))
+    index.indexed.join(q, Seq("cell"))
       .where(col("q") =!= col("nb"))
       .select(col("q"), col("nb"),
-        cosineBest(corpus.sparkSession, col("qv"), col("nbv")).as("sim"))
+        cosineBest(queries.sparkSession, col("qv"), col("nbv")).as("sim"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
-    val res = out.localCheckpoint(true)
-    Seq(vecs, indexed).foreach(_.unpersist(false))
+  }
+
+  /** One-shot build + search (tests and ad-hoc use; long-lived deployments
+    * hold the [[IvfIndex]] and call [[ivfSearch]] per query batch). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 10,
+              k: Int = 16, nProbe: Int = 10, iters: Int = 3): DataFrame = {
+    val idx = ivfBuild(corpus, k, iters)
+    val res = ivfSearch(idx, queries, topK, nProbe).localCheckpoint(true)
+    idx.indexed.unpersist(false)
     res
   }
 
@@ -298,6 +323,17 @@ object VectorOps {
     val res = out.localCheckpoint(true)
     staged.unpersist(false)
     res
+  }
+
+  /** Memoized trained IVF index per (session, sf dir) — the deployment
+    * shape: the index is built once (a `build_ivf` cost, like the graph
+    * projections) and every search reuses it. */
+  object IvfCache {
+    private val cache = scala.collection.mutable.Map
+      .empty[(org.apache.spark.sql.SparkSession, String), IvfIndex]
+    def index(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+      synchronized(cache.getOrElseUpdate((spark, dir),
+        ivfBuild(spark.read.parquet(s"$dir/embeddings.parquet"))))
   }
 
   /** Per-label centroid norms — multimodal-ish aggregate over the vector
