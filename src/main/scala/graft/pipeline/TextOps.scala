@@ -178,19 +178,26 @@ object TextOps {
     res
   }
 
-  /** 64-bit SimHash from a TOKEN-ARRAY ATTRIBUTE (see
-    * [[shinglesFromTokens]]): bit j is the sign of
-    * Σ_tokens (bit_j(xxhash64(token))·2−1). Pure column expressions:
+  /** Per-token 64-bit hashes — stage THIS as an attribute before
+    * [[simhashFromHashes]]: the bit sums reference each hash 64 times
+    * (once per bit), and hashing inside that lambda would xxhash every
+    * token 64× (measured ~48M redundant hash calls over 5k docs). */
+  def tokenHashes(t: Column): Column = transform(t, tok => xxhash64(tok))
+
+  /** 64-bit SimHash from a staged per-token HASH-ARRAY ATTRIBUTE: bit j
+    * is the sign of Σ_tokens (bit_j(hash)·2−1). Pure column expressions:
     * nested higher-order functions, no UDF. */
-  def simhashFromTokens(t: Column): Column = {
+  def simhashFromHashes(ht: Column): Column = {
     val bitSums = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(t, lit(0L),
-        (acc, tok) => acc + call_function("shiftright", xxhash64(tok), j).bitwiseAND(1L) * 2L - 1L))
+      aggregate(ht, lit(0L),
+        (acc, h) => acc + call_function("shiftright", h, j).bitwiseAND(1L) * 2L - 1L))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  def simhashFromTokens(t: Column): Column = simhashFromHashes(tokenHashes(t))
 
   /** Convenience for small inputs/tests. */
   def simhash(text: Column): Column = simhashFromTokens(tokens(text))
@@ -201,11 +208,14 @@ object TextOps {
     * band) meet in a bucket equi-join. Returns (a, b, hamming ≤ maxHam). */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // staged tokens (see shinglesFromTokens), then a fingerprint barrier:
+    // staged tokens → staged per-token hashes (each hash is referenced
+    // 64× by the bit sums — see tokenHashes) → a fingerprint barrier:
     // fp is referenced by 4 band projections and both self-join sides
     val toksF = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fp = toksF.select(col("doc_id"), simhashFromTokens(col("t")).as("fp"))
+    val htF = toksF.select(col("doc_id"), tokenHashes(col("t")).as("ht"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = htF.select(col("doc_id"), simhashFromHashes(col("ht")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -224,7 +234,7 @@ object TextOps {
       .distinct()
       .where(col("hamming") <= maxHam)
     val res = out.localCheckpoint(true)
-    Seq(toksF, fp).foreach(_.unpersist(false))
+    Seq(toksF, htF, fp).foreach(_.unpersist(false))
     res
   }
 
