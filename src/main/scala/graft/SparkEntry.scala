@@ -564,6 +564,12 @@ object SparkEntry {
         round(col("upper_ratio"), 4).as("upper_ratio"),
         round(col("chars_per_token"), 4).as("chars_per_token"))
     },
+    "similar_docs" -> { (s, d) =>
+      // exact "documents like this one" top-k: doc 0's 3-gram shingles
+      // broadcast against the corpus, Jaccard-ranked
+      val ds = docs(s, d)
+      TextOps.similarDocs(ds, ds.where(col("doc_id") === 0), 10)
+    },
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
     "dedup_minhash" -> ((s, d) => TextOps.dedupMinHashLsh(docs(s, d), 0.8)),
     "dedup_simhash" -> ((s, d) => TextOps.simhashPairs(docs(s, d), 3)),
@@ -982,6 +988,15 @@ object SparkEntry {
         |                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |      GROUP BY label, i)
         |GROUP BY label""".stripMargin,
+    "similar_docs" ->
+      s"""WITH $shingleCte,
+        |q AS (SELECT doc_id AS qid, s AS qs FROM sh WHERE doc_id = 0),
+        |scored AS (SELECT qid AS q, doc_id AS nb,
+        |    len(list_intersect(qs, s)) / (len(qs) + len(s) - len(list_intersect(qs, s))) AS jac
+        |  FROM sh, q WHERE doc_id <> qid AND len(qs) > 0
+        |    AND (len(qs) + len(s) - len(list_intersect(qs, s))) > 0)
+        |SELECT q, nb, round(jac, 4) AS jac FROM scored ORDER BY jac DESC, nb LIMIT 10""".stripMargin,
+
     "repetition_stats" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),

@@ -184,6 +184,41 @@ object TextOps {
     * token 64× (measured ~48M redundant hash calls over 5k docs). */
   def tokenHashes(t: Column): Column = transform(t, tok => xxhash64(tok))
 
+  /**
+   * Exact top-k text similarity search: for each (small) query doc, the
+   * `k` most similar corpus docs by word-3-gram Jaccard — the text twin
+   * of [[VectorOps.bruteForceTopK]]. The query side's shingle sets are
+   * broadcast against the corpus (the corpus is never shuffled; correct
+   * at 100 TB corpus size while the query batch stays small). For
+   * all-pairs NEAR-DUP detection use [[dedupMinHashLsh]] — banded LSH
+   * prunes candidates; this is the exact-scoring path for ad-hoc
+   * "find documents like this one" lookups.
+   */
+  def similarDocs(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    // token barrier first (shinglesFromTokens multi-references its arg;
+    // collapsed, tokenization would go O(tokens²) per doc)
+    val toks = corpus.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = toks.select(col("doc_id"), shinglesFromTokens(col("t")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = broadcast(queries.select(col("doc_id").as("q"), tokens(col("text")).as("t"))
+      .select(col("q"), shinglesFromTokens(col("t")).as("qsh")))
+    val inter = size(array_intersect(col("qsh"), col("sh"))).cast("double")
+    val union = (size(col("qsh")) + size(col("sh"))).cast("double") - inter
+    val w = Window.partitionBy(col("q")).orderBy(col("jac").desc, col("nb"))
+    val out = sh.select(col("doc_id").as("nb"), col("sh"))
+      .join(q, col("q") =!= col("nb")) // broadcast nested-loop: query side tiny
+      .where(size(col("qsh")) > 0 && union > 0)
+      .withColumn("jac", inter / union)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("q"), col("nb"), round(col("jac"), 4).as("jac"))
+    val res = out.localCheckpoint(true)
+    Seq(toks, sh).foreach(_.unpersist(false))
+    res
+  }
+
   /** 64-bit SimHash from a staged per-token HASH-ARRAY ATTRIBUTE: bit j
     * is the sign of Σ_tokens (bit_j(hash)·2−1). Pure column expressions:
     * nested higher-order functions, no UDF. */

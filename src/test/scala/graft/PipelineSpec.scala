@@ -153,6 +153,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(!r.contains(0L)) // self excluded
   }
 
+  test("similar docs: exact Jaccard top-k ranking from a broadcast query") {
+    val r = TextOps.similarDocs(docs, docs.where(col("doc_id") === 0), 3)
+      .collect().map(x => (x.getAs[Long]("nb"), x.getAs[Double]("jac"))).toSeq
+    // doc 2 is an exact dup (1.0), doc 1 near (6 of 8 distinct shingles),
+    // then nb-tiebreak among the zero-overlap rest
+    assert(r.map(_._1) == Seq(2L, 1L, 3L))
+    assert(r.head._2 == 1.0)
+    assert(r(1)._2 == 0.75)
+  }
+
   test("repetition stats: degenerate docs score low distinct ratios") {
     val d = Seq(
       (0L, "spam spam spam spam"),              // 1 distinct of 4

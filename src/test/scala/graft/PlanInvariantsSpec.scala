@@ -17,7 +17,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     // BNLJ-by-design: a broadcast of a provably tiny side (query vectors,
     // centroid table, band table) — documented in VectorOps
-    val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_lsh", "dedup_embedding")
+    // each of these broadcasts a TINY query batch against the corpus
+    // (exact-scoring search paths) — the corpus side is never shuffled
+    val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_lsh", "dedup_embedding",
+      "similar_docs")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
