@@ -995,7 +995,8 @@ object SparkEntry {
         |    len(list_intersect(qs, s)) / (len(qs) + len(s) - len(list_intersect(qs, s))) AS jac
         |  FROM sh, q WHERE doc_id <> qid AND len(qs) > 0
         |    AND (len(qs) + len(s) - len(list_intersect(qs, s))) > 0)
-        |SELECT q, nb, round(jac, 4) AS jac FROM scored ORDER BY jac DESC, nb LIMIT 10""".stripMargin,
+        |SELECT q, nb, round(jac, 4) AS jac FROM scored
+        |ORDER BY scored.jac DESC, nb LIMIT 10""".stripMargin,
 
     "repetition_stats" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
@@ -1029,7 +1030,7 @@ object SparkEntry {
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |        CAST(((doc_id * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
+        |        CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
         |      FROM documents)""".stripMargin,
 
     "chunk_docs" ->

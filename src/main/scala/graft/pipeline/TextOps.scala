@@ -368,7 +368,13 @@ object TextOps {
   def splitAssign(df: DataFrame, idCol: String,
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "train + val must leave room for test")
-    val bucket = ((col(idCol) * lit(2654435761L)) % lit(4294967296L)) % lit(100L)
+    // pmod to 31 bits BEFORE the multiply: (2³¹−1)·2654435761 still fits a
+    // long, while a raw 64-bit id would overflow (ANSI mode throws) and a
+    // negative id would produce a negative bucket that silently lands
+    // every such row in 'train'
+    val bucket =
+      ((pmod(col(idCol), lit(2147483648L)) * lit(2654435761L)) %
+        lit(4294967296L)) % lit(100L)
     df.withColumn("bucket", bucket.cast("long"))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")

@@ -82,8 +82,10 @@ final class Snapshot(val store: FactStore, val asOfTx: Long = Long.MaxValue) {
     // a bulk projection that pre-built its edges view hands it over
     // as-is for the HEAD snapshot (pinned views must still resolve
     // retractions, so they take the pivot below)
+    // preDeduped is load-bearing: a multi-tx or retraction-bearing store
+    // must take the pivot below or deleted edges would silently resurface
     case b: graft.log.BulkFactStore
-      if b.providedEdges.isDefined && asOfTx == Long.MaxValue =>
+      if b.providedEdges.isDefined && b.preDeduped && asOfTx == Long.MaxValue =>
       b.providedEdges.get
     case _ =>
       currentFacts

@@ -113,6 +113,7 @@ object EventStream {
         xxhash64(graft.pipeline.TextOps.normText(col("text"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("norm_hash")
+      .drop("norm_hash") // internal dedup key, not part of the doc schema
 
   /** Per-user latest state via explicit keyed state (the streaming
     * equivalent of the per-element version chain): each group folds its
