@@ -93,6 +93,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_minhash(pairs, numHashes) needs a literal numHashes")
+        val n = children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: numHashes must be integral, got $other")
+        }
+        MinHashSignature(children(0), n)
+      }))
   }
 }
 

@@ -115,6 +115,19 @@ object TextOps {
   def minhashSignature(sh: Column, numHashes: Int = 128): Column =
     signatureFromPairs(hashPairs(sh), numHashes)
 
+  /** Signature via the native codegen'd [[graft.functions.MinHashSignature]]
+    * when the graft session extension is loaded (one fused loop per row —
+    * the HOF form runs numHashes·|shingles| interpreted lambda frames);
+    * HOF composition otherwise. The native form returns NULL for an empty
+    * shingle set, keeping sub-3-token docs out of the banded join
+    * entirely (the HOF form's all-null signatures made them collide in
+    * every bucket, quadratic candidate noise the verify stage filtered). */
+  def signatureBest(spark: org.apache.spark.sql.SparkSession,
+                    hp: Column, numHashes: Int = 128): Column =
+    if (graft.functions.GraftExtensions.loadedIn(spark))
+      call_function("graft_minhash", hp, lit(numHashes))
+    else when(size(hp) > 0, signatureFromPairs(hp, numHashes))
+
   /**
    * Near-duplicate pairs via banded MinHash-LSH, verified with exact
    * Jaccard: returns (a, b, jac) with a < b and Jaccard(shingles) ≥
@@ -144,7 +157,8 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hp = sh.select(col("doc_id"), hashPairs(col("sh")).as("hp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = hp.select(col("doc_id"), signatureFromPairs(col("hp"), numHashes).as("sig"))
+    val sig = hp.select(col("doc_id"),
+        signatureBest(docs.sparkSession, col("hp"), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig

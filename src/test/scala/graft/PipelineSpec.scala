@@ -85,6 +85,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0L) == 1.0 && math.abs(r(1L) - 0.9055) < 1e-9)
   }
 
+  test("native graft_minhash expression agrees with the HOF composition") {
+    assert(graft.functions.GraftExtensions.loadedIn(spark))
+    val hp = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        TextOps.hashPairs(TextOps.shinglesFromTokens(col("t"))).as("hp"))
+    val native = hp.select(col("doc_id"),
+        call_function("graft_minhash", col("hp"), lit(16)).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[scala.collection.Seq[Long]]("sig")).map(_.toSeq)).toMap
+    val hof = hp.select(col("doc_id"),
+        TextOps.signatureFromPairs(col("hp"), 16).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[scala.collection.Seq[Long]]("sig")).map(_.toSeq)).toMap
+    // identical signatures for every doc with shingles
+    (0L to 3L).foreach(d => assert(native(d) == hof(d), s"doc $d"))
+    // empty shingle set (doc 4, < 3 tokens): native returns NULL (doc
+    // never enters banding) where the HOF form made an all-null array
+    assert(native(4L).isEmpty)
+  }
+
   test("native graft_cosine expression: SQL-resolvable, agrees with the HOF composition") {
     assert(graft.functions.GraftExtensions.loadedIn(spark))
     val r = spark.sql(
