@@ -325,6 +325,21 @@ object VectorOps {
     res
   }
 
+  /** Persist a trained index as parquet (centroids + cell assignment) —
+    * the durable-artifact half of build-once/search-many: a 100 TB corpus
+    * is assigned once and every later job opens the assignment table
+    * (cell predicate pushes down to the parquet scan). */
+  def saveIndex(index: IvfIndex, root: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    index.indexed.write.mode("overwrite").parquet(s"$root/indexed")
+  }
+
+  def openIndex(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$root/centroids")
+    IvfIndex(centroids, spark.read.parquet(s"$root/indexed"),
+      centroids.count().toInt)
+  }
+
   /** Memoized trained IVF index per (session, sf dir) — the deployment
     * shape: the index is built once (a `build_ivf` cost, like the graph
     * projections) and every search reuses it. */

@@ -173,6 +173,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(!r.contains(0L)) // self excluded
   }
 
+  test("IVF index survives a parquet save/open round-trip") {
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qs = realE.where(col("vec_id") < 3)
+    val built = VectorOps.ivfBuild(realE)
+    val root = "/root/repo/target/tmp/ivf_index"
+    VectorOps.saveIndex(built, root)
+    val reopened = VectorOps.openIndex(spark, root)
+    assert(reopened.k == built.k)
+    def rows(idx: VectorOps.IvfIndex) =
+      VectorOps.ivfSearch(idx, qs, 10).collect()
+        .map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
+    assert(rows(reopened) == rows(built))
+    built.indexed.unpersist(false)
+  }
+
   test("similar docs: exact Jaccard top-k ranking from a broadcast query") {
     val r = TextOps.similarDocs(docs, docs.where(col("doc_id") === 0), 3)
       .collect().map(x => (x.getAs[Long]("nb"), x.getAs[Double]("jac"))).toSeq
