@@ -107,6 +107,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(children(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplanes"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplanes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable && children(2).foldable,
+          "graft_hyperplanes(v, nPlanes, dims) needs literal nPlanes/dims")
+        def asInt(e: Expression): Int = e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplanes: expected integral literal, got $other")
+        }
+        HyperplaneSignature(children(0), asInt(children(1)), asInt(children(2)))
+      }))
   }
 }
 

@@ -76,6 +76,18 @@ object VectorOps {
         .otherwise(0))
   }
 
+  /** Signature via the native codegen'd
+    * [[graft.functions.HyperplaneSignature]] when the graft extension is
+    * loaded (one fused dot loop, plane matrix as a codegen reference
+    * object instead of an nPlanes·dims plan literal — bit-identical, same
+    * seeded draw); HOF composition otherwise. Both fail loudly on a dims
+    * mismatch. */
+  def lshSignatureBest(spark: org.apache.spark.sql.SparkSession,
+                       v: Column, nPlanes: Int, dims: Int): Column =
+    if (graft.functions.GraftExtensions.loadedIn(spark))
+      call_function("graft_hyperplanes", v, lit(nPlanes), lit(dims))
+    else lshSignature(v, nPlanes, dims)
+
   /**
    * Bucketed top-k for the HIGH-SIMILARITY regime (≥0.8 cosine — near-dup
    * retrieval): `bands` independent 8-plane signatures (bits b*8..b*8+7
@@ -97,7 +109,7 @@ object VectorOps {
     val nPlanes = bands * rowsPerBand
     def withBands(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), dvec(col("embedding")).as(idCol + "v"),
-          lshSignature(dvec(col("embedding")), nPlanes, dims).as("sig"))
+          lshSignatureBest(df.sparkSession, dvec(col("embedding")), nPlanes, dims).as("sig"))
         .select(col(idCol), col(idCol + "v"),
           explode(transform(sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band"),
@@ -146,7 +158,8 @@ object VectorOps {
     val vecs = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigF = vecs
-      .select(col("vec_id"), lshSignature(col("v"), nPlanes, dims).as("sig"))
+      .select(col("vec_id"),
+        lshSignatureBest(emb.sparkSession, col("v"), nPlanes, dims).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigF
       .select(col("vec_id"),

@@ -85,6 +85,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0L) == 1.0 && math.abs(r(1L) - 0.9055) < 1e-9)
   }
 
+  test("native graft_hyperplanes expression is bit-identical to the plan-literal HOF form") {
+    assert(graft.functions.GraftExtensions.loadedIn(spark))
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .where(col("vec_id") < 50)
+    def sigs(c: org.apache.spark.sql.Column) =
+      realE.select(col("vec_id"), c.as("sig")).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[scala.collection.Seq[Int]]("sig").toSeq).toMap
+    val native = sigs(call_function("graft_hyperplanes",
+      VectorOps.dvec(col("embedding")), lit(32), lit(64)))
+    val hof = sigs(VectorOps.lshSignature(VectorOps.dvec(col("embedding")), 32, 64))
+    assert(native == hof)
+    // dims mismatch fails loudly on both paths
+    intercept[Exception] {
+      realE.select(call_function("graft_hyperplanes",
+        VectorOps.dvec(col("embedding")), lit(8), lit(32))).collect()
+    }
+  }
+
   test("native graft_minhash expression agrees with the HOF composition") {
     assert(graft.functions.GraftExtensions.loadedIn(spark))
     val hp = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
