@@ -44,22 +44,27 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def nullSafeEval(input: Any): Any = {
     val pairs = input.asInstanceOf[ArrayData]
     val n = pairs.numElements()
-    if (n == 0) return null
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    var contributed = false
     var j = 0
     while (j < n) {
-      val r = pairs.getStruct(j, 2)
-      val h2 = r.getLong(1)
-      var v = r.getLong(0)
-      var i = 0
-      while (i < numHashes) {
-        if (v < sig(i)) sig(i) = v
-        v += h2
-        i += 1
+      // hashPairs never emits null elements, but direct SQL use of
+      // graft_minhash may: skip them like absent shingles instead of NPEing
+      if (!pairs.isNullAt(j)) {
+        contributed = true
+        val r = pairs.getStruct(j, 2)
+        val h2 = r.getLong(1)
+        var v = r.getLong(0)
+        var i = 0
+        while (i < numHashes) {
+          if (v < sig(i)) sig(i) = v
+          v += h2
+          i += 1
+        }
       }
       j += 1
     }
-    new GenericArrayData(sig)
+    if (!contributed) null else new GenericArrayData(sig)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -67,22 +72,26 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
       val j = ctx.freshName("j"); val i = ctx.freshName("i")
       val row = ctx.freshName("row"); val v = ctx.freshName("v"); val h2 = ctx.freshName("h2")
+      val contributed = ctx.freshName("contributed")
       s"""
          |int $n = $p.numElements();
-         |if ($n == 0) {
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |boolean $contributed = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($p.isNullAt($j)) continue;  // null element from direct SQL use
+         |  $contributed = true;
+         |  InternalRow $row = $p.getStruct($j, 2);
+         |  long $v = $row.getLong(0);
+         |  long $h2 = $row.getLong(1);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |    $v += $h2;
+         |  }
+         |}
+         |if (!$contributed) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $sig = new long[$numHashes];
-         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    InternalRow $row = $p.getStruct($j, 2);
-         |    long $v = $row.getLong(0);
-         |    long $h2 = $row.getLong(1);
-         |    for (int $i = 0; $i < $numHashes; $i++) {
-         |      if ($v < $sig[$i]) $sig[$i] = $v;
-         |      $v += $h2;
-         |    }
-         |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
          |}
        """.stripMargin

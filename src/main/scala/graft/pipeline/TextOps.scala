@@ -373,11 +373,16 @@ object TextOps {
 
   /**
    * Deterministic train/val/test assignment by id hash — the reproducible
-   * split every training pipeline needs. Knuth multiplicative hashing
-   * (id·2654435761 mod 2³²) mod 100 gives a uniform bucket that is stable
-   * across runs, engines and partitionings (pure arithmetic — the DuckDB
-   * oracle reproduces it bit-for-bit); rows never shuffle, the split is a
-   * projection. trainPct + valPct < 100; the rest is test.
+   * split every training pipeline needs. The bucket is Knuth multiplicative
+   * hashing over the id FOLDED TO 31 BITS first:
+   * (((id mod 2³¹)·2654435761) mod 2³²) mod 100 — the fold keeps the
+   * multiply inside a long under ANSI arithmetic and keeps negative ids out
+   * of the train bucket (see the inline note), at the cost that ids exactly
+   * 2³¹ apart share a bucket (irrelevant for uniformity; documented so the
+   * formula is reproducible elsewhere). Stable across runs, engines and
+   * partitionings (pure arithmetic — the DuckDB oracle reproduces it
+   * bit-for-bit); rows never shuffle, the split is a projection.
+   * trainPct + valPct < 100; the rest is test.
    */
   def splitAssign(df: DataFrame, idCol: String,
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {

@@ -348,9 +348,13 @@ object VectorOps {
   }
 
   def openIndex(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex = {
+    import org.apache.spark.storage.StorageLevel
     val centroids = spark.read.parquet(s"$root/centroids")
-    IvfIndex(centroids, spark.read.parquet(s"$root/indexed"),
-      centroids.count().toInt)
+    // mirror ivfBuild: searches over an opened index hit memory, not a
+    // re-read parquet scan per search (ivfSearch leaves it persisted)
+    val indexed = spark.read.parquet(s"$root/indexed")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(centroids, indexed, centroids.count().toInt)
   }
 
   /** Memoized trained IVF index per (session, sf dir) — the deployment

@@ -103,17 +103,23 @@ object EventStream {
   /** Streaming exact dedup for a live document feed: drop re-deliveries
     * and content duplicates whose normalized-text hash was already seen
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keys
-    * the state on the 64-bit hash only (not the text), so state is
-    * bounded by (docs per watermark window) × 8 bytes — the streaming twin
-    * of [[graft.pipeline.TextOps.dedupExact]]. */
+    * the state on a PAIR of independently-seeded 64-bit hashes (not the
+    * text), so state stays bounded at (docs per watermark window) × 16
+    * bytes while a silent collision-drop needs both hashes to collide
+    * (~2⁻¹²⁸ per pair — the 128-bit key [[graft.pipeline.TextOps
+    * .dedupExact]]'s doc recommends at scale) — the streaming twin of
+    * that batch operator. */
   def dedupDocStream(docs: DataFrame, tsCol: String,
-                     watermark: String = "1 hour"): DataFrame =
+                     watermark: String = "1 hour"): DataFrame = {
+    val norm = graft.pipeline.TextOps.normText(col("text"))
     docs
-      .withColumn("norm_hash",
-        xxhash64(graft.pipeline.TextOps.normText(col("text"))))
+      .withColumn("norm_hash_a", xxhash64(norm))
+      .withColumn("norm_hash_b", xxhash64(norm, lit(1)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("norm_hash")
-      .drop("norm_hash") // internal dedup key, not part of the doc schema
+      .dropDuplicatesWithinWatermark("norm_hash_a", "norm_hash_b")
+      // internal dedup key, not part of the doc schema
+      .drop("norm_hash_a", "norm_hash_b")
+  }
 
   /** Per-user latest state via explicit keyed state (the streaming
     * equivalent of the per-element version chain): each group folds its

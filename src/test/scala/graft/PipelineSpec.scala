@@ -122,6 +122,16 @@ class PipelineSpec extends AnyFunSuite {
     // empty shingle set (doc 4, < 3 tokens): native returns NULL (doc
     // never enters banding) where the HOF form made an all-null array
     assert(native(4L).isEmpty)
+    // null array elements from direct SQL use: skipped, not an NPE; an
+    // all-null array degrades to NULL like the empty set
+    val sqlRows = spark.sql(
+      """SELECT graft_minhash(pairs, 4) AS sig FROM VALUES
+        |  (array(named_struct('h1', 7L, 'h2', 3L), CAST(NULL AS STRUCT<h1: BIGINT, h2: BIGINT>))),
+        |  (array(CAST(NULL AS STRUCT<h1: BIGINT, h2: BIGINT>))),
+        |  (CAST(NULL AS ARRAY<STRUCT<h1: BIGINT, h2: BIGINT>>)) AS t(pairs)""".stripMargin)
+      .collect().map(r => Option(r.getAs[scala.collection.Seq[Long]]("sig")).map(_.toSeq))
+    assert(sqlRows(0).contains(Seq(7L, 10L, 13L, 16L)))
+    assert(sqlRows(1).isEmpty && sqlRows(2).isEmpty)
   }
 
   test("native graft_cosine expression: SQL-resolvable, agrees with the HOF composition") {
