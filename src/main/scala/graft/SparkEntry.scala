@@ -9,6 +9,7 @@ import graft.model.{A, PropType}
 import graft.pipeline.{TextOps, VectorOps}
 import graft.projection.{EventsReplay, TpchGraph}
 import graft.snapshot.Snapshot
+import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin where
   * SQL-expressible) per implemented operator from SURVEY.md §2 and the
@@ -625,6 +626,42 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocs(docs(s, d))),
     "quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(emb(s, d))),
+
+    // ---- LLM-pipeline: decontamination / distribution stats / LM score ----
+    "decontaminate" -> { (s, d) =>
+      // eval set = every 25th doc (the held-out benchmark); find training
+      // docs sharing any word 3-gram with it (3 because the synthetic docs
+      // are ~30-60 tokens; production default is 13)
+      val ds = docs(s, d)
+      TextOps.decontaminate(
+        ds.where(col("doc_id") % 25 =!= 0),
+        ds.where(col("doc_id") % 25 === 0), n = 3)
+    },
+    "length_quantiles" -> ((s, d) =>
+      TextOps.lengthQuantiles(docs(s, d))
+        .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+          col("p10"), col("p50"), col("p90"))),
+    "vocab_stats" -> ((s, d) =>
+      TextOps.vocabStats(docs(s, d))
+        .select(col("lang"), col("total_tokens").cast("long").as("total_tokens"),
+          col("distinct_tokens").cast("long").as("distinct_tokens"))),
+    "unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(docs(s, d))),
+    "vocab_sketch" -> ((s, d) =>
+      // rows-only: HLL++ register layout is engine-specific (accuracy
+      // vs the exact count is gated in PipelineSpec instead)
+      TextOps.vocabSketch(docs(s, d))),
+
+    // ---- event analytics: gap sessionization (same transform runs on a
+    //      stream — EventStream.sessionize) ----
+    "user_sessions" -> { (s, d) =>
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      EventStream.sessionize(
+          graft.projection.EventsReplay.rawEvents(s, d), "10 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), fmt).as("session_start"),
+          date_format(col("session_end"), fmt).as("session_end"),
+          col("n_events").cast("long").as("n_events"))
+    },
   )
 
   // ---- DuckDB oracle twins (same column names/types, same values) ----
@@ -1047,9 +1084,54 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(x, a -> pow(a - round(a/scale)*scale, 2))) / len(x)), 6) AS rms_err
         |FROM s WHERE scale > 0""".stripMargin,
 
+    "decontaminate" ->
+      s"""WITH $shingleCte,
+        |ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0)
+        |SELECT CAST(tr.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
+
+    "length_quantiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.1), 4) AS p10,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "vocab_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+        |FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin,
+
+    "unigram_logprob" ->
+      """WITH ex AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |            FROM documents),
+        |uni AS (SELECT tok, count(*)::DOUBLE / (SELECT count(*) FROM ex) AS p FROM ex GROUP BY tok)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(p)), 4) AS avg_logprob
+        |FROM ex JOIN uni USING (tok) GROUP BY doc_id""".stripMargin,
+
+    "user_sessions" ->
+      """WITH e AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
     // Oracle-less (rows-only per the driver contract) — engine-specific
     // hash/geometry internals not DuckDB-expressible: dedup_simhash,
     // ann_lsh, ann_ivf, dedup_embedding (xxhash64 / seeded-hyperplane /
-    // k-means buckets), doc_fingerprint (xxhash64 rolling hash).
+    // k-means buckets), doc_fingerprint (xxhash64 rolling hash),
+    // vocab_sketch (HLL++ registers; accuracy gated in PipelineSpec).
   )
 }

@@ -443,4 +443,123 @@ object TextOps {
       .groupBy(normText(col("text")).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+
+  /**
+   * Test-set decontamination: flag training documents sharing any word
+   * n-gram with an evaluation corpus (the GPT-3/PaLM-style 13-gram
+   * overlap check every pretraining pipeline runs before training).
+   * Returns (doc_id, n_hits) for contaminated TRAIN docs, n_hits =
+   * number of distinct eval n-grams the doc contains.
+   *
+   * Shape for 100 TB: eval/benchmark sets are small by nature (10⁴–10⁶
+   * n-grams), so the distinct eval-gram table is BROADCAST and the train
+   * side streams through one map-side explode + broadcast hash join +
+   * hash-group — the corpus never shuffles its text, only (doc_id, gram)
+   * hits after the join prune. The join keys the raw gram string here so
+   * the DuckDB oracle replays it bit-for-bit; at petabyte scale you key
+   * a 128-bit gram hash instead (same plan shape, 16-byte keys).
+   */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // both token arrays staged behind persist barriers: CollapseProject
+    // would otherwise inline tokenization into the size(t)+2 references
+    // the shingle lambda makes (the measured O(tokens²) trap)
+    val evalToks = eval.select(tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trainToks = train.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = broadcast(
+      evalToks.select(explode(shinglesFromTokens(col("t"), n)).as("gram")).distinct())
+    val out = trainToks
+      .select(col("doc_id"), explode(shinglesFromTokens(col("t"), n)).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
+    val res = out.localCheckpoint(true)
+    trainToks.unpersist(false)
+    evalToks.unpersist(false)
+    res
+  }
+
+  /**
+   * Exact length quantiles per language — the percentile bands a curation
+   * pass derives its length-filter thresholds from. Uses Spark's exact
+   * `percentile` (linear interpolation, matching DuckDB `quantile_cont`).
+   * Exact percentile buffers each group's values — fine per-language
+   * (groups ≪ executors · memory); for percentiles over billions of rows
+   * per group use [[lengthQuantilesApprox]] (t-digest sketch, bounded
+   * memory, mergeable across partitions).
+   */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.1)), 4).as("p10"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"))
+
+  /** Sketch twin of [[lengthQuantiles]]: `approx_percentile` runs in
+    * bounded memory per group and merges across partitions — the 100 TB
+    * path. Accuracy is gated in PipelineSpec against the exact form
+    * rather than a SQL oracle (sketch internals are engine-specific). */
+  def lengthQuantilesApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_percentile(col("n_chars"), lit(0.1), lit(accuracy)).cast("double").as("p10"),
+        approx_percentile(col("n_chars"), lit(0.5), lit(accuracy)).cast("double").as("p50"),
+        approx_percentile(col("n_chars"), lit(0.9), lit(accuracy)).cast("double").as("p90"))
+
+  /**
+   * Vocabulary stats per language: total token occurrences and EXACT
+   * distinct-token count (the Heaps'-law numbers tokenizer training
+   * monitors). One explode + two hash aggregations; distinct-count
+   * shuffles (lang, token) once, pre-combined map-side.
+   */
+  def vocabStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"),
+        count_distinct(col("tok")).as("distinct_tokens"))
+
+  /** Sketch twin of [[vocabStats]]: HyperLogLog++ distinct-token
+    * estimate. Constant memory per group and a mergeable sketch vs the
+    * exact form's (lang, token) shuffle — at 100 TB the exact distinct
+    * is the bottleneck, the sketch is not. rsd 0.01 ⇒ ~1% typical error
+    * (gated vs exact in PipelineSpec; not SQL-oracled — HLL internals
+    * are engine-specific). */
+  def vocabSketch(docs: DataFrame, rsd: Double = 0.01): DataFrame =
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"),
+        approx_count_distinct(col("tok"), rsd).as("distinct_tokens_est"))
+
+  /**
+   * Unigram language-model score per document — the perplexity-style
+   * quality signal (CCNet-style filtering: drop documents whose tokens
+   * are improbable under the corpus's own unigram distribution).
+   * Returns (doc_id, n_tokens, avg_logprob) where avg_logprob =
+   * mean over tokens of ln P(token), P from the WHOLE corpus's token
+   * frequencies.
+   *
+   * Two hash aggregations (corpus token counts; per-doc score sum) and
+   * one join of the exploded corpus against the unigram table. The
+   * unigram model is Zipf-shaped — a few 10⁵ rows even at 100 TB — so
+   * the join is BROADCAST; token explosion never shuffles.
+   */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val total = exploded.count().toDouble
+    val unigrams = exploded.groupBy(col("tok"))
+      .agg((count(lit(1)) / total).as("p"))
+    val out = exploded
+      .join(broadcast(unigrams), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("p"))), 4).as("avg_logprob"))
+    val res = out.localCheckpoint(true)
+    exploded.unpersist(false)
+    res
+  }
 }

@@ -54,12 +54,15 @@ object EventsReplay {
     })
   }
 
-  def build(spark: SparkSession, dir: String): BulkFactStore = {
-    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects;
-    // read it as a long and truncate to micros (values are µs-precision).
-    // The legacy flag is scoped to THIS read (schema resolves eagerly at
-    // read.parquet; the flag is restored so unrelated reads in the same
-    // session keep their normal timestamp semantics).
+  /** The events table with `ts` as a proper µs timestamp — the shared
+    * raw reader for the fact replay and the event-analytics queries
+    * (sessionization, windowed counts). events.ts is parquet
+    * TIMESTAMP(NANOS), which vanilla Spark rejects; read it as a long
+    * and truncate to micros (values are µs-precision). The legacy flag
+    * is scoped to THIS read (schema resolves eagerly at read.parquet;
+    * the flag is restored so unrelated reads in the same session keep
+    * their normal timestamp semantics). */
+  def rawEvents(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "true")
@@ -68,10 +71,14 @@ object EventsReplay {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
       }
-    val ev = raw
+    raw.withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+  }
+
+  def build(spark: SparkSession, dir: String): BulkFactStore = {
+    val ev = rawEvents(spark, dir)
       .select(
         (col("event_id") + 1).cast("long").as("tx"),
-        expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)").as("ts"),
+        col("ts"),
         (lit(VUser) + col("user_id")).cast("long").as("e"),
         col("event_type"), col("value"))
     fromNormalized(spark, ev)

@@ -100,6 +100,23 @@ object EventStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Gap-based session windows per user: a session extends while the next
+    * event arrives within `gap` of the last one (INCLUSIVE — an event at
+    * exactly last-ts + gap merges, verified in EventStreamSpec);
+    * `session_end` is last-event-ts + gap (Spark's session_window
+    * convention). The SAME
+    * transform runs on batch and on a stream (`session_window` supports
+    * both) — on a stream, call `.withWatermark("ts", ...)` on the input
+    * first so closed-session state is evicted instead of growing without
+    * bound. Batch twin is oracle-checked (`user_sessions`) against a
+    * gaps-and-islands SQL sessionization. */
+  def sessionize(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Streaming exact dedup for a live document feed: drop re-deliveries
     * and content duplicates whose normalized-text hash was already seen
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keys

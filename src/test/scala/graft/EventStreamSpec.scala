@@ -124,6 +124,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ids == Set(0L, 2L)) // 1 and 3 deduped against 0's hash
   }
 
+  test("session windows: streaming result equals the batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(0L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Event(1L, ts("2024-01-01 00:05:00"), 1L, "view", 1.0),  // same session (gap 5m < 10m)
+      Event(2L, ts("2024-01-01 00:15:00"), 1L, "click", 1.0), // at exactly end: MERGES (inclusive boundary)
+      Event(3L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0), // new session
+      Event(4L, ts("2024-01-01 00:00:00"), 2L, "view", 1.0),  // user 2: one session
+      Event(5L, ts("2024-01-01 09:00:00"), 9L, "click", 1.0)) // watermark pusher
+    val batch = EventStream.sessionize(events.toDF(), "10 minutes")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // boundary semantics: an event AT start+gap still merges (inclusive)
+    assert(batch.contains((1L, "2024-01-01 00:00:00", "2024-01-01 00:25:00", 3L)))
+    assert(batch.contains((1L, "2024-01-01 01:00:00", "2024-01-01 01:10:00", 1L)))
+    assert(batch.contains((2L, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 1L)))
+
+    val source = MemoryStream[Event]
+    source.addData(events: _*)
+    val q = EventStream.sessionize(
+        source.toDF().withWatermark("ts", "1 hour"), "10 minutes")
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("session_sink")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // every session closed by the watermark matches batch exactly
+    assert(streamed.subsetOf(batch))
+    assert(streamed.intersect(batch.filter(_._1 == 1L)).size == 2)
+  }
+
   test("keyed state tracks per-user versions with retraction semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -298,4 +298,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.head.getAs[Double]("scale") == 0.5)
     assert(r.head.getAs[Double]("rms_err") == 0.0)
   }
+
+  test("decontamination: train docs sharing an eval n-gram are flagged with hit counts") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon"),      // contains eval gram "beta gamma delta"
+      (1L, "completely unrelated words entirely"), // clean
+      (2L, "x alpha beta gamma delta y"),          // two overlapping eval grams
+      (3L, "beta gamma")                           // < 3 tokens of overlap: no gram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val r = TextOps.decontaminate(train, eval, n = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_hits")).toMap
+    // eval grams: {alpha beta gamma, beta gamma delta}
+    assert(r == Map(0L -> 2L, 2L -> 2L))
+  }
+
+  test("length quantiles: exact matches a hand computation; approx within tolerance") {
+    val d = Seq.tabulate(101)(i => (i.toLong, "en", i.toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    val ex = TextOps.lengthQuantiles(d).head()
+    // 0..100: quantile at p is exactly 100p under linear interpolation
+    assert(ex.getAs[Double]("p10") == 10.0 &&
+      ex.getAs[Double]("p50") == 50.0 && ex.getAs[Double]("p90") == 90.0)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextOps.lengthQuantiles(real).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("p50")).toMap
+    val approx = TextOps.lengthQuantilesApprox(real).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("p50")).toMap
+    exact.foreach { case (lang, p50) =>
+      assert(math.abs(approx(lang) - p50) / p50 < 0.05, s"$lang p50 approx vs exact")
+    }
+  }
+
+  test("vocab stats: exact distinct; HLL sketch within 5% of exact") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextOps.vocabStats(real).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("distinct_tokens"))).toMap
+    val est = TextOps.vocabSketch(real).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("distinct_tokens_est")).toMap
+    exact.foreach { case (lang, (total, distinct)) =>
+      assert(total >= distinct && distinct > 0)
+      assert(math.abs(est(lang).toDouble - distinct) / distinct < 0.05,
+        s"$lang HLL estimate $est vs exact $distinct")
+    }
+  }
+
+  test("unigram log-prob: rarer-token docs score lower; probabilities are corpus-wide") {
+    val d = Seq(
+      (0L, "common common common common"),
+      (1L, "common common rare1 rare2")
+    ).toDF("doc_id", "text")
+    val r = TextOps.unigramLogProb(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("avg_logprob"))).toMap
+    // 8 tokens total: P(common)=6/8, P(rare*)=1/8
+    assert(r(0L)._1 == 4 && r(1L)._1 == 4)
+    assert(r(0L)._2 > r(1L)._2) // the all-common doc is more probable
+    assert(math.abs(r(0L)._2 - math.log(0.75)) < 1e-3)
+    val expected1 = (2 * math.log(0.75) + 2 * math.log(0.125)) / 4
+    assert(math.abs(r(1L)._2 - expected1) < 1e-3)
+  }
 }
