@@ -62,8 +62,14 @@ object Bench {
     }
 
     // ---- phase 1: per-query reps, median ----
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (targeted
+    // noise probes on a loaded host; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val ts = (1 to reps).map { _ =>
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())

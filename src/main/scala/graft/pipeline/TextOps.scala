@@ -459,7 +459,8 @@ object TextOps {
    * the DuckDB oracle replays it bit-for-bit; at petabyte scale you key
    * a 128-bit gram hash instead (same plan shape, 16-byte keys).
    */
-  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame = {
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
+                    checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // both token arrays staged behind persist barriers: CollapseProject
     // would otherwise inline tokenization into the size(t)+2 references
@@ -475,6 +476,7 @@ object TextOps {
       .join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
+    if (!checkpoint) return out // plan inspection (PlanDump/PLANS.md)
     val res = out.localCheckpoint(true)
     trainToks.unpersist(false)
     evalToks.unpersist(false)
@@ -545,7 +547,7 @@ object TextOps {
    * unigram model is Zipf-shaped — a few 10⁵ rows even at 100 TB — so
    * the join is BROADCAST; token explosion never shuffles.
    */
-  def unigramLogProb(docs: DataFrame): DataFrame = {
+  def unigramLogProb(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val exploded = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -558,6 +560,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("p"))), 4).as("avg_logprob"))
+    if (!checkpoint) return out // plan inspection (PlanDump/PLANS.md)
     val res = out.localCheckpoint(true)
     exploded.unpersist(false)
     res
