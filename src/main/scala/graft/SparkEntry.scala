@@ -598,6 +598,14 @@ object SparkEntry {
     },
     "label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(emb(s, d).withColumn("label", col("label").cast("long")))),
+    "label_centroid_vectors" -> ((s, d) =>
+      // the full centroid VECTOR per label via the native graft_vec_mean
+      // TypedImperativeAggregate (one buffer per group, no posexplode in
+      // the AGGREGATION — the explode below unpacks k centroid rows for
+      // the driver compare, which hashes scalar columns only)
+      VectorOps.labelCentroidVectors(emb(s, d).withColumn("label", col("label").cast("long")))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("i", "m")))
+        .select(col("label"), col("i").cast("long").as("i"), round(col("m"), 6).as("m"))),
     "dedup_embedding" -> ((s, d) =>
       // threshold tuned to the synthetic corpus (max pairwise cosine ≈ .5)
       VectorOps.embeddingNearDupPairs(emb(s, d), threshold = 0.45)),
@@ -1025,6 +1033,12 @@ object SparkEntry {
         |                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |      GROUP BY label, i)
         |GROUP BY label""".stripMargin,
+
+    "label_centroid_vectors" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i, round(avg(x), 6) AS m
+        |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings)
+        |GROUP BY label, i""".stripMargin,
     "similar_docs" ->
       s"""WITH $shingleCte,
         |q AS (SELECT doc_id AS qid, s AS qs FROM sh WHERE doc_id = 0),

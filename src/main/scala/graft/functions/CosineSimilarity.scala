@@ -121,6 +121,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneSignature(children(0), asInt(children(1)), asInt(children(2)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_mean"),
+      new ExpressionInfo(classOf[VectorMeanAgg].getName, "graft_vec_mean"),
+      (children: Seq[Expression]) => VectorMeanAgg(children.head)
+        .toAggregateExpression()))
   }
 }
 

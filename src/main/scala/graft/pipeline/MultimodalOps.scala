@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
  * mapped stage over grouped batches (the Scala analog of `mapInPandas`:
  * one iterator pass per partition, constant memory, no driver collect).
  *
- * The DECODERS are deliberately deterministic stubs — no media codecs
- * ship in this environment — but everything Spark-side is real and
- * tested: schema contract, batch iteration, partitioning behavior, and
- * the derived-column shapes a real decoder would produce. Swapping in a
- * real JNI/FFmpeg/libvips decoder changes only [[stubDecode]].
+ * The pixel DECODERS are deliberately deterministic stubs — no media
+ * codecs ship in this environment — but everything Spark-side is real
+ * and tested: schema contract, batch iteration, partitioning behavior,
+ * and the derived-column shapes a real decoder would produce. Swapping
+ * in a real JNI/FFmpeg/libvips decoder changes only [[stubDecode]].
+ * [[imageMeta]] is NOT a stub: container format and pixel dimensions are
+ * parsed from the actual header bytes (PNG/GIF/BMP/JPEG), codec-free.
  */
 object MultimodalOps {
 
@@ -63,6 +65,73 @@ object MultimodalOps {
         }
       }
       .toDF()
+  }
+
+  /** Extracted container metadata: format is the sniffed container,
+    * width/height None when the payload is not a recognized image. */
+  final case class ImageMeta(media_id: Long, format: String,
+                             width: Option[Int], height: Option[Int])
+
+  /** REAL (non-stub) image metadata extraction: container format and
+    * pixel dimensions parsed straight from the header bytes — PNG IHDR,
+    * GIF logical-screen descriptor, BMP info header, and a JPEG marker
+    * walk to the SOF segment. No codec library involved: dimensions live
+    * in the first bytes of every mainstream container, so the one thing
+    * a 100 TB curation pass usually needs from images (size/aspect
+    * filtering before any expensive decode) runs as the same constant-
+    * memory partition-mapped stage as [[extractFeatures]], reading at
+    * most a few hundred bytes per row. */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        val (f, w, h) = sniffImage(c)
+        ImageMeta(id, f, w, h)
+      })
+      .toDF()
+  }
+
+  /** Header sniff: (format, width, height). Package-visible for tests. */
+  private[pipeline] def sniffImage(c: Array[Byte]): (String, Option[Int], Option[Int]) = {
+    def u8(i: Int) = c(i) & 0xFF
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le32(i: Int) = (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    if (c == null || c.length < 2) ("unknown", None, None)
+    // PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
+    // width/height are big-endian at fixed offsets 16/20
+    else if (c.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      ("png", Some(be32(16)), Some(be32(20)))
+    // GIF87a/89a: logical screen width/height little-endian at 6/8
+    else if (c.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+      ("gif", Some(le16(6)), Some(le16(8)))
+    // BMP: BITMAPINFOHEADER width/height little-endian at 18/22
+    else if (c.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      ("bmp", Some(le32(18)), Some(math.abs(le32(22))))
+    // JPEG: walk marker segments to the first SOFn (C0–CF minus C4/C8/CC);
+    // height/width are big-endian at +5/+7 inside the SOF payload
+    else if (u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      var res: (Option[Int], Option[Int]) = (None, None)
+      while (res._1.isEmpty && i + 3 < c.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) i += 2
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return ("jpeg", None, None) // corrupt length
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            if (i + 8 < c.length) res = (Some(be16(i + 7)), Some(be16(i + 5)))
+          }
+          i += 2 + len
+        }
+      }
+      ("jpeg", res._1, res._2)
+    }
+    else ("unknown", None, None)
   }
 
   /** Resize stub for image rows: real work happens per-partition against

@@ -368,12 +368,33 @@ object VectorOps {
         ivfBuild(spark.read.parquet(s"$dir/embeddings.parquet"))))
   }
 
-  /** Per-label centroid norms — multimodal-ish aggregate over the vector
-    * column: element-wise mean via posexplode + regroup (shuffles rows×dim
-    * key pairs; at 100 TB you'd switch to a TypedImperativeAggregate, but
-    * the shape here is the standard Spark-native one). */
+  /** Per-label centroids via the native `graft_vec_mean`
+    * TypedImperativeAggregate when the graft extension is loaded: ONE
+    * running (count, sums[dims]) buffer per group, combined map-side and
+    * shuffled as 16 + 8·dims bytes per (partition, group). The
+    * posexplode + regroup fallback shuffles rows×dims (position, value)
+    * pairs — at 100 TB that is the difference between shuffling 10¹²
+    * exploded rows and |groups|·|partitions| small buffers. */
+  def labelCentroidVectors(emb: DataFrame): DataFrame = {
+    require(graft.functions.GraftExtensions.loadedIn(emb.sparkSession),
+      "labelCentroidVectors needs the graft session extension (graft_vec_mean)")
+    emb.select(col("label"), dvec(col("embedding")).as("v"))
+      .groupBy(col("label"))
+      .agg(call_function("graft_vec_mean", col("v")).as("centroid"))
+  }
+
+  /** Per-label centroid norms; native-aggregate path when available (see
+    * [[labelCentroidVectors]]), posexplode + regroup composition
+    * otherwise. Both paths hash-check against the same DuckDB oracle
+    * (`label_centroids`). */
   def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label")).agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+    if (graft.functions.GraftExtensions.loadedIn(emb.sparkSession))
+      labelCentroidVectors(emb)
+        .select(col("label"),
+          round(sqrt(aggregate(transform(col("centroid"), x => x * x),
+            lit(0d), (acc, e) => acc + e)), 4).as("centroid_norm"))
+    else
+      emb.select(col("label"), posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label")).agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
 }

@@ -49,4 +49,54 @@ class MultimodalSpec extends AnyFunSuite {
     val h = MultimodalOps.partitionHistogram(media).agg(sum("count")).head().getLong(0)
     assert(h == 4L)
   }
+
+  test("imageMeta parses real container headers: PNG, GIF, BMP, JPEG SOF walk") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xFF).toByte, (w >> 8).toByte,
+        (h & 0xFF).toByte, (h >> 8).toByte, 0.toByte, 0.toByte, 0.toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(30).putInt(0).putInt(26).putInt(12)
+      b.position(18); b.putInt(w).putInt(h)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+      b.put(0xFF.toByte).put(0xD8.toByte)                    // SOI
+      b.put(0xFF.toByte).put(0xE0.toByte).putShort(16)       // APP0, skipped
+      b.position(b.position() + 14)
+      b.put(0xFF.toByte).put(0xC4.toByte).putShort(4)        // DHT: NOT a SOF
+      b.position(b.position() + 2)
+      b.put(0xFF.toByte).put(0xC2.toByte).putShort(17)       // SOF2 (progressive)
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    }
+    val rows = Seq(
+      Row(1L, "image", png(640, 480), null),
+      Row(2L, "image", gif(320, 200), null),
+      Row(3L, "image", bmp(800, 600), null),
+      Row(4L, "image", jpeg(1024, 768), null),
+      Row(5L, "image", Array[Byte](1, 2, 3), null),  // junk payload
+      Row(6L, "image", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    val m = MultimodalOps.imageMeta(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[String]("format"),
+          Option(r.getAs[Integer]("width")).map(_.toInt),
+          Option(r.getAs[Integer]("height")).map(_.toInt))).toMap
+    assert(m(1L) == (("png", Some(640), Some(480))))
+    assert(m(2L) == (("gif", Some(320), Some(200))))
+    assert(m(3L) == (("bmp", Some(800), Some(600))))
+    assert(m(4L) == (("jpeg", Some(1024), Some(768)))) // skipped APP0+DHT, read SOF2
+    assert(m(5L) == (("unknown", None, None)))
+    assert(m(6L) == (("unknown", None, None)))
+  }
 }

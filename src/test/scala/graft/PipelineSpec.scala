@@ -344,6 +344,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_vec_mean aggregate: exact means, null/dim semantics, matches posexplode path") {
+    assert(graft.functions.GraftExtensions.loadedIn(spark))
+    // exact arithmetic on small integers — no float tolerance needed
+    val d = Seq(
+      (0L, "a", Array(1.0, 2.0)),
+      (1L, "a", Array(3.0, 6.0)),
+      (2L, "b", Array(10.0, 20.0))
+    ).toDF("vec_id", "label", "embedding")
+    d.createOrReplaceTempView("vm_in")
+    val m = spark.sql(
+      "SELECT label, graft_vec_mean(embedding) AS m FROM vm_in GROUP BY label")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Double]]("m").toSeq).toMap
+    assert(m == Map("a" -> Seq(2.0, 4.0), "b" -> Seq(10.0, 20.0)))
+    // null ARRAY skipped; null ELEMENT poisons its group; empty group → null
+    val edge = spark.sql(
+      """SELECT label, graft_vec_mean(v) AS m FROM VALUES
+        |  ('skip', array(2.0d, 4.0d)), ('skip', CAST(NULL AS ARRAY<DOUBLE>)),
+        |  ('poison', array(1.0d, CAST(NULL AS DOUBLE))),
+        |  ('empty', CAST(NULL AS ARRAY<DOUBLE>)) AS t(label, v)
+        |GROUP BY label""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[scala.collection.Seq[Double]]("m")).map(_.toSeq)).toMap
+    assert(edge("skip").contains(Seq(2.0, 4.0)))
+    assert(edge("poison").isEmpty && edge("empty").isEmpty)
+    // real corpus: native centroid norms equal the posexplode composition
+    val realE = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("label", col("label").cast("long"))
+    val native = VectorOps.labelCentroids(realE).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val composed = realE
+      .select(col("label"), posexplode(VectorOps.dvec(col("embedding"))).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label")).agg(round(sqrt(sum(col("m") * col("m"))), 4).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == composed)
+  }
+
   test("unigram log-prob: rarer-token docs score lower; probabilities are corpus-wide") {
     val d = Seq(
       (0L, "common common common common"),
