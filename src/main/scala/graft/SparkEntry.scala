@@ -175,6 +175,20 @@ object SparkEntry {
     "hop3_graphx" -> ((s, d) =>
       graft.gx.GraphXTraversal.hop3(s, TpchGraph.snapshot(s, d))),
 
+    "connected_components" -> ((s, d) =>
+      // undirected CC on the in_nation subgraph: one star per nation
+      // (nation + its customers + suppliers); component id = min member
+      // id = the nation vertex (2M+n < 3M+c < 4M+s), which is what the
+      // oracle derives relationally from the known star structure while
+      // GraphX runs the GENERAL iterative algorithm
+      graft.gx.GraphXTraversal.componentsDF(
+        s, TpchGraph.snapshot(s, d), Seq("in_nation"))),
+
+    "pagerank" -> ((s, d) =>
+      // rows-only: float fixpoint iteration (rank order gated in
+      // GraphXAnalyticsSpec — hub nations/regions top the list)
+      graft.gx.GraphXTraversal.pageRankDF(s, TpchGraph.snapshot(s, d))),
+
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
@@ -790,6 +804,16 @@ object SparkEntry {
     "query_has_interval" ->
       """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000 AND c_acctbal < 5000""".stripMargin,
+
+    "connected_components" ->
+      """SELECT CAST(2000000 + n_nationkey AS BIGINT) AS vertex_id,
+        |       CAST(2000000 + n_nationkey AS BIGINT) AS component FROM nation
+        |WHERE n_nationkey IN (SELECT c_nationkey FROM customer
+        |                      UNION SELECT s_nationkey FROM supplier)
+        |UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT),
+        |       CAST(2000000 + c_nationkey AS BIGINT) FROM customer
+        |UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
+        |       CAST(2000000 + s_nationkey AS BIGINT) FROM supplier""".stripMargin,
 
     "property_keys" ->
       """SELECT key FROM (VALUES ('name'),('acctbal'),('mktsegment'),('size'),('brand'),

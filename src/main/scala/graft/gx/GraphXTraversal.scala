@@ -90,4 +90,41 @@ object GraphXTraversal {
     spark.createDataFrame(Seq((nPaths, nSuppliers)))
       .toDF("n_paths", "n_suppliers")
   }
+
+  /** Connected components of the label-filtered subgraph (undirected
+    * semantics — GraphX CC ignores direction): one row per NON-ISOLATED
+    * vertex with its component id (= min vertex id in the component, the
+    * GraphX convention). Isolated vertices are excluded via the degree
+    * view — `subgraph` keeps every vertex, and a 100 TB graph restricted
+    * to one edge label is mostly isolated vertices (here: orders/parts/
+    * regions when filtering to in_nation), which would dominate the
+    * output as meaningless singletons. Iterative Pregel rounds — each is
+    * one shuffle over the partitioned edge RDD, no driver loop. */
+  def componentsDF(spark: SparkSession, snap: Snapshot,
+                   labels: Seq[String]): DataFrame = {
+    val labelSet = labels.toSet
+    val sub = cachedGraph(snap).subgraph(epred = e => labelSet.contains(e.attr))
+    val cc = sub.connectedComponents().vertices
+    val connected = cc.join(sub.degrees)
+      .map { case (vid, (comp, _)) => (vid, comp) }
+    spark.createDataFrame(connected).toDF("vertex_id", "component")
+  }
+
+  /** Static PageRank over the full snapshot graph (`numIter` fixed
+    * rounds, damping 0.85): (vertex_id, rank). Registered rows-only —
+    * float fixpoint iteration is not DuckDB-expressible — with the rank
+    * ORDER gated in GraphXAnalyticsSpec (hub vertices: nations/regions
+    * accumulate the mass their in-stars send). */
+  def pageRankDF(spark: SparkSession, snap: Snapshot, numIter: Int = 10,
+                 topK: Int = 30): DataFrame = {
+    val ranks = cachedGraph(snap).staticPageRank(numIter).vertices
+    // top() = per-partition heads merged on the driver (topK rows), no
+    // full sort shuffle; vid tiebreak keeps the cut deterministic
+    val top = ranks.map { case (vid, r) => (vid, r) }
+      .top(topK)(Ordering.by { case (vid, r) => (r, -vid) })
+    spark.createDataFrame(top.toSeq).toDF("vertex_id", "rank")
+      .select(org.apache.spark.sql.functions.col("vertex_id"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("rank"), 4).as("rank"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.projection.TpchGraph
+
+/** Iterative GraphX analytics over the snapshot graph: connected
+  * components (oracle-checked against the nation-star structure by the
+  * driver; structural invariants here) and PageRank (rows-only by the
+  * driver; the rank ORDER is the testable property — hub vertices that
+  * whole in-stars point at must outrank their leaves). */
+class GraphXAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("connected components: one star per nation, nation id is the component") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    val rows = graft.gx.GraphXTraversal.componentsDF(spark, snap, Seq("in_nation"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byComponent = rows.groupBy(_._2)
+    // every component is keyed by a nation vertex (2M band) that is its
+    // own member, and members are only nations/customers/suppliers
+    byComponent.foreach { case (comp, members) =>
+      assert(comp >= 2000000L && comp < 3000000L, s"component $comp not a nation id")
+      assert(members.exists(_._1 == comp), s"component $comp missing its nation")
+      members.foreach { case (vid, _) =>
+        assert(vid >= 2000000L && vid < 5000000L, s"vertex $vid outside expected bands")
+      }
+    }
+    // isolated vertices (orders/parts/regions have no in_nation edge) excluded
+    assert(rows.forall { case (vid, _) => vid < 5000000L && vid >= 2000000L })
+    assert(byComponent.size > 1) // the subgraph is NOT one blob
+  }
+
+  test("pagerank: nation/region hubs outrank leaf vertices") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    val top = graft.gx.GraphXTraversal.pageRankDF(spark, snap, numIter = 10, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 30)
+    // ranks come back sorted descending
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    // the top of the list is hub vertices — rank flows along the edge
+    // direction into regions (nations point at them) and suppliers
+    // (every supplied_by part edge points at one of few suppliers)
+    val top10 = top.take(10).map(_._1)
+    assert(top10.exists(v => v >= 1000000L && v < 2000000L),
+      s"expected region hubs in the top 10, got ${top10.toSeq}")
+    assert(top10.forall(v => !(v >= 3000000L && v < 4000000L)),
+      s"customers are leaves and must not top the ranking: ${top10.toSeq}")
+  }
+}
