@@ -185,9 +185,13 @@ object SparkEntry {
         s, TpchGraph.snapshot(s, d), Seq("in_nation"))),
 
     "pagerank" -> ((s, d) =>
-      // rows-only: float fixpoint iteration (rank order gated in
-      // GraphXAnalyticsSpec — hub nations/regions top the list)
-      graft.gx.GraphXTraversal.pageRankDF(s, TpchGraph.snapshot(s, d))),
+      // GraphX static PageRank on the in_nation/in_region star DAG,
+      // where 3 iterations ARE the fixpoint and the oracle computes the
+      // closed form relationally (normalization included) — the general
+      // iterative engine checked against a known structure, like
+      // connected_components. The full-graph variant (pageRankDF) stays
+      // spec-gated in GraphXAnalyticsSpec.
+      graft.gx.GraphXTraversal.pageRankStarDF(s, TpchGraph.snapshot(s, d))),
 
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
@@ -814,6 +818,32 @@ object SparkEntry {
         |       CAST(2000000 + c_nationkey AS BIGINT) FROM customer
         |UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
         |       CAST(2000000 + s_nationkey AS BIGINT) FROM supplier""".stripMargin,
+
+    // closed-form PageRank on the in_nation/in_region star DAG (see
+    // GraphXTraversal.pageRankStarDF): sources 0.15, nation = 0.15 +
+    // 0.85·0.15·members, region = 0.15 + 0.85·Σ nation-ranks, then
+    // GraphX's final normalization rank·|V|/Σrank
+    "pagerank" ->
+      """WITH mem AS (
+        |  SELECT nk, count(*) AS m FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    UNION ALL SELECT s_nationkey AS nk FROM supplier) t GROUP BY nk
+        |), nrank AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |         CAST(0.15 AS DOUBLE) + 0.85 * (0.15 * COALESCE(m, 0)) AS r
+        |  FROM nation LEFT JOIN mem ON nk = n_nationkey
+        |), rrank AS (
+        |  SELECT n_regionkey, CAST(0.15 AS DOUBLE) + 0.85 * sum(r) AS r
+        |  FROM nrank GROUP BY n_regionkey
+        |), rawrank AS (
+        |  SELECT CAST(3000000 + c_custkey AS BIGINT) AS vertex_id,
+        |         CAST(0.15 AS DOUBLE) AS r FROM customer
+        |  UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
+        |         CAST(0.15 AS DOUBLE) FROM supplier
+        |  UNION ALL SELECT CAST(2000000 + n_nationkey AS BIGINT), r FROM nrank
+        |  UNION ALL SELECT CAST(1000000 + n_regionkey AS BIGINT), r FROM rrank
+        |), tot AS (SELECT count(*) AS nv, sum(r) AS s FROM rawrank)
+        |SELECT vertex_id, round(r * nv / s, 4) AS "rank" FROM rawrank, tot""".stripMargin,
 
     "property_keys" ->
       """SELECT key FROM (VALUES ('name'),('acctbal'),('mktsegment'),('size'),('brand'),

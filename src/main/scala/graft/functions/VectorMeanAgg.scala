@@ -79,8 +79,11 @@ case class VectorMeanAgg(
     else new GenericArrayData(buf.sums.map(_ / buf.count))
 
   override def serialize(buf: Buf): Array[Byte] = {
-    val dims = if (buf.sums == null) 0 else buf.sums.length
-    val bb = ByteBuffer.allocate(8 + 1 + 4 + 8 * dims)
+    // dims = -1 encodes "no data seen" (sums == null); 0 is a LEGAL dims
+    // value (a group of empty arrays) and must round-trip as an empty
+    // array, not null — otherwise merge would drop that side's count
+    val dims = if (buf.sums == null) -1 else buf.sums.length
+    val bb = ByteBuffer.allocate(8 + 1 + 4 + 8 * math.max(dims, 0))
     bb.putLong(buf.count)
     bb.put(if (buf.poisoned) 1.toByte else 0.toByte)
     bb.putInt(dims)
@@ -94,7 +97,7 @@ case class VectorMeanAgg(
     val count = bb.getLong()
     val poisoned = bb.get() == 1.toByte
     val dims = bb.getInt()
-    val sums = if (dims == 0) null else {
+    val sums = if (dims < 0) null else {
       val a = new Array[Double](dims)
       var i = 0
       while (i < dims) { a(i) = bb.getDouble(); i += 1 }

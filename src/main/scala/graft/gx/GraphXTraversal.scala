@@ -110,11 +110,43 @@ object GraphXTraversal {
     spark.createDataFrame(connected).toDF("vertex_id", "component")
   }
 
+  /** PageRank restricted to a label-filtered subgraph, built with
+    * `Graph.fromEdges` so ONLY edge endpoints become vertices (unlike
+    * `subgraph`, which keeps every snapshot vertex as an isolated
+    * singleton — at 100 TB the label-filtered graph is mostly isolated
+    * vertices, and they would both bloat the output and shift GraphX's
+    * final rank normalization `rank · |V| / Σrank`).
+    *
+    * On the default `in_nation`/`in_region` labels the graph is a
+    * 3-level DAG (customer/supplier → nation → region), where static
+    * PageRank reaches its EXACT fixpoint after 3 iterations: sources
+    * stabilize at 0.15 after round 1, nations (fed only by stabilized
+    * sources) after round 2, regions after round 3 — so `numIter = 3`
+    * is the converged answer, not a truncation (convergence is
+    * re-proven against iteration 4 in GraphXAnalyticsSpec). That also
+    * gives the iterative engine a CLOSED FORM the DuckDB oracle can
+    * compute relationally: raw(c) = 0.15; raw(n) = 0.15 + 0.85·0.15·mₙ
+    * (mₙ = customers+suppliers of n, each with out-degree 1); raw(r) =
+    * 0.15 + 0.85·Σ_{n∈r} raw(n); final = raw · |V| / Σraw — the same
+    * verify-the-general-algorithm-on-a-known-structure trick as
+    * `connected_components`. */
+  def pageRankStarDF(spark: SparkSession, snap: Snapshot,
+                     labels: Seq[String] = Seq("in_nation", "in_region"),
+                     numIter: Int = 3): DataFrame = {
+    val edges: RDD[Edge[Unit]] = snap.edges
+      .where(col("label").isin(labels: _*))
+      .select(col("outV"), col("inV")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val ranks = Graph.fromEdges(edges, ()).staticPageRank(numIter).vertices
+    spark.createDataFrame(ranks).toDF("vertex_id", "rank")
+      .select(col("vertex_id"), round(col("rank"), 4).as("rank"))
+  }
+
   /** Static PageRank over the full snapshot graph (`numIter` fixed
-    * rounds, damping 0.85): (vertex_id, rank). Registered rows-only —
-    * float fixpoint iteration is not DuckDB-expressible — with the rank
-    * ORDER gated in GraphXAnalyticsSpec (hub vertices: nations/regions
-    * accumulate the mass their in-stars send). */
+    * rounds, damping 0.85): (vertex_id, rank). Spec-gated (rank ORDER
+    * in GraphXAnalyticsSpec — hub nations/regions accumulate the mass
+    * their in-stars send); the registered+oracled twin is
+    * [[pageRankStarDF]], whose subgraph admits a closed form. */
   def pageRankDF(spark: SparkSession, snap: Snapshot, numIter: Int = 10,
                  topK: Int = 30): DataFrame = {
     val ranks = cachedGraph(snap).staticPageRank(numIter).vertices

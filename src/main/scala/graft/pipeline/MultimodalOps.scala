@@ -116,9 +116,16 @@ object MultimodalOps {
     else if (u8(0) == 0xFF && u8(1) == 0xD8) {
       var i = 2
       var res: (Option[Int], Option[Int]) = (None, None)
-      while (res._1.isEmpty && i + 3 < c.length && u8(i) == 0xFF) {
+      var done = false
+      while (!done && res._1.isEmpty && i + 3 < c.length && u8(i) == 0xFF) {
+        // 0xFF bytes may pad between segments; skip fill before the marker
+        while (i + 3 < c.length && u8(i + 1) == 0xFF) i += 1
         val marker = u8(i + 1)
-        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) i += 2
+        // SOS starts entropy-coded data and EOI ends the file — past either
+        // there are no more parseable segments, so stop rather than misread
+        // compressed bytes as markers
+        if (marker == 0xDA || marker == 0xD9) done = true
+        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) i += 2
         else {
           val len = be16(i + 2)
           if (len < 2) return ("jpeg", None, None) // corrupt length

@@ -122,16 +122,21 @@ object EventStream {
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keys
     * the state on a PAIR of independently-seeded 64-bit hashes (not the
     * text), so state stays bounded at (docs per watermark window) × 16
-    * bytes while a silent collision-drop needs both hashes to collide
-    * (~2⁻¹²⁸ per pair — the 128-bit key [[graft.pipeline.TextOps
-    * .dedupExact]]'s doc recommends at scale) — the streaming twin of
-    * that batch operator. */
+    * bytes while a silent collision-drop needs both hashes to collide —
+    * the streaming twin of [[graft.pipeline.TextOps.dedupExact]]'s
+    * 128-bit-key recommendation at scale. The salt goes FIRST in the
+    * second hash: Spark's XxHash64 seed-chains its arguments
+    * left-to-right, so `xxhash64(lit(1), norm)` hashes the text under
+    * effective seed H(1, 42) ≠ 42, giving a second hash that is NOT a
+    * deterministic function of the first (whereas `xxhash64(norm,
+    * lit(1))` would compute H(1, hash_a) and inherit every hash_a
+    * collision). */
   def dedupDocStream(docs: DataFrame, tsCol: String,
                      watermark: String = "1 hour"): DataFrame = {
     val norm = graft.pipeline.TextOps.normText(col("text"))
     docs
       .withColumn("norm_hash_a", xxhash64(norm))
-      .withColumn("norm_hash_b", xxhash64(norm, lit(1)))
+      .withColumn("norm_hash_b", xxhash64(lit(1), norm))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("norm_hash_a", "norm_hash_b")
       // internal dedup key, not part of the doc schema

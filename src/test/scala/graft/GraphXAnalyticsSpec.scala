@@ -31,6 +31,43 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(byComponent.size > 1) // the subgraph is NOT one blob
   }
 
+  test("star pagerank: iteration 3 is the exact fixpoint and matches the closed form") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    def ranks(n: Int): Map[Long, Double] =
+      graft.gx.GraphXTraversal.pageRankStarDF(spark, snap, numIter = n)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val it3 = ranks(3)
+    // convergence proof: one more iteration changes nothing (3-level DAG)
+    assert(it3 == ranks(4))
+    // closed form computed independently from the raw tables
+    import org.apache.spark.sql.functions.col
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nations = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = (cust.map(_._2) ++ supp.map(_._2)).groupBy(identity).map { case (k, v) => k -> v.length }
+    val nRank = nations.map { case (nk, _) => nk -> (0.15 + 0.85 * 0.15 * members.getOrElse(nk, 0)) }.toMap
+    val rRank = nations.groupBy(_._2).map { case (rk, ns) =>
+      rk -> (0.15 + 0.85 * ns.map(n => nRank(n._1)).sum)
+    }
+    val raw: Map[Long, Double] =
+      cust.map { case (ck, _) => (3000000L + ck) -> 0.15 }.toMap ++
+        supp.map { case (sk, _) => (4000000L + sk) -> 0.15 }.toMap ++
+        nRank.map { case (nk, r) => (2000000L + nk) -> r } ++
+        rRank.map { case (rk, r) => (1000000L + rk) -> r }
+    val scale = raw.size / raw.values.sum
+    val expected = raw.map { case (v, r) => v -> BigDecimal(r * scale)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(it3.keySet == expected.keySet)
+    val off = it3.filter { case (v, r) => math.abs(r - expected(v)) > 1e-9 }
+    assert(off.isEmpty, s"ranks differ from closed form: ${off.take(5)}")
+  }
+
   test("pagerank: nation/region hubs outrank leaf vertices") {
     val snap = TpchGraph.snapshot(spark, dir)
     val top = graft.gx.GraphXTraversal.pageRankDF(spark, snap, numIter = 10, topK = 30)

@@ -78,13 +78,36 @@ class MultimodalSpec extends AnyFunSuite {
       b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
       b.array()
     }
+    // 0xFF fill padding between segments must be skipped, not parsed as
+    // a marker with a bogus length
+    def jpegWithFill(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.put(0xFF.toByte).put(0xD8.toByte)                    // SOI
+      b.put(0xFF.toByte).put(0xFF.toByte).put(0xFF.toByte)   // fill bytes
+      b.put(0xC0.toByte).putShort(17)                        // SOF0 after fill
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    }
+    // SOS starts entropy-coded data: a fake FF C0 inside it must NOT be
+    // read as a SOF — the walk stops at SOS with no dimensions
+    def jpegSosFirst(): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.put(0xFF.toByte).put(0xD8.toByte)                    // SOI
+      b.put(0xFF.toByte).put(0xDA.toByte).putShort(4)        // SOS
+      b.position(b.position() + 2)
+      b.put(0xFF.toByte).put(0xC0.toByte).putShort(17)       // fake SOF in entropy data
+      b.put(8.toByte).putShort(9999.toShort).putShort(9999.toShort)
+      b.array()
+    }
     val rows = Seq(
       Row(1L, "image", png(640, 480), null),
       Row(2L, "image", gif(320, 200), null),
       Row(3L, "image", bmp(800, 600), null),
       Row(4L, "image", jpeg(1024, 768), null),
       Row(5L, "image", Array[Byte](1, 2, 3), null),  // junk payload
-      Row(6L, "image", null, null))
+      Row(6L, "image", null, null),
+      Row(7L, "image", jpegWithFill(321, 123), null),
+      Row(8L, "image", jpegSosFirst(), null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
     val m = MultimodalOps.imageMeta(df).collect()
@@ -98,5 +121,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(4L) == (("jpeg", Some(1024), Some(768)))) // skipped APP0+DHT, read SOF2
     assert(m(5L) == (("unknown", None, None)))
     assert(m(6L) == (("unknown", None, None)))
+    assert(m(7L) == (("jpeg", Some(321), Some(123)))) // FF fill skipped
+    assert(m(8L) == (("jpeg", None, None)))           // stopped at SOS, no fake dims
+
   }
 }

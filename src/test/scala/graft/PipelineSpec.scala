@@ -382,6 +382,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("graft_vec_mean: empty-array groups survive partial aggregation; 0-vs-n dims merge throws") {
+    val agg = graft.functions.VectorMeanAgg(org.apache.spark.sql.catalyst.expressions.Literal(null))
+    // a buffer of empty arrays (dims=0, count>0) must round-trip through
+    // serialize/deserialize as an EMPTY array, not null — null means "no
+    // data" and would drop the count in merge
+    val emptyBuf = new graft.functions.VectorMeanAgg.Buf(3L, Array.empty[Double], false)
+    val rt = agg.deserialize(agg.serialize(emptyBuf))
+    assert(rt.count == 3L && rt.sums != null && rt.sums.isEmpty && !rt.poisoned)
+    // genuinely-no-data buffer still round-trips as null sums
+    val noData = agg.deserialize(agg.serialize(new graft.functions.VectorMeanAgg.Buf(0L, null, false)))
+    assert(noData.sums == null && noData.count == 0L)
+    // merging empty-dims with n-dims is the same mixed-dims error update raises
+    intercept[IllegalStateException] {
+      agg.merge(rt, new graft.functions.VectorMeanAgg.Buf(1L, Array(1.0, 2.0), false))
+    }
+    // end-to-end: a group of empty arrays spanning partitions (forces the
+    // partial → shuffle-serialized → final merge path) yields empty array
+    assert(graft.functions.GraftExtensions.loadedIn(spark))
+    val d = Seq(("e", Array.empty[Double]), ("e", Array.empty[Double]))
+      .toDF("label", "v").repartition(2)
+    d.createOrReplaceTempView("vm_empty")
+    val res = spark.sql("SELECT graft_vec_mean(v) AS m FROM vm_empty GROUP BY label")
+      .collect().map(r => Option(r.getAs[scala.collection.Seq[Double]]("m")).map(_.toSeq))
+    assert(res.toSeq == Seq(Some(Seq.empty[Double])))
+  }
+
   test("unigram log-prob: rarer-token docs score lower; probabilities are corpus-wide") {
     val d = Seq(
       (0L, "common common common common"),
