@@ -58,7 +58,10 @@ object Bench {
         projection.TpchGraph.snapshot(spark, sfDir)).edges.count(); ()
     }
     build("build_ivf") {
-      pipeline.VectorOps.IvfCache.index(spark, sfDir).indexed.count(); ()
+      pipeline.VectorOps.IvfCache.index(spark, sfDir).indexed.count()
+      // the opened twin: save + reopen billed here too, so ann_ivf_opened
+      // measures SEARCH over the reopened index, not index I/O
+      pipeline.VectorOps.IvfCache.opened(spark, sfDir).indexed.count(); ()
     }
 
     // ---- phase 1: per-query reps, median ----

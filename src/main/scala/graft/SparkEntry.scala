@@ -102,6 +102,20 @@ object SparkEntry {
         .select(col("e").as("id"), col("name"), col("acctbal"), col("mktsegment"))
     },
 
+    "lookup_edge" -> { (s, d) =>
+      val snap = TpchGraph.snapshot(s, d)
+      // probe id: the first contains edge (min orderkey, seq 1) —
+      // computed from the raw table so the lookup itself stays a pure
+      // point filter on the edge id (getEdge, FluxGraph.java:123-134)
+      val ok = s.read.parquet(s"$d/lineitem.parquet")
+        .agg(min(col("l_orderkey")).cast("long")).head.getLong(0)
+      val eid = EContains + ok * 16L + 1L
+      snap.edges.where(col("id") === eid)
+        .join(snap.prop("quantity", PropType.PDouble, A.Edge)
+          .select(col("e").as("id"), col("v").as("quantity")), "id")
+        .select(col("id"), col("label"), col("outV"), col("inV"), col("quantity"))
+    },
+
     "filter_by_prop" -> ((s, d) =>
       TpchGraph.snapshot(s, d)
         .elementsByProp("mktsegment", PropType.PString, "BUILDING", A.Vertex)
@@ -591,6 +605,11 @@ object SparkEntry {
     },
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
     "dedup_minhash" -> ((s, d) => TextOps.dedupMinHashLsh(docs(s, d), 0.8)),
+    "dedup_clusters" -> ((s, d) =>
+      // near-dup pairs → GraphX connected components → one kept
+      // representative per transitive cluster; oracle recomputes the
+      // closure with a recursive CTE over the exact-Jaccard pair set
+      TextOps.dedupClusters(docs(s, d), 0.8)),
     "dedup_simhash" -> ((s, d) => TextOps.simhashPairs(docs(s, d), 3)),
     "lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
@@ -613,6 +632,14 @@ object SparkEntry {
       // ANN index across query batches, it does not retrain per query)
       VectorOps.ivfSearch(
         VectorOps.IvfCache.index(s, d), emb(s, d).where(col("vec_id") < 10), 10)
+    },
+    "ann_ivf_opened" -> { (s, d) =>
+      // search over the index REOPENED from its parquet persistence —
+      // the cold-start deployment path (open-once is billed in build_ivf;
+      // this measures search). Rows-only like ann_ivf; result parity with
+      // the built index is gated in PipelineSpec.
+      VectorOps.ivfSearch(
+        VectorOps.IvfCache.opened(s, d), emb(s, d).where(col("vec_id") < 10), 10)
     },
     "label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(emb(s, d).withColumn("label", col("label").cast("long")))),
@@ -747,6 +774,18 @@ object SparkEntry {
       """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id, c_name AS name,
         |       c_acctbal AS acctbal, c_mktsegment AS mktsegment
         |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    "lookup_edge" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(100000000 + l_orderkey * 16 + seq AS BIGINT) AS id,
+        |       'contains' AS label,
+        |       CAST(6000000 + l_orderkey AS BIGINT) AS outV,
+        |       CAST(5000000 + l_partkey AS BIGINT) AS inV,
+        |       l_quantity AS quantity
+        |FROM liseq
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem) AND seq = 1""".stripMargin,
 
     "filter_by_prop" ->
       "SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer WHERE c_mktsegment = 'BUILDING'",
@@ -1053,6 +1092,26 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(a.s) > 0 AND len(b.s) > 0
          |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
+
+    // transitive closure of the exact near-dup pair relation via a
+    // recursive CTE (cheap at sf0.01: 24 pairs), then min-id per cluster
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |clust AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id""".stripMargin,
 
     "lang_id" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -273,14 +273,18 @@ final class GraftGraph(val log: MemFactLog) {
     def has(key: String, cmp: String, value: Comparable[Any]): VertexQuery = {
       preds :+= { e =>
         val p = e.getProperty(key)
-        p != null && (cmp match {
-          case "="  => value.compareTo(p) == 0
-          case "<>" => value.compareTo(p) != 0
-          case ">"  => value.compareTo(p) < 0
-          case ">=" => value.compareTo(p) <= 0
-          case "<"  => value.compareTo(p) > 0
-          case "<=" => value.compareTo(p) >= 0
-        })
+        cmp match {
+          // Blueprints DefaultQuery.HasContainer: NOT_EQUAL is satisfied
+          // by elements MISSING the key (null property, non-null value)
+          case "<>" => p == null || value.compareTo(p) != 0
+          case _ => p != null && (cmp match {
+            case "="  => value.compareTo(p) == 0
+            case ">"  => value.compareTo(p) < 0
+            case ">=" => value.compareTo(p) <= 0
+            case "<"  => value.compareTo(p) > 0
+            case "<=" => value.compareTo(p) >= 0
+          })
+        }
       }
       this
     }
@@ -503,6 +507,13 @@ final class GraftGraph(val log: MemFactLog) {
       .map(_.maxBy(f => (f.tx, f.seq)))
       .filter(_.added).toSeq
   }
+
+  /** Bulk edge read: ONE pass over the live facts instead of a per-handle
+    * `edgeRecords` rebuild — the set-oriented twin of `getEdges()` for
+    * whole-graph scans (each handle's getLabel/getVertex re-derives the
+    * edge table, which is fine for point reads and quadratic for scans). */
+  private[graft] def edgeTuples(): Seq[(Long, String, Long, Long)] =
+    edgeRecords(Long.MaxValue).map(r => (r.id, r.label, r.outV, r.inV))
 
   private def edgeRecords(asOf: Long): Seq[EdgeRec] = {
     val live = liveFacts(asOf)

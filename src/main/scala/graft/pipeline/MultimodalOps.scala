@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
  * and tested: schema contract, batch iteration, partitioning behavior,
  * and the derived-column shapes a real decoder would produce. Swapping
  * in a real JNI/FFmpeg/libvips decoder changes only [[stubDecode]].
- * [[imageMeta]] is NOT a stub: container format and pixel dimensions are
- * parsed from the actual header bytes (PNG/GIF/BMP/JPEG), codec-free.
+ * [[imageMeta]] and [[audioMeta]] are NOT stubs: container format,
+ * pixel dimensions (PNG/GIF/BMP/JPEG) and sample-rate/channels/bit-
+ * depth/duration (RIFF/WAV) are parsed from the actual header bytes,
+ * codec-free.
  */
 object MultimodalOps {
 
@@ -139,6 +141,62 @@ object MultimodalOps {
       ("jpeg", res._1, res._2)
     }
     else ("unknown", None, None)
+  }
+
+  /** Extracted audio container metadata (None fields when the payload
+    * is not recognized or the relevant chunk is missing). */
+  final case class AudioMeta(media_id: Long, format: String,
+                             channels: Option[Int], sample_rate: Option[Int],
+                             bits_per_sample: Option[Int], duration_ms: Option[Long])
+
+  /** REAL (non-stub) audio metadata: RIFF/WAV chunk walk, codec-free —
+    * sample rate, channels, and bit depth come from the `fmt ` chunk and
+    * duration from `data`-chunk-bytes / byte-rate, all within the first
+    * few hundred header bytes. Same constant-memory partition-mapped
+    * stage as [[imageMeta]]: the audio twin of size/aspect filtering is
+    * duration/sample-rate filtering before any expensive decode. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        val (f, ch, sr, bits, dur) = sniffAudio(c)
+        AudioMeta(id, f, ch, sr, bits, dur)
+      })
+      .toDF()
+  }
+
+  /** RIFF/WAVE header walk. Package-visible for tests. */
+  private[pipeline] def sniffAudio(c: Array[Byte])
+      : (String, Option[Int], Option[Int], Option[Int], Option[Long]) = {
+    def u8(i: Int) = c(i) & 0xFF
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    def le32(i: Int): Long =
+      ((u8(i + 3).toLong << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)) & 0xFFFFFFFFL
+    def tag(i: Int) = new String(c, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (c == null || c.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return ("unknown", None, None, None, None)
+    var i = 12
+    var channels, sampleRate, bits = Option.empty[Int]
+    var byteRate = 0L
+    var dataBytes = Option.empty[Long]
+    // chunks are (id, size-LE, payload) with odd sizes padded to even
+    while (i + 8 <= c.length) {
+      val id = tag(i); val sz = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= c.length) {
+        channels = Some(le16(i + 10))
+        sampleRate = Some(le32(i + 12).toInt)
+        byteRate = le32(i + 16)
+        bits = Some(le16(i + 22))
+      } else if (id == "data") dataBytes = Some(sz)
+      // corrupt/huge sizes must terminate the walk, not overflow the index
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > c.length) c.length else next.toInt
+    }
+    val dur = dataBytes.filter(_ => byteRate > 0)
+      .map(db => math.round(db * 1000.0 / byteRate))
+    ("wav", channels, sampleRate, bits, dur)
   }
 
   /** Resize stub for image rows: real work happens per-partition against

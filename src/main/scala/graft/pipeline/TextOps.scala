@@ -192,6 +192,33 @@ object TextOps {
     res
   }
 
+  /** Production fuzzy dedup: collapse near-dup PAIRS into transitive
+    * CLUSTERS and pick one representative per cluster — "a~b, b~c"
+    * must keep one of {a,b,c}, not run two independent pair drops.
+    * Composition: [[dedupMinHashLsh]] candidate pairs (banded LSH +
+    * exact-Jaccard verify) → GraphX `connectedComponents` over the PAIR
+    * graph only (the component id is the min doc_id, which IS the
+    * representative) → a left join assigns every corpus doc its cluster.
+    * Scale shape: the pair graph is orders of magnitude smaller than the
+    * corpus (that is the point of LSH), so the iterative CC rounds touch
+    * only near-dup docs; the corpus-side cost is one equi-join on doc_id.
+    * Returns (doc_id, cluster_id, keep) for EVERY document — singletons
+    * are their own cluster and always kept. */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = dedupMinHashLsh(docs, threshold)
+    val edges = pairs.select(col("a"), col("b")).rdd
+      .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+      .connectedComponents().vertices
+    val compDF = spark.createDataFrame(cc).toDF("doc_id", "cluster_id")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(compDF, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Per-token 64-bit hashes — stage THIS as an attribute before
     * [[simhashFromHashes]]: the bit sums reference each hash 64 times
     * (once per bit), and hashing inside that lambda would xxhash every

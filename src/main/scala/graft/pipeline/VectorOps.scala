@@ -366,6 +366,22 @@ object VectorOps {
     def index(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
       synchronized(cache.getOrElseUpdate((spark, dir),
         ivfBuild(spark.read.parquet(s"$dir/embeddings.parquet"))))
+
+    /** Memoized OPENED index: the trained index round-tripped through its
+      * parquet persistence ([[saveIndex]]/[[openIndex]]) once per
+      * (session, sf dir) — the cold-start deployment shape, where a
+      * search job opens a durable index built by an earlier job instead
+      * of retraining. Searches over it must hit the persisted in-memory
+      * assignment, not a per-search parquet re-scan (plan-asserted in
+      * PipelineSpec). */
+    private val openedCache = scala.collection.mutable.Map
+      .empty[(org.apache.spark.sql.SparkSession, String), IvfIndex]
+    def opened(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+      synchronized(openedCache.getOrElseUpdate((spark, dir), {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_opened_${math.abs(dir.hashCode)}"
+        saveIndex(index(spark, dir), root)
+        openIndex(spark, root)
+      }))
   }
 
   /** Per-label centroids via the native `graft_vec_mean`

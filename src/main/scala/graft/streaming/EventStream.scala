@@ -143,6 +143,65 @@ object EventStream {
       .drop("norm_hash_a", "norm_hash_b")
   }
 
+  /** Streaming NEAR-dup detection — the streaming twin of
+    * [[graft.pipeline.TextOps.dedupMinHashLsh]]: minhash-band candidate
+    * generation as a watermarked stream-stream self-join. Each doc
+    * explodes into `bands` (band, band-hash) keys (identical hashing to
+    * the batch operator, so stream and batch bucket identically); two
+    * docs whose band keys collide within the watermark horizon meet in
+    * the join, and the pair is verified by SIGNATURE-estimated Jaccard —
+    * the matching fraction of minhash components, an unbiased estimator
+    * of the true Jaccard (σ ≈ √(j(1−j)/k), ~0.03 at k=128) — rather
+    * than exact shingle intersection: state then carries one fixed-width
+    * signature per row instead of unbounded shingle sets, the choice
+    * that keeps join state bounded at 100 TB stream scale. Pairs
+    * arriving further apart than the watermark are structurally excluded
+    * by the time-range join condition (that bound is what lets Spark
+    * evict state). Emits one row per colliding band; the final
+    * `dropDuplicatesWithinWatermark` collapses them to one row per
+    * (a, b) pair.
+    *
+    * On a stream, `persist()` staging barriers are unavailable, so the
+    * signature pipeline runs as nested column expressions — the
+    * re-evaluation cost stays within one map stage per micro-batch and
+    * never enters join state. */
+  def nearDupPairsStream(docs: DataFrame, tsCol: String,
+                         watermark: String = "1 hour",
+                         threshold: Double = 0.8,
+                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    import graft.pipeline.TextOps
+    val spark = docs.sparkSession
+    val r = numHashes / bands
+    def banded(side: String): DataFrame =
+      docs
+        .select(col("doc_id").as(side), col(tsCol).as(s"ts_$side"),
+          TextOps.signatureBest(spark, TextOps.hashPairs(
+            TextOps.shinglesFromTokens(TextOps.tokens(col("text")))),
+            numHashes).as(s"sig_$side"))
+        .select(col(side), col(s"ts_$side"), col(s"sig_$side"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col(s"sig_$side"), b * r + 1, lit(r)), b).as("bh"))))
+            .as("bb"))
+        .select(col(side), col(s"ts_$side"), col(s"sig_$side"),
+          col("bb.band").as(s"band_$side"), col("bb.bh").as(s"bh_$side"))
+        .withWatermark(s"ts_$side", watermark)
+    val x = banded("a")
+    val y = banded("b")
+    val horizon = expr(s"INTERVAL $watermark")
+    val matched = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (p, q) => p === q), m => m))
+    x.join(y,
+        col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
+          col("a") < col("b") &&
+          col("ts_b") >= col("ts_a") - horizon &&
+          col("ts_b") <= col("ts_a") + horizon)
+      .withColumn("jac_est", matched.cast("double") / numHashes)
+      .where(col("jac_est") >= threshold)
+      .select(col("a"), col("b"), col("ts_a"), round(col("jac_est"), 3).as("jac_est"))
+      .dropDuplicatesWithinWatermark("a", "b")
+  }
+
   /** Per-user latest state via explicit keyed state (the streaming
     * equivalent of the per-element version chain): each group folds its
     * new events in event_id order into (version count, last type, current

@@ -124,6 +124,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ids == Set(0L, 2L)) // 1 and 3 deduped against 0's hash
   }
 
+  test("streaming near-dup pairs: minhash bands match batch LSH; watermark bounds the pair horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ~100-token docs, one substitution apart → shingle Jaccard ≈ 0.94,
+    // far enough from the 0.8 bar that the 128-hash estimator can't flake
+    val base = (1 to 100).map(i => s"w$i")
+    val dA = base.mkString(" ")
+    val dB = base.updated(50, "zz").mkString(" ")
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.nearDupPairsStream(
+        source.toDF().toDF("doc_id", "ts", "text"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (0L, ts("2024-01-01 00:00:00"), dA),
+        (1L, ts("2024-01-01 00:10:00"), dB),       // near-dup of 0, in window
+        (2L, ts("2024-01-01 00:20:00"), "an entirely different subject matter"))
+      q.processAllAvailable()
+      // same content as doc 0, but 3 h later — outside the 1 h horizon:
+      // the time-range join condition must exclude it
+      source.addData((4L, ts("2024-01-01 03:00:00"), dA))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamPairs = spark.table("neardup_sink")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == Set((0L, 1L)))
+    // batch parity on the in-window docs: identical band hashing, exact
+    // verify instead of the estimator — same pair set on this corpus
+    val batchPairs = graft.pipeline.TextOps.dedupMinHashLsh(
+        Seq((0L, dA), (1L, dB), (2L, "an entirely different subject matter"))
+          .toDF("doc_id", "text"), 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs == streamPairs)
+  }
+
   test("session windows: streaming result equals the batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

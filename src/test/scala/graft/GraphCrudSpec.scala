@@ -196,4 +196,26 @@ class GraphCrudSpec extends AnyFunSuite {
     assert(a.query().limit(2).edges().size == 2)
     assert(a.query().direction("out").count() == 3)
   }
+
+  test("query builder: NOT_EQUAL matches missing keys; limit composes with BOTH and filters") {
+    val graph = g
+    val a = graph.addVertex()
+    val b = graph.addVertex(); val c = graph.addVertex(); val d = graph.addVertex()
+    graph.addEdge(a, b, "knows").setProperty("w", 1L)
+    graph.addEdge(a, c, "knows").setProperty("w", 5L)
+    graph.addEdge(a, d, "likes") // NO w property
+    graph.addEdge(b, a, "knows").setProperty("w", 5L) // incoming to a
+    val five = 5L.asInstanceOf[Comparable[Any]]
+    // Blueprints DefaultQuery.HasContainer semantics: NOT_EQUAL is
+    // satisfied by edges MISSING the key, not only by differing values
+    assert(a.query().direction("out").has("w", "<>", five).count() == 2) // w=1 and missing
+    assert(a.query().has("w", "<>", five).count() == 2)                  // both dirs, two w=5 excluded
+    // limit applies to the filtered BOTH concat (out edges first, then in)
+    assert(a.query().count() == 4)                  // 3 out + 1 in
+    assert(a.query().limit(3).edges().size == 3)
+    assert(a.query().labels("knows").limit(2).count() == 2)
+    assert(a.query().labels("knows").count() == 3)  // 2 out + 1 in
+    // the BOTH neighbor bag resolves the OPPOSITE endpoint per edge
+    assert(a.query().labels("knows").vertices().map(_.id).sorted == Seq(b.id, c.id, b.id).sorted)
+  }
 }

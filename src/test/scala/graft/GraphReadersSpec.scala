@@ -149,6 +149,73 @@ class GraphReadersSpec extends AnyFunSuite {
     assert(vs3(v3.id.toString).getProperty("quote") == "say \"hi\" & bye")
   }
 
+  test("non-toy fixture: 1k-vertex hub-skewed GraphML loads and round-trips all formats") {
+    // Grateful-Dead-scale fixture (the reference's benchmark suite loads
+    // ~809 vertices / 8k edges, FluxBenchmarkTestSuite.java:24) with a
+    // skewed in-degree distribution — exercises the readers' id mapping
+    // and buffered-edge replay well past the 6V/6E toy shape
+    val N = 1000; val E = 8000
+    val r = new scala.util.Random(42)
+    val labels = Array("knows", "created", "follows")
+    val sb = new StringBuilder
+    sb ++= """<?xml version="1.0" encoding="UTF-8"?>"""
+    sb ++= """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">"""
+    sb ++= """<key id="name" for="node" attr.name="name" attr.type="string"/>"""
+    sb ++= """<key id="group" for="node" attr.name="group" attr.type="int"/>"""
+    sb ++= """<key id="weight" for="edge" attr.name="weight" attr.type="double"/>"""
+    sb ++= """<graph id="G" edgedefault="directed">"""
+    (0 until N).foreach { i =>
+      sb ++= s"""<node id="$i"><data key="name">v$i</data><data key="group">${i % 17}</data></node>"""
+    }
+    (0 until E).foreach { j =>
+      val src = r.nextInt(N)
+      // cubic bias toward low ids → a few hub sinks, most vertices cold
+      val dst = math.min((N * math.pow(r.nextDouble(), 3)).toInt, N - 1)
+      sb ++= s"""<edge id="e$j" source="$src" target="$dst" label="${labels(j % 3)}">"""
+      sb ++= s"""<data key="weight">${(j % 100) / 100.0}</data></edge>"""
+    }
+    sb ++= "</graph></graphml>"
+
+    // structural digest that is engine-id independent: counts, label
+    // histogram, the SORTED in-degree multiset, and an exact weight sum.
+    // Bulk-read via edgeTuples — per-handle getLabel/getVertex re-derive
+    // the edge table each call, which is quadratic at 8k edges.
+    def digest(g: GraftGraph): (Int, Int, Map[String, Int], Seq[Int], Long, Set[Any]) = {
+      val es = g.edgeTuples()
+      val indeg = es.groupBy(_._4).values.map(_.size).toSeq.sorted.reverse
+      val weightSum = es.map { case (id, _, _, _) =>
+        g.getEdge(id).getProperty("weight").asInstanceOf[Double] }.sum
+      (g.getVertices().size, es.size,
+        es.groupBy(_._2).map { case (k, v) => k -> v.size },
+        indeg.take(10),
+        math.round(weightSum * 100),
+        g.getVertices("group", 3).map(_.getProperty("name")).toSet)
+    }
+
+    val g0 = new GraftGraph(TestSpark.spark)
+    GraphReaders.inputGraphML(g0, new ByteArrayInputStream(
+      sb.toString.getBytes(StandardCharsets.UTF_8)))
+    val d0 = digest(g0)
+    assert(d0._1 == N && d0._2 == E)
+    assert(d0._3.values.sum == E && d0._3.keySet == labels.toSet)
+    // skew really present: the hottest sink dwarfs the typical vertex
+    assert(d0._4.head > 50, s"expected a hub, top in-degrees ${d0._4}")
+    assert(d0._6.size == N / 17 + (if (3 < N % 17) 1 else 0))
+
+    val g1 = new GraftGraph(TestSpark.spark)
+    GraphReaders.inputGraphML(g1, new ByteArrayInputStream(
+      graft.io.GraphWriters.outputGraphML(g0).getBytes(StandardCharsets.UTF_8)))
+    assert(digest(g1) == d0)
+
+    val g2 = new GraftGraph(TestSpark.spark)
+    GraphReaders.inputGraphSON(g2, graft.io.GraphWriters.outputGraphSON(g0))
+    assert(digest(g2) == d0)
+
+    val g3 = new GraftGraph(TestSpark.spark)
+    GraphReaders.inputGML(g3, graft.io.GraphWriters.outputGML(g0))
+    assert(digest(g3) == d0)
+  }
+
   test("supplied ids are ignored: engine ids assigned (FluxGraph.java:59)") {
     val g = new GraftGraph(TestSpark.spark)
     val vs = GraphReaders.inputGML(g, """graph [ node [ id 999999 name "x" ] ]""")

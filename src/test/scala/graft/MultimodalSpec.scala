@@ -123,6 +123,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(6L) == (("unknown", None, None)))
     assert(m(7L) == (("jpeg", Some(321), Some(123)))) // FF fill skipped
     assert(m(8L) == (("jpeg", None, None)))           // stopped at SOS, no fake dims
+  }
+
+  test("audioMeta parses RIFF/WAV headers: rate, channels, bits, duration from chunks") {
+    // canonical 16-byte PCM fmt chunk + data chunk; an extra LIST chunk
+    // between them proves the walk skips unknown chunks by size
+    def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int,
+            listChunk: Boolean = false): Array[Byte] = {
+      val byteRate = rate * channels * (bits / 8)
+      val listSz = if (listChunk) 8 + 6 else 0 // odd payload → padded below
+      val b = java.nio.ByteBuffer.allocate(44 + listSz + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16)
+      b.putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      b.putInt(byteRate).putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      if (listChunk) { b.put("LIST".getBytes).putInt(5); b.put("INFOx".getBytes); b.put(0.toByte) }
+      b.put("data".getBytes).putInt(dataBytes)
+      b.array()
+    }
+    val rows = Seq(
+      Row(1L, "audio", wav(2, 44100, 16, 176400), null),          // exactly 1 s stereo
+      Row(2L, "audio", wav(1, 16000, 8, 4000, listChunk = true), null), // 250 ms mono, LIST skipped
+      Row(3L, "audio", Array[Byte](1, 2, 3, 4), null),            // junk
+      Row(4L, "audio", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    val m = MultimodalOps.audioMeta(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[String]("format"),
+          Option(r.getAs[Integer]("channels")).map(_.toInt),
+          Option(r.getAs[Integer]("sample_rate")).map(_.toInt),
+          Option(r.getAs[Integer]("bits_per_sample")).map(_.toInt),
+          Option(r.getAs[java.lang.Long]("duration_ms")).map(_.toLong))).toMap
+    assert(m(1L) == (("wav", Some(2), Some(44100), Some(16), Some(1000L))))
+    assert(m(2L) == (("wav", Some(1), Some(16000), Some(8), Some(250L))))
+    assert(m(3L) == (("unknown", None, None, None, None)))
+    assert(m(4L) == (("unknown", None, None, None, None)))
 
   }
 }

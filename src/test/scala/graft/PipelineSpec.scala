@@ -214,7 +214,14 @@ class PipelineSpec extends AnyFunSuite {
       VectorOps.ivfSearch(idx, qs, 10).collect()
         .map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
     assert(rows(reopened) == rows(built))
+    // searches over the OPENED index must hit the persisted in-memory
+    // assignment, not re-scan the index parquet per search
+    val openedPlan = VectorOps.ivfSearch(reopened, qs, 10)
+      .queryExecution.executedPlan.toString
+    assert(openedPlan.contains("InMemoryTableScan"),
+      s"opened-index search does not read the persisted assignment:\n$openedPlan")
     built.indexed.unpersist(false)
+    reopened.indexed.unpersist(false)
   }
 
   test("similar docs: exact Jaccard top-k ranking from a broadcast query") {
@@ -380,6 +387,27 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy(col("label")).agg(round(sqrt(sum(col("m") * col("m"))), 4).as("n"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(native == composed)
+  }
+
+  test("dedupClusters: transitive near-dup chains collapse to one kept representative") {
+    // A/B differ by one token, A/C by another: A~B and A~C pass the 0.8
+    // shingle-Jaccard bar (~0.88) but B~C (two diffs) lands at ~0.78 —
+    // so {1,2,3} is one TRANSITIVE cluster even though (2,3) is not a
+    // pair, which is exactly what pair-wise dropping gets wrong
+    val base = (1 to 50).map(i => s"tok$i")
+    val d = Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.updated(9, "xx").mkString(" ")),
+      (3L, base.updated(39, "yy").mkString(" ")),
+      (99L, "completely different text about nothing else entirely"))
+      .toDF("doc_id", "text")
+    val r = TextOps.dedupClusters(d, 0.8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == ((1L, true)))
+    assert(r(2L) == ((1L, false)))
+    assert(r(3L) == ((1L, false)))
+    assert(r(99L) == ((99L, true))) // singleton keeps itself
+    assert(r.size == 4)
   }
 
   test("graft_vec_mean: empty-array groups survive partial aggregation; 0-vs-n dims merge throws") {

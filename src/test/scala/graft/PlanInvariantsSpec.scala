@@ -19,8 +19,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // centroid table, band table) — documented in VectorOps
     // each of these broadcasts a TINY query batch against the corpus
     // (exact-scoring search paths) — the corpus side is never shuffled
-    val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_lsh", "dedup_embedding",
-      "similar_docs")
+    val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_ivf_opened", "ann_lsh",
+      "dedup_embedding", "similar_docs")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
