@@ -91,23 +91,38 @@ object GraphXTraversal {
       .toDF("n_paths", "n_suppliers")
   }
 
+  /** Label-filtered edge RDD for the iterative analytics: built with
+    * `Graph.fromEdges` semantics in mind — only edge ENDPOINTS become
+    * vertices, where `subgraph()` would keep every snapshot vertex as an
+    * isolated singleton (at 100 TB, most of the graph). The filtered
+    * graph is a small fraction of the snapshot, so the narrow
+    * coalesce keeps Pregel rounds from being task-overhead-bound at the
+    * parent's partitioning (measured: star PageRank 6.3 s → 0.6 s, CC
+    * 3.6 s → sub-second at sf0.1); a larger filtered-edge count warrants
+    * more partitions. */
+  private def labelEdges(snap: Snapshot, labels: Seq[String],
+                         numPartitions: Int = 8): RDD[Edge[Unit]] =
+    snap.edges
+      .where(col("label").isin(labels: _*))
+      .select(col("outV"), col("inV")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .coalesce(numPartitions)
+
   /** Connected components of the label-filtered subgraph (undirected
     * semantics — GraphX CC ignores direction): one row per NON-ISOLATED
     * vertex with its component id (= min vertex id in the component, the
-    * GraphX convention). Isolated vertices are excluded via the degree
-    * view — `subgraph` keeps every vertex, and a 100 TB graph restricted
-    * to one edge label is mostly isolated vertices (here: orders/parts/
-    * regions when filtering to in_nation), which would dominate the
-    * output as meaningless singletons. Iterative Pregel rounds — each is
-    * one shuffle over the partitioned edge RDD, no driver loop. */
+    * GraphX convention). `Graph.fromEdges` creates vertices only for
+    * edge endpoints, so isolated vertices never enter the fixpoint (a
+    * 100 TB graph restricted to one edge label is mostly isolated
+    * vertices — here: orders/parts/regions when filtering to in_nation —
+    * which would otherwise dominate both the Pregel rounds and the
+    * output as meaningless singletons). Each round is one shuffle over
+    * the partitioned edge RDD, no driver loop. */
   def componentsDF(spark: SparkSession, snap: Snapshot,
                    labels: Seq[String]): DataFrame = {
-    val labelSet = labels.toSet
-    val sub = cachedGraph(snap).subgraph(epred = e => labelSet.contains(e.attr))
-    val cc = sub.connectedComponents().vertices
-    val connected = cc.join(sub.degrees)
-      .map { case (vid, (comp, _)) => (vid, comp) }
-    spark.createDataFrame(connected).toDF("vertex_id", "component")
+    val cc = Graph.fromEdges(labelEdges(snap, labels), ())
+      .connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("vertex_id", "component")
   }
 
   /** PageRank restricted to a label-filtered subgraph, built with
@@ -133,17 +148,8 @@ object GraphXTraversal {
   def pageRankStarDF(spark: SparkSession, snap: Snapshot,
                      labels: Seq[String] = Seq("in_nation", "in_region"),
                      numIter: Int = 3): DataFrame = {
-    // the label-filtered star graph is a small fraction of the snapshot;
-    // inheriting the full 32-partition layout makes every Pregel round
-    // task-overhead-bound (measured 6.3 s → the coalesce cuts it to the
-    // actual message-passing cost). Narrow coalesce, no shuffle; at a
-    // larger filtered-edge count the caller passes more partitions.
-    val edges: RDD[Edge[Unit]] = snap.edges
-      .where(col("label").isin(labels: _*))
-      .select(col("outV"), col("inV")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
-      .coalesce(8)
-    val ranks = Graph.fromEdges(edges, ()).staticPageRank(numIter).vertices
+    val ranks = Graph.fromEdges(labelEdges(snap, labels), ())
+      .staticPageRank(numIter).vertices
     spark.createDataFrame(ranks).toDF("vertex_id", "rank")
       .select(col("vertex_id"), round(col("rank"), 4).as("rank"))
   }
