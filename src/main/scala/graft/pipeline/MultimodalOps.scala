@@ -199,6 +199,95 @@ object MultimodalOps {
     ("wav", channels, sampleRate, bits, dur)
   }
 
+  /** Extracted video container metadata (None fields when the payload is
+    * not recognized or the relevant box is missing). */
+  final case class VideoMeta(media_id: Long, format: String,
+                             duration_ms: Option[Long],
+                             width: Option[Int], height: Option[Int])
+
+  /** REAL (non-stub) video metadata: ISO-BMFF (MP4/MOV) box walk,
+    * codec-free — brand from `ftyp`, duration from `moov/mvhd`
+    * (duration/timescale), and presentation width/height from the
+    * largest `trak/tkhd` (16.16 fixed-point). Box structure is pure
+    * length-prefixed framing, so no codec is touched; with `moov` at the
+    * front (the faststart layout every streaming pipeline writes) this
+    * reads only header bytes. Completes the media triple: images
+    * ([[imageMeta]]), audio ([[audioMeta]]), video — all three filter
+    * paths (size/aspect, sample-rate/duration, resolution/duration) run
+    * before any expensive decode. */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        val (f, dur, w, h) = sniffVideo(c)
+        VideoMeta(id, f, dur, w, h)
+      })
+      .toDF()
+  }
+
+  /** ISO-BMFF box walk: (format, duration_ms, width, height).
+    * Package-visible for tests. */
+  private[pipeline] def sniffVideo(c: Array[Byte])
+      : (String, Option[Long], Option[Int], Option[Int]) = {
+    def u8(i: Int) = c(i) & 0xFF
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int) = new String(c, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (c == null || c.length < 12 || tag(4) != "ftyp")
+      return ("unknown", None, None, None)
+    val brand = tag(8).trim
+    var durMs = Option.empty[Long]
+    var width, height = Option.empty[Int]
+    // walk boxes in [from, to); recurse only into the two containers we
+    // need (moov, trak) — depth is bounded by the format, not the data
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz0 = be32(i); val typ = tag(i + 4)
+        // size==1 → 64-bit largesize follows; size==0 → box runs to EOF
+        val (hdr, sz) =
+          if (sz0 == 1L && i + 16 <= to) (16, be64(i + 8))
+          else if (sz0 == 0L) (8, (to - i).toLong)
+          else (8, sz0)
+        if (sz < hdr || i + sz > to) return // corrupt size: stop the walk
+        val end = (i + sz).toInt
+        typ match {
+          case "moov" | "trak" if depth < 2 => walk(i + hdr, end, depth + 1)
+          case "mvhd" if i + hdr + 4 <= to =>
+            val v = u8(i + hdr)
+            // v0: ctime4 mtime4 timescale4 duration4; v1: 8/8/4/8
+            val (tsOff, durOff, dur64) =
+              if (v == 1) (i + hdr + 20, i + hdr + 24, true)
+              else (i + hdr + 12, i + hdr + 16, false)
+            if ((dur64 && durOff + 8 <= to) || (!dur64 && durOff + 4 <= to)) {
+              val timescale = be32(tsOff)
+              val dur = if (dur64) be64(durOff) else be32(durOff)
+              if (timescale > 0) durMs = Some(math.round(dur * 1000.0 / timescale))
+            }
+          case "tkhd" if i + hdr + 4 <= to =>
+            val v = u8(i + hdr)
+            // width/height are the LAST 8 bytes of the box, 16.16 fixed
+            if (end - 8 >= i + hdr + 4) {
+              val w = (be32(end - 8) >> 16).toInt
+              val h = (be32(end - 4) >> 16).toInt
+              // audio/hint tracks carry 0×0 — keep the largest video track
+              if (w > 0 && h > 0 &&
+                  w.toLong * h > width.getOrElse(0).toLong * height.getOrElse(0)) {
+                width = Some(w); height = Some(h)
+              }
+            }
+          case _ => ()
+        }
+        i = end
+      }
+    }
+    walk(0, c.length, 0)
+    (if (brand.nonEmpty) s"mp4/$brand" else "mp4", durMs, width, height)
+  }
+
   /** Resize stub for image rows: real work happens per-partition against
     * the binary payload; here the metadata transform (the Spark-visible
     * contract) is exact and the payload passes through. */

@@ -162,4 +162,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(4L) == (("unknown", None, None, None, None)))
 
   }
+
+  test("videoMeta parses ISO-BMFF boxes: brand, mvhd duration, tkhd dimensions") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      b.array()
+    }
+    def mvhd(version: Int, timescale: Int, duration: Long): Array[Byte] = {
+      val timeBytes = if (version == 1) 8 else 4
+      val b = java.nio.ByteBuffer.allocate(4 + 2 * timeBytes + 4 + timeBytes + 80)
+      b.put(version.toByte).put(Array[Byte](0, 0, 0)) // version + flags
+      if (version == 1) { b.putLong(0L).putLong(0L).putInt(timescale).putLong(duration) }
+      else { b.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt) }
+      b.array()
+    }
+    def tkhd(width: Int, height: Int): Array[Byte] = {
+      // v0 tkhd: 4 (ver+flags) + 4+4 (times) + 4 (id) + 4 (res) + 4 (dur)
+      // + 8 (res) + 2+2+2+2 + 36 (matrix) + width/height as 16.16
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.position(76)
+      b.putInt(width << 16).putInt(height << 16)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](8)(0))
+    def movie(durV: Int, ts: Int, dur: Long, tracks: Seq[(Int, Int)]): Array[Byte] =
+      ftyp ++ box("moov",
+        box("mvhd", mvhd(durV, ts, dur)) ++
+          tracks.flatMap(t => box("trak", box("tkhd", tkhd(t._1, t._2)))))
+    val rows = Seq(
+      // 90s at timescale 600 = 54000 units; audio track is 0×0 and must
+      // lose to the 1280×720 video track
+      Row(1L, "video", movie(0, 600, 54000L, Seq((0, 0), (1280, 720))), null),
+      // version-1 mvhd (64-bit duration): 2.5 s at timescale 1000
+      Row(2L, "video", movie(1, 1000, 2500L, Seq((640, 360))), null),
+      Row(3L, "video", "not a video".getBytes, null),
+      Row(4L, "video", null, null),
+      // truncated moov (corrupt inner size): brand parses, fields stay None
+      Row(5L, "video", ftyp ++ java.nio.ByteBuffer.allocate(8).putInt(9999).put("moov".getBytes).array(), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    val m = MultimodalOps.videoMeta(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[String]("format"),
+          Option(r.getAs[java.lang.Long]("duration_ms")).map(_.toLong),
+          Option(r.getAs[Integer]("width")).map(_.toInt),
+          Option(r.getAs[Integer]("height")).map(_.toInt))).toMap
+    assert(m(1L) == (("mp4/isom", Some(90000L), Some(1280), Some(720))))
+    assert(m(2L) == (("mp4/isom", Some(2500L), Some(640), Some(360))))
+    assert(m(3L) == (("unknown", None, None, None)))
+    assert(m(4L) == (("unknown", None, None, None)))
+    assert(m(5L) == (("mp4/isom", None, None, None)))
+  }
 }
