@@ -207,6 +207,18 @@ object SparkEntry {
       // spec-gated in GraphXAnalyticsSpec.
       graft.gx.GraphXTraversal.pageRankStarDF(s, TpchGraph.snapshot(s, d))),
 
+    "triangle_count" -> ((s, d) =>
+      // GraphX triangle counting (general neighbor-set-intersection
+      // algorithm) on the bulk-quantity part-co-occurrence graph; the
+      // oracle recomputes the census with a 3-way relational self-join
+      graft.gx.GraphXTraversal.triangleCensusDF(s, TpchGraph.snapshot(s, d))),
+
+    "shortest_paths" -> ((s, d) =>
+      // GraphX Pregel BFS to supplier landmarks over the order DAG;
+      // the DAG's level structure gives the oracle a 3-join closed form
+      graft.gx.GraphXTraversal.shortestPathsDF(
+        s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
+
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
@@ -883,6 +895,49 @@ object SparkEntry {
         |  UNION ALL SELECT CAST(1000000 + n_regionkey AS BIGINT), r FROM rrank
         |), tot AS (SELECT count(*) AS nv, sum(r) AS s FROM rawrank)
         |SELECT vertex_id, round(r * nv / s, 4) AS "rank" FROM rawrank, tot""".stripMargin,
+
+    // relational triangle census of the bulk-quantity co-occurrence
+    // graph: e is the distinct a<b part-pair set, wedges close on a
+    // third join (see GraphXTraversal.triangleCensusDF)
+    "triangle_count" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+        |SELECT
+        |  CAST((SELECT count(*) FROM (SELECT a AS v FROM e UNION SELECT b FROM e)) AS BIGINT) AS n_parts,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_coedges,
+        |  CAST((SELECT count(*)
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles""".stripMargin,
+
+    // closed-form BFS levels on the placed/contains/supplied_by DAG
+    // (see GraphXTraversal.shortestPathsDF): landmark suppliers 0,
+    // their parts 1, orders containing those parts 2, customers 3
+    "shortest_paths" ->
+      """WITH lm AS (
+        |  -- a landmark is a graph vertex only if some edge references it
+        |  SELECT CAST(4000000 + s_suppkey AS BIGINT) AS lid FROM supplier
+        |  WHERE s_suppkey BETWEEN 1 AND 3
+        |    AND s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        |), d1 AS (
+        |  SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS v,
+        |         CAST(4000000 + l_suppkey AS BIGINT) AS lid
+        |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 3
+        |), d2 AS (
+        |  SELECT DISTINCT CAST(6000000 + l.l_orderkey AS BIGINT) AS v, d1.lid
+        |  FROM lineitem l JOIN d1 ON CAST(5000000 + l.l_partkey AS BIGINT) = d1.v
+        |), d3 AS (
+        |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS v, d2.lid
+        |  FROM orders o JOIN d2 ON CAST(6000000 + o.o_orderkey AS BIGINT) = d2.v
+        |)
+        |SELECT vertex_id, landmark_id, dist FROM (
+        |  SELECT lid AS vertex_id, lid AS landmark_id, CAST(0 AS INT) AS dist FROM lm
+        |  UNION ALL SELECT v, lid, CAST(1 AS INT) FROM d1
+        |  UNION ALL SELECT v, lid, CAST(2 AS INT) FROM d2
+        |  UNION ALL SELECT v, lid, CAST(3 AS INT) FROM d3)""".stripMargin,
 
     "property_keys" ->
       """SELECT key FROM (VALUES ('name'),('acctbal'),('mktsegment'),('size'),('brand'),

@@ -154,6 +154,66 @@ object GraphXTraversal {
       .select(col("vertex_id"), round(col("rank"), 4).as("rank"))
   }
 
+  /** Triangle census of the bulk-quantity part-co-occurrence graph:
+    * parts are linked when one order contains BOTH with quantity ≥
+    * `minQty` (the property filter rides the snapshot's typed
+    * edge-prop fact scan, then thins the quadratic pair blowup at the
+    * source — the same guard a 100 TB co-occurrence projection needs,
+    * since pairs-per-order grows as C(items, 2)). Pair generation is
+    * ONE equi-join on the order id plus a distinct — no crossJoin —
+    * and GraphX's general triangle-counting algorithm
+    * (neighbor-set intersection per edge, each round a shuffle over
+    * the partitioned edge RDD) is checked against a DuckDB oracle
+    * that recomputes the census with a 3-way relational self-join.
+    * Returns one row: (n_parts, n_coedges, n_triangles). */
+  def triangleCensusDF(spark: SparkSession, snap: Snapshot,
+                       minQty: Double = 30.0): DataFrame = {
+    import graft.model.{A, PropType}
+    val bulkIds = snap.prop("quantity", PropType.PDouble, A.Edge)
+      .where(col("v") >= minQty).select(col("e").as("id"))
+    val bulk = snap.edges.where(col("label") === "contains")
+      .join(bulkIds, "id")
+    // renamed projections before the self-join (ambiguity gotcha)
+    val lhs = bulk.select(col("outV").as("o"), col("inV").as("a"))
+    val rhs = bulk.select(col("outV").as("o"), col("inV").as("b"))
+    val pairs = lhs.join(rhs, "o").where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val g = Graph.fromEdges(
+      pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+        .coalesce(8), ()).cache()
+    // a < b and distinct → edges are already canonical; triangleCount
+    // re-canonicalizes internally, which is a cheap no-op here
+    val nTriangles = g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+    val out = spark.createDataFrame(
+      Seq((g.numVertices, g.numEdges, nTriangles)))
+      .toDF("n_parts", "n_coedges", "n_triangles")
+    g.unpersist(blocking = false)
+    out
+  }
+
+  /** Single-source-class BFS: GraphX `ShortestPaths` (Pregel, distances
+    * follow edge DIRECTION: each vertex learns its hop distance TO the
+    * landmark set along out-edges) over the order DAG
+    * customer -placed-> order -contains-> part -supplied_by-> supplier,
+    * with supplier landmarks. The structure pins the answer relationally
+    * — parts supplying a landmark sit at 1, orders containing such parts
+    * at 2, their customers at 3 — so the DuckDB oracle derives every
+    * (vertex, landmark, dist) row with three joins while GraphX runs
+    * the GENERAL fixpoint: the same verify-the-general-algorithm-on-a-
+    * known-structure trick as `connected_components`/`pagerank`.
+    * Unreachable vertices carry no row (Graph.fromEdges keeps only
+    * endpoints; the SPMap stays empty off the landmark cone). */
+  def shortestPathsDF(spark: SparkSession, snap: Snapshot,
+                      landmarks: Seq[Long],
+                      labels: Seq[String] =
+                        Seq("placed", "contains", "supplied_by")): DataFrame = {
+    val g = Graph.fromEdges(labelEdges(snap, labels), ())
+    val sp = org.apache.spark.graphx.lib.ShortestPaths
+      .run(g, landmarks).vertices
+      .flatMap { case (vid, m) => m.map { case (lm, d) => (vid, lm, d) } }
+    spark.createDataFrame(sp).toDF("vertex_id", "landmark_id", "dist")
+  }
+
   /** Static PageRank over the full snapshot graph (`numIter` fixed
     * rounds, damping 0.85): (vertex_id, rank). Spec-gated (rank ORDER
     * in GraphXAnalyticsSpec — hub nations/regions accumulate the mass

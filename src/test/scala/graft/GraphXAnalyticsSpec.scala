@@ -68,6 +68,51 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(off.isEmpty, s"ranks differ from closed form: ${off.take(5)}")
   }
 
+  test("triangle census: GraphX count matches a direct wedge-closure recount") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    val row = graft.gx.GraphXTraversal.triangleCensusDF(spark, snap).head()
+    val (nParts, nEdges, nTris) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nParts > 0 && nEdges > 0)
+    // independent recount from the raw table: same pair set, brute wedge
+    // closure in driver memory (fine at sf0.001)
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_quantity") >= 30)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val expectTris = pairs.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty).count(c => c > b && pairs.contains((b, c)))
+    }.sum
+    assert(nEdges == pairs.size.toLong, s"edges $nEdges vs ${pairs.size}")
+    assert(nParts == pairs.flatMap(p => Seq(p._1, p._2)).size.toLong)
+    assert(nTris == expectTris.toLong, s"triangles $nTris vs $expectTris")
+  }
+
+  test("shortest paths: BFS levels land on the DAG's closed-form distances") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    val rows = graft.gx.GraphXTraversal
+      .shortestPathsDF(spark, snap, Seq(4000001L, 4000002L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // distance is fully determined by the vertex id band: suppliers 0,
+    // parts 1, orders 2, customers 3 — and nothing else appears
+    rows.foreach { case (vid, lm, d) =>
+      assert(lm == 4000001L || lm == 4000002L)
+      val expected =
+        if (vid >= 6000000L) 2
+        else if (vid >= 5000000L) 1
+        else if (vid >= 4000000L) 0
+        else 3
+      assert(d == expected, s"vertex $vid landmark $lm dist $d != $expected")
+      if (d == 0) assert(vid == lm) // only the landmark itself sits at 0
+    }
+  }
+
   test("pagerank: nation/region hubs outrank leaf vertices") {
     val snap = TpchGraph.snapshot(spark, dir)
     val top = graft.gx.GraphXTraversal.pageRankDF(spark, snap, numIter = 10, topK = 30)
