@@ -727,6 +727,51 @@ object SparkEntry {
           date_format(col("session_end"), fmt).as("session_end"),
           col("n_events").cast("long").as("n_events"))
     },
+
+    // tumbling-window counts: the batch twin of the watermarked streaming
+    // aggregation (EventStream.windowedCounts — stream side gated in
+    // EventStreamSpec); epoch-aligned 1h windows match DuckDB time_bucket
+    "window_counts" -> { (s, d) =>
+      EventStream.windowedCounts(graft.projection.EventsReplay.rawEvents(s, d))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n").cast("long").as("n"))
+    },
+
+    // as-of join: each click picks the user's latest purchase at-or-before
+    // it — union + ordered window carry (ONE key shuffle, no theta-join
+    // blowup); DuckDB's native ASOF LEFT JOIN is the oracle
+    "asof_join" -> { (s, d) =>
+      val ev = graft.projection.EventsReplay.rawEvents(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.operators.TemporalJoins.asofJoin(
+          clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id", "purchase_value"), matchedTsCol = "purchase_ts")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id"),
+          col("purchase_value"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+    },
+
+    // range join: events inside the hour after an error by the same user —
+    // banded equi-join (intervals explode into ≤2 one-hour bands), exact
+    // containment filtered after; the oracle is the direct inequality join
+    "range_join" -> { (s, d) =>
+      val ev = graft.projection.EventsReplay.rawEvents(s, d)
+      val probes = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val errWindows = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_event_id"),
+          col("ts").as("err_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("err_end"))
+      graft.operators.TemporalJoins.rangeBandJoin(
+          probes, errWindows, Seq("user_id"), "ts", "err_ts", "err_end", 3600L)
+        .where(col("event_id") =!= col("err_event_id"))
+        .select(col("event_id"), col("err_event_id"))
+    },
   )
 
   // ---- DuckDB oracle twins (same column names/types, same values) ----
@@ -1309,6 +1354,26 @@ object SparkEntry {
         |  strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "window_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS purchase_id,
+        |       r.value AS purchase_value,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    "range_join" ->
+      """SELECT l.event_id AS event_id, r.event_id AS err_event_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id AND r.event_type = 'error'
+        | AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
+        | AND l.event_id <> r.event_id""".stripMargin,
 
     // Oracle-less (rows-only per the driver contract) — engine-specific
     // hash/geometry internals not DuckDB-expressible: dedup_simhash,
