@@ -715,6 +715,16 @@ object SparkEntry {
       // rows-only: HLL++ register layout is engine-specific (accuracy
       // vs the exact count is gated in PipelineSpec instead)
       TextOps.vocabSketch(docs(s, d))),
+    "bm25_scores" -> ((s, d) =>
+      // BM25 topic scoring against a fixed query-term set; one corpus
+      // shuffle (tf), broadcast df, oracle recomputes the closed form
+      TextOps.bm25Scores(docs(s, d), Seq("spark", "join", "window"))),
+    "pack_sequences" -> ((s, d) =>
+      // rows-only: bin membership is partition-local greedy state; the
+      // BFD invariants (coverage, budget, ≤1 half-empty bin per
+      // partition) are gated in PipelineSpec
+      TextOps.packSequences(docs(s, d), budgetTokens = 512)
+        .select(col("bin_id"), col("n_docs"), col("total_tokens"))),
 
     // ---- event analytics: gap sessionization (same transform runs on a
     //      stream — EventStream.sessionize) ----
@@ -1375,10 +1385,29 @@ object SparkEntry {
         | AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
         | AND l.event_id <> r.event_id""".stripMargin,
 
+    // BM25 closed form: Robertson idf ln((N-df+.5)/(df+.5)+1), k1=1.2,
+    // b=0.75 (see TextOps.bm25Scores)
+    "bm25_scores" ->
+      """WITH ex AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |            FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT tf.doc_id, tf.tok, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
+        |      WHERE tok IN ('spark', 'join', 'window')),
+        |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY tok)
+        |SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
+        |  round(sum(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1)
+        |            * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl))), 4) AS bm25
+        |FROM q JOIN d USING (tok), st
+        |GROUP BY q.doc_id""".stripMargin,
+
     // Oracle-less (rows-only per the driver contract) — engine-specific
     // hash/geometry internals not DuckDB-expressible: dedup_simhash,
     // ann_lsh, ann_ivf, dedup_embedding (xxhash64 / seeded-hyperplane /
     // k-means buckets), doc_fingerprint (xxhash64 rolling hash),
-    // vocab_sketch (HLL++ registers; accuracy gated in PipelineSpec).
+    // vocab_sketch (HLL++ registers; accuracy gated in PipelineSpec),
+    // pack_sequences (partition-local greedy bin state; BFD invariants
+    // gated in PipelineSpec).
   )
 }

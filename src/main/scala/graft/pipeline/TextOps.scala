@@ -596,4 +596,117 @@ object TextOps {
     exploded.unpersist(false)
     res
   }
+
+  /**
+   * BM25 relevance of every document against a fixed query-term set —
+   * the retrieval-quality scorer a curation pipeline runs to mine
+   * topic-focused subsets. Robertson idf
+   * `ln((N − df + 0.5)/(df + 0.5) + 1)` with the k1/b saturation form.
+   * Returns (doc_id, bm25) for documents containing ≥1 query term.
+   *
+   * Scale shape: the corpus pays exactly ONE wide shuffle — the
+   * (doc, token) term-frequency aggregation (map-side partials). dl is
+   * re-aggregated FROM tf (no second tokenize pass), (N, avgdl) is one
+   * scalar action on the persisted tf, the query-term filter cuts tf to
+   * |query| terms BEFORE any join, per-term document frequencies
+   * broadcast, and the dl join keys on doc_id. Nothing downstream of
+   * the filter scales with vocabulary size.
+   */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75,
+                 checkpoint: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
+    val qtf = tf.where(col("tok").isin(queryTerms: _*))
+    val dfreq = qtf.groupBy(col("tok"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val out = qtf
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm25"))
+    if (!checkpoint) return out
+    val res = out.localCheckpoint(true)
+    tf.unpersist(false)
+    res
+  }
+
+  /** One packed bin: its member docs and token load. */
+  final case class PackedBin(bin_id: String, doc_ids: Array[Long],
+                             n_docs: Int, total_tokens: Long)
+
+  /**
+   * Greedy sequence packing: group documents into bins of at most
+   * `budgetTokens` tokens — the batching step that turns a filtered
+   * corpus into fixed-budget training sequences with minimal padding.
+   * Best-fit-decreasing WITHIN each partition (genuine per-partition
+   * imperative logic — the documented legitimate mapPartitions case):
+   * no global coordination, no shuffle beyond the deterministic
+   * doc_id-keyed spread, bins never span partitions so the result
+   * streams out partition-parallel at any scale. The open-bin set is a
+   * TreeMap keyed by remaining capacity (tightest fit wins), so packing
+   * is O(n log bins) per partition, not the O(n · bins) of a linear
+   * first-fit scan. Documents larger than the budget get a singleton
+   * bin (flagged by total_tokens > budgetTokens) rather than being
+   * dropped silently.
+   *
+   * BFD invariant (asserted in PipelineSpec): within a partition at
+   * most ONE bin is ≤ half full — a new bin opens only when an item
+   * fits in no open bin, so every earlier bin is > budget − item.
+   * bin_id is "<partition>-<idx>": stable for a fixed spread width.
+   */
+  def packSequences(docs: DataFrame, budgetTokens: Int,
+                    shards: Int = 8): DataFrame = {
+    require(budgetTokens > 0 && shards > 0, "budget and shards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      // deterministic spread: the same doc lands in the same shard no
+      // matter how the input was partitioned
+      .repartition(shards, pmod(col("doc_id"), lit(shards)))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        import scala.collection.mutable.ArrayBuffer
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val items = it.toArray.sortBy { case (id, n) => (-n, id) }
+        val binDocs = ArrayBuffer.empty[ArrayBuffer[Long]]
+        val binLoad = ArrayBuffer.empty[Long]
+        // remaining capacity → bin indices with exactly that much room
+        val byRemaining = new java.util.TreeMap[Long, ArrayBuffer[Int]]()
+        def index(i: Int, remaining: Long): Unit = if (remaining > 0)
+          byRemaining.computeIfAbsent(remaining, _ => ArrayBuffer.empty) += i
+        items.foreach { case (id, n) =>
+          val fit = byRemaining.ceilingEntry(math.max(n, 1L))
+          if (fit != null) {
+            val idxs = fit.getValue
+            val i = idxs.remove(idxs.length - 1)
+            if (idxs.isEmpty) byRemaining.remove(fit.getKey)
+            binDocs(i) += id; binLoad(i) += n
+            index(i, budgetTokens - binLoad(i))
+          } else {
+            binDocs += ArrayBuffer(id); binLoad += n
+            index(binDocs.length - 1, budgetTokens - n)
+          }
+        }
+        binDocs.indices.iterator.map { i =>
+          PackedBin(s"$pid-$i", binDocs(i).toArray.sorted,
+            binDocs(i).length, binLoad(i))
+        }
+      }
+      .toDF()
+  }
 }

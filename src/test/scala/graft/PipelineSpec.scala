@@ -451,4 +451,49 @@ class PipelineSpec extends AnyFunSuite {
     val expected1 = (2 * math.log(0.75) + 2 * math.log(0.125)) / 4
     assert(math.abs(r(1L)._2 - expected1) < 1e-3)
   }
+
+  test("bm25: hand-computed score, query-term coverage, absent-term docs excluded") {
+    val corpus = Seq(
+      (0L, "spark spark join"),   // tf(spark)=2, tf(join)=1, dl=3
+      (1L, "join filter filter"), // tf(join)=1, dl=3
+      (2L, "filter scan scan")    // no query term → excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Scores(corpus, Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(0L, 1L))
+    // closed form: N=3, avgdl=3, dl=3 → denominator tf + 1.2
+    def idf(df: Int) = math.log((3 - df + 0.5) / (df + 0.5) + 1)
+    def sat(tf: Double) = tf * 2.2 / (tf + 1.2)
+    val exp0 = idf(1) * sat(2) + idf(2) * sat(1)
+    val exp1 = idf(2) * sat(1)
+    assert(math.abs(out(0L) - BigDecimal(exp0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(1L) - BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(0L) > out(1L)) // higher tf on the rarer term ranks first
+  }
+
+  test("packSequences: exact coverage, budget respected, BFD half-full invariant") {
+    val corpus = (0L until 40L).map { i =>
+      // token counts 1..40 via repeated words
+      (i, Seq.fill(i.toInt + 1)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bins = TextOps.packSequences(corpus, budgetTokens = 64, shards = 4)
+      .collect().map(r => (r.getString(0),
+        r.getSeq[Long](1), r.getInt(2), r.getLong(3)))
+    // every doc exactly once
+    val allDocs = bins.flatMap(_._2)
+    assert(allDocs.sorted.toSeq == (0L until 40L).toSeq)
+    // no bin over budget (no doc exceeds it here)
+    bins.foreach { case (id, ds, n, total) =>
+      assert(total <= 64, s"bin $id over budget: $total")
+      assert(n == ds.length && total > 0)
+    }
+    // BFD: at most one bin ≤ half-full per partition
+    bins.groupBy(_._1.split("-")(0)).foreach { case (pid, pb) =>
+      assert(pb.count(_._4 <= 32) <= 1, s"partition $pid has >1 half-empty bin")
+    }
+    // oversized doc gets a singleton bin, not dropped
+    val over = Seq((100L, Seq.fill(200)("tok").mkString(" "))).toDF("doc_id", "text")
+    val ob = TextOps.packSequences(over, budgetTokens = 64).collect()
+    assert(ob.length == 1 && ob.head.getLong(3) == 200L)
+  }
 }
