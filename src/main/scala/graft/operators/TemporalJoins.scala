@@ -55,7 +55,9 @@ object TemporalJoins {
     val lSide = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
         lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
-    val rSide = right.select(
+    // a null-timestamped right row would sort NULLS FIRST and become
+    // matchable by every left row — it can never be "at or before"
+    val rSide = right.where(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
 

@@ -34,6 +34,17 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out(5L)._1.isEmpty)
     assert(out.size == 5) // every left row survives exactly once
 
+    // a null-ts right row is never "at or before" anything — it must not
+    // become a universal match for left rows with no earlier purchase
+    val withNull = right.unionByName(Seq(
+      (10L, Option.empty[Timestamp], 999L, 9.9)
+    ).toDF("user_id", "ts", "purchase_id", "purchase_value"))
+    val guarded = TemporalJoins.asofJoin(left, withNull, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"), matchedTsCol = "purchase_ts")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("purchase_id")))).toMap
+    assert(guarded(4L).isEmpty && guarded(1L).contains(101L))
+
     // tolerance: the 10:00 click is 60 min past the 09:00 purchase — a
     // 30-minute tolerance nulls it, the 08:30 one (30 min) survives
     val tol = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
