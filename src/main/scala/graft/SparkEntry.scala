@@ -973,7 +973,7 @@ object SparkEntry {
     // their parts 1, orders containing those parts 2, customers 3
     "shortest_paths" ->
       """WITH lm AS (
-        |  -- a landmark is a graph vertex only if some edge references it
+        |  -- a landmark is a DAG vertex only if some edge references it
         |  SELECT CAST(4000000 + s_suppkey AS BIGINT) AS lid FROM supplier
         |  WHERE s_suppkey BETWEEN 1 AND 3
         |    AND s_suppkey IN (SELECT l_suppkey FROM lineitem)
