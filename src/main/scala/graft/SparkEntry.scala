@@ -347,6 +347,63 @@ object SparkEntry {
         GROUP BY p.vStr""")
     },
 
+    // ---- OLAP breadth over snapshot views: grouped top-k, rollup, pivot ----
+    "top_orders_per_customer" -> { (s, d) =>
+      // top-3 orders per customer by totalprice: ONE shuffle on the
+      // group key, rank filter inside whole-stage codegen — the grouped
+      // top-k shape that replaces a global sort at scale
+      val snap = TpchGraph.snapshot(s, d)
+      val placed = snap.edges.where(col("label") === "placed")
+        .select(col("outV").as("customer"), col("inV").as("order_v"))
+      val tp = snap.prop("totalprice", PropType.PDouble, A.Vertex)
+        .select(col("e").as("order_v"), col("v").as("totalprice"))
+      placed.join(tp, "order_v")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("customer"))
+            .orderBy(col("totalprice").desc, col("order_v"))))
+        .where(col("rk") <= 3)
+        .select(col("customer"), col("order_v"), col("totalprice"), col("rk"))
+    },
+
+    "orders_rollup" -> { (s, d) =>
+      // ROLLUP lattice (year, priority) → (year) → () in one pass —
+      // Catalyst expands the grouping sets without re-reading the input
+      val snap = TpchGraph.snapshot(s, d)
+      val od = snap.prop("orderdate", PropType.PTimestamp, A.Vertex)
+        .select(col("e"), year(col("v")).as("o_year"))
+      val op = snap.prop("orderpriority", PropType.PString, A.Vertex)
+        .select(col("e"), col("v").as("priority"))
+      val tp = snap.prop("totalprice", PropType.PDouble, A.Vertex)
+        .select(col("e"), col("v").as("totalprice"))
+      od.join(op, "e").join(tp, "e")
+        .rollup(col("o_year"), col("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+    },
+
+    "orders_pivot" -> { (s, d) =>
+      // pivot with an EXPLICIT value list (deterministic columns, no
+      // extra distinct-scan job); parquet-safe aliases
+      val snap = TpchGraph.snapshot(s, d)
+      val od = snap.prop("orderdate", PropType.PTimestamp, A.Vertex)
+        .select(col("e"), year(col("v")).as("o_year"))
+      val op = snap.prop("orderpriority", PropType.PString, A.Vertex)
+        .select(col("e"), col("v").as("priority"))
+      od.join(op, "e")
+        .groupBy(col("o_year"))
+        .pivot("priority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .toDF("o_year", "p1_urgent", "p2_high", "p3_medium",
+          "p4_not_specified", "p5_low")
+        // pivot-count leaves NULL where a (year, priority) cell is empty;
+        // the relational twin counts 0 — align on 0
+        .select(col("o_year") +:
+          Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    },
+
     "time_ids" -> { (s, d) =>
       // getTimeId set-at-a-time (§2.6 #36): max tx touching each element
       // over facts ∪ touches, one hash aggregation
@@ -1384,6 +1441,32 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND r.event_type = 'error'
         | AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
         | AND l.event_id <> r.event_id""".stripMargin,
+
+    "top_orders_per_customer" ->
+      """WITH t AS (
+        |  SELECT CAST(3000000 + o_custkey AS BIGINT) AS customer,
+        |         CAST(6000000 + o_orderkey AS BIGINT) AS order_v,
+        |         o_totalprice AS totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders)
+        |SELECT customer, order_v, totalprice, rk FROM t WHERE rk <= 3""".stripMargin,
+
+    "orders_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       o_orderpriority AS priority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_year, priority)""".stripMargin,
+
+    "orders_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+        |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+        |  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+        |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+        |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // BM25 closed form: Robertson idf ln((N-df+.5)/(df+.5)+1), k1=1.2,
     // b=0.75 (see TextOps.bm25Scores)
