@@ -36,24 +36,32 @@ object GraphXTraversal {
     * is unpersisted on eviction, so per-job snapshots in a long-lived
     * session can't accumulate cached RDDs until storage memory dies. */
   private val MaxCachedGraphs = 4
-  private val cache = new java.util.LinkedHashMap[Snapshot, Graph[Unit, String]](
-    16, 0.75f, /*accessOrder=*/ true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[Snapshot, Graph[Unit, String]]): Boolean = {
-      val evict = size() > MaxCachedGraphs
-      if (evict) e.getValue.unpersist(blocking = false)
-      evict
+
+  /** One LRU graph cache: accessOrder LinkedHashMap bounded at
+    * [[MaxCachedGraphs]], unpersisting the evicted graph — the single
+    * home for the eviction policy shared by the full-graph and
+    * label-filtered caches. */
+  private final class LruGraphCache[K, VD, ED] {
+    private val m = new java.util.LinkedHashMap[K, Graph[VD, ED]](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, Graph[VD, ED]]): Boolean = {
+        val evict = size() > MaxCachedGraphs
+        if (evict) e.getValue.unpersist(blocking = false)
+        evict
+      }
     }
+    def getOrBuild(key: K)(build: => Graph[VD, ED]): Graph[VD, ED] =
+      synchronized {
+        val hit = m.get(key)
+        if (hit != null) hit
+        else { val g = build.cache(); m.put(key, g); g }
+      }
   }
-  def cachedGraph(snap: Snapshot): Graph[Unit, String] = synchronized {
-    val hit = cache.get(snap)
-    if (hit != null) hit
-    else {
-      val g = graphOf(snap).cache()
-      cache.put(snap, g)
-      g
-    }
-  }
+
+  private val cache = new LruGraphCache[Snapshot, Unit, String]
+  def cachedGraph(snap: Snapshot): Graph[Unit, String] =
+    cache.getOrBuild(snap)(graphOf(snap))
 
   /** Count label-sequence paths: start with 1 at every vertex with an
     * out-edge of labels.head? No — start at ALL vertices (the reference
@@ -120,8 +128,7 @@ object GraphXTraversal {
     * the partitioned edge RDD, no driver loop. */
   def componentsDF(spark: SparkSession, snap: Snapshot,
                    labels: Seq[String]): DataFrame = {
-    val cc = Graph.fromEdges(labelEdges(snap, labels), ())
-      .connectedComponents().vertices
+    val cc = cachedLabelGraph(snap, labels).connectedComponents().vertices
     spark.createDataFrame(cc).toDF("vertex_id", "component")
   }
 
@@ -148,8 +155,7 @@ object GraphXTraversal {
   def pageRankStarDF(spark: SparkSession, snap: Snapshot,
                      labels: Seq[String] = Seq("in_nation", "in_region"),
                      numIter: Int = 3): DataFrame = {
-    val ranks = Graph.fromEdges(labelEdges(snap, labels), ())
-      .staticPageRank(numIter).vertices
+    val ranks = cachedLabelGraph(snap, labels).staticPageRank(numIter).vertices
     spark.createDataFrame(ranks).toDF("vertex_id", "rank")
       .select(col("vertex_id"), round(col("rank"), 4).as("rank"))
   }
@@ -200,26 +206,13 @@ object GraphXTraversal {
     * (Pregel state and iteration joins then span every snapshot vertex
     * and edge), so filter-then-memoize is the right order. */
   private val labelGraphCache =
-    new java.util.LinkedHashMap[(Snapshot, Seq[String]), Graph[Unit, Unit]](
-      16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Snapshot, Seq[String]), Graph[Unit, Unit]]): Boolean = {
-        val evict = size() > MaxCachedGraphs
-        if (evict) e.getValue.unpersist(blocking = false)
-        evict
-      }
-    }
+    new LruGraphCache[(Snapshot, Seq[String], Int), Unit, Unit]
   def cachedLabelGraph(snap: Snapshot, labels: Seq[String],
-                       numPartitions: Int = 8): Graph[Unit, Unit] = synchronized {
-    val key = (snap, labels.sorted)
-    val hit = labelGraphCache.get(key)
-    if (hit != null) hit
-    else {
-      val g = Graph.fromEdges(labelEdges(snap, labels, numPartitions), ()).cache()
-      labelGraphCache.put(key, g)
-      g
-    }
-  }
+                       numPartitions: Int = 8): Graph[Unit, Unit] =
+    // numPartitions is part of the key: asking for a different width must
+    // not silently return a graph built at the old one
+    labelGraphCache.getOrBuild((snap, labels.sorted, numPartitions))(
+      Graph.fromEdges(labelEdges(snap, labels, numPartitions), ()))
 
   /** Single-source-class BFS: GraphX `ShortestPaths` (Pregel, distances
     * follow edge DIRECTION: each vertex learns its hop distance TO the

@@ -43,10 +43,20 @@ object TemporalJoins {
     * of the naive `l.ts >= r.ts` theta-join. A pathologically hot key
     * serializes its own sort (inherent to ordered semantics); everything
     * else distributes. */
+  private def requireNoReserved(df: DataFrame, reserved: Set[String],
+                                side: String): Unit = {
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"$side input uses reserved column name(s) ${clash.mkString(", ")}")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightPayload: Seq[String],
                matchedTsCol: String = "matched_ts",
                tolerance: Option[String] = None): DataFrame = {
+    val reserved = Set("__ts", "__side", "__l", "__r", "__m")
+    requireNoReserved(left, reserved, "left")
+    requireNoReserved(right, reserved, "right")
     val rStruct = struct(col(rightTs).as(matchedTsCol) +: rightPayload.map(col): _*)
     val rType = right.select(rStruct).schema.head.dataType
     val lStruct = struct(left.columns.map(col): _*)
@@ -56,8 +66,12 @@ object TemporalJoins {
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
         lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
     // a null-timestamped right row would sort NULLS FIRST and become
-    // matchable by every left row — it can never be "at or before"
-    val rSide = right.where(col(rightTs).isNotNull).select(
+    // matchable by every left row — it can never be "at or before"; and
+    // a null KEY must never match (Window.partitionBy groups nulls
+    // together, but SQL equi-join/ASOF semantics never equate them —
+    // null-key left rows still flow through with a null payload)
+    val rSide = right.where(col(rightTs).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _)).select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
 
@@ -96,6 +110,8 @@ object TemporalJoins {
                     leftTs: String, rightStart: String, rightEnd: String,
                     bandSeconds: Long): DataFrame = {
     require(bandSeconds > 0, "bandSeconds must be positive")
+    requireNoReserved(left, Set("__band"), "left")
+    requireNoReserved(right, Set("__band"), "right")
     // fractional epoch seconds keep sub-second timestamps in the right band
     def band(c: String) = floor(col(c).cast("double") / bandSeconds).cast("long")
     val lB = left.withColumn("__band", band(leftTs))

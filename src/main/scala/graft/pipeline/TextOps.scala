@@ -624,6 +624,13 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    // an empty corpus (or all-empty documents) has no avgdl: degrade to
+    // the empty scored set like every other TextOps operator
+    if (stats.getLong(0) == 0L || stats.isNullAt(1)) {
+      tf.unpersist(false)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0d).as("bm25")).limit(0)
+    }
     val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
     val qtf = tf.where(col("tok").isin(queryTerms: _*))
     val dfreq = qtf.groupBy(col("tok"))

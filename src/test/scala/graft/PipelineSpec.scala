@@ -469,6 +469,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(out(0L) - BigDecimal(exp0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     assert(math.abs(out(1L) - BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     assert(out(0L) > out(1L)) // higher tf on the rarer term ranks first
+
+    // an empty corpus degrades to zero rows, not an NPE on null avgdl
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.bm25Scores(empty, Seq("spark")).count() == 0L)
+    val allEmpty = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
+    assert(TextOps.bm25Scores(allEmpty, Seq("spark")).count() == 0L)
   }
 
   test("packSequences: exact coverage, budget respected, BFD half-full invariant") {

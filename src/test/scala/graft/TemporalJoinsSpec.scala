@@ -45,6 +45,28 @@ class TemporalJoinsSpec extends AnyFunSuite {
         Option(r.get(r.fieldIndex("purchase_id")))).toMap
     assert(guarded(4L).isEmpty && guarded(1L).contains(101L))
 
+    // SQL equi-join semantics: null keys never match each other — a
+    // null-key left row flows through with a NULL payload instead of
+    // picking up a null-key right row
+    val nkLeft = Seq((7L, Option.empty[Long], Some(ts("2024-01-01 10:00:00"))))
+      .toDF("event_id", "user_id", "ts")
+    val nkRight = Seq((Option.empty[Long], Some(ts("2024-01-01 09:00:00")), 500L, 1.0))
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val nk = TemporalJoins.asofJoin(nkLeft, nkRight, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"), matchedTsCol = "purchase_ts")
+      .collect()
+    assert(nk.length == 1 && nk.head.isNullAt(nk.head.fieldIndex("purchase_id")))
+
+    // reserved internal names are rejected loudly, not silently clobbered
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left.withColumn("__side", lit(1)), right,
+        Seq("user_id"), "ts", "ts", Seq("purchase_id"))
+    }
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.rangeBandJoin(left.withColumn("__band", lit(1L)), right,
+        Seq("user_id"), "ts", "ts", "ts", 60L)
+    }
+
     // tolerance: the 10:00 click is 60 min past the 09:00 purchase — a
     // 30-minute tolerance nulls it, the 08:30 one (30 min) survives
     val tol = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
