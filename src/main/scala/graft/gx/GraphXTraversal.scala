@@ -172,29 +172,35 @@ object GraphXTraversal {
     * the partitioned edge RDD) is checked against a DuckDB oracle
     * that recomputes the census with a 3-way relational self-join.
     * Returns one row: (n_parts, n_coedges, n_triangles). */
+  private val pairGraphCache = new LruGraphCache[(Snapshot, Double), Unit, Unit]
+
   def triangleCensusDF(spark: SparkSession, snap: Snapshot,
                        minQty: Double = 30.0): DataFrame = {
     import graft.model.{A, PropType}
-    val bulkIds = snap.prop("quantity", PropType.PDouble, A.Edge)
-      .where(col("v") >= minQty).select(col("e").as("id"))
-    val bulk = snap.edges.where(col("label") === "contains")
-      .join(bulkIds, "id")
-    // renamed projections before the self-join (ambiguity gotcha)
-    val lhs = bulk.select(col("outV").as("o"), col("inV").as("a"))
-    val rhs = bulk.select(col("outV").as("o"), col("inV").as("b"))
-    val pairs = lhs.join(rhs, "o").where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val g = Graph.fromEdges(
-      pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-        .coalesce(8), ()).cache()
+    // the co-occurrence pair graph is the expensive part (property-
+    // filtered self-join + distinct), so it gets the same LRU memo as
+    // the label-filtered graphs — repeated censuses pay only the
+    // neighbor-set intersection rounds
+    val g = pairGraphCache.getOrBuild((snap, minQty)) {
+      val bulkIds = snap.prop("quantity", PropType.PDouble, A.Edge)
+        .where(col("v") >= minQty).select(col("e").as("id"))
+      val bulk = snap.edges.where(col("label") === "contains")
+        .join(bulkIds, "id")
+      // renamed projections before the self-join (ambiguity gotcha)
+      val lhs = bulk.select(col("outV").as("o"), col("inV").as("a"))
+      val rhs = bulk.select(col("outV").as("o"), col("inV").as("b"))
+      val pairs = lhs.join(rhs, "o").where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      Graph.fromEdges(
+        pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+          .coalesce(8), ())
+    }
     // a < b and distinct → edges are already canonical; triangleCount
     // re-canonicalizes internally, which is a cheap no-op here
     val nTriangles = g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
-    val out = spark.createDataFrame(
+    spark.createDataFrame(
       Seq((g.numVertices, g.numEdges, nTriangles)))
       .toDF("n_parts", "n_coedges", "n_triangles")
-    g.unpersist(blocking = false)
-    out
   }
 
   /** Memoized label-filtered graphs, same LRU discipline as
