@@ -27,7 +27,9 @@ object PlanDump {
         docs.where(org.apache.spark.sql.functions.col("doc_id") % 25 === 0),
         n = 3, checkpoint = false)),
       "unigram_logprob_inner" -> (() =>
-        graft.pipeline.TextOps.unigramLogProb(docs, checkpoint = false)))
+        graft.pipeline.TextOps.unigramLogProb(docs, checkpoint = false)),
+      "bm25_scores_inner" -> (() => graft.pipeline.TextOps.bm25Scores(
+        docs, Seq("spark", "join", "window"), checkpoint = false)))
     names.foreach { n =>
       println(s"==== $n ====")
       val df = inner.get(n).map(_.apply())
