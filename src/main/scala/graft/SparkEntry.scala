@@ -824,6 +824,35 @@ object SparkEntry {
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
     },
 
+    // graph motif: two orders by the same customer containing the same
+    // part — pattern matching composed from equi-joins on the snapshot
+    // views; candidates bounded by per-(customer, part) multiplicity
+    "motif_shared_part" -> { (s, d) =>
+      val snap = TpchGraph.snapshot(s, d)
+      val placed = snap.edges.where(col("label") === "placed")
+        .select(col("outV").as("customer"), col("inV").as("order_v"))
+      val contains = snap.edges.where(col("label") === "contains")
+        .select(col("outV").as("order_v"), col("inV").as("part_v")).distinct()
+      val co = placed.join(contains, "order_v")
+      val lhs = co.select(col("customer"), col("order_v").as("o1"), col("part_v"))
+      val rhs = co.select(col("customer"), col("order_v").as("o2"), col("part_v"))
+      lhs.join(rhs, Seq("customer", "part_v"))
+        .where(col("o1") < col("o2"))
+        .groupBy(col("customer"))
+        .agg(count(lit(1)).as("n_motifs"))
+    },
+
+    // stream-static enrichment, batch twin (stream parity in
+    // EventStreamSpec): events LEFT-joined to the customer dimension
+    "events_enriched" -> { (s, d) =>
+      val ev = graft.projection.EventsReplay.rawEvents(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").cast("long").as("user_id"),
+          col("c_mktsegment").as("mktsegment"))
+      EventStream.enrichEvents(ev, dim, Seq("user_id"))
+    },
+
     // range join: events inside the hour after an error by the same user —
     // banded equi-join (intervals explode into ≤2 one-hour bands), exact
     // containment filtered after; the oracle is the direct inequality join
@@ -1467,6 +1496,22 @@ object SparkEntry {
         |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
         |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "motif_shared_part" ->
+      """WITH co AS (
+        |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS customer,
+        |         CAST(6000000 + o.o_orderkey AS BIGINT) AS order_v,
+        |         CAST(5000000 + l.l_partkey AS BIGINT) AS part_v
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |SELECT a.customer AS customer, CAST(count(*) AS BIGINT) AS n_motifs
+        |FROM co a JOIN co b
+        |  ON a.customer = b.customer AND a.part_v = b.part_v
+        | AND a.order_v < b.order_v
+        |GROUP BY a.customer""".stripMargin,
+
+    "events_enriched" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     // BM25 closed form: Robertson idf ln((N-df+.5)/(df+.5)+1), k1=1.2,
     // b=0.75 (see TextOps.bm25Scores)

@@ -117,6 +117,19 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-static enrichment: LEFT-join a (possibly live) event feed
+    * against a slowly-changing dimension. The SAME transform runs on
+    * batch and on a stream — Spark's stream-static join re-plans the
+    * static side per micro-batch, stateless on the stream side (no
+    * watermark needed: nothing is buffered). At 100 TB the dimension is
+    * the broadcast side; unmatched events keep NULL dimension columns
+    * rather than being dropped, so enrichment never loses data. Batch
+    * twin is oracle-checked (`events_enriched`); stream/batch parity is
+    * gated in EventStreamSpec. */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    events.join(dim, keys, "left")
+
   /** Streaming exact dedup for a live document feed: drop re-deliveries
     * and content duplicates whose normalized-text hash was already seen
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keys

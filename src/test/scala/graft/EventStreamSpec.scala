@@ -195,6 +195,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.intersect(batch.filter(_._1 == 1L)).size == 2)
   }
 
+  test("stream-static enrichment equals the batch join; unmatched keys keep nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("user_id", "mktsegment")
+    val events = Seq(
+      Event(0L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Event(1L, ts("2024-01-01 00:01:00"), 2L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:02:00"), 9L, "click", 1.0)) // no dim row
+    val source = MemoryStream[Event]
+    source.addData(events: _*)
+    val q = EventStream.enrichEvents(source.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("mktsegment"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val streamed = canon(spark.table("enrich_sink"))
+    val batch = canon(EventStream.enrichEvents(events.toDF(), dim, Seq("user_id")))
+    assert(streamed == batch)
+    assert(streamed == Set((0L, Some("BUILDING")), (1L, Some("MACHINERY")), (2L, None)))
+  }
+
   test("keyed state tracks per-user versions with retraction semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
