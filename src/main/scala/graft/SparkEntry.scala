@@ -254,6 +254,20 @@ object SparkEntry {
     "version_count" -> ((s, d) =>
       graft.temporal.VersionChains.versionCounts(EventsReplay.snapshot(s, d).store)),
 
+    // log compaction: rewrite the multi-tx event store as latest-wins
+    // live facts only (preDeduped → later snapshots skip the latest-wins
+    // shuffle); the head state must survive the rewrite EXACTLY, which
+    // the full-history oracle checks
+    "compacted_state" -> { (s, d) =>
+      val comp = graft.log.Compaction.compact(s, EventsReplay.snapshot(s, d).store)
+      val snap = new Snapshot(comp)
+      val lt = vprop(snap, "last_type", PropType.PString, "last_type")
+        .select(col("e").as("id"), col("last_type"))
+      val vl = vprop(snap, "value", PropType.PDouble, "value")
+        .select(col("e").as("id"), col("value"))
+      lt.join(vl, Seq("id"), "left")
+    },
+
     "version_chain" -> { (s, d) =>
       val st = EventsReplay.snapshot(s, d).store
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -1099,6 +1113,13 @@ object SparkEntry {
       s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
          |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
          |FROM (${latestEventSql("2024-01-15 00:00:00")}) WHERE rn = 1""".stripMargin,
+
+    // head state re-derived from the FULL event history — compaction
+    // must not change any live (last_type, value)
+    "compacted_state" ->
+      s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+         |FROM (${latestEventSql("2099-01-01 00:00:00")}) WHERE rn = 1""".stripMargin,
 
     "version_count" ->
       """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_versions

@@ -243,3 +243,43 @@ object FactLog {
       txBucketSize = bucketSize)
   }
 }
+
+/**
+ * Log compaction — the maintenance pass a 100 TB temporal store runs to
+ * stop paying for dead history on every read: rewrite the log as ONLY
+ * its latest-wins live facts (retractions and superseded versions
+ * dropped), marked `preDeduped` so every later snapshot skips the
+ * latest-wins shuffle entirely (Snapshot.currentFacts takes the
+ * identity path). Head-state semantics are preserved EXACTLY — same
+ * currentFacts, same per-element max time id (each element keeps one
+ * touch at its last tx) — while pre-head history is intentionally
+ * truncated: an asOf into the compacted-away past is out of contract,
+ * the same trade a Datomic-style decant/excision makes. Facts keep
+ * their ORIGINAL tx stamps, so `getTimeId`-class queries still answer
+ * correctly at head.
+ */
+object Compaction {
+  import org.apache.spark.sql.functions._
+
+  def compact(spark: SparkSession, store: FactStore): BulkFactStore = {
+    val head = new graft.snapshot.Snapshot(store)
+    // currentFacts: (e, attr, <valueCols>, tx) — re-shape to the Fact
+    // schema as single-version assertions
+    // MATERIALIZE the rewrite (eager checkpoint): compaction pays the
+    // latest-wins aggregation exactly once, here — a lazy view would
+    // re-run it on every later read, which is the cost compaction exists
+    // to remove. (Persist durably via the compacted store's save().)
+    val facts = head.currentFacts.select(
+      Seq(col("e"), col("attr")) ++ Fact.valueCols.map(col) ++
+        Seq(col("tx"), lit(0L).as("seq"), lit(true).as("added")): _*)
+      .localCheckpoint(true)
+    // one touch per element at its last tx; prevTx = -1 marks the chain
+    // start (no prior version survives compaction)
+    val touches = store.touchesDF.groupBy(col("e"))
+      .agg(max(col("tx")).as("tx"))
+      .withColumn("prevTx", lit(-1L))
+      .select(col("e"), col("tx"), col("prevTx"))
+      .localCheckpoint(true)
+    new BulkFactStore(spark, facts, touches, store.txsDF, preDeduped = true)
+  }
+}
