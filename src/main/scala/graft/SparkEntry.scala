@@ -786,6 +786,11 @@ object SparkEntry {
       // rows-only: HLL++ register layout is engine-specific (accuracy
       // vs the exact count is gated in PipelineSpec instead)
       TextOps.vocabSketch(docs(s, d))),
+    "profile_documents" -> ((s, d) =>
+      // one-pass column profiler (exact distincts for the oracle; the
+      // approx twin is the extreme-scale path, gated in UtilSpec)
+      graft.util.Profile.profile(
+        docs(s, d), Seq("doc_id", "lang", "source", "n_chars"))),
     "bm25_scores" -> ((s, d) =>
       // BM25 topic scoring against a fixed query-term set; one corpus
       // shuffle (tf), broadcast df, oracle recomputes the closed form
@@ -1533,6 +1538,22 @@ object SparkEntry {
     "events_enriched" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "profile_documents" ->
+      """SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(lang) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'source', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(source) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(n_chars) AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
 
     // BM25 closed form: Robertson idf ln((N-df+.5)/(df+.5)+1), k1=1.2,
     // b=0.75 (see TextOps.bm25Scores)
