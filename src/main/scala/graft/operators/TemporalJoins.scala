@@ -43,13 +43,6 @@ object TemporalJoins {
     * of the naive `l.ts >= r.ts` theta-join. A pathologically hot key
     * serializes its own sort (inherent to ordered semantics); everything
     * else distributes. */
-  private def requireNoReserved(df: DataFrame, reserved: Set[String],
-                                side: String): Unit = {
-    val clash = df.columns.filter(reserved)
-    require(clash.isEmpty,
-      s"$side input uses reserved column name(s) ${clash.mkString(", ")}")
-  }
-
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightPayload: Seq[String],
                matchedTsCol: String = "matched_ts",
@@ -57,6 +50,12 @@ object TemporalJoins {
     val reserved = Set("__ts", "__side", "__l", "__r", "__m")
     requireNoReserved(left, reserved, "left")
     requireNoReserved(right, reserved, "right")
+    // the output appends matchedTsCol + rightPayload to the left schema —
+    // enforce the documented disjointness instead of emitting duplicate
+    // column names that fail far downstream as AMBIGUOUS_REFERENCE
+    val dupOut = (matchedTsCol +: rightPayload).filter(left.columns.toSet)
+    require(dupOut.isEmpty,
+      s"output column name(s) ${dupOut.mkString(", ")} collide with left columns")
     val rStruct = struct(col(rightTs).as(matchedTsCol) +: rightPayload.map(col): _*)
     val rType = right.select(rStruct).schema.head.dataType
     val lStruct = struct(left.columns.map(col): _*)
@@ -120,5 +119,12 @@ object TemporalJoins {
     lB.join(rB, keys :+ "__band")
       .where(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop("__band")
+  }
+
+  private def requireNoReserved(df: DataFrame, reserved: Set[String],
+                                side: String): Unit = {
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"$side input uses reserved column name(s) ${clash.mkString(", ")}")
   }
 }

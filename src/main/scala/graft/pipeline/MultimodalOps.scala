@@ -256,20 +256,22 @@ object MultimodalOps {
         val end = (i + sz).toInt
         typ match {
           case "moov" | "trak" if depth < 2 => walk(i + hdr, end, depth + 1)
-          case "mvhd" if i + hdr + 4 <= to =>
+          case "mvhd" if i + hdr + 4 <= end =>
             val v = u8(i + hdr)
             // v0: ctime4 mtime4 timescale4 duration4; v1: 8/8/4/8
             val (tsOff, durOff, dur64) =
               if (v == 1) (i + hdr + 20, i + hdr + 24, true)
               else (i + hdr + 12, i + hdr + 16, false)
-            if ((dur64 && durOff + 8 <= to) || (!dur64 && durOff + 4 <= to)) {
+            // bound by the mvhd box's OWN end, not the parent range — a
+            // truncated mvhd must yield None, not sibling-box bytes
+            if ((dur64 && durOff + 8 <= end) || (!dur64 && durOff + 4 <= end)) {
               val timescale = be32(tsOff)
               val dur = if (dur64) be64(durOff) else be32(durOff)
               if (timescale > 0) durMs = Some(math.round(dur * 1000.0 / timescale))
             }
-          case "tkhd" if i + hdr + 4 <= to =>
-            val v = u8(i + hdr)
+          case "tkhd" if i + hdr + 4 <= end =>
             // width/height are the LAST 8 bytes of the box, 16.16 fixed
+            // (version-independent — read from the end, no version branch)
             if (end - 8 >= i + hdr + 4) {
               val w = (be32(end - 8) >> 16).toInt
               val h = (be32(end - 4) >> 16).toInt

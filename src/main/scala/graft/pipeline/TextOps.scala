@@ -616,12 +616,22 @@ object TextOps {
                  k1: Double = 1.2, b: Double = 0.75,
                  checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val tf = docs
+    // run the query through the SAME tokenizer as the documents —
+    // "Spark" or "window-function" must match the lowercased
+    // alphanumeric tokens the corpus side produces, not silently miss
+    val terms = queryTerms.flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "queryTerms must contain at least one token")
+    val tfBase = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpoint=false is the plan-inspection path: skip the persist so
+    // the (N, avgdl) scalar job below doesn't leave tf pinned for the
+    // session (the action itself is unavoidable — the plan inlines the
+    // stats as literals)
+    val tf = if (checkpoint) tfBase.persist(StorageLevel.MEMORY_AND_DISK)
+             else tfBase
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     // an empty corpus (or all-empty documents) has no avgdl: degrade to
@@ -632,7 +642,7 @@ object TextOps {
         .select(lit(0L).as("doc_id"), lit(0d).as("bm25")).limit(0)
     }
     val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
-    val qtf = tf.where(col("tok").isin(queryTerms: _*))
+    val qtf = tf.where(col("tok").isin(terms: _*))
     val dfreq = qtf.groupBy(col("tok"))
       .agg(count_distinct(col("doc_id")).as("df"))
     val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)

@@ -20,7 +20,8 @@ object Profile {
     def distinctAgg(c: String) =
       if (approx) approx_count_distinct(col(c), rsd) else count_distinct(col(c))
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+      // sum over zero rows is NULL — an empty input profiles as 0 nulls
+      coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"__nulls_$c"),
       distinctAgg(c).as(s"__distinct_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")) }

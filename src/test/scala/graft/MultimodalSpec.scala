@@ -199,7 +199,12 @@ class MultimodalSpec extends AnyFunSuite {
       Row(3L, "video", "not a video".getBytes, null),
       Row(4L, "video", null, null),
       // truncated moov (corrupt inner size): brand parses, fields stay None
-      Row(5L, "video", ftyp ++ java.nio.ByteBuffer.allocate(8).putInt(9999).put("moov".getBytes).array(), null))
+      Row(5L, "video", ftyp ++ java.nio.ByteBuffer.allocate(8).putInt(9999).put("moov".getBytes).array(), null),
+      // mvhd truncated to version+flags only (size 12): the walk must not
+      // read the sibling box's bytes as timescale/duration
+      Row(6L, "video", ftyp ++ box("moov",
+        java.nio.ByteBuffer.allocate(12).putInt(12).put("mvhd".getBytes).array()
+          ++ box("trak", box("tkhd", tkhd(320, 240)))), null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
     val m = MultimodalOps.videoMeta(df).collect()
@@ -213,5 +218,6 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(3L) == (("unknown", None, None, None)))
     assert(m(4L) == (("unknown", None, None, None)))
     assert(m(5L) == (("mp4/isom", None, None, None)))
+    assert(m(6L) == (("mp4/isom", None, Some(320), Some(240)))) // duration None, track real
   }
 }

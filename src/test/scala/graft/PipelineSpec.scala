@@ -475,6 +475,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextOps.bm25Scores(empty, Seq("spark")).count() == 0L)
     val allEmpty = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
     assert(TextOps.bm25Scores(allEmpty, Seq("spark")).count() == 0L)
+
+    // query terms run through the same tokenizer as the corpus: casing
+    // and punctuation must not silently zero the match set
+    val viaMessy = TextOps.bm25Scores(corpus, Seq("SPARK!", "Join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaMessy == out)
   }
 
   test("packSequences: exact coverage, budget respected, BFD half-full invariant") {

@@ -17,6 +17,11 @@ class ProfileSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
     assert(p("k") == ((4L, 1L, 2L, "1", "2")))
     assert(p("s") == ((4L, 1L, 2L, "a", "c")))
+
+    // an empty input profiles as zeros (not NULL n_nulls from sum-of-none)
+    val e = Profile.profile(df.limit(0), Seq("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(e == ((0L, 0L, 0L)))
   }
 
   test("profile: approx twin matches shape and is within HLL tolerance") {

@@ -62,6 +62,12 @@ class TemporalJoinsSpec extends AnyFunSuite {
       TemporalJoins.asofJoin(left.withColumn("__side", lit(1)), right,
         Seq("user_id"), "ts", "ts", Seq("purchase_id"))
     }
+    // output names colliding with left columns are rejected up front, not
+    // left to fail downstream as AMBIGUOUS_REFERENCE
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id"), matchedTsCol = "ts")
+    }
     assertThrows[IllegalArgumentException] {
       TemporalJoins.rangeBandJoin(left.withColumn("__band", lit(1L)), right,
         Seq("user_id"), "ts", "ts", "ts", 60L)
