@@ -258,6 +258,21 @@ object SparkEntry {
     // live facts only (preDeduped → later snapshots skip the latest-wins
     // shuffle); the head state must survive the rewrite EXACTLY, which
     // the full-history oracle checks
+    // retention compaction: history at or before Jan-10 squashed, later
+    // history kept verbatim — an asOf at Jan-15 must still be EXACT (the
+    // same oracle as asof_values, over a store whose early history is gone)
+    "retained_state" -> { (s, d) =>
+      val st = EventsReplay.snapshot(s, d).store
+      val retained = graft.log.Compaction.compactBefore(
+        s, st, st.resolveTx(ts("2024-01-10 00:00:00")))
+      val snap = new Snapshot(retained).asOf(ts("2024-01-15 00:00:00"))
+      val lt = vprop(snap, "last_type", PropType.PString, "last_type")
+        .select(col("e").as("id"), col("last_type"))
+      val vl = vprop(snap, "value", PropType.PDouble, "value")
+        .select(col("e").as("id"), col("value"))
+      lt.join(vl, Seq("id"), "left")
+    },
+
     "compacted_state" -> { (s, d) =>
       val comp = graft.log.Compaction.compact(s, EventsReplay.snapshot(s, d).store)
       val snap = new Snapshot(comp)
@@ -1115,6 +1130,13 @@ object SparkEntry {
         |FROM liseq""".stripMargin,
 
     "asof_values" ->
+      s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+         |FROM (${latestEventSql("2024-01-15 00:00:00")}) WHERE rn = 1""".stripMargin,
+
+    // asOf Jan-15 re-derived from the FULL history — retention compaction
+    // (cutoff Jan-10) must leave every later checkpoint exact
+    "retained_state" ->
       s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
          |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
          |FROM (${latestEventSql("2024-01-15 00:00:00")}) WHERE rn = 1""".stripMargin,

@@ -76,6 +76,18 @@ final class BulkFactStore(
     val r = txsDF.agg(max(col("tx"))).head()
     if (r.isNullAt(0)) -1L else r.getLong(0)
   }
+
+  /** Persist this store in the same tx-bucketed parquet layout the
+    * mutable log writes ([[FactLog.open]] reopens it): the durable path
+    * for compacted/derived stores. */
+  def save(root: String, txBucketSize: Long = 1000L): Unit = {
+    factsDF.withColumn("txBucket", expr(s"tx div $txBucketSize"))
+      .write.mode("overwrite").partitionBy("txBucket").parquet(s"$root/facts")
+    touchesDF.write.mode("overwrite").parquet(s"$root/touches")
+    txsDF.write.mode("overwrite").parquet(s"$root/txs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_graft_meta"), s"txBucketSize=$txBucketSize")
+  }
 }
 
 object BulkFactStore {
@@ -281,5 +293,37 @@ object Compaction {
       .select(col("e"), col("tx"), col("prevTx"))
       .localCheckpoint(true)
     new BulkFactStore(spark, facts, touches, store.txsDF, preDeduped = true)
+  }
+
+  /** Retention compaction — the production shape: squash all history at
+    * or before `cutoffTx` into its latest-wins state (original tx stamps
+    * kept) and keep every later fact verbatim. For ANY checkpoint t ≥
+    * cutoff, `asOf(t)` over the result equals `asOf(t)` over the
+    * original store EXACTLY (later retractions still win over squashed
+    * facts because latest-wins orders by tx); checkpoints before the
+    * cutoff are out of contract, as with [[compact]]. The result is NOT
+    * preDeduped — later history may supersede squashed facts — but every
+    * read now aggregates over live-at-cutoff + tail instead of the full
+    * dead history. */
+  def compactBefore(spark: SparkSession, store: FactStore,
+                    cutoffTx: Long): BulkFactStore = {
+    val pinned = new graft.snapshot.Snapshot(store, cutoffTx).currentFacts
+      .select(Seq(col("e"), col("attr")) ++ Fact.valueCols.map(col) ++
+        Seq(col("tx"), lit(0L).as("seq"), lit(true).as("added")): _*)
+    val factCols = Seq(col("e"), col("attr")) ++ Fact.valueCols.map(col) ++
+      Seq(col("tx"), col("seq"), col("added"))
+    val tail = store.factsDF.where(col("tx") > cutoffTx).select(factCols: _*)
+    val facts = pinned.unionByName(tail).localCheckpoint(true)
+    // squashed elements keep one chain-start touch at their last
+    // pre-cutoff tx; later touches survive verbatim
+    val squashedTouches = store.touchesDF.where(col("tx") <= cutoffTx)
+      .groupBy(col("e")).agg(max(col("tx")).as("tx"))
+      .withColumn("prevTx", lit(-1L))
+      .select(col("e"), col("tx"), col("prevTx"))
+    val touches = squashedTouches
+      .unionByName(store.touchesDF.where(col("tx") > cutoffTx)
+        .select(col("e"), col("tx"), col("prevTx")))
+      .localCheckpoint(true)
+    new BulkFactStore(spark, facts, touches, store.txsDF)
   }
 }

@@ -49,4 +49,27 @@ class CompactionSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(counts == Set(1L))
   }
+
+  test("retention compaction: every checkpoint at or after the cutoff is exact") {
+    val cutoff = original.resolveTx(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+    assert(cutoff > 0)
+    val retained = Compaction.compactBefore(spark, original, cutoff)
+    assert(retained.factsDF.count() < original.factsDF.count())
+    val head = original.headTx
+    val mid = original.resolveTx(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    def facts(st: graft.log.FactStore, t: Long) =
+      new Snapshot(st, t).currentFacts.collect().map(_.toSeq).toSet
+    Seq(cutoff, mid, head).foreach { t =>
+      assert(facts(retained, t) == facts(original, t), s"asOf $t diverged")
+    }
+  }
+
+  test("a compacted store survives a save/open round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_rt").toString
+    compacted.save(root)
+    val reopened = graft.log.FactLog.open(spark, root)
+    def headFacts(st: graft.log.FactStore) =
+      new Snapshot(st).currentFacts.collect().map(_.toSeq).toSet
+    assert(headFacts(reopened) == headFacts(original))
+  }
 }
