@@ -63,6 +63,9 @@ object Bench {
       // measures SEARCH over the reopened index, not index I/O
       pipeline.VectorOps.IvfCache.opened(spark, sfDir).indexed.count(); ()
     }
+    build("build_pq") {
+      pipeline.VectorOps.PqCache.get(spark, sfDir); ()
+    }
 
     // ---- phase 1: per-query reps, median ----
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (targeted

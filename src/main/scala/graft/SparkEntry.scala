@@ -724,6 +724,14 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.lshTopK(e, e.where(col("vec_id") < 10), 10)
     },
+    "ann_pq" -> { (s, d) =>
+      // PQ ADC search over the memoized codebooks/codes (build billed as
+      // build_pq); rows-only — code assignments are engine-specific —
+      // with the recall-vs-exact gate in PipelineSpec
+      val (cb, codes) = VectorOps.PqCache.get(s, d)
+      VectorOps.pqTopK(emb(s, d), codes, cb,
+        emb(s, d).where(col("vec_id") < 10), 10)
+    },
     "ann_ivf" -> { (s, d) =>
       // search against the MEMOIZED trained index (build billed once as
       // build_ivf, like the graph projections — a deployment reuses its
@@ -1600,6 +1608,7 @@ object SparkEntry {
     // k-means buckets), doc_fingerprint (xxhash64 rolling hash),
     // vocab_sketch (HLL++ registers; accuracy gated in PipelineSpec),
     // pack_sequences (partition-local greedy bin state; BFD invariants
-    // gated in PipelineSpec).
+    // gated in PipelineSpec), ann_pq (PQ code assignments are
+    // engine-specific; recall gated vs brute force in PipelineSpec).
   )
 }

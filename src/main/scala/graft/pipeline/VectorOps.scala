@@ -384,6 +384,23 @@ object VectorOps {
       }))
   }
 
+  /** Memoized PQ codebooks + encoded corpus per (session, sf dir) — same
+    * deployment shape as [[IvfCache]]: train + encode once (`build_pq`),
+    * every ADC search reuses the codes. */
+  object PqCache {
+    private val cache = scala.collection.mutable.Map
+      .empty[(org.apache.spark.sql.SparkSession, String), (PqCodebooks, DataFrame)]
+    def get(spark: org.apache.spark.sql.SparkSession, dir: String): (PqCodebooks, DataFrame) =
+      synchronized(cache.getOrElseUpdate((spark, dir), {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cb = pqTrain(emb)
+        val codes = pqEncode(emb, cb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        (cb, codes)
+      }))
+  }
+
   /** Per-label centroids via the native `graft_vec_mean`
     * TypedImperativeAggregate when the graft extension is loaded: ONE
     * running (count, sums[dims]) buffer per group, combined map-side and
@@ -413,4 +430,149 @@ object VectorOps {
       emb.select(col("label"), posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
         .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
         .groupBy(col("label")).agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+
+  // ---------------------------------------------------------------------
+  // Product quantization: the MEMORY side of 100 TB ANN. IVF prunes the
+  // candidate set; PQ shrinks each vector from dims×4 bytes to m byte
+  // codes (here 64 floats → 8 codes, 32×), so the candidate store fits
+  // in RAM at corpus sizes where raw vectors cannot. Search is ADC
+  // (asymmetric distance): the query stays exact, each candidate scores
+  // as Σ_j table[j][code_j] via one equi-join against the broadcast
+  // per-query lookup table — no crossJoin, no per-row UDF.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace codebooks: books(j)(c) is the sub-centroid for code c
+    * of subspace j. Vectors are L2-normalized before training/encoding so
+    * inner-product ADC approximates cosine. */
+  final case class PqCodebooks(m: Int, subDim: Int, k: Int,
+                               books: Array[Array[Seq[Double]]])
+
+  private def normalized(v: Column): Column = {
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0d), (a, e) => a + e))
+    transform(v, x => x / n)
+  }
+
+  /** Exploded (vec_id, sub, sv) sub-vectors of a normalized corpus. */
+  private def subVectors(corpus: DataFrame, m: Int, subDim: Int): DataFrame =
+    corpus.select(col("vec_id"), normalized(dvec(col("embedding"))).as("v"))
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        j => struct(j.cast("int").as("sub"),
+          slice(col("v"), j * subDim + 1, lit(subDim)).as("sv")))).as("e"))
+      .select(col("vec_id"), col("e.sub"), col("e.sv"))
+
+  private def bookDF(spark: org.apache.spark.sql.SparkSession,
+                     books: Array[Array[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    broadcast(books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toSeq.toDF("sub", "code", "cv"))
+  }
+
+  /** L2 distance², composable over sub-vectors. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), (acc, e) => acc + e)
+
+  /** Train per-subspace codebooks: ONE set of Spark jobs trains all m
+    * subspaces together (the exploded sub-vector table carries the
+    * subspace id, so assignment and the mean update are ordinary grouped
+    * aggregations over it). Deterministic: sampled rows + lowest-id
+    * init, no RNG. Codebook state on the driver is m×k×subDim doubles —
+    * the same k-means-scale state IvfBuild already holds. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16,
+              iters: Int = 3): PqCodebooks = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    val subDim = {
+      val d = corpus.select(size(col("embedding"))).head().getInt(0)
+      require(d % m == 0, s"dims $d not divisible by m=$m")
+      d / m
+    }
+    val sub = subVectors(corpus.where(pmod(col("vec_id"), lit(5)) === 0), m, subDim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // init: the sub-vectors of the k lowest sampled vec_ids, per subspace
+    val initIds = sub.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+    var books: Array[Array[Seq[Double]]] = sub.join(initIds, "vec_id")
+      .orderBy(col("sub"), col("vec_id")).collect()
+      .groupBy(_.getInt(1)).toArray.sortBy(_._1)
+      .map(_._2.map(_.getAs[scala.collection.Seq[Double]]("sv").toSeq))
+    (1 to iters).foreach { _ =>
+      val means = sub.join(bookDF(spark, books), "sub")
+        .select(col("sub"), col("vec_id"), col("code"), col("sv"),
+          l2sq(col("sv"), col("cv")).as("d"))
+        .groupBy(col("sub"), col("vec_id"))
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("code"), col("i")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("sub"), col("code"))
+        .agg(map_from_entries(collect_list(struct(col("i"), col("mu")))).as("mm"))
+        .collect().map { r =>
+          val mm = r.getAs[Map[Int, Double]]("mm")
+          (r.getInt(0), r.getInt(1)) -> (0 until mm.size).map(mm)
+        }.toMap
+      books = books.zipWithIndex.map { case (bk, j) =>
+        bk.zipWithIndex.map { case (c, code) => means.getOrElse((j, code), c) }
+      }
+    }
+    sub.unpersist(false)
+    PqCodebooks(m, subDim, k, books)
+  }
+
+  /** Encode: (vec_id, codes array<int> of length m) — nearest sub-
+    * centroid per subspace via the broadcast codebook equi-join. */
+  def pqEncode(corpus: DataFrame, cb: PqCodebooks): DataFrame =
+    subVectors(corpus, cb.m, cb.subDim)
+      .join(bookDF(corpus.sparkSession, cb.books), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        l2sq(col("sv"), col("cv")).as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), e => e("code")).as("codes"))
+
+  /** ADC top-k with exact re-rank: score every encoded vector as
+    * Σ_j dot(q_j, book_j[code_j]) via one (sub, code) equi-join against
+    * the broadcast per-query table, shortlist `shortlist` candidates per
+    * query (grouped top-k, partial limit below the shuffle), then
+    * exact-cosine re-rank only the shortlist against the raw vectors.
+    * Returns (qid, vec_id, cos, rank ≤ topK). */
+  def pqTopK(corpus: DataFrame, codes: DataFrame, cb: PqCodebooks,
+             queries: DataFrame, topK: Int = 10,
+             shortlist: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // per-query ADC lookup table, built driver-side from the (small)
+    // query batch: |Q|×m×k rows, broadcast
+    val qvecs = queries
+      .select(col("vec_id").as("qid"), normalized(dvec(col("embedding"))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("v"))
+    val table = broadcast(qvecs.flatMap { case (qid, q) =>
+      cb.books.zipWithIndex.flatMap { case (bk, j) =>
+        val qj = q.slice(j * cb.subDim, (j + 1) * cb.subDim)
+        bk.zipWithIndex.map { case (c, code) =>
+          (qid, j, code, qj.zip(c).map { case (a, b) => a * b }.sum)
+        }
+      }
+    }.toSeq.toDF("qid", "sub", "code", "w"))
+    val adc = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(table, Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("w")).as("adc"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rk") <= shortlist && col("qid") =!= col("vec_id"))
+    adc.select(col("qid"), col("vec_id"))
+      .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("cv")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        dvec(col("embedding")).as("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
 }

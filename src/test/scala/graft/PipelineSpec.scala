@@ -195,6 +195,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall gate failed: $recall < 0.9")
   }
 
+  test("PQ ANN: 32x code compression, ADC+rerank recall vs brute force") {
+    import spark.implicits._
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = VectorOps.pqTrain(realE)
+    // compression: 64 float32 (256 B) -> 8 codes; codebooks are m*k
+    // sub-centroids of subDim doubles
+    assert(cb.m == 8 && cb.subDim == 8 && cb.k == 16)
+    assert(cb.books.length == 8 && cb.books.forall(_.length == 16))
+    assert(cb.books.forall(_.forall(_.length == 8)))
+    val codes = VectorOps.pqEncode(realE, cb)
+    val sample = codes.limit(5).collect()
+    assert(sample.forall(_.getSeq[Int](1).length == 8))
+    assert(codes.count() == realE.count())
+    // deterministic: retrain + re-encode bit-identical (no RNG anywhere)
+    val codes2 = VectorOps.pqEncode(realE, VectorOps.pqTrain(realE))
+    assert(codes.collect().map(_.toSeq).toSet == codes2.collect().map(_.toSeq).toSet)
+    // recall@10 against exact brute force on the weak-neighbor corpus:
+    // ADC shortlists 100, exact cosine re-ranks — the IVF-style gate
+    val qs = realE.where(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(realE, qs, 10)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
+    val pq = VectorOps.pqTopK(realE, codes, cb, qs, 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(s"PQ recall@10 (shortlist 100, re-rank): $recall")
+    assert(recall >= 0.8, s"PQ recall gate failed: $recall < 0.8")
+  }
+
   test("LSH ANN: same-direction vectors share buckets, ranking is exact on candidates") {
     val r = VectorOps.lshTopK(vecs, vecs.where(col("vec_id") === 0L), 3, dims = 3)
       .collect().map(_.getAs[Long]("nb")).toSeq
