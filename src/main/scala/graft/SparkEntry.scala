@@ -732,6 +732,13 @@ object SparkEntry {
       VectorOps.pqTopK(emb(s, d), codes, cb,
         emb(s, d).where(col("vec_id") < 10), 10)
     },
+    "ann_ivfpq" -> { (s, d) =>
+      // the IVF(prune)+PQ(compress) composition over both memoized
+      // structures; rows-only, recall gated in PipelineSpec
+      val (cb, codes) = VectorOps.PqCache.get(s, d)
+      VectorOps.ivfPqTopK(VectorOps.IvfCache.index(s, d), codes, cb,
+        emb(s, d), emb(s, d).where(col("vec_id") < 10), 10)
+    },
     "ann_ivf" -> { (s, d) =>
       // search against the MEMOIZED trained index (build billed once as
       // build_ivf, like the graph projections — a deployment reuses its

@@ -384,6 +384,65 @@ object VectorOps {
       }))
   }
 
+  /** The FAISS-style IVF+PQ composition — IVF PRUNES (each query scans
+    * only its nProbe cells' members), PQ COMPRESSES (the scan reads byte
+    * codes, not raw vectors): at 100 TB the candidate store is
+    * cells × codes, small enough for RAM, and the raw vectors are
+    * touched only for the final exact re-rank of the shortlist. The ADC
+    * join gains a `cell ∈ probed(q)` semi-join from the IVF assignment;
+    * everything else is [[pqTopK]]'s shape. Recall compounds the two
+    * stages' losses (gated in PipelineSpec on the worst-case corpus). */
+  def ivfPqTopK(index: IvfIndex, codes: DataFrame, cb: PqCodebooks,
+                corpus: DataFrame, queries: DataFrame, topK: Int = 10,
+                nProbe: Int = 10, shortlist: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("q")).orderBy(col("s").desc, col("cell"))
+    val probed = broadcast(queries
+      .select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
+      .join(broadcast(index.centroids), lit(true))
+      .select(col("q"), col("cell"), cosine(col("qv"), col("cv")).as("s"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
+      .select(col("q").as("qid"), col("cell")))
+    // candidate codes: members of any probed cell for that query
+    val candidates = index.indexed
+      .select(col("nb").as("vec_id"), col("cell"))
+      .join(probed, "cell")
+      .select(col("qid"), col("vec_id"))
+    val narrowed = codes.join(candidates, "vec_id")
+    // ADC over the narrowed (qid, vec_id) pairs, then exact re-rank —
+    // same table join as pqTopK but scoped per query
+    val qvecs = queries
+      .select(col("vec_id").as("qid"), normalized(dvec(col("embedding"))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("v"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val table = broadcast(qvecs.flatMap { case (qid, q) =>
+      cb.books.zipWithIndex.flatMap { case (bk, j) =>
+        val qj = q.slice(j * cb.subDim, (j + 1) * cb.subDim)
+        bk.zipWithIndex.map { case (c, code) =>
+          (qid, j, code, qj.zip(c).map { case (a, b) => a * b }.sum)
+        }
+      }
+    }.toSeq.toDF("qid", "sub", "code", "w"))
+    val adc = narrowed
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(table, Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("w")).as("adc"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rk") <= shortlist && col("qid") =!= col("vec_id"))
+    adc.select(col("qid"), col("vec_id"))
+      .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("cv")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        dvec(col("embedding")).as("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Memoized PQ codebooks + encoded corpus per (session, sf dir) — same
     * deployment shape as [[IvfCache]]: train + encode once (`build_pq`),
     * every ADC search reuses the codes. */

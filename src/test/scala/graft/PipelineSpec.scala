@@ -221,6 +221,16 @@ class PipelineSpec extends AnyFunSuite {
     val recall = pq.intersect(exact).size.toDouble / exact.size
     info(s"PQ recall@10 (shortlist 100, re-rank): $recall")
     assert(recall >= 0.8, s"PQ recall gate failed: $recall < 0.8")
+
+    // the IVF+PQ composition compounds both stages' pruning losses —
+    // gate is correspondingly looser on this worst-case corpus
+    val idx = VectorOps.ivfBuild(realE)
+    val both = VectorOps.ivfPqTopK(idx, codes, cb, realE, qs, 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recallBoth = both.intersect(exact).size.toDouble / exact.size
+    info(s"IVF+PQ recall@10: $recallBoth")
+    assert(recallBoth >= 0.7, s"IVF+PQ recall gate failed: $recallBoth < 0.7")
+    idx.indexed.unpersist(false)
   }
 
   test("LSH ANN: same-direction vectors share buckets, ranking is exact on candidates") {
