@@ -20,7 +20,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // each of these broadcasts a TINY query batch against the corpus
     // (exact-scoring search paths) — the corpus side is never shuffled
     val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_ivf_opened", "ann_lsh",
-      "dedup_embedding", "similar_docs")
+      "dedup_embedding", "similar_docs",
+      // probes the k-row centroid table with the same broadcast shape as
+      // ann_ivf before the equi-join ADC scan
+      "ann_ivfpq")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
