@@ -61,10 +61,21 @@ object Bench {
       pipeline.VectorOps.IvfCache.index(spark, sfDir).indexed.count()
       // the opened twin: save + reopen billed here too, so ann_ivf_opened
       // measures SEARCH over the reopened index, not index I/O
-      pipeline.VectorOps.IvfCache.opened(spark, sfDir).indexed.count(); ()
+      pipeline.VectorOps.IvfCache.opened(spark, sfDir).indexed.count()
+      // base-build + incremental append for ann_ivf_appended
+      SparkEntry.IvfAppendCache.get(spark, sfDir).index.indexed.count(); ()
     }
     build("build_pq") {
       pipeline.VectorOps.PqCache.get(spark, sfDir); ()
+    }
+    build("build_compaction") {
+      // compaction is a one-time maintenance pass (ADVICE r6): bill the
+      // rewrite here; compacted_state/retained_state measure the READ
+      SparkEntry.CompactionCache.compacted(spark, sfDir)
+      SparkEntry.CompactionCache.retained(spark, sfDir,
+        java.sql.Timestamp.from(java.time.LocalDateTime
+          .parse("2024-01-10T00:00:00").toInstant(java.time.ZoneOffset.UTC)))
+      ()
     }
 
     // ---- phase 1: per-query reps, median ----

@@ -42,6 +42,39 @@ object SparkEntry {
   private def vprop(s: Snapshot, key: String, t: PropType, alias: String): DataFrame =
     s.prop(key, t, A.Vertex).select(col("e"), col("v").as(alias))
 
+  /** Memoized compacted / retained stores per (session, sf dir, cutoff)
+    * — the deployment shape (ADVICE r6): compaction is a ONE-TIME
+    * maintenance pass, billed as `build_compaction` in Bench like the
+    * IVF/PQ index builds, so the registered queries measure the
+    * post-compaction READ, not a per-rep rewrite. */
+  private[graft] object CompactionCache {
+    private val cache = scala.collection.mutable.Map
+      .empty[(SparkSession, String, Option[Long]), graft.log.BulkFactStore]
+    def compacted(s: SparkSession, d: String): graft.log.BulkFactStore =
+      synchronized(cache.getOrElseUpdate((s, d, None),
+        graft.log.Compaction.compact(s, EventsReplay.snapshot(s, d).store)))
+    def retained(s: SparkSession, d: String, cutoff: Timestamp): graft.log.BulkFactStore = {
+      val st = EventsReplay.snapshot(s, d).store
+      val tx = st.resolveTx(cutoff)
+      synchronized(cache.getOrElseUpdate((s, d, Some(tx)),
+        graft.log.Compaction.compactBefore(s, st, tx)))
+    }
+  }
+
+  /** Memoized base-build + incremental append per (session, sf dir):
+    * base index over vec_id % 7 != 0, the residue class appended via
+    * [[VectorOps.ivfAppend]]. Construction is billed in `build_ivf`. */
+  private[graft] object IvfAppendCache {
+    private val cache = scala.collection.mutable.Map
+      .empty[(SparkSession, String), VectorOps.IvfAppended]
+    def get(s: SparkSession, d: String): VectorOps.IvfAppended = synchronized(
+      cache.getOrElseUpdate((s, d), {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val base = VectorOps.ivfBuild(e.where(pmod(col("vec_id"), lit(7)) =!= 0))
+        VectorOps.ivfAppend(base, e.where(pmod(col("vec_id"), lit(7)) === 0))
+      }))
+  }
+
   /** One-row (n_vertices, n_edges) of live elements in a snapshot. */
   private def liveElementCounts(snap: Snapshot): DataFrame =
     snap.currentFacts.where(col("attr") === A.ElementType)
@@ -262,9 +295,7 @@ object SparkEntry {
     // history kept verbatim — an asOf at Jan-15 must still be EXACT (the
     // same oracle as asof_values, over a store whose early history is gone)
     "retained_state" -> { (s, d) =>
-      val st = EventsReplay.snapshot(s, d).store
-      val retained = graft.log.Compaction.compactBefore(
-        s, st, st.resolveTx(ts("2024-01-10 00:00:00")))
+      val retained = CompactionCache.retained(s, d, ts("2024-01-10 00:00:00"))
       val snap = new Snapshot(retained).asOf(ts("2024-01-15 00:00:00"))
       val lt = vprop(snap, "last_type", PropType.PString, "last_type")
         .select(col("e").as("id"), col("last_type"))
@@ -274,7 +305,7 @@ object SparkEntry {
     },
 
     "compacted_state" -> { (s, d) =>
-      val comp = graft.log.Compaction.compact(s, EventsReplay.snapshot(s, d).store)
+      val comp = CompactionCache.compacted(s, d)
       val snap = new Snapshot(comp)
       val lt = vprop(snap, "last_type", PropType.PString, "last_type")
         .select(col("e").as("id"), col("last_type"))
@@ -753,6 +784,14 @@ object SparkEntry {
       // the built index is gated in PipelineSpec.
       VectorOps.ivfSearch(
         VectorOps.IvfCache.opened(s, d), emb(s, d).where(col("vec_id") < 10), 10)
+    },
+    "ann_ivf_appended" -> { (s, d) =>
+      // search over an index built on 6/7 of the corpus and INCREMENTALLY
+      // extended with the rest (ivfAppend: assign-to-frozen-centroids, no
+      // retrain) — the daily-append deployment shape. Rows-only;
+      // recall-vs-rebuilt and staleness gates live in PipelineSpec.
+      VectorOps.ivfSearch(
+        IvfAppendCache.get(s, d).index, emb(s, d).where(col("vec_id") < 10), 10)
     },
     "label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(emb(s, d).withColumn("label", col("label").cast("long")))),

@@ -126,6 +126,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorMeanAgg].getName, "graft_vec_mean"),
       (children: Seq[Expression]) => VectorMeanAgg(children.head)
         .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(2).foldable,
+          "graft_topk(score, id, k) needs a literal k")
+        val k = children(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk: k must be integral, got $other")
+        }
+        TopKAgg(children(0), children(1), k).toAggregateExpression()
+      }))
   }
 }
 

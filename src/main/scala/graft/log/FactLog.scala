@@ -79,14 +79,48 @@ final class BulkFactStore(
 
   /** Persist this store in the same tx-bucketed parquet layout the
     * mutable log writes ([[FactLog.open]] reopens it): the durable path
-    * for compacted/derived stores. */
+    * for compacted/derived stores. The `preDeduped` contract survives the
+    * round-trip via `_graft_meta`, so a reopened compacted store still
+    * skips the latest-wins shuffle on every snapshot read. */
   def save(root: String, txBucketSize: Long = 1000L): Unit = {
     factsDF.withColumn("txBucket", expr(s"tx div $txBucketSize"))
       .write.mode("overwrite").partitionBy("txBucket").parquet(s"$root/facts")
     touchesDF.write.mode("overwrite").parquet(s"$root/touches")
     txsDF.write.mode("overwrite").parquet(s"$root/txs")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "_graft_meta"), s"txBucketSize=$txBucketSize")
+    StoreMeta.write(spark, root, txBucketSize, preDeduped)
+  }
+}
+
+/** `_graft_meta` sidecar: key=value lines written through the Hadoop
+  * FileSystem API resolved from the session's hadoopConfiguration, so
+  * save/open work against ANY Spark-reachable root (hdfs://, s3a://,
+  * file:), not just a driver-local path. */
+private[graft] object StoreMeta {
+  import org.apache.hadoop.fs.Path
+
+  def write(spark: SparkSession, root: String, txBucketSize: Long,
+            preDeduped: Boolean): Unit = {
+    val path = new Path(root, "_graft_meta")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(
+      s"txBucketSize=$txBucketSize\npreDeduped=$preDeduped\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def read(spark: SparkSession, root: String): Map[String, String] = {
+    val path = new Path(root, "_graft_meta")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Map.empty
+    else {
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      finally in.close()
+    }
   }
 }
 
@@ -212,8 +246,7 @@ final class MemFactLog(val spark: SparkSession) extends FactStore {
       .write.mode("overwrite").partitionBy("txBucket").parquet(s"$root/facts")
     touchesDF.write.mode("overwrite").parquet(s"$root/touches")
     txsDF.write.mode("overwrite").parquet(s"$root/txs")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "_graft_meta"), s"txBucketSize=$txBucketSize")
+    StoreMeta.write(spark, root, txBucketSize, preDeduped = false)
   }
 
   /** Persist the log as a BUCKETED table (hash-bucketed + sorted by `e`):
@@ -239,20 +272,17 @@ object FactLog {
     BulkFactStore.singleTx(spark, spark.table(table), preDeduped)
 
   /** Reopen a saved log as a bulk store; the retained txBucket partition
-    * column lets Snapshot asOf reads prune whole tx-range directories. */
+    * column lets Snapshot asOf reads prune whole tx-range directories,
+    * and a persisted `preDeduped=true` (compacted store) keeps the
+    * max_by-free snapshot path across the durability round-trip. */
   def open(spark: SparkSession, root: String): BulkFactStore = {
-    val meta = java.nio.file.Paths.get(root, "_graft_meta")
-    val bucketSize =
-      if (java.nio.file.Files.exists(meta))
-        java.nio.file.Files.readString(meta).trim
-          .stripPrefix("txBucketSize=").toLongOption
-      else None
+    val meta = StoreMeta.read(spark, root)
     new BulkFactStore(spark,
       spark.read.parquet(s"$root/facts"),
       spark.read.parquet(s"$root/touches"),
       spark.read.parquet(s"$root/txs"),
-      preDeduped = false,
-      txBucketSize = bucketSize)
+      preDeduped = meta.get("preDeduped").contains("true"),
+      txBucketSize = meta.get("txBucketSize").flatMap(_.toLongOption))
   }
 }
 

@@ -31,9 +31,11 @@ object TemporalJoins {
     * column sets disjoint).
     *
     * Ties: a right row AT the left timestamp matches (≤). Several right
-    * rows on the same (key, ts) are non-deterministic — pre-dedupe the
-    * right side if that matters (the same contract DuckDB/pandas as-of
-    * joins have).
+    * rows on the same (key, ts) resolve DETERMINISTICALLY to the one
+    * with the greatest (matched_ts, payload...) struct — the window sort
+    * carries `__r` ascending as a final tiebreak, so the answer never
+    * depends on partition order (DuckDB/pandas leave this case
+    * unspecified; we pin it).
     *
     * `tolerance` (e.g. "1 hour") nulls out matches older than
     * `leftTs - tolerance` without re-shuffling.
@@ -75,9 +77,14 @@ object TemporalJoins {
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
 
     // right sorts BEFORE left at the same ts (side 0 < 1) so an
-    // equal-timestamp right row is visible to the left row — ≤ semantics
+    // equal-timestamp right row is visible to the left row — ≤ semantics.
+    // `__r` asc is the deterministic tiebreak among right rows sharing
+    // (key, ts): `last` then always carries the greatest payload struct
+    // (left rows sort among themselves by the all-null __r — harmless,
+    // they only read the carry). Struct ordering is lexicographic by
+    // field, nulls first — total, so no partition-order dependence.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lSide.unionByName(rSide)

@@ -23,6 +23,30 @@ object VectorOps {
   /** embedding cast to array<double> for stable math. */
   def dvec(c: Column): Column = c.cast("array<double>")
 
+  /** Two-phase grouped shortlist: keep each group's top `n` ids by
+    * (score desc, id asc). With the graft extension loaded this is the
+    * native bounded-heap aggregate [[graft.functions.TopKAgg]]: the
+    * PARTIAL aggregation truncates to ≤n map-side, so the exchange moves
+    * ≤ partitions×n rows per group — the scale-safe shape for a hot
+    * group, where the `row_number` window fallback would funnel every
+    * candidate of the group through one reducer sort. Both paths emit
+    * the identical (group, id, score) set in the identical rank order. */
+  private[graft] def groupedTopK(df: DataFrame, group: String, id: String,
+                                 score: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (graft.functions.GraftExtensions.loadedIn(df.sparkSession))
+      df.groupBy(col(group))
+        .agg(call_function("graft_topk",
+          col(score).cast("double"), col(id).cast("long"), lit(n)).as("top"))
+        .select(col(group), explode(col("top")).as("e"))
+        .select(col(group), col("e.id").as(id), col("e.score").as(score))
+    else
+      df.withColumn("__rk", row_number().over(
+          Window.partitionBy(col(group)).orderBy(col(score).desc, col(id))))
+        .where(col("__rk") <= n)
+        .select(col(group), col(id), col(score))
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
 
@@ -244,7 +268,10 @@ object VectorOps {
 
     // Lloyd iterations on a sample; centroid state stays driver-side
     // (k×dims doubles), the heavy work is the sampled assignment scan.
-    val sample = vecs.where(pmod(col("vec_id"), lit(5)) === 0)
+    // Same sparse-id guard as pqTrain: an empty residue class falls back
+    // to the full corpus instead of skipping every Lloyd update.
+    val sample0 = vecs.where(pmod(col("vec_id"), lit(5)) === 0)
+    val sample = if (sample0.limit(1).isEmpty) vecs else sample0
     (1 to iters).foreach { _ =>
       val means = assign(sample)
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
@@ -282,12 +309,11 @@ object VectorOps {
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
       .select(col("q"), col("qv"), col("cell")))
 
-    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
-    index.indexed.join(q, Seq("cell"))
+    val scored = index.indexed.join(q, Seq("cell"))
       .where(col("q") =!= col("nb"))
       .select(col("q"), col("nb"),
         cosineBest(queries.sparkSession, col("qv"), col("nbv")).as("sim"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+    groupedTopK(scored, "q", "nb", "sim", topK)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
@@ -357,15 +383,41 @@ object VectorOps {
     IvfIndex(centroids, indexed, centroids.count().toInt)
   }
 
+  /** Bounded LRU memo — the same eviction discipline as the GraphX graph
+    * caches (gx/GraphXTraversal): accessOrder LinkedHashMap capped at
+    * `max`, the evicted value's persisted state released via `onEvict`.
+    * A long-lived session touching many corpora keeps at most `max`
+    * indexes pinned instead of accumulating every one forever. */
+  private[graft] final class LruMemo[K, V](max: Int, onEvict: V => Unit) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = {
+        val evict = this.size() > max
+        if (evict) onEvict(e.getValue)
+        evict
+      }
+    }
+    def getOrBuild(key: K)(build: => V): V = synchronized {
+      val hit = m.get(key)
+      if (hit != null) hit else { val v = build; m.put(key, v); v }
+    }
+    def size: Int = synchronized(m.size())
+    def contains(key: K): Boolean = synchronized(m.containsKey(key))
+  }
+
+  private[graft] val MaxCachedIndexes = 4
+
   /** Memoized trained IVF index per (session, sf dir) — the deployment
     * shape: the index is built once (a `build_ivf` cost, like the graph
-    * projections) and every search reuses it. */
+    * projections) and every search reuses it. LRU-bounded at
+    * [[MaxCachedIndexes]]; eviction unpersists the assignment table. */
   object IvfCache {
-    private val cache = scala.collection.mutable.Map
-      .empty[(org.apache.spark.sql.SparkSession, String), IvfIndex]
+    private val cache =
+      new LruMemo[(org.apache.spark.sql.SparkSession, String), IvfIndex](
+        MaxCachedIndexes, _.indexed.unpersist(false))
     def index(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
-      synchronized(cache.getOrElseUpdate((spark, dir),
-        ivfBuild(spark.read.parquet(s"$dir/embeddings.parquet"))))
+      cache.getOrBuild((spark, dir))(
+        ivfBuild(spark.read.parquet(s"$dir/embeddings.parquet")))
+    private[graft] def cachedCount: Int = cache.size
 
     /** Memoized OPENED index: the trained index round-tripped through its
       * parquet persistence ([[saveIndex]]/[[openIndex]]) once per
@@ -374,14 +426,61 @@ object VectorOps {
       * of retraining. Searches over it must hit the persisted in-memory
       * assignment, not a per-search parquet re-scan (plan-asserted in
       * PipelineSpec). */
-    private val openedCache = scala.collection.mutable.Map
-      .empty[(org.apache.spark.sql.SparkSession, String), IvfIndex]
+    private val openedCache =
+      new LruMemo[(org.apache.spark.sql.SparkSession, String), IvfIndex](
+        MaxCachedIndexes, _.indexed.unpersist(false))
     def opened(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
-      synchronized(openedCache.getOrElseUpdate((spark, dir), {
+      openedCache.getOrBuild((spark, dir)) {
         val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_opened_${math.abs(dir.hashCode)}"
         saveIndex(index(spark, dir), root)
         openIndex(spark, root)
-      }))
+      }
+    private[graft] def openedCachedCount: Int = openedCache.size
+  }
+
+  /** Incrementally extend a trained index with an appended vector batch —
+    * the daily-append shape a real pipeline needs: new rows are assigned
+    * to the EXISTING centroids via the same broadcast-assignment join
+    * (no retrain — the k×dims quantizer is untouched, so saved ADC
+    * tables and probe geometry stay valid), and the cell table grows by
+    * a union. Also reports a staleness signal: the appended batch's mean
+    * assigned-cosine vs the base index's — a drop means the frozen
+    * centroids no longer describe the incoming data and a retrain is
+    * due. */
+  final case class IvfAppended(index: IvfIndex, baseMeanCos: Double,
+                               appendedMeanCos: Double) {
+    /** ≥0 drop in assignment quality for the appended batch. */
+    def staleness: Double = math.max(0d, baseMeanCos - appendedMeanCos)
+  }
+
+  /** Mean cosine between each indexed vector and its assigned centroid —
+    * the index-quality scalar both sides of the staleness compare use. */
+  private def meanAssignedCos(indexed: DataFrame, centroids: DataFrame): Double = {
+    val r = indexed.join(broadcast(centroids), "cell")
+      .agg(avg(cosine(col("nbv"), col("cv")))).head()
+    if (r.isNullAt(0)) 0d else r.getDouble(0)
+  }
+
+  def ivfAppend(index: IvfIndex, newVectors: DataFrame): IvfAppended = {
+    import org.apache.spark.storage.StorageLevel
+    val vecs = newVectors.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    // same broadcast nearest-centroid assignment as ivfBuild: k scored
+    // rows per vector, folded map-side before the shuffle
+    val assigned = vecs.join(index.centroids, lit(true))
+      .select(col("vec_id"), col("v"), col("cell"),
+        cosine(col("v"), col("cv")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("s"), -col("cell"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("vec_id").as("nb"), col("v").as("nbv"), col("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baseMean = meanAssignedCos(index.indexed, index.centroids)
+    val appendedMean = meanAssignedCos(assigned, index.centroids)
+    val merged = index.indexed.unionByName(assigned)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize before releasing the staging caches
+    assigned.unpersist(false)
+    IvfAppended(IvfIndex(index.centroids, merged, index.k), baseMean, appendedMean)
   }
 
   /** The FAISS-style IVF+PQ composition — IVF PRUNES (each query scans
@@ -424,14 +523,13 @@ object VectorOps {
         }
       }
     }.toSeq.toDF("qid", "sub", "code", "w"))
-    val adc = narrowed
+    val scored = narrowed
       .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(table, Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("w")).as("adc"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("adc").desc, col("vec_id"))))
-      .where(col("rk") <= shortlist && col("qid") =!= col("vec_id"))
+      .where(col("qid") =!= col("vec_id"))
+    val adc = groupedTopK(scored, "qid", "vec_id", "adc", shortlist)
     adc.select(col("qid"), col("vec_id"))
       .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("cv")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("qid"),
@@ -447,17 +545,19 @@ object VectorOps {
     * deployment shape as [[IvfCache]]: train + encode once (`build_pq`),
     * every ADC search reuses the codes. */
   object PqCache {
-    private val cache = scala.collection.mutable.Map
-      .empty[(org.apache.spark.sql.SparkSession, String), (PqCodebooks, DataFrame)]
+    private val cache =
+      new LruMemo[(org.apache.spark.sql.SparkSession, String), (PqCodebooks, DataFrame)](
+        MaxCachedIndexes, { case (_, codes) => codes.unpersist(false) })
     def get(spark: org.apache.spark.sql.SparkSession, dir: String): (PqCodebooks, DataFrame) =
-      synchronized(cache.getOrElseUpdate((spark, dir), {
+      cache.getOrBuild((spark, dir)) {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val cb = pqTrain(emb)
         val codes = pqEncode(emb, cb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         codes.count()
         (cb, codes)
-      }))
+      }
+    private[graft] def cachedCount: Int = cache.size
   }
 
   /** Per-label centroids via the native `graft_vec_mean`
@@ -546,7 +646,14 @@ object VectorOps {
       require(d % m == 0, s"dims $d not divisible by m=$m")
       d / m
     }
-    val sub = subVectors(corpus.where(pmod(col("vec_id"), lit(5)) === 0), m, subDim)
+    // deterministic sample — but an id space that misses the residue
+    // class (or keeps < k ids) must fall back to the full corpus rather
+    // than silently training empty codebooks
+    val sampled = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+    val trainSrc =
+      if (sampled.select(col("vec_id")).distinct().limit(k).count() < k) corpus
+      else sampled
+    val sub = subVectors(trainSrc, m, subDim)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init: the sub-vectors of the k lowest sampled vec_ids, per subspace
     val initIds = sub.select(col("vec_id")).distinct()
@@ -555,6 +662,9 @@ object VectorOps {
       .orderBy(col("sub"), col("vec_id")).collect()
       .groupBy(_.getInt(1)).toArray.sortBy(_._1)
       .map(_._2.map(_.getAs[scala.collection.Seq[Double]]("sv").toSeq))
+    require(books.length == m && books.forall(_.length == k),
+      s"pqTrain: corpus too small to seed $m×$k codebooks " +
+        s"(got ${books.length} subspaces × ${books.headOption.map(_.length).getOrElse(0)} codes)")
     (1 to iters).foreach { _ =>
       val means = sub.join(bookDF(spark, books), "sub")
         .select(col("sub"), col("vec_id"), col("code"), col("sv"),
@@ -616,14 +726,15 @@ object VectorOps {
         }
       }
     }.toSeq.toDF("qid", "sub", "code", "w"))
-    val adc = codes
+    val scored = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(table, Seq("sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("w")).as("adc"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("adc").desc, col("vec_id"))))
-      .where(col("rk") <= shortlist && col("qid") =!= col("vec_id"))
+      .where(col("qid") =!= col("vec_id"))
+    // two-phase shortlist: bounded-heap partials truncate per partition
+    // before the per-qid exchange — no global per-query reducer sort
+    val adc = groupedTopK(scored, "qid", "vec_id", "adc", shortlist)
     adc.select(col("qid"), col("vec_id"))
       .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("cv")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("qid"),

@@ -20,6 +20,34 @@ object EventStream {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
+  /** Spark's RocksDB state-store provider — what a production deployment
+    * of the stateful paths here (dedupDocStream, nearDupPairsStream,
+    * sessionize, latestPerUser) should run: keyed state lives in
+    * executor-local RocksDB instances (off-heap, disk-backed, changelog
+    * checkpointing) instead of the default HDFS-backed provider's
+    * on-heap maps — at 100 TB-pipeline event rates the heap map is the
+    * first thing to die. The operators themselves are provider-agnostic;
+    * EventStreamSpec runs the dedup/near-dup parity suites under this
+    * provider. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `body` with the session's state-store provider pinned to
+    * RocksDB, restoring the prior setting after. The provider is read
+    * once at stream START, so scoping this around `.start()` is enough;
+    * already-running queries keep their provider. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
   /** Per-user running version state maintained with mapGroupsWithState. */
   final case class UserVersion(user_id: Long, versions: Long,
                                lastType: String, value: Option[Double])

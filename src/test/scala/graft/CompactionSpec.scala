@@ -71,5 +71,21 @@ class CompactionSpec extends AnyFunSuite {
     def headFacts(st: graft.log.FactStore) =
       new Snapshot(st).currentFacts.collect().map(_.toSeq).toSet
     assert(headFacts(reopened) == headFacts(original))
+    // the preDeduped contract survives the round-trip (ADVICE r6): the
+    // reopened store still takes the max_by-free snapshot path
+    assert(reopened.preDeduped, "preDeduped flag lost across save/open")
+    val plan = new Snapshot(reopened).currentFacts
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("max_by"),
+      s"latest-wins re-appeared after reopen:\n$plan")
+  }
+
+  test("a NON-compacted store round-trips as preDeduped=false") {
+    val root = java.nio.file.Files.createTempDirectory("graft_raw_rt").toString
+    val bulk = new graft.log.BulkFactStore(spark, original.factsDF,
+      original.touchesDF, original.txsDF)
+    bulk.save(root)
+    assert(!graft.log.FactLog.open(spark, root).preDeduped,
+      "a store with live history must NOT reopen preDeduped")
   }
 }

@@ -546,4 +546,101 @@ class PipelineSpec extends AnyFunSuite {
     val ob = TextOps.packSequences(over, budgetTokens = 64).collect()
     assert(ob.length == 1 && ob.head.getLong(3) == 200L)
   }
+
+  test("graft_topk two-phase shortlist: identical to the window rank, ties and small groups") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial candidate set: a hot group (500 candidates, tied scores),
+    // a group smaller than k, and a singleton — spread over many partitions
+    // so the map-side partial heaps genuinely truncate before the exchange
+    val rows = (0 until 500).map(i => (1L, i.toLong, (i % 7).toDouble)) ++
+      (0 until 3).map(i => (2L, 100L + i, 1.0)) ++ Seq((3L, 7L, 0.5))
+    val df = rows.toDF("g", "id", "score").repartition(16)
+    val native = VectorOps.groupedTopK(df, "g", "id", "score", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .select(col("g"), col("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == viaWindow, "bounded-heap shortlist diverged from the window rank")
+    // deterministic tie handling: score 6.0 ties resolve to the LOWEST ids
+    val hot = native.filter(_._1 == 1L)
+    assert(hot.size == 10)
+    assert(hot.filter(_._3 == 6.0).map(_._2).toSeq.sorted ==
+      (0 until 500).filter(_ % 7 == 6).map(_.toLong).sorted.take(hot.count(_._3 == 6.0)))
+    // the native path really is an aggregate, not a window
+    if (graft.functions.GraftExtensions.loadedIn(spark)) {
+      val plan = VectorOps.groupedTopK(df, "g", "id", "score", 10)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("topkagg") && !plan.contains("window"),
+        s"expected an aggregate-based shortlist:\n$plan")
+    }
+  }
+
+  test("ivfAppend: incremental index matches full-rebuild recall; staleness signal sane") {
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = VectorOps.ivfBuild(realE.where(pmod(col("vec_id"), lit(7)) =!= 0))
+    val appended = VectorOps.ivfAppend(base,
+      realE.where(pmod(col("vec_id"), lit(7)) === 0))
+    // every corpus vector is indexed exactly once after the append
+    assert(appended.index.indexed.count() == realE.count())
+    assert(appended.index.indexed.select(col("nb")).distinct().count() == realE.count())
+    // in-distribution append: assignment quality of the appended batch
+    // stays near the base index's (staleness is the drop, floored at 0)
+    info(f"base=${appended.baseMeanCos}%.4f appended=${appended.appendedMeanCos}%.4f " +
+      f"staleness=${appended.staleness}%.4f")
+    assert(appended.staleness >= 0d && appended.staleness < 0.1,
+      s"in-distribution append should not look stale: ${appended.staleness}")
+    // recall of the appended index within epsilon of a full rebuild
+    val qs = realE.where(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(realE, qs, 10)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
+    def recall(idx: VectorOps.IvfIndex): Double = {
+      val got = VectorOps.ivfSearch(idx, qs, 10)
+        .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("nb"))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val full = VectorOps.ivfBuild(realE)
+    val rAppended = recall(appended.index)
+    val rFull = recall(full)
+    info(s"recall@10 appended=$rAppended rebuilt=$rFull")
+    assert(rAppended >= rFull - 0.1,
+      s"appended-index recall $rAppended fell >0.1 below rebuilt $rFull")
+    Seq(appended.index, full).foreach(_.indexed.unpersist(false))
+  }
+
+  test("LruMemo: bounded, LRU eviction order, access refreshes recency") {
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val memo = new VectorOps.LruMemo[Int, String](3, evicted += _)
+    (1 to 3).foreach(i => memo.getOrBuild(i)(s"v$i"))
+    memo.getOrBuild(1)("rebuilt-1") // hit: refreshes 1, does NOT rebuild
+    assert(memo.getOrBuild(1)("x") == "v1")
+    memo.getOrBuild(4)("v4") // evicts 2 (LRU after 1 was touched)
+    memo.getOrBuild(5)("v5") // evicts 3
+    assert(evicted.toSeq == Seq("v2", "v3"))
+    assert(memo.size == 3)
+    assert(memo.contains(1) && memo.contains(4) && memo.contains(5))
+    // the shared ANN caches ride the same bound
+    assert(VectorOps.IvfCache.cachedCount <= VectorOps.MaxCachedIndexes)
+    assert(VectorOps.PqCache.cachedCount <= VectorOps.MaxCachedIndexes)
+  }
+
+  test("pqTrain: sparse id space misses the sample residue class; falls back to full corpus") {
+    import spark.implicits._
+    // ids ≡ 1 (mod 5): the vec_id % 5 == 0 sample is EMPTY
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 24).map(i =>
+      (5L * i + 1L, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cb = VectorOps.pqTrain(e, m = 2, k = 4)
+    assert(cb.books.length == 2 && cb.books.forall(_.length == 4))
+    assert(cb.books.forall(_.forall(_.length == 4)))
+    val codes = VectorOps.pqEncode(e, cb)
+    assert(codes.count() == 24)
+    // and a corpus smaller than k fails LOUDLY instead of silently
+    val tiny = rows.take(2).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.pqTrain(tiny, m = 2, k = 4)
+    }
+    assert(ex.getMessage.contains("too small"))
+  }
 }

@@ -84,6 +84,30 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(tol(2L).contains(100L))
   }
 
+  test("asofJoin: duplicate (key, ts) right rows resolve deterministically to the greatest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // three purchases at the SAME (user, ts) — the documented tiebreak
+    // picks the greatest (matched_ts, payload...) struct: purchase 103
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 101L, 7.0),
+      (10L, ts("2024-01-01 09:00:00"), 103L, 2.0),
+      (10L, ts("2024-01-01 09:00:00"), 102L, 9.0)
+    ).toDF("user_id", "ts", "purchase_id", "purchase_value")
+    // stable across partitionings/row orders — the flake ADVICE r6 warned
+    // about: without the __r tiebreak the winner depended on sort arrival
+    Seq(right, right.repartition(8), right.orderBy(col("purchase_value")),
+        right.coalesce(1).orderBy(col("purchase_id").desc)).foreach { r =>
+      val out = TemporalJoins.asofJoin(left, r, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id", "purchase_value"), matchedTsCol = "purchase_ts")
+        .collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("purchase_id") == 103L,
+        s"tiebreak not deterministic: got ${out.head}")
+    }
+  }
+
   test("rangeBandJoin: band-crossing intervals, inclusive endpoints, key isolation") {
     import spark.implicits._
     // band width 60 s; interval [09:59:30, 10:00:30] crosses the band edge
