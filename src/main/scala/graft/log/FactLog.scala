@@ -325,6 +325,37 @@ object Compaction {
     new BulkFactStore(spark, facts, touches, store.txsDF, preDeduped = true)
   }
 
+  /** One-row history profile of a store — the signal the auto-compaction
+    * policy reads: total fact rows, live (latest-wins head) rows, dead
+    * rows, and dead/live. Costs one latest-wins pass + one count — the
+    * same work ONE snapshot read already pays, so profiling before a
+    * maintenance window is cheap relative to guessing wrong either way
+    * (compacting a clean store, or reading a 90%-dead one all week). */
+  def historyProfile(spark: SparkSession, store: FactStore): DataFrame = {
+    import spark.implicits._
+    val total = store.factsDF.count()
+    val live = new graft.snapshot.Snapshot(store).currentFacts.count()
+    val dead = total - live
+    val ratio = if (live == 0L) (if (dead == 0L) 0d else Double.PositiveInfinity)
+                else dead.toDouble / live
+    Seq((total, live, dead, ratio))
+      .toDF("n_facts", "n_live", "n_dead", "dead_ratio")
+  }
+
+  /** Profile-guided compaction: rewrite only when dead history outweighs
+    * live state by more than `maxDeadRatio` (default 1.0 = compact once
+    * less than half the log is live). Returns the store to KEEP READING
+    * (original when below threshold — untouched, not rewritten) plus
+    * whether compaction ran. The deployment loop is
+    * `store = compactIfNeeded(spark, store)._1` on a maintenance cadence. */
+  def compactIfNeeded(spark: SparkSession, store: FactStore,
+                      maxDeadRatio: Double = 1.0): (FactStore, Boolean) = {
+    val p = historyProfile(spark, store).head()
+    if (p.getAs[Double]("dead_ratio") > maxDeadRatio)
+      (compact(spark, store), true)
+    else (store, false)
+  }
+
   /** Retention compaction — the production shape: squash all history at
     * or before `cutoffTx` into its latest-wins state (original tx stamps
     * kept) and keep every later fact verbatim. For ANY checkpoint t ≥

@@ -80,6 +80,30 @@ class CompactionSpec extends AnyFunSuite {
       s"latest-wins re-appeared after reopen:\n$plan")
   }
 
+  test("profile-guided policy: compacts the history-heavy store, leaves a clean one untouched") {
+    // the events store carries real dead history
+    val p = Compaction.historyProfile(spark, original).head()
+    val (total, live, dead, ratio) = (p.getLong(0), p.getLong(1), p.getLong(2),
+      p.getDouble(3))
+    assert(total == live + dead && dead > 0)
+    assert(math.abs(ratio - dead.toDouble / live) < 1e-12)
+    // below-threshold: the ORIGINAL instance comes back, no rewrite
+    val (same, ran) = Compaction.compactIfNeeded(spark, original,
+      maxDeadRatio = ratio + 1)
+    assert(!ran && (same eq original))
+    // above-threshold: compaction runs, head state survives exactly
+    val (rewritten, ran2) = Compaction.compactIfNeeded(spark, original,
+      maxDeadRatio = ratio / 2)
+    assert(ran2 && rewritten.preDeduped)
+    def headFacts(st: graft.log.FactStore) =
+      new Snapshot(st).currentFacts.collect().map(_.toSeq).toSet
+    assert(headFacts(rewritten) == headFacts(original))
+    // an already-compacted store profiles as 0 dead → never recompacted
+    val p2 = Compaction.historyProfile(spark, compacted).head()
+    assert(p2.getLong(2) == 0L && p2.getDouble(3) == 0d)
+    assert(!Compaction.compactIfNeeded(spark, compacted)._2)
+  }
+
   test("a NON-compacted store round-trips as preDeduped=false") {
     val root = java.nio.file.Files.createTempDirectory("graft_raw_rt").toString
     val bulk = new graft.log.BulkFactStore(spark, original.factsDF,

@@ -19,7 +19,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // centroid table, band table) — documented in VectorOps
     // each of these broadcasts a TINY query batch against the corpus
     // (exact-scoring search paths) — the corpus side is never shuffled
-    val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_ivf_opened", "ann_lsh",
+    val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_ivf_opened",
+      // the appended-index search broadcasts the same k-row centroid
+      // table as ann_ivf (the append assignment itself is a build step)
+      "ann_ivf_appended", "ann_lsh",
       "dedup_embedding", "similar_docs",
       // probes the k-row centroid table with the same broadcast shape as
       // ann_ivf before the equi-join ADC scan

@@ -37,6 +37,44 @@ class SkewAndBucketingSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits the skewed partition of a sort-merge join (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~200k wide rows vs a tiny median: the hot
+    // partition exceeds both the skew factor (5× median) and the lowered
+    // byte threshold, so AQE must replan the SMJ with skew splitting
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50KB")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val payload = "x" * 64
+      val big = spark.range(0, 220000).select(
+        when(col("id") % 100 === 0, col("id") % 97 + 1).otherwise(0L)
+          .cast("long").as("k"),
+        concat(lit(payload), col("id").cast("string")).as("payload"))
+      val dim = (0L to 100L).map(k => (k, s"name_$k")).toDF("k", "name")
+      val joined = big.join(dim, "k")
+      // AQE finalizes THIS DataFrame's adaptive plan only when it is
+      // executed directly (count()/noop-write plan their own queries)
+      assert(joined.collect().length == 220000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE plan not finalized:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skew join (is the hot partition above threshold?):\n$plan")
+      // and correctness is unaffected: same counts as a non-AQE salted join
+      val viaSalt = SkewJoin.salted(big, dim, "k", col("payload"))
+      assert(viaSalt.count() == 220000L)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed fact table: point lookup prunes to one bucket and reads correct values") {
     val g = new GraftGraph(spark)
     val vs = (1 to 50).map(i => { val v = g.addVertex(); v.setProperty("n", i.toLong); v })
