@@ -240,7 +240,6 @@ object TextOps {
    * "find documents like this one" lookups.
    */
   def similarDocs(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     // token barrier first (shinglesFromTokens multi-references its arg;
     // collapsed, tokenization would go O(tokens²) per doc)
@@ -252,12 +251,14 @@ object TextOps {
       .select(col("q"), shinglesFromTokens(col("t")).as("qsh")))
     val inter = size(array_intersect(col("qsh"), col("sh"))).cast("double")
     val union = (size(col("qsh")) + size(col("sh"))).cast("double") - inter
-    val w = Window.partitionBy(col("q")).orderBy(col("jac").desc, col("nb"))
-    val out = sh.select(col("doc_id").as("nb"), col("sh"))
+    val scored = sh.select(col("doc_id").as("nb"), col("sh"))
       .join(q, col("q") =!= col("nb")) // broadcast nested-loop: query side tiny
       .where(size(col("qsh")) > 0 && union > 0)
       .withColumn("jac", inter / union)
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("q"), col("nb"), col("jac"))
+    // two-phase rank (VectorOps.groupedTopK): map-side ≤k heaps instead
+    // of funnelling every scored corpus doc of a query through one sort
+    val out = VectorOps.groupedTopK(scored, "q", "nb", "jac", k)
       .select(col("q"), col("nb"), round(col("jac"), 4).as("jac"))
     val res = out.localCheckpoint(true)
     Seq(toks, sh).foreach(_.unpersist(false))

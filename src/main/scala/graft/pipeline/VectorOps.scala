@@ -66,16 +66,19 @@ object VectorOps {
     emb.select(col("vec_id"), round(norm(dvec(col("embedding"))), 4).as("norm"))
 
   /** Exact top-k neighbors for each query vector: (q, nb, sim), ranked by
-    * (cosine desc, vec_id) — deterministic tiebreak. Self-pairs excluded. */
+    * (cosine desc, vec_id) — deterministic tiebreak. Self-pairs excluded.
+    * The rank is the two-phase [[groupedTopK]]: each scan partition folds
+    * its |corpus|/partitions candidates into a ≤k heap map-side, so the
+    * per-query exchange moves ≤ partitions×k rows — at 100 TB corpus
+    * size the difference between shuffling the whole scored corpus per
+    * query and shuffling a few kilobytes. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv")))
     val scored = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("cv"))
       .join(q, col("q") =!= col("nb")) // broadcast nested-loop: query side tiny
       .select(col("q"), col("nb"),
         cosineBest(corpus.sparkSession, col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    groupedTopK(scored, "q", "nb", "sim", k)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
@@ -156,11 +159,12 @@ object VectorOps {
       .select(col("q"), col("nb")).distinct()
     val qv = broadcast(queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv")))
     val cv = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("nbv"))
-    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
-    val out = cand.join(qv, "q").join(cv, "nb")
+    val scoredCand = cand.join(qv, "q").join(cv, "nb")
       .select(col("q"), col("nb"),
         cosineBest(corpus.sparkSession, col("qv"), col("nbv")).as("sim"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    // two-phase rank over the bucket candidates (a hot bucket no longer
+    // funnels through one reducer sort)
+    val out = groupedTopK(scoredCand, "q", "nb", "sim", k)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
     val res = out.localCheckpoint(true)
     c.unpersist(false)
