@@ -564,6 +564,43 @@ object VectorOps {
     private[graft] def cachedCount: Int = cache.size
   }
 
+  /** Persist a trained PQ index (codebooks + encoded corpus) as parquet —
+    * the durable-artifact path for the compressed store, parallel to the
+    * IVF [[saveIndex]]: a 100 TB corpus is encoded once and every later
+    * ADC job opens the byte codes instead of re-training. Codebooks
+    * flatten to (sub, code, cv) rows; m/subDim/k are recovered from the
+    * table shape on open. */
+  def pqSave(cb: PqCodebooks, codes: DataFrame, root: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toSeq.toDF("sub", "code", "cv")
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+    codes.write.mode("overwrite").parquet(s"$root/codes")
+  }
+
+  def pqOpen(spark: org.apache.spark.sql.SparkSession,
+             root: String): (PqCodebooks, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val flat = spark.read.parquet(s"$root/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
+    require(flat.nonEmpty, s"pqOpen: no codebooks at $root")
+    val m = flat.map(_._1).max + 1
+    val k = flat.map(_._2).max + 1
+    val books = flat.groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    require(books.length == m && books.forall(_.length == k),
+      s"pqOpen: ragged codebook table at $root")
+    // codes persisted in memory like PqCache's build path: ADC searches
+    // over an opened index must not re-scan parquet per query batch
+    val codes = spark.read.parquet(s"$root/codes")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (PqCodebooks(m, books.head.head.length, k, books), codes)
+  }
+
   /** Per-label centroids via the native `graft_vec_mean`
     * TypedImperativeAggregate when the graft extension is loaded: ONE
     * running (count, sums[dims]) buffer per group, combined map-side and

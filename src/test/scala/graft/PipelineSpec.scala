@@ -608,6 +608,25 @@ class PipelineSpec extends AnyFunSuite {
     Seq(appended.index, full).foreach(_.indexed.unpersist(false))
   }
 
+  test("PQ index survives a parquet save/open round-trip; opened search is identical") {
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = VectorOps.pqTrain(realE)
+    val codes = VectorOps.pqEncode(realE, cb)
+    val root = "/root/repo/target/tmp/pq_index"
+    VectorOps.pqSave(cb, codes, root)
+    val (cb2, codes2) = VectorOps.pqOpen(spark, root)
+    assert(cb2.m == cb.m && cb2.subDim == cb.subDim && cb2.k == cb.k)
+    assert(cb2.books.map(_.toSeq).toSeq == cb.books.map(_.toSeq).toSeq,
+      "codebooks changed across the round-trip")
+    val qs = realE.where(col("vec_id") < 3)
+    def rows(c: VectorOps.PqCodebooks, cd: org.apache.spark.sql.DataFrame) =
+      VectorOps.pqTopK(realE, cd, c, qs, 10)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+          r.getAs[Int]("rank"))).toSet
+    assert(rows(cb2, codes2) == rows(cb, codes))
+    codes2.unpersist(false)
+  }
+
   test("LruMemo: bounded, LRU eviction order, access refreshes recency") {
     val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
     val memo = new VectorOps.LruMemo[Int, String](3, evicted += _)
