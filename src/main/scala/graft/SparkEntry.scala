@@ -48,16 +48,20 @@ object SparkEntry {
     * IVF/PQ index builds, so the registered queries measure the
     * post-compaction READ, not a per-rep rewrite. */
   private[graft] object CompactionCache {
-    private val cache = scala.collection.mutable.Map
-      .empty[(SparkSession, String, Option[Long]), graft.log.BulkFactStore]
+    // same LRU bound as the ANN/graph caches (compacted stores hold
+    // localCheckpoint blocks; eviction drops the reference and lets the
+    // ContextCleaner reclaim them)
+    private val cache = new VectorOps.LruMemo[
+      (SparkSession, String, Option[Long]), graft.log.BulkFactStore](
+      VectorOps.MaxCachedIndexes, _ => ())
     def compacted(s: SparkSession, d: String): graft.log.BulkFactStore =
-      synchronized(cache.getOrElseUpdate((s, d, None),
-        graft.log.Compaction.compact(s, EventsReplay.snapshot(s, d).store)))
+      cache.getOrBuild((s, d, None))(
+        graft.log.Compaction.compact(s, EventsReplay.snapshot(s, d).store))
     def retained(s: SparkSession, d: String, cutoff: Timestamp): graft.log.BulkFactStore = {
       val st = EventsReplay.snapshot(s, d).store
       val tx = st.resolveTx(cutoff)
-      synchronized(cache.getOrElseUpdate((s, d, Some(tx)),
-        graft.log.Compaction.compactBefore(s, st, tx)))
+      cache.getOrBuild((s, d, Some(tx)))(
+        graft.log.Compaction.compactBefore(s, st, tx))
     }
   }
 
@@ -65,14 +69,15 @@ object SparkEntry {
     * base index over vec_id % 7 != 0, the residue class appended via
     * [[VectorOps.ivfAppend]]. Construction is billed in `build_ivf`. */
   private[graft] object IvfAppendCache {
-    private val cache = scala.collection.mutable.Map
-      .empty[(SparkSession, String), VectorOps.IvfAppended]
-    def get(s: SparkSession, d: String): VectorOps.IvfAppended = synchronized(
-      cache.getOrElseUpdate((s, d), {
+    private val cache = new VectorOps.LruMemo[
+      (SparkSession, String), VectorOps.IvfAppended](
+      VectorOps.MaxCachedIndexes, _.index.indexed.unpersist(false))
+    def get(s: SparkSession, d: String): VectorOps.IvfAppended =
+      cache.getOrBuild((s, d)) {
         val e = s.read.parquet(s"$d/embeddings.parquet")
         val base = VectorOps.ivfBuild(e.where(pmod(col("vec_id"), lit(7)) =!= 0))
         VectorOps.ivfAppend(base, e.where(pmod(col("vec_id"), lit(7)) === 0))
-      }))
+      }
   }
 
   /** One-row (n_vertices, n_edges) of live elements in a snapshot. */

@@ -246,19 +246,38 @@ object EventStream {
   /** Per-user latest state via explicit keyed state (the streaming
     * equivalent of the per-element version chain): each group folds its
     * new events in event_id order into (version count, last type, current
-    * value with retraction semantics). */
-  def latestPerUser(events: Dataset[Event]): Dataset[UserVersion] = {
+    * value with retraction semantics).
+    *
+    * `idleTtl` bounds the state at 100 TB event rates: with a TTL, a
+    * user idle longer than the duration is EVICTED (processing-time
+    * timeout) and restarts its version count on return — the standard
+    * bounded-state trade for a hot-set workload where distinct keys grow
+    * without bound but the active set doesn't. None (the default)
+    * preserves exact whole-history semantics: state grows with distinct
+    * users, the right call only when that set is bounded. */
+  def latestPerUser(events: Dataset[Event],
+                    idleTtl: Option[String] = None): Dataset[UserVersion] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserVersion, UserVersion](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[UserVersion, UserVersion](timeoutConf) {
         (uid: Long, rows: Iterator[Event], state: GroupState[UserVersion]) =>
-          val prev = state.getOption.getOrElse(UserVersion(uid, 0L, null, None))
-          val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (s, e) =>
-            UserVersion(uid, s.versions + 1, e.event_type,
-              if (e.event_type == "error") None else Some(e.value))
+          if (state.hasTimedOut) {
+            // idle key evicted; emit the final state one last time
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserVersion(uid, 0L, null, None))
+            val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (s, e) =>
+              UserVersion(uid, s.versions + 1, e.event_type,
+                if (e.event_type == "error") None else Some(e.value))
+            }
+            state.update(next)
+            idleTtl.foreach(state.setTimeoutDuration)
+            next
           }
-          state.update(next)
-          next
       }
   }
 }

@@ -296,4 +296,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(byUser(1L).versions == 2 && byUser(1L).value.contains(9.5))
     assert(byUser(2L).versions == 1 && byUser(2L).value.isEmpty) // retracted
   }
+
+  test("keyed state with idle TTL: same answers while keys are live; timeout path wired") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(0L, ts("2024-01-01 00:00:00"), 1L, "signup", 1.0),
+      Event(1L, ts("2024-01-01 01:00:00"), 1L, "purchase", 9.5),
+      Event(2L, ts("2024-01-01 02:00:00"), 2L, "error", 0.0))
+    source.addData(Event(3L, ts("2024-01-01 03:00:00"), 1L, "view", 2.0))
+    // SHORT TTL so the idle timers actually fire in-test. Waiting note:
+    // with ProcessingTimeTimeout the stateful operator unconditionally
+    // requests another (no-data) batch to fire future timers, so BOTH
+    // processAllAvailable and Trigger.AvailableNow never settle — the
+    // correct wait is polling the sink: batch 0 emits the two live
+    // states, the timeout batches re-emit each state once on eviction
+    // (the hasTimedOut branch), giving ≥4 rows.
+    val q = EventStream.latestPerUser(source.toDS(), idleTtl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("ttl_state_sink")
+      .outputMode("update").start()
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (System.currentTimeMillis() < deadline &&
+             spark.table("ttl_state_sink").count() < 4) Thread.sleep(250)
+      assert(spark.table("ttl_state_sink").count() >= 4,
+        "idle timers never fired (no eviction re-emission)")
+    } finally q.stop()
+    val byUser = spark.table("ttl_state_sink").as[EventStream.UserVersion]
+      .collect().groupBy(_.user_id).map { case (k, vs) => k -> vs.maxBy(_.versions) }
+    assert(byUser(1L).versions == 3 && byUser(1L).value.contains(2.0))
+    assert(byUser(2L).versions == 1 && byUser(2L).value.isEmpty)
+  }
 }
