@@ -52,17 +52,19 @@ object SparkEntry {
     // localCheckpoint blocks; eviction drops the reference and lets the
     // ContextCleaner reclaim them)
     private val cache = new VectorOps.LruMemo[
-      (SparkSession, String, Option[Long]), graft.log.BulkFactStore](
+      (SparkSession, String, Option[Timestamp]), graft.log.BulkFactStore](
       VectorOps.MaxCachedIndexes, _ => ())
     def compacted(s: SparkSession, d: String): graft.log.BulkFactStore =
       cache.getOrBuild((s, d, None))(
         graft.log.Compaction.compact(s, EventsReplay.snapshot(s, d).store))
-    def retained(s: SparkSession, d: String, cutoff: Timestamp): graft.log.BulkFactStore = {
-      val st = EventsReplay.snapshot(s, d).store
-      val tx = st.resolveTx(cutoff)
-      cache.getOrBuild((s, d, Some(tx)))(
-        graft.log.Compaction.compactBefore(s, st, tx))
-    }
+    // keyed on the cutoff TIMESTAMP, not its resolved tx: resolveTx is a
+    // Spark aggregation over the (unpersisted) txs table, and paying it
+    // per call would put a redundant job inside every cached read
+    def retained(s: SparkSession, d: String, cutoff: Timestamp): graft.log.BulkFactStore =
+      cache.getOrBuild((s, d, Some(cutoff))) {
+        val st = EventsReplay.snapshot(s, d).store
+        graft.log.Compaction.compactBefore(s, st, st.resolveTx(cutoff))
+      }
   }
 
   /** Memoized base-build + incremental append per (session, sf dir):

@@ -56,7 +56,9 @@ case class TopKAgg(
   override def update(buf: Buf, input: InternalRow): Buf = {
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
-    if (s != null && id != null)
+    // NaN is skipped like null: every comparison against NaN is false, so
+    // one at the heap root would permanently block stronger candidates
+    if (s != null && id != null && !s.asInstanceOf[Double].isNaN)
       buf.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
     buf
   }

@@ -35,7 +35,9 @@ object TemporalJoins {
     * with the greatest (matched_ts, payload...) struct — the window sort
     * carries `__r` ascending as a final tiebreak, so the answer never
     * depends on partition order (DuckDB/pandas leave this case
-    * unspecified; we pin it).
+    * unspecified; we pin it). Exception: a payload containing an
+    * UNORDERABLE type (map) cannot join the sort — those fall back to
+    * the old contract (ties unspecified; pre-dedupe if it matters).
     *
     * `tolerance` (e.g. "1 hour") nulls out matches older than
     * `leftTs - tolerance` without re-shuffling.
@@ -83,8 +85,14 @@ object TemporalJoins {
     // (left rows sort among themselves by the all-null __r — harmless,
     // they only read the carry). Struct ordering is lexicographic by
     // field, nulls first — total, so no partition-order dependence.
+    // Unorderable payloads (maps) can't be sort keys: drop the tiebreak
+    // rather than failing analysis (ties revert to unspecified).
+    val tiebreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rType))
+        Seq(col("__r").asc)
+      else Seq.empty
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .orderBy(Seq(col("__ts").asc, col("__side").asc) ++ tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lSide.unionByName(rSide)

@@ -34,14 +34,20 @@ object VectorOps {
   private[graft] def groupedTopK(df: DataFrame, group: String, id: String,
                                  score: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null/NaN-scored candidates are excluded up front ON BOTH PATHS: a
+    // NaN (0/0 cosine of a zero vector) poisons any ordering — the heap's
+    // comparisons would wedge it at the root, the window would sort it
+    // FIRST (Spark treats NaN as largest) — and a null score cannot rank.
+    // Filtering before the rank keeps the two paths bit-identical.
+    val ranked = df.where(col(score).isNotNull && !isnan(col(score).cast("double")))
     if (graft.functions.GraftExtensions.loadedIn(df.sparkSession))
-      df.groupBy(col(group))
+      ranked.groupBy(col(group))
         .agg(call_function("graft_topk",
           col(score).cast("double"), col(id).cast("long"), lit(n)).as("top"))
         .select(col(group), explode(col("top")).as("e"))
         .select(col(group), col("e.id").as(id), col("e.score").as(score))
     else
-      df.withColumn("__rk", row_number().over(
+      ranked.withColumn("__rk", row_number().over(
           Window.partitionBy(col(group)).orderBy(col(score).desc, col(id))))
         .where(col("__rk") <= n)
         .select(col(group), col(id), col(score))
@@ -400,9 +406,20 @@ object VectorOps {
         evict
       }
     }
-    def getOrBuild(key: K)(build: => V): V = synchronized {
-      val hit = m.get(key)
-      if (hit != null) hit else { val v = build; m.put(key, v); v }
+    def getOrBuild(key: K)(build: => V): V = {
+      synchronized {
+        val hit = m.get(key)
+        if (hit != null) return hit
+      }
+      // build OUTSIDE the monitor: a multi-minute index build must not
+      // block concurrent hits on other keys. On a lost race the loser's
+      // duplicate is released through the same onEvict hook.
+      val v = build
+      synchronized {
+        val raced = m.get(key)
+        if (raced != null) { onEvict(v); raced }
+        else { m.put(key, v); v }
+      }
     }
     def size: Int = synchronized(m.size())
     def contains(key: K): Boolean = synchronized(m.containsKey(key))
@@ -484,6 +501,11 @@ object VectorOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     merged.count() // materialize before releasing the staging caches
     assigned.unpersist(false)
+    // the append CONSUMES the base index: its persisted assignment (6/7
+    // of the corpus, now duplicated inside `merged`) is released here —
+    // otherwise every append leaks one full-corpus cache until storage
+    // memory dies. Callers keep using the returned index.
+    index.indexed.unpersist(false)
     IvfAppended(IvfIndex(index.centroids, merged, index.k), baseMean, appendedMean)
   }
 

@@ -37,6 +37,13 @@ object ScaleUp {
   def scaleTable(spark: SparkSession, src: String, name: String,
                  copies: Int): DataFrame = {
     val df = spark.read.parquet(s"$src/$name.parquet")
+    // EVERY key's copy offset derives from its PK TABLE's max, never from
+    // a referencing table's: an FK whose max referenced key carries no
+    // rows in the referencing table (highest customer with no orders)
+    // would otherwise shift by a smaller block and dangle in copies ≥ 1
+    def pkBlock(table: String, key: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(key))).head().getLong(0) + 1L
     def block(key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
     def shifted(keys: String*): DataFrame = {
@@ -51,18 +58,16 @@ object ScaleUp {
       case "supplier" => shifted("s_suppkey")
       case "part"     => shifted("p_partkey")
       case "orders" =>
-        val (oo, oc) = (block("o_orderkey"), block("o_custkey"))
+        val oo = block("o_orderkey")
+        val oc = pkBlock("customer", "c_custkey")
         (0 until copies).map(i => df
           .withColumn("o_orderkey", col("o_orderkey") + lit(i * oo))
           .withColumn("o_custkey", col("o_custkey") + lit(i * oc)))
           .reduce(_ unionByName _)
       case "lineitem" =>
-        // FK blocks must match the PK tables': derive from the same rule
-        val oo = block("l_orderkey")
-        val op = spark.read.parquet(s"$src/part.parquet")
-          .agg(max(col("p_partkey"))).head().getLong(0) + 1L
-        val os = spark.read.parquet(s"$src/supplier.parquet")
-          .agg(max(col("s_suppkey"))).head().getLong(0) + 1L
+        val oo = pkBlock("orders", "o_orderkey")
+        val op = pkBlock("part", "p_partkey")
+        val os = pkBlock("supplier", "s_suppkey")
         (0 until copies).map(i => df
           .withColumn("l_orderkey", col("l_orderkey") + lit(i * oo))
           .withColumn("l_partkey", col("l_partkey") + lit(i * op))

@@ -567,6 +567,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(hot.size == 10)
     assert(hot.filter(_._3 == 6.0).map(_._2).toSeq.sorted ==
       (0 until 500).filter(_ % 7 == 6).map(_.toLong).sorted.take(hot.count(_._3 == 6.0)))
+    // NaN/null scores (0/0 cosine of a zero vector) are excluded on BOTH
+    // paths — a NaN in the heap would wedge its root (every comparison
+    // false) while the window would rank it FIRST; neither is an answer
+    val poisoned = (rows ++ Seq((1L, 9999L, Double.NaN), (3L, 8L, Double.NaN)))
+      .toDF("g", "id", "score").repartition(16)
+    val cleaned = VectorOps.groupedTopK(poisoned, "g", "id", "score", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cleaned == native, "NaN scores leaked into the shortlist")
+
     // the native path really is an aggregate, not a window
     if (graft.functions.GraftExtensions.loadedIn(spark)) {
       val plan = VectorOps.groupedTopK(df, "g", "id", "score", 10)

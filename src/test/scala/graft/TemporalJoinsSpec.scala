@@ -108,6 +108,19 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: unorderable (map) payloads still join — tiebreak degrades, analysis does not fail") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), Map("k" -> "v")))
+      .toDF("user_id", "ts", "attrs")
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("attrs"), matchedTsCol = "purchase_ts")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Map[String, String]]("attrs") == Map("k" -> "v"))
+  }
+
   test("rangeBandJoin: band-crossing intervals, inclusive endpoints, key isolation") {
     import spark.implicits._
     // band width 60 s; interval [09:59:30, 10:00:30] crosses the band edge
