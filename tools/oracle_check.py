@@ -13,7 +13,18 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    # Spark-written tables (e.g. the ScaleUp sf1 set) are directories of part files.
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    sel = "*"
+    if t == "events":
+        # ScaleUp writes ts as BIGINT nanos (round-trips identically on the
+        # Spark side); normalize to TIMESTAMP so the oracle SQL's time
+        # functions work on both layouts.
+        typ = con.execute(f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+        if typ == "BIGINT":
+            sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+    con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -33,10 +44,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     r = pd.DataFrame(out)
     return r.sort_values(by=list(r.columns)).reset_index(drop=True)
 
-fails, passes, noracle = [], [], []
+# ORACLE_SKIP=a,b — for scaled-data runs: skip oracles that are
+# intentionally brute-force/quadratic (exact all-pairs Jaccard) and only
+# tractable at the sf0.01 gate scale. Reported separately, not as PASS.
+skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
+
+fails, passes, noracle, skipped = [], [], [], []
 for d in sorted(glob.glob(f"{outdir}/*")):
     name = os.path.basename(d)
     if not os.path.isdir(d):
+        continue
+    if name in skip:
+        skipped.append(name)
         continue
     spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")],
                          ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
@@ -65,6 +84,8 @@ print(f"PASS ({len(passes)}):")
 for n, r in passes: print(f"  {n} ({r} rows)")
 print(f"ROWS-ONLY ({len(noracle)}):")
 for n, r in noracle: print(f"  {n} ({r} rows)")
+if skipped:
+    print(f"SKIPPED ({len(skipped)}): {', '.join(sorted(skipped))}")
 print(f"FAIL ({len(fails)}):")
 for n, msg in fails: print(f"  {n}: {msg}")
 sys.exit(1 if fails else 0)
