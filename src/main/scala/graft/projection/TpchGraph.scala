@@ -67,8 +67,8 @@ object FactCols {
  *             in_nation 11M+custkey (customer→nation)
  *             in_nation 12M+suppkey (supplier→nation)
  *             placed    13M+orderkey (customer→order)
- *             contains  100M+orderkey*16+seq (order→part)
- *             supplied_by 200M+orderkey*16+seq (part→supplier)
+ *             contains  4e9+orderkey*64+seq (order→part)
+ *             supplied_by 8e9+orderkey*64+seq (part→supplier)
  *   (seq = deterministic per-order lineitem sequence, see below)
  * (The reference ignores supplied ids — FluxGraph.java:59 — but a bulk
  * warehouse projection needs stable ids for idempotent reload; this is a
@@ -83,7 +83,13 @@ object TpchGraph {
   val VRegion = 1000000L;  val VNation = 2000000L;  val VCustomer = 3000000L
   val VSupplier = 4000000L; val VPart = 5000000L;   val VOrder = 6000000L
   val EInRegion = 10000000L; val EInNationC = 11000000L; val EInNationS = 12000000L
-  val EPlaced = 13000000L; val EContains = 100000000L; val ESuppliedBy = 200000000L
+  val EPlaced = 13000000L; val EContains = 4000000000L; val ESuppliedBy = 8000000000L
+  /** Id stride per order in the lineitem edge space. MUST exceed the max
+    * lineitems of any one order, or consecutive orders' edge ids collide
+    * (stride 16 double-credited two suppliers at sf0.1: one 17-lineitem
+    * order). 64 is 4× the observed max (17); the 4e9 base gap supports
+    * orderkeys to 62M (sf40+) before contains ids touch ESuppliedBy. */
+  val LiStride = 64L
 
   private val cache = mutable.Map.empty[(SparkSession, String), Snapshot]
 
@@ -166,15 +172,16 @@ object TpchGraph {
     // The generator emits duplicate (l_orderkey, l_linenumber) pairs, so a
     // deterministic per-order sequence (a window partitioned by orderkey —
     // shuffles on the order key, never a global sort) disambiguates the
-    // ≤16 lineitems of an order. Fully identical rows get interchangeable
-    // ids, which is id-assignment-order independent.
+    // lineitems of an order (< LiStride of them — see LiStride). Fully
+    // identical rows get interchangeable ids, which is
+    // id-assignment-order independent.
     val seqW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_quantity"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     val liSeq = lineitem.withColumn("seq", row_number().over(seqW))
-    val liKey = col("l_orderkey") * 16 + col("seq")
+    val liKey = col("l_orderkey") * LiStride + col("seq")
     val ctE = lit(EContains) + liKey
     val sbE = lit(ESuppliedBy) + liKey
     val lineitemFacts = explodeFacts(liSeq, Seq(

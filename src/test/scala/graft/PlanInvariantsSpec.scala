@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 /** Automated no-all-pairs gate over EVERY registered query: builds each
   * `SparkEntry.queries` plan at sf0.001 and rejects cartesian products
@@ -35,5 +36,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"query $name plans a BroadcastNestedLoopJoin outside the allowed set:\n$plan")
     }
+  }
+
+  test("lineitem edge ids are injective at the largest local SF (stride covers max per-order count)") {
+    // Regression: stride 16 collided one 17-lineitem order's last edge
+    // with the next order's first at sf0.1, double-crediting two
+    // suppliers in supplier_revenue. Guard the LiStride invariant on the
+    // largest data this host holds, not just the sf0.001 spec fixtures.
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val maxSeq = li.withColumn("seq", row_number().over(w))
+      .agg(max(col("seq"))).head.getInt(0)
+    assert(maxSeq < graft.projection.TpchGraph.LiStride,
+      s"an order has $maxSeq lineitems; LiStride=${graft.projection.TpchGraph.LiStride} no longer injective")
+    val liKey = (col("l_orderkey") * graft.projection.TpchGraph.LiStride +
+      row_number().over(w)).as("k")
+    val dups = li.select(liKey).groupBy(col("k")).count()
+      .where(col("count") > 1).count()
+    assert(dups == 0, s"$dups colliding lineitem edge ids")
   }
 }
