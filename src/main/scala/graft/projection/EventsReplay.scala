@@ -33,6 +33,10 @@ import graft.snapshot.Snapshot
 object EventsReplay {
   import FactCols._
 
+  // Ids are scoped PER STORE: this events store never shares a FactLog
+  // with the TpchGraph projection, so VUser+user_id coinciding numerically
+  // with a TpchGraph order vertex (6M+orderkey crosses 7M at sf≥0.5) is
+  // fine. An operator that ever UNIONs the two stores must remap ids.
   val VUser = 7000000L
 
   private val cache = mutable.Map.empty[(SparkSession, String), Snapshot]

@@ -74,6 +74,10 @@ object FactCols {
  * warehouse projection needs stable ids for idempotent reload; this is a
  * deliberate Spark-first divergence.)
  *
+ * Ids are scoped PER STORE: VOrder+orderkey grows unboundedly with SF and
+ * crosses EventsReplay.VUser (7M) at sf≥0.5 — harmless because the two
+ * projections never share a FactLog. Remap ids before ever unioning them.
+ *
  * Everything loads as ONE tx 0 (a bulk backfill); tx history comes from
  * the events replay ([[EventsReplay]]).
  */
