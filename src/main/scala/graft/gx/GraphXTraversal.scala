@@ -99,17 +99,49 @@ object GraphXTraversal {
       .toDF("n_paths", "n_suppliers")
   }
 
+  /** Edges per partition the Pregel rounds target. Derived from the
+    * measured-good point at sf0.1: the order-DAG label set (~765k
+    * filtered edges) ran best at 8 partitions ≈ 96k edges each (star
+    * PageRank 6.3 s → 0.6 s, CC 3.6 s → sub-second vs the parent's
+    * partitioning), so ~100k reproduces that width where it was measured
+    * while scaling PROPORTIONALLY instead of pinning every subgraph to 8
+    * — a fixed 8 is an 8-way parallelism ceiling (and a per-partition
+    * memory blowup) once the filtered edge RDD is billions of edges. */
+  private[graft] val TargetEdgesPerPartition = 100000L
+
+  /** Adaptive GraphX width: proportional to the filtered edge count,
+    * floored at 1 (tiny subgraphs stay task-overhead-free), capped at 4×
+    * the cluster's default parallelism so the width never outruns the
+    * executor count by more than a healthy task queue (on a
+    * 1000-executor cluster the cap binds only past ~10^9 edges — exactly
+    * when you want every core busy). */
+  private[graft] def widthFor(edgeCount: Long): Int = {
+    val spark = SparkSession.active
+    val cap = math.max(4L * spark.sparkContext.defaultParallelism, 1L)
+    val byRows = (edgeCount + TargetEdgesPerPartition - 1) / TargetEdgesPerPartition
+    math.max(1L, math.min(byRows, cap)).toInt
+  }
+
+  /** Memoized filtered-edge counts (the width input): one cheap count
+    * over the persisted snapshot edges per (snap, labels), so repeated
+    * [[cachedLabelGraph]] lookups — which must derive the width BEFORE
+    * probing the graph cache — don't re-count. Snapshots are immutable;
+    * identity-keying is safe, same as the graph caches. */
+  private val labelCountCache =
+    scala.collection.concurrent.TrieMap.empty[(Snapshot, Seq[String]), Long]
+  private[graft] def labelEdgeCount(snap: Snapshot, labels: Seq[String]): Long =
+    labelCountCache.getOrElseUpdate((snap, labels.sorted),
+      snap.edges.where(col("label").isin(labels: _*)).count())
+
   /** Label-filtered edge RDD for the iterative analytics: built with
     * `Graph.fromEdges` semantics in mind — only edge ENDPOINTS become
     * vertices, where `subgraph()` would keep every snapshot vertex as an
     * isolated singleton (at 100 TB, most of the graph). The filtered
-    * graph is a small fraction of the snapshot, so the narrow
-    * coalesce keeps Pregel rounds from being task-overhead-bound at the
-    * parent's partitioning (measured: star PageRank 6.3 s → 0.6 s, CC
-    * 3.6 s → sub-second at sf0.1); a larger filtered-edge count warrants
-    * more partitions. */
+    * graph is a small fraction of the snapshot, so the coalesce down to
+    * the count-derived width keeps Pregel rounds from being
+    * task-overhead-bound at the parent's partitioning. */
   private def labelEdges(snap: Snapshot, labels: Seq[String],
-                         numPartitions: Int = 8): RDD[Edge[Unit]] =
+                         numPartitions: Int): RDD[Edge[Unit]] =
     snap.edges
       .where(col("label").isin(labels: _*))
       .select(col("outV"), col("inV")).rdd
@@ -190,10 +222,16 @@ object GraphXTraversal {
       val lhs = bulk.select(col("outV").as("o"), col("inV").as("a"))
       val rhs = bulk.select(col("outV").as("o"), col("inV").as("b"))
       val pairs = lhs.join(rhs, "o").where(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      Graph.fromEdges(
+        .select(col("a"), col("b")).distinct().persist()
+      // width from the ACTUAL pair count (the join can square the input):
+      // the staging DF is persisted so the count and the graph build share
+      // one execution, then released once the cached edge RDD holds the data
+      val built = Graph.fromEdges(
         pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-          .coalesce(8), ())
+          .coalesce(widthFor(pairs.count())), ()).cache()
+      built.edges.count() // materialize before dropping the staging persist
+      pairs.unpersist(blocking = false)
+      built
     }
     // a < b and distinct → edges are already canonical; triangleCount
     // re-canonicalizes internally, which is a cheap no-op here
@@ -213,12 +251,14 @@ object GraphXTraversal {
     * and edge), so filter-then-memoize is the right order. */
   private val labelGraphCache =
     new LruGraphCache[(Snapshot, Seq[String], Int), Unit, Unit]
-  def cachedLabelGraph(snap: Snapshot, labels: Seq[String],
-                       numPartitions: Int = 8): Graph[Unit, Unit] =
-    // numPartitions is part of the key: asking for a different width must
-    // not silently return a graph built at the old one
-    labelGraphCache.getOrBuild((snap, labels.sorted, numPartitions))(
-      Graph.fromEdges(labelEdges(snap, labels, numPartitions), ()))
+  def cachedLabelGraph(snap: Snapshot, labels: Seq[String]): Graph[Unit, Unit] = {
+    // width derived from the filtered edge count (memoized), and kept in
+    // the key: a snapshot whose subgraph grew enough to change the width
+    // must not silently return a graph built at the old one
+    val width = widthFor(labelEdgeCount(snap, labels))
+    labelGraphCache.getOrBuild((snap, labels.sorted, width))(
+      Graph.fromEdges(labelEdges(snap, labels, width), ()))
+  }
 
   /** Single-source-class BFS: GraphX `ShortestPaths` (Pregel, distances
     * follow edge DIRECTION: each vertex learns its hop distance TO the

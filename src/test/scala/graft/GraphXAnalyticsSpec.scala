@@ -113,6 +113,30 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive width: proportional to the filtered edge count, floored and capped") {
+    import graft.gx.GraphXTraversal.{widthFor, TargetEdgesPerPartition, labelEdgeCount, cachedLabelGraph}
+    // small subgraph → narrow (the measured-good sf0.1 point reproduced:
+    // ~765k edges land on 8 partitions; tiny subgraphs collapse to 1)
+    assert(widthFor(0L) == 1)
+    assert(widthFor(1L) == 1)
+    assert(widthFor(TargetEdgesPerPartition) == 1)
+    assert(widthFor(765000L) == 8)
+    // large subgraph → proportional, until the parallelism cap binds
+    // (4× defaultParallelism — on a 1000-executor cluster that cap only
+    // binds past ~10^9 edges, exactly when every core should be busy)
+    val cap = 4 * spark.sparkContext.defaultParallelism
+    assert(widthFor(100L * TargetEdgesPerPartition) == math.min(100, cap))
+    assert(widthFor(Long.MaxValue / 2) == cap)
+    // the BUILT graph carries the derived width, on both a small and a
+    // larger real subgraph
+    val snap = TpchGraph.snapshot(spark, dir)
+    for (labels <- Seq(Seq("in_nation"), Seq("placed", "contains", "supplied_by"))) {
+      val expected = widthFor(labelEdgeCount(snap, labels))
+      assert(cachedLabelGraph(snap, labels).edges.getNumPartitions == expected,
+        s"labels $labels")
+    }
+  }
+
   test("pagerank: nation/region hubs outrank leaf vertices") {
     val snap = TpchGraph.snapshot(spark, dir)
     val top = graft.gx.GraphXTraversal.pageRankDF(spark, snap, numIter = 10, topK = 30)
