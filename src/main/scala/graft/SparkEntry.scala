@@ -1008,9 +1008,9 @@ object SparkEntry {
       |       CAST(4000000 + s_suppkey AS BIGINT), CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
       |UNION ALL SELECT CAST(13000000 + o_orderkey AS BIGINT), 'placed',
       |       CAST(3000000 + o_custkey AS BIGINT), CAST(6000000 + o_orderkey AS BIGINT) FROM orders
-      |UNION ALL SELECT CAST(4000000000 + l_orderkey * 64 + seq AS BIGINT), 'contains',
+      |UNION ALL SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT), 'contains',
       |       CAST(6000000 + l_orderkey AS BIGINT), CAST(5000000 + l_partkey AS BIGINT) FROM liseq
-      |UNION ALL SELECT CAST(8000000000 + l_orderkey * 64 + seq AS BIGINT), 'supplied_by',
+      |UNION ALL SELECT CAST(8000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT), 'supplied_by',
       |       CAST(5000000 + l_partkey AS BIGINT), CAST(4000000 + l_suppkey AS BIGINT) FROM liseq""".stripMargin
 
   /** 10-iteration power-method PageRank over the full graph, unrolled as
@@ -1065,7 +1065,7 @@ object SparkEntry {
       """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
         |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
         |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(4000000000 + l_orderkey * 64 + seq AS BIGINT) AS id,
+        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id,
         |       'contains' AS label,
         |       CAST(6000000 + l_orderkey AS BIGINT) AS outV,
         |       CAST(5000000 + l_partkey AS BIGINT) AS inV,
@@ -1088,17 +1088,17 @@ object SparkEntry {
       """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
         |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
         |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(4000000000 + l_orderkey * 64 + seq AS BIGINT) AS id
+        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id
         |FROM liseq WHERE l_returnflag = 'R'""".stripMargin,
 
     "both_edges" ->
       """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
         |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
         |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(8000000000 + l_orderkey * 64 + seq AS BIGINT) AS id, 'out' AS dir
+        |SELECT CAST(8000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id, 'out' AS dir
         |FROM liseq WHERE l_partkey = 42
         |UNION ALL
-        |SELECT CAST(4000000000 + l_orderkey * 64 + seq AS BIGINT), 'in'
+        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT), 'in'
         |FROM liseq WHERE l_partkey = 42""".stripMargin,
 
     "out_edges" ->
@@ -1225,7 +1225,7 @@ object SparkEntry {
       """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
         |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
         |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(4000000000 + l_orderkey * 64 + seq AS BIGINT) AS id, l_quantity AS quantity
+        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id, l_quantity AS quantity
         |FROM liseq""".stripMargin,
 
     "asof_values" ->

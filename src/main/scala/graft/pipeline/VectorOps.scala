@@ -477,11 +477,26 @@ object VectorOps {
   /** Mean cosine between each indexed vector and its assigned centroid —
     * the index-quality scalar both sides of the staleness compare use. */
   private def meanAssignedCos(indexed: DataFrame, centroids: DataFrame): Double = {
+    // a zero vector's cosine is NaN, and avg PROPAGATES NaN — one bad row
+    // would poison both sides of the staleness compare (max(0, NaN) = NaN)
+    // and silently disable retrain gates; null it out so avg skips it,
+    // the same guard the search paths apply to their score column
+    val c = cosine(col("nbv"), col("cv"))
     val r = indexed.join(broadcast(centroids), "cell")
-      .agg(avg(cosine(col("nbv"), col("cv")))).head()
+      .agg(avg(when(isnan(c), lit(null)).otherwise(c))).head()
     if (r.isNullAt(0)) 0d else r.getDouble(0)
   }
 
+  /** Extend a trained index with an appended batch (see [[IvfAppended]]).
+    *
+    * CONSUMES the base index: its persisted assignment table (now
+    * duplicated inside the merged one) is unpersisted before returning —
+    * otherwise every daily append would leak one full-corpus cache.
+    * Callers must hand over an index they own and use only the RETURNED
+    * index afterwards; in particular, do NOT pass the shared
+    * [[IvfCache]] entry (its persistence would silently vanish and later
+    * cached searches would re-scan parquet) — build a private base or
+    * evict the cache entry first. */
   def ivfAppend(index: IvfIndex, newVectors: DataFrame): IvfAppended = {
     import org.apache.spark.storage.StorageLevel
     val vecs = newVectors.select(col("vec_id"), dvec(col("embedding")).as("v"))

@@ -92,7 +92,11 @@ object TpchGraph {
     * lineitems of any one order, or consecutive orders' edge ids collide
     * (stride 16 double-credited two suppliers at sf0.1: one 17-lineitem
     * order). 64 is 4× the observed max (17); the 4e9 base gap supports
-    * orderkeys to 62M (sf40+) before contains ids touch ESuppliedBy. */
+    * orderkeys to 62M (sf40+) before contains ids touch ESuppliedBy.
+    * The Spark side computes in Long (LiStride is a Long literal); the
+    * DuckDB oracle twins CAST l_orderkey to BIGINT before the stride
+    * multiply so the headroom holds there too (INT32 math would
+    * overflow past orderkey ≈ 33.5M). */
   val LiStride = 64L
 
   private val cache = mutable.Map.empty[(SparkSession, String), Snapshot]

@@ -21,8 +21,10 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         # ScaleUp writes ts as BIGINT nanos (round-trips identically on the
         # Spark side); normalize to TIMESTAMP so the oracle SQL's time
         # functions work on both layouts.
-        typ = con.execute(f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
-        if typ == "BIGINT":
+        # probe the column TYPE, not a row: an empty events table would
+        # make fetchone() return None and abort the whole oracle run
+        row = con.execute(f"DESCRIBE SELECT ts FROM '{src}'").fetchone()
+        if row is not None and row[1] == "BIGINT":
             sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
     con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM '{src}'")
 
