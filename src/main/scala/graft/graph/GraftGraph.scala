@@ -352,9 +352,28 @@ final class GraftGraph(val log: MemFactLog) {
   def getEdges(key: String, value: Any): Seq[EdgeHandle] =
     if (key == "label") getEdges().filter(_.getLabel == value)
     else getEdges().filter(_.getProperty(key) == value)
-  /** FluxIndex.count (FluxIndex.java:94-115). */
-  def countVertices(key: String, value: Any): Long = getVertices(key, value).size.toLong
-  def countEdges(key: String, value: Any): Long = getEdges(key, value).size.toLong
+  /** FluxIndex.count (FluxIndex.java:94-115). Set-oriented: ONE pass over
+    * the live facts instead of materializing handles and re-deriving each
+    * element's facts (that path is O(elements × log) and becomes a driver
+    * collect if the facade is ever backed by a bulk store). */
+  def countVertices(key: String, value: Any): Long = countElements(A.Vertex, key, value)
+  def countEdges(key: String, value: Any): Long =
+    if (key == "label") // label fast-path: only edges carry EdgeLabel
+      liveFacts(Long.MaxValue).count(f => f.attr == A.EdgeLabel && f.vStr == value)
+    else countElements(A.Edge, key, value)
+
+  private def countElements(kind: String, key: String, value: Any): Long = {
+    val live = liveFacts(Long.MaxValue)
+    val ids = live.iterator
+      .collect { case f if f.attr == A.ElementType && f.vStr == kind => f.e }.toSet
+    val latestByElem = live.iterator
+      .filter(f => ids(f.e) && !A.reserved(f.attr) &&
+        AttrCodec.decode(f.attr) == key && f.attr.endsWith("." + kind))
+      .toSeq.groupBy(_.e)
+      .map { case (e, fs) => e -> decodeValue(fs.maxBy(f => (f.tx, f.seq))) }
+    if (value == null) (ids.size - latestByElem.size).toLong // getProperty null = key absent
+    else latestByElem.valuesIterator.count(_ == value).toLong
+  }
 
   def removeEdge(edge: EdgeHandle): Unit = { removeEdgeImpl(edge); transact() }
 

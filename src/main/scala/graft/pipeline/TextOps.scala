@@ -227,7 +227,20 @@ object TextOps {
     * [[simhashFromHashes]]: the bit sums reference each hash 64 times
     * (once per bit), and hashing inside that lambda would xxhash every
     * token 64× (measured ~48M redundant hash calls over 5k docs). */
-  def tokenHashes(t: Column): Column = transform(t, tok => xxhash64(tok))
+  /** Per-token 64-bit hashes for SimHash, derived from md5 (two 32-bit
+    * hex halves recombined): md5 is computable bit-identically in DuckDB,
+    * which is what upgrades `dedup_simhash` from a rows-only row to a
+    * full oracle row — the twin re-derives signatures, bands, and
+    * hamming distances from the raw table with pure integer math.
+    * xxhash64 would be cheaper per token but has no DuckDB twin; any
+    * uniform 64-bit hash gives equivalent SimHash quality, and the
+    * signature cost is dominated by the 64 bit-sum folds either way. */
+  def tokenHashes(t: Column): Column = transform(t, { tok =>
+    val m = md5(tok)
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  })
 
   /**
    * Exact top-k text similarity search: for each (small) query doc, the

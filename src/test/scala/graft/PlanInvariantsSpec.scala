@@ -27,7 +27,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "dedup_embedding", "similar_docs",
       // probes the k-row centroid table with the same broadcast shape as
       // ann_ivf before the equi-join ADC scan
-      "ann_ivfpq")
+      "ann_ivfpq",
+      // recall twins run the brute-force truth side (same tiny query
+      // broadcast as ann_topk) next to the ANN path
+      "ann_ivf_recall", "ann_ivfpq_recall",
+      // joins two single-row aggregates (bin stats × distinct-doc count)
+      "pack_invariants")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
