@@ -1210,6 +1210,26 @@ object SparkEntry {
     """SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
       |  round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank FROM pq""".stripMargin
 
+  /** CTEs `raw`, `planes`, `sig`, `band` — the hyperplane-LSH chain
+    * (VectorOps.lshSignature + banding): the twin re-derives the exact
+    * ±1 plane matrix from md5 (graft.functions.Hyperplanes.matrix), the
+    * signature bits as sign-of-dot with the same sequential fold, and
+    * the band buckets as exact integer packing. */
+  private def lshChainCte(nPlanes: Int, rowsPerBand: Int): String =
+    s"""$rawEmbCte,
+       |planes AS (SELECT CAST(p.j AS INT) AS j, list(w ORDER BY i) AS pw FROM (
+       |    SELECT p.j, d.i,
+       |      CASE WHEN ((strpos('0123456789abcdef', substr(md5(p.j || '_' || d.i), 2, 1)) - 1) & 1) = 1
+       |           THEN 1.0 ELSE -1.0 END AS w
+       |    FROM range($nPlanes) p(j), range(64) d(i)) p(j, i, w) GROUP BY p.j),
+       |sig AS (SELECT v.vec_id, p.j,
+       |    CASE WHEN list_sum(list_transform(range(len(v.x)), i -> v.x[i+1] * p.pw[i+1])) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM raw v, planes p),
+       |band AS (SELECT vec_id, CAST(j // $rowsPerBand AS INT) AS band,
+       |    sum(bit * (1 << CAST(j % $rowsPerBand AS INT))) AS bh
+       |  FROM sig GROUP BY vec_id, j // $rowsPerBand)""".stripMargin
+
   /** Exact brute-force top-10 per query (`ex`) — the truth side of the
     * recall twins; same shape the ann_topk oracle already proves. */
   private val exactTopKCte =
@@ -1731,6 +1751,28 @@ object SparkEntry {
          |FROM pq p LEFT JOIN ex e ON p.qid = e.q AND p.vec_id = e.nb
          |GROUP BY p.qid""".stripMargin,
 
+    // Hyperplane-LSH twins: the md5-derived ±1 plane matrix
+    // (Hyperplanes.matrix) is re-derived IN SQL, so bucketing and the
+    // exact-cosine verify stage are both oracle-checked.
+    "ann_lsh" ->
+      s"""WITH ${lshChainCte(32, 8)},
+         |cand AS (SELECT DISTINCT qb.vec_id AS q, cb.vec_id AS nb
+         |  FROM band cb JOIN band qb ON cb.band = qb.band AND cb.bh = qb.bh
+         |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+         |scored AS (SELECT c.q, c.nb, list_cosine_similarity(qv.x, cv.x) AS sim
+         |  FROM cand c JOIN raw qv ON qv.vec_id = c.q JOIN raw cv ON cv.vec_id = c.nb)
+         |SELECT CAST(q AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim FROM (
+         |  SELECT q, nb, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH ${lshChainCte(64, 4)},
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+         |scored AS (SELECT c.a, c.b, list_cosine_similarity(va.x, vb.x) AS sim
+         |  FROM cand c JOIN raw va ON va.vec_id = c.a JOIN raw vb ON vb.vec_id = c.b)
+         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, round(sim, 4) AS sim
+         |FROM scored WHERE sim >= 0.45""".stripMargin,
+
     // SimHash twin: md5-derived per-token hashes (TextOps.tokenHashes)
     // make the signature pure integer math both engines compute
     // identically — bit j of a token's hash is a nibble-bit of its md5
@@ -1984,15 +2026,12 @@ object SparkEntry {
         |GROUP BY q.doc_id""".stripMargin,
 
     // Oracle-less (rows-only per the driver contract) — genuinely not
-    // DuckDB-expressible: ann_lsh + dedup_embedding (hyperplanes drawn
-    // from java.util.Random's Gaussian stream — JVM-specific, unlike the
-    // md5/lowest-id determinism the replicated ANN oracles above lean
-    // on), doc_fingerprint (xxhash64 rolling hash), vocab_sketch (HLL++
-    // registers; accuracy gated in PipelineSpec), pack_sequences
-    // (partition-local greedy bin state; its relational contract is
-    // oracle-checked by pack_invariants, the rest gated in PipelineSpec).
-    // Round 8 retired dedup_simhash, ann_ivf, ann_ivf_opened,
-    // ann_ivf_appended, ann_pq, ann_ivfpq from this list via
-    // replicated-index/md5 twins.
+    // DuckDB-expressible: doc_fingerprint (xxhash64 rolling hash),
+    // vocab_sketch (HLL++ registers; accuracy gated in PipelineSpec),
+    // pack_sequences (partition-local greedy bin state; its relational
+    // contract is oracle-checked by pack_invariants, the rest gated in
+    // PipelineSpec). Round 8 retired dedup_simhash, dedup_embedding,
+    // ann_lsh, ann_ivf, ann_ivf_opened, ann_ivf_appended, ann_pq, and
+    // ann_ivfpq from this list via replicated-index / md5-derived twins.
   )
 }

@@ -6,11 +6,32 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
+/** The shared sign-random-projection plane matrix. */
+object Hyperplanes {
+  /** plane(j)(i) = ±1 from the low bit of md5("j_i")'s first byte —
+    * Rademacher entries instead of a JVM-seeded Gaussian draw. ±1
+    * projections are a standard LSH family for angular distance (same
+    * collision probability 1 − θ/π per bit as the Gaussian form), and
+    * md5 is computable bit-identically in DuckDB — which is what lets
+    * the ann_lsh / dedup_embedding oracles re-derive the exact plane
+    * matrix relationally instead of trusting the engine (a
+    * java.util.Random stream has no SQL twin). */
+  def matrix(nPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { j =>
+      Array.tabulate(dims) { i =>
+        val h = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+}
+
 /**
  * Native Catalyst expression for the random-hyperplane LSH signature:
- * bit j = [plane_j · v > 0] over the deterministic seeded Gaussian plane
- * set (the same matrix `VectorOps.planes` embeds as a plan literal for
- * the HOF form — same seed, same draw order, bit-identical output).
+ * bit j = [plane_j · v > 0] over the deterministic md5-derived ±1 plane
+ * set (the same [[Hyperplanes.matrix]] that `VectorOps.planes` embeds as
+ * a plan literal for the HOF form — bit-identical output).
  *
  * One fused dot-product loop per row in whole-stage codegen, with the
  * plane matrix attached as a codegen reference object — replaces
@@ -36,11 +57,9 @@ case class HyperplaneSignature(child: Expression, nPlanes: Int, dims: Int)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  /** Same seed + draw order as VectorOps.planes (row-major per plane). */
-  @transient private lazy val planes: Array[Array[Double]] = {
-    val rnd = new java.util.Random(1234567L)
-    Array.fill(nPlanes)(Array.fill(dims)(rnd.nextGaussian()))
-  }
+  /** Same matrix as VectorOps.planes (single source: [[Hyperplanes]]). */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Hyperplanes.matrix(nPlanes, dims)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

@@ -88,13 +88,12 @@ object VectorOps {
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Deterministic Gaussian hyperplane matrix (seeded), embedded as a
-    * plan literal — per-row work is pure arithmetic, no per-(plane,dim)
-    * hashing (measured ~10M hash calls saved per 5k×64d corpus). */
-  private def planes(nPlanes: Int, dims: Int): Column = {
-    val rnd = new java.util.Random(1234567L)
-    typedlit(Seq.fill(nPlanes)(Seq.fill(dims)(rnd.nextGaussian())))
-  }
+  /** Deterministic ±1 hyperplane matrix (md5-derived, see
+    * [[graft.functions.Hyperplanes.matrix]]), embedded as a plan
+    * literal — the per-(plane,dim) hashing happens ONCE at plan build,
+    * per-row work stays pure arithmetic. */
+  private def planes(nPlanes: Int, dims: Int): Column =
+    typedlit(graft.functions.Hyperplanes.matrix(nPlanes, dims).map(_.toSeq).toSeq)
 
   /** `nPlanes`-bit signature of a vector under the shared hyperplane set:
     * bit j = [plane_j · v > 0]. Fails loudly on a dims mismatch — zip_with
