@@ -1,0 +1,196 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Streaming throughput evidence (VERDICT r7 item 6): drives the three
+  * stateful streaming paths over the sf1 feed UNDER THE ROCKSDB STATE
+  * STORE and prints one JSON line with rows/sec, output counts, a batch
+  * parity check, and the on-disk state/checkpoint footprint. This is the
+  * missing scale evidence for the streaming surface — the parity SPECS
+  * run at rows=3 scale; this runs the same operators at 50k docs / 1M
+  * events (10× the bench feed) where heap-map state would actually hurt.
+  *
+  * Protocol notes:
+  * - the staged sources are written as 32 parquet files read back with
+  *   maxFilesPerTrigger, so each query processes a REAL multi-batch
+  *   stream (state survives across micro-batches) rather than one giant
+  *   batch;
+  * - doc timestamps are synthesized inside one watermark horizon so the
+  *   within-watermark dedup semantics coincide with global semantics —
+  *   which is what makes the batch parity checks exact (out_rows must
+  *   equal the batch distinct-hash / banded-join counts);
+  * - `state_bytes` is the recursive size of the query's checkpoint dir
+  *   (RocksDB changelog + snapshots), the durable footprint a 100 TB
+  *   deployment provisions for.
+  */
+object StreamBench {
+  private def dirBytes(p: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val s = java.nio.file.Files.walk(p)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR", "/tmp/graft_streambench")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", graft.functions.GraftExtensions.configValue)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
+    // ---- stage the sources as multi-file parquet dirs ----
+    // docs: ts spread over 50 min, strictly inside the 1 h horizon
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000) +
+          col("doc_id") % 3000).cast("timestamp").as("ts"))
+    docs.repartition(32).write.parquet(s"$root/docs_src")
+    val docSchema = docs.schema
+    val nDocs = docs.count()
+
+    // events: BIGINT-nanos ts → timestamp (same read rule as EventsReplay).
+    // Staged TIME-ORDERED (range-partitioned by ts, file order forced via
+    // modification times): the sf1 feed spans days against a 1 h
+    // watermark, so a randomly-ordered replay would advance the watermark
+    // to near-max on the first micro-batch and drop everything after as
+    // late — a replay artifact, not a production shape (real feeds arrive
+    // roughly in time order; the watermark bounds the real disorder).
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    events.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(s"$root/events_src")
+    // FileStreamSource takes files oldest-modTime-first; the part-file
+    // index is the ts range order, so stamp strictly increasing times
+    val parts = new java.io.File(s"$root/events_src").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(System.currentTimeMillis() - 1000L * (parts.length - i)) }
+    val eventSchema = events.schema
+    val nEvents = events.count()
+
+    def fileStream(dir: String, schema: org.apache.spark.sql.types.StructType,
+                   filesPerTrigger: Int): DataFrame =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    /** Run a streaming transform to a counting foreachBatch sink under
+      * RocksDB; returns (elapsed sec, output rows, checkpoint bytes). */
+    def run(name: String, df: DataFrame): (Double, Long, Long) = {
+      val ckpt = s"$root/ckpt_$name"
+      val n = new AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val q = EventStream.withRocksDbStateStore(spark) {
+        df.writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            n.addAndGet(b.count()); ()
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (secs, n.get(), dirBytes(java.nio.file.Paths.get(ckpt)))
+    }
+
+    // ---- 1. streaming exact dedup over 50k sf1 docs ----
+    {
+      val (secs, outRows, stBytes) =
+        run("dedup", EventStream.dedupDocStream(
+          fileStream(s"$root/docs_src", docSchema, 4), "ts"))
+      // all ts inside one horizon → within-watermark dedup == global dedup
+      val expect = docs.select(
+        xxhash64(graft.pipeline.TextOps.normText(col("text"))).as("a"),
+        xxhash64(lit(1), graft.pipeline.TextOps.normText(col("text"))).as("b"))
+        .distinct().count()
+      out("dedup_doc_stream") =
+        s"""{"input_rows":$nDocs,"out_rows":$outRows,"batch_expect":$expect,""" +
+        s""""parity":${outRows == expect},"secs":${f"$secs%.2f"},""" +
+        s""""rows_per_sec":${(nDocs / secs).toLong},"state_bytes":$stBytes}"""
+    }
+
+    // ---- 2. streaming minhash near-dup pairs over 50k sf1 docs ----
+    {
+      val (secs, outRows, stBytes) =
+        run("neardup", EventStream.nearDupPairsStream(
+          fileStream(s"$root/docs_src", docSchema, 4), "ts"))
+      // batch twin of the SAME estimator pipeline (identical band hashing
+      // and signature Jaccard; regular join since every pair is in-horizon)
+      import graft.pipeline.TextOps
+      val numHashes = 128; val bands = 32; val r = numHashes / bands
+      def banded(side: String): DataFrame =
+        docs.select(col("doc_id").as(side),
+          TextOps.signatureBest(spark, TextOps.hashPairs(
+            TextOps.shinglesFromTokens(TextOps.tokens(col("text")))),
+            numHashes).as(s"sig_$side"))
+          .select(col(side), col(s"sig_$side"),
+            explode(transform(sequence(lit(0), lit(bands - 1)),
+              b => struct(b.as("band"),
+                xxhash64(slice(col(s"sig_$side"), b * r + 1, lit(r)), b).as("bh"))))
+              .as("bb"))
+          .select(col(side), col(s"sig_$side"),
+            col("bb.band").as(s"band_$side"), col("bb.bh").as(s"bh_$side"))
+      val matched = size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (p, q) => p === q), m => m))
+      val expect = banded("a").join(banded("b"),
+          col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
+            col("a") < col("b"))
+        .where(matched.cast("double") / numHashes >= 0.8)
+        .select("a", "b").distinct().count()
+      out("neardup_pairs_stream") =
+        s"""{"input_rows":$nDocs,"out_rows":$outRows,"batch_expect":$expect,""" +
+        s""""parity":${outRows == expect},"secs":${f"$secs%.2f"},""" +
+        s""""rows_per_sec":${(nDocs / secs).toLong},"state_bytes":$stBytes}"""
+    }
+
+    // ---- 3. session windows over 1M sf1 events (keyed session state) ----
+    {
+      val ckpt = s"$root/ckpt_sessions"
+      val sinkDir = s"$root/sessions_out"
+      val t0 = System.nanoTime()
+      val q = EventStream.withRocksDbStateStore(spark) {
+        EventStream.sessionize(
+            fileStream(s"$root/events_src", eventSchema, 4)
+              .withWatermark("ts", "1 hour"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(sinkDir); ()
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.parquet(sinkDir)
+      val outRows = streamed.count()
+      // closed sessions must be a SUBSET of the batch sessionization
+      // (sessions the watermark never closed are withheld, so counts may
+      // differ; rows emitted but absent from batch must be zero)
+      val batch = EventStream.sessionize(events)
+      val mismatched = streamed.except(batch).count()
+      out("sessionize_stream") =
+        s"""{"input_rows":$nEvents,"out_rows":$outRows,""" +
+        s""""batch_sessions":${batch.count()},"mismatched":$mismatched,""" +
+        s""""parity":${mismatched == 0L},"secs":${f"$secs%.2f"},""" +
+        s""""rows_per_sec":${(nEvents / secs).toLong},""" +
+        s""""state_bytes":${dirBytes(java.nio.file.Paths.get(ckpt))}}"""
+    }
+
+    val body = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_throughput","provider":"rocksdb","sf":"$sfDir","cpus":$cpus,"results":$body}""")
+    spark.stop()
+  }
+}
