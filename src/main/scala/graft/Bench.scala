@@ -39,13 +39,19 @@ object Bench {
     // individually — the bench must always print its JSON line. ----
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_BENCH_BUILDS=a,b,c restricts the one-time builds the same
+    // way BENCH_ONLY restricts queries (targeted scale probes that don't
+    // touch the ANN/compaction caches; the driver never sets it)
+    val onlyBuilds = sys.env.get("SPARK_GRAFT_BENCH_BUILDS")
+      .map(_.split(",").map(_.trim).toSet)
     def build(name: String)(body: => Unit): Unit =
-      try builds(name) = time(body)
-      catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-      }
+      if (onlyBuilds.forall(_.contains(name)))
+        try builds(name) = time(body)
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
     build("build_tpch") {
       val s = projection.TpchGraph.snapshot(spark, sfDir)
       s.currentFacts.count(); s.edges.count()
