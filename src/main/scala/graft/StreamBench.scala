@@ -61,15 +61,16 @@ object StreamBench {
     val docSchema = docs.schema
     val nDocs = docs.count()
 
-    // events: BIGINT-nanos ts → timestamp (same read rule as EventsReplay).
+    // events: ts normalized to TIMESTAMP via the shared schema-adaptive
+    // reader (EventsReplay.rawEvents — handles nanos-long and µs layouts).
     // Staged TIME-ORDERED (range-partitioned by ts, file order forced via
     // modification times): the sf1 feed spans days against a 1 h
     // watermark, so a randomly-ordered replay would advance the watermark
     // to near-max on the first micro-batch and drop everything after as
     // late — a replay artifact, not a production shape (real feeds arrive
     // roughly in time order; the watermark bounds the real disorder).
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"),
+    val events = graft.projection.EventsReplay.rawEvents(spark, sfDir)
+      .select(col("event_id"), col("ts"),
         col("user_id"), col("event_type"), col("value"))
     events.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
       .write.parquet(s"$root/events_src")

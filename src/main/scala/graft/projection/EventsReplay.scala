@@ -58,14 +58,16 @@ object EventsReplay {
     })
   }
 
-  /** The events table with `ts` as a proper µs timestamp — the shared
+  /** The events table with `ts` as a proper µs TIMESTAMP — the shared
     * raw reader for the fact replay and the event-analytics queries
-    * (sessionization, windowed counts). events.ts is parquet
-    * TIMESTAMP(NANOS), which vanilla Spark rejects; read it as a long
-    * and truncate to micros (values are µs-precision). The legacy flag
-    * is scoped to THIS read (schema resolves eagerly at read.parquet;
-    * the flag is restored so unrelated reads in the same session keep
-    * their normal timestamp semantics). */
+    * (sessionization, windowed counts). The driver has shipped events.ts
+    * in three layouts across rounds (TIMESTAMP(NANOS), BIGINT nanos from
+    * [[graft.util.ScaleUp]], and plain timestamp[us] ⇒ TIMESTAMP_NTZ), so
+    * the reader adapts on the resolved dtype rather than assuming one.
+    * The nanosAsLong flag is scoped to THIS read (schema resolves eagerly
+    * at read.parquet; restored after so unrelated reads keep their normal
+    * timestamp semantics) and is a no-op for the µs layouts. Under the
+    * project-wide UTC session timezone the NTZ→LTZ cast is value-exact. */
   def rawEvents(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(confKey)
@@ -75,7 +77,14 @@ object EventsReplay {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
       }
-    raw.withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to µs (values are µs-precision)
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def build(spark: SparkSession, dir: String): BulkFactStore = {

@@ -111,7 +111,8 @@ object ScaleUp {
       .appName("graft-scaleup")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      // driver testdata events.parquet carries TIMESTAMP(NANOS)
+      // back-compat: some driver rounds shipped events.ts as
+      // TIMESTAMP(NANOS) (no-op for the current timestamp[us] layout)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
