@@ -905,6 +905,12 @@ object SparkEntry {
         .select(col("lang"), col("total_tokens").cast("long").as("total_tokens"),
           col("distinct_tokens").cast("long").as("distinct_tokens"))),
     "unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(docs(s, d))),
+    "multimodal_meta" -> ((s, d) =>
+      // binary-column round-trip: synthesize REAL container headers
+      // (PNG/GIF/BMP/WAV/MP4) from doc_id, parse them back in ONE
+      // partition-mapped pass; oracle re-derives each field from the
+      // doc_id arithmetic — equality proves the byte-level synth+parse
+      pipeline.MediaSynth.mediaMetaQuery(s, d)),
     "vocab_sketch" -> ((s, d) =>
       // rows-only: HLL++ register layout is engine-specific (accuracy
       // vs the exact count is gated in PipelineSpec instead)
@@ -1864,6 +1870,22 @@ object SparkEntry {
         |    '""" + TextOps.ipv4Pattern + """', '[IP]', 'g'),
         |    '""" + TextOps.phonePattern + """', '[PHONE]', 'g') AS redacted
         |FROM pii""").stripMargin,
+
+    // multimodal_meta: the Spark side renders real container bytes and
+    // walks the headers back; the twin re-derives the SAME fields from
+    // MediaSynth's doc_id arithmetic (MediaSynth.scala rules) — the
+    // only way both agree is if the byte round-trip is exact.
+    "multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+        |       WHEN 3 THEN 'wav' ELSE 'mp4/isom' END AS format,
+        |  CASE WHEN doc_id % 5 IN (0,1,2,4) THEN CAST(doc_id % 640 + 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 5 IN (0,1,2,4) THEN CAST(doc_id % 360 + 9 AS INT) END AS height,
+        |  CASE WHEN doc_id % 5 = 3 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 5 = 3 THEN CAST(8000 * (doc_id % 3 + 1) AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 5 = 3 THEN CAST(100 * (doc_id % 10 + 1) AS BIGINT)
+        |       WHEN doc_id % 5 = 4 THEN CAST(500 * (doc_id % 8 + 1) AS BIGINT) END AS duration_ms
+        |FROM documents""".stripMargin,
 
     "split_assign" ->
       """SELECT doc_id, bucket,

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic multimodal fixture generator + the one-pass metadata
+ * extractor it feeds.
+ *
+ * The container doesn't ship image/audio codecs, but the Spark-side
+ * plumbing for a 100 TB multimodal curation pass — binary columns,
+ * constant-memory partition-mapped header walks, typed metadata out —
+ * is real and must be exercised end-to-end by the driver's oracle gate,
+ * not only by ScalaTest. `synthesize` renders REAL container bytes
+ * (PNG IHDR / GIF LSD / BMP info header / RIFF-WAV fmt+data / ISO-BMFF
+ * ftyp+moov) whose metadata is a pure function of `doc_id`, so a DuckDB
+ * twin can re-derive every field arithmetically while the Spark side
+ * must round-trip the actual bytes through [[MultimodalOps]]' sniffers.
+ * A synthesizer bug and a parser bug cannot cancel: the spec's
+ * independent fixtures (MultimodalSpec) pin the parsers to hand-built
+ * headers, so the oracle equality proves the synth+parse composition.
+ *
+ * Derivation rules (d = doc_id), mirrored in the oracle SQL:
+ *  - container: d % 5 → png | gif | bmp | wav | mp4/isom
+ *  - images + mp4: width = d % 640 + 16, height = d % 360 + 9
+ *  - wav: channels = d % 2 + 1, rate = 8000 * (d % 3 + 1), 16-bit;
+ *    duration_ms = 100 * (d % 10 + 1) (rates are multiples of 1000 so
+ *    data-bytes → duration is exact integer math)
+ *  - mp4: timescale 1000, duration_ms = 500 * (d % 8 + 1)
+ *
+ * Reference: datablend/fluxgraph keeps element payloads as opaque typed
+ * properties (FluxElement.java property map); the binary-column media
+ * table is the Spark-scale analogue for multimodal payloads.
+ */
+object MediaSynth {
+
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def be32(v: Int) =
+    Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+
+  private[pipeline] def png(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth/color + fake CRC
+
+  private[pipeline] def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  private[pipeline] def bmp(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24)
+
+  private[pipeline] def wav(channels: Int, rate: Int, bits: Int,
+                            dataBytes: Long): Array[Byte] = {
+    val byteRate = rate.toLong * channels * bits / 8
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(byteRate) ++ le16(channels * bits / 8) ++ le16(bits)
+    // header-only fixture: declare dataBytes in the chunk size but ship a
+    // truncated payload — exactly what a 100 TB metadata pass reads (the
+    // sniffer never touches sample bytes, only the declared size)
+    val data = "data".getBytes ++ le32(dataBytes)
+    "RIFF".getBytes ++ le32(4L + fmt.length + data.length) ++
+      "WAVE".getBytes ++ fmt ++ data
+  }
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ typ.getBytes ++ payload
+
+  private[pipeline] def mp4(w: Int, h: Int, timescale: Int,
+                            durUnits: Long): Array[Byte] = {
+    val mvhd = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(durUnits.toInt) ++ Array.fill[Byte](80)(0)
+    val tkhd = {
+      val b = Array.fill[Byte](84)(0)
+      be32(w << 16).copyToArray(b, 76)
+      be32(h << 16).copyToArray(b, 80)
+      b
+    }
+    box("ftyp", "isom".getBytes ++ Array.fill[Byte](8)(0)) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
+  /** Render the media payload for one id. Pure function — safe inside a
+    * partition-mapped task, no driver state. */
+  private[pipeline] def render(d: Long): (String, Array[Byte]) = {
+    val w = (d % 640).toInt + 16
+    val h = (d % 360).toInt + 9
+    (d % 5) match {
+      case 0 => ("image", png(w, h))
+      case 1 => ("image", gif(w, h))
+      case 2 => ("image", bmp(w, h))
+      case 3 =>
+        val channels = (d % 2).toInt + 1
+        val rate = 8000 * ((d % 3).toInt + 1)
+        val durMs = 100L * ((d % 10) + 1)
+        ("audio", wav(channels, rate, 16, channels.toLong * 2 * rate * durMs / 1000))
+      case _ => ("video", mp4(w, h, 1000, 500L * ((d % 8) + 1)))
+    }
+  }
+
+  /** Media table (mediaSchema minus meta) keyed by the ids of `docs`
+    * (expects a `doc_id` column). Distributed: bytes are rendered inside
+    * the partition iterator, one row in flight per task. */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (kind, content) = render(d)
+        (d, kind, content)
+      })
+      .toDF("media_id", "kind", "content")
+  }
+
+  /** One partition-mapped pass over mixed media: sniff the container by
+    * its magic bytes and emit the unified typed-metadata row every
+    * curation filter keys on (images → dimensions, audio → channels/
+    * rate/duration, video → dimensions+duration). One pass, not three
+    * kind-filtered jobs — at 100 TB the payload column is the scan cost
+    * and must be read once. */
+  final case class MediaMeta(media_id: Long, format: String,
+                             width: Option[Int], height: Option[Int],
+                             channels: Option[Int], sample_rate: Option[Int],
+                             duration_ms: Option[Long])
+
+  def mediaMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        val u8 = (i: Int) => c(i) & 0xFF
+        if (c != null && c.length >= 12 &&
+            new String(c, 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == "ftyp") {
+          val (f, dur, w, h) = MultimodalOps.sniffVideo(c)
+          MediaMeta(id, f, w, h, None, None, dur)
+        } else if (c != null && c.length >= 12 && u8(0) == 'R'.toInt &&
+            new String(c, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "RIFF") {
+          val (f, ch, sr, _, dur) = MultimodalOps.sniffAudio(c)
+          MediaMeta(id, f, None, None, ch, sr, dur)
+        } else {
+          val (f, w, h) = MultimodalOps.sniffImage(c)
+          MediaMeta(id, f, w, h, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** Registered-query shape: synthesize media for every document, parse
+    * the bytes back, return the typed metadata. The DuckDB twin
+    * re-derives each field from doc_id arithmetic — equality proves the
+    * byte round-trip. */
+  def mediaMetaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    mediaMeta(synthesize(docs))
+  }
+}
