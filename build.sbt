@@ -32,4 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with multi-GB persisted views GC-thrashes an 8g heap (the
   // spiky bench timings); the box has 128 GiB — give forked runs room.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq

@@ -268,6 +268,13 @@ object SparkEntry {
       // known-structure shortcut this time (closes VERDICT r6 item 7).
       graft.gx.GraphXTraversal.pageRankDF(s, TpchGraph.snapshot(s, d), 10, 30)),
 
+    "pagerank_personal" -> ((s, d) =>
+      // personalized PageRank from customer 42: teleport returns only to
+      // the source, rank = proximity to it. Oracle unrolls the same
+      // delta-teleport power method and GraphX's sum-to-1 normalization.
+      graft.gx.GraphXTraversal.personalizedPageRankDF(
+        s, TpchGraph.snapshot(s, d), 3000042L, 10, 30)),
+
     "triangle_count" -> ((s, d) =>
       // GraphX triangle counting (general neighbor-set-intersection
       // algorithm) on the bulk-quantity part-co-occurrence graph; the
@@ -986,6 +993,14 @@ object SparkEntry {
           col("event_type"), col("n").cast("long").as("n"))
     },
 
+    // funnel conversion: first purchase within 2h of each click — the
+    // stream-stream interval-join shape (EventStream.funnelPairs runs
+    // watermarked on live feeds; parity gated in EventStreamSpec), batch
+    // twin aggregated with min(struct) so the pair set never window-sorts
+    "funnel_first" -> ((s, d) =>
+      EventStream.funnelFirst(
+        graft.projection.EventsReplay.rawEvents(s, d), "click", "purchase")),
+
     // as-of join: each click picks the user's latest purchase at-or-before
     // it — union + ordered window carry (ONE key shuffle, no theta-join
     // blowup); DuckDB's native ASOF LEFT JOIN is the oracle
@@ -1288,8 +1303,40 @@ object SparkEntry {
        |  ORDER BY sr DESC, vertex_id ASC LIMIT 30)""".stripMargin
   }
 
+  /** 10-iteration personalized power method from `src`, unrolled like
+    * [[pagerankFullSql]]: r_0 = 1{v=src},
+    * r_{i+1}(v) = 0.15·1{v=src} + 0.85·Σ_{(u,v)∈E} r_i(u)/outdeg(u),
+    * then GraphX's personalized normalization rank/Σrank (sum to 1, NOT
+    * the ·|V| of the global variant) and the same top-30 cut. */
+  private def pagerankPersonalSql(src: Long): String = {
+    val steps = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id AS vertex_id,
+         |    CASE WHEN v.id = $src THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+         |      + 0.85 * COALESCE(m.s, 0) AS "rank"
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.inV AS dst, sum(r."rank" / d.deg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON r.vertex_id = e.outV
+         |                 JOIN deg d ON d.vertex_id = e.outV
+         |    GROUP BY e.inV) m ON m.dst = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgeUnion),
+       |verts AS ($vertexUnion),
+       |deg AS (SELECT outV AS vertex_id, CAST(count(*) AS DOUBLE) AS deg
+       |        FROM edges GROUP BY outV),
+       |r0 AS (SELECT id AS vertex_id,
+       |       CASE WHEN id = $src THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS "rank"
+       |       FROM verts),
+       |$steps,
+       |tot AS (SELECT sum("rank") AS s FROM r10)
+       |SELECT vertex_id, round(sr, 4) AS "rank" FROM (
+       |  SELECT vertex_id, "rank" / s AS sr FROM r10, tot
+       |  ORDER BY sr DESC, vertex_id ASC LIMIT 30)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "pagerank_full" -> pagerankFullSql,
+    "pagerank_personal" -> pagerankPersonalSql(3000042L),
     "scan_vertices" -> vertexUnion,
 
     "scan_edges" -> edgeUnion,
@@ -1956,6 +2003,20 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "funnel_first" ->
+      """WITH t AS (SELECT event_id AS trigger_id, user_id, ts AS t_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     f AS (SELECT event_id AS follow_id, user_id, ts AS f_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     p AS (SELECT t.trigger_id, t.user_id, f.follow_id, t.t_ts, f.f_ts,
+        |                  row_number() OVER (PARTITION BY t.trigger_id
+        |                    ORDER BY f.f_ts, f.follow_id) AS rn
+        |           FROM t JOIN f ON t.user_id = f.user_id
+        |             AND f.f_ts > t.t_ts AND f.f_ts <= t.t_ts + INTERVAL 2 HOUR)
+        |SELECT trigger_id, CAST(user_id AS BIGINT) AS user_id, follow_id,
+        |       CAST(epoch_ms(f_ts) - epoch_ms(t_ts) AS BIGINT) AS lag_ms
+        |FROM p WHERE rn = 1""".stripMargin,
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS purchase_id,

@@ -1,14 +1,14 @@
 package graft.gx
 
-import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.{Edge, Graph, TripletFields, VertexId}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.snapshot.Snapshot
 
 /**
- * GraphX bridge: materialize a snapshot as a `Graph[Unit, String]`
- * (labels as edge attributes) and run the reference's exhaustive 3-hop
+ * GraphX bridge: materialize a snapshot as a `Graph[Unit, Int]`
+ * (dictionary-coded labels as edge attributes) and run the reference's exhaustive 3-hop
  * OUT traversal (FluxBenchmarkTestSuite.java:30-56) as message passing —
  * the iterative-analytics twin of the DataFrame join variant in
  * SparkEntry.hop3. Per BASELINE.md both variants are recorded.
@@ -19,10 +19,25 @@ import graft.snapshot.Snapshot
  */
 object GraphXTraversal {
 
-  def graphOf(snap: Snapshot): Graph[Unit, String] = {
-    val edges: RDD[Edge[String]] = snap.edges
+  /** Deterministic label→code dictionary per snapshot: labels are a
+    * handful of strings but the full edge RDD is O(100 TB / row-size) —
+    * caching 10⁸+ per-edge String objects is multi-GB of pure pointer/
+    * header overhead and was the first thing to push sf5 storage into
+    * eviction cascades (round-9 probe: the slow hop MOVED between reps).
+    * An Int attr caches in a primitive array per partition instead. */
+  private val labelCodeCache =
+    scala.collection.concurrent.TrieMap.empty[Snapshot, Map[String, Int]]
+  def labelCodes(snap: Snapshot): Map[String, Int] =
+    labelCodeCache.getOrElseUpdate(snap,
+      snap.edges.select(col("label")).distinct().collect()
+        .map(_.getString(0)).sorted.zipWithIndex.toMap)
+
+  def graphOf(snap: Snapshot): Graph[Unit, Int] = {
+    val codes = labelCodes(snap)
+    val bc = snap.edges.sparkSession.sparkContext.broadcast(codes)
+    val edges: RDD[Edge[Int]] = snap.edges
       .select(col("outV"), col("inV"), col("label")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      .map(r => Edge(r.getLong(0), r.getLong(1), bc.value(r.getString(2))))
     val vertices: RDD[(VertexId, Unit)] =
       snap.vertexIds.rdd.map(r => (r.getLong(0), ()))
     Graph(vertices, edges)
@@ -59,33 +74,48 @@ object GraphXTraversal {
       }
   }
 
-  private val cache = new LruGraphCache[Snapshot, Unit, String]
-  def cachedGraph(snap: Snapshot): Graph[Unit, String] =
+  private val cache = new LruGraphCache[Snapshot, Unit, Int]
+  def cachedGraph(snap: Snapshot): Graph[Unit, Int] =
     cache.getOrBuild(snap)(graphOf(snap))
 
   /** Count label-sequence paths: start with 1 at every vertex with an
     * out-edge of labels.head? No — start at ALL vertices (the reference
     * iterates every vertex), then hop along each label in order. Returns
-    * (n_paths, n_destinations-with-paths). */
-  def labelPathCounts(g: Graph[Unit, String], labels: Seq[String]): (Long, Long) = {
+    * (n_paths, n_destinations-with-paths).
+    *
+    * Hop discipline (round-9 sf5 probe): each hop MATERIALIZES its
+    * message sums, then drops the hop graph's shipped vertex state
+    * (`unpersistVertices`) and the previous hop's counts before moving
+    * on. Without that, every hop's `outerJoinVertices` graph pins its
+    * internally-cached replicated vertex view — three leaked edge-scale
+    * views per traversal overflowed sf5 storage and turned eviction
+    * recomputes into a 17×-on-5×-data cliff (38 s → linear after the
+    * fix). `TripletFields.Src` halves the shipping: the send function
+    * never reads dst attrs. */
+  def labelPathCounts(g: Graph[Unit, Int], labelIds: Seq[Int]): (Long, Long) = {
     // seed: every vertex roots one path of length 0
     var counts: RDD[(VertexId, Long)] = g.vertices.mapValues(_ => 1L)
-    val cached = scala.collection.mutable.ArrayBuffer.empty[RDD[(VertexId, Long)]]
-    labels.foreach { label =>
+    labelIds.foreach { label =>
       val withCounts = g.outerJoinVertices(counts) {
         (_, _, c) => c.getOrElse(0L)
       }
-      counts = withCounts.aggregateMessages[Long](
+      val next = withCounts.aggregateMessages[Long](
         ctx => if (ctx.attr == label && ctx.srcAttr > 0) ctx.sendToDst(ctx.srcAttr),
-        _ + _)
-      counts.persist()
-      cached += counts
+        _ + _, TripletFields.Src)
+      next.persist().count() // materialize BEFORE releasing hop state
+      withCounts.unpersistVertices(blocking = false)
+      // unpersistVertices leaves the hop graph's replicated-view EdgeRDD
+      // cached (GraphX's own TODO) — a fresh edge-scale RDD per hop.
+      // This is the round-9 sf5 leak: 3 × 2.8 GB per traversal, measured
+      // via getRDDStorageInfo. withCounts.edges is the view's NEW RDD
+      // (updateVertices re-ships attr copies), never g's own cached one.
+      withCounts.edges.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+      counts = next
     }
     val nPaths = counts.map(_._2).fold(0L)(_ + _)
     val nDest = counts.count()
-    // both results materialized — release every round's cache (the input
-    // graph is the caller's: cachedGraph keeps it warm across traversals)
-    cached.foreach(_.unpersist(blocking = false))
+    counts.unpersist(blocking = false)
     (nPaths, nDest)
   }
 
@@ -93,8 +123,9 @@ object GraphXTraversal {
     * hop3_traversal oracle: customer -placed-> order -contains-> part
     * -supplied_by-> supplier. */
   def hop3(spark: SparkSession, snap: Snapshot): DataFrame = {
-    val (nPaths, nSuppliers) =
-      labelPathCounts(cachedGraph(snap), Seq("placed", "contains", "supplied_by"))
+    val codes = labelCodes(snap)
+    val (nPaths, nSuppliers) = labelPathCounts(cachedGraph(snap),
+      Seq("placed", "contains", "supplied_by").map(codes))
     spark.createDataFrame(Seq((nPaths, nSuppliers)))
       .toDF("n_paths", "n_suppliers")
   }
@@ -294,6 +325,30 @@ object GraphXTraversal {
     val ranks = cachedGraph(snap).staticPageRank(numIter).vertices
     // top() = per-partition heads merged on the driver (topK rows), no
     // full sort shuffle; vid tiebreak keeps the cut deterministic
+    val top = ranks.map { case (vid, r) => (vid, r) }
+      .top(topK)(Ordering.by { case (vid, r) => (r, -vid) })
+    spark.createDataFrame(top.toSeq).toDF("vertex_id", "rank")
+      .select(org.apache.spark.sql.functions.col("vertex_id"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("rank"), 4).as("rank"))
+  }
+
+  /** Personalized PageRank from one source vertex (GraphX
+    * `staticPersonalizedPageRank`, `numIter` fixed rounds, damping 0.85):
+    * teleport mass returns ONLY to the source, so rank measures proximity
+    * to it — the "related to this entity" primitive (recommendations,
+    * local relevance) the global rank can't express. Same driver-merged
+    * per-partition top-k cut as [[pageRankDF]]. Oracle: the same power
+    * method unrolled relationally (delta-teleport at the source, final
+    * r/Σr normalization — GraphX normalizes personalized ranks to sum 1,
+    * not ·|V|). Scale note: rank mass concentrates within a few hops of
+    * the source, but the iteration itself stays whole-graph (a frontier
+    * cut would change semantics); the cached-graph width derivation
+    * governs parallelism exactly as for the global variant. */
+  def personalizedPageRankDF(spark: SparkSession, snap: Snapshot, src: Long,
+                             numIter: Int = 10, topK: Int = 30): DataFrame = {
+    val ranks = cachedGraph(snap)
+      .staticPersonalizedPageRank(src, numIter).vertices
     val top = ranks.map { case (vid, r) => (vid, r) }
       .top(topK)(Ordering.by { case (vid, r) => (r, -vid) })
     spark.createDataFrame(top.toSeq).toDF("vertex_id", "rank")

@@ -158,6 +158,44 @@ object EventStream {
                    keys: Seq[String]): DataFrame =
     events.join(dim, keys, "left")
 
+  /** Funnel correlation: same-user (trigger, follow) event pairs with the
+    * follow inside `(trigger_ts, trigger_ts + within]`. The SAME transform
+    * runs on batch and as a stream-stream inner join — on streams, put a
+    * `.withWatermark("ts", …)` on BOTH inputs first; the two-sided time
+    * bound below is what lets Spark evict buffered rows once the
+    * watermark passes trigger_ts + within (state is bounded by events per
+    * horizon, not feed length). Batch twin: one user_id shuffle, candidate
+    * pairs bounded by per-user co-residency in the window — never a
+    * cartesian. */
+  def funnelPairs(triggers: DataFrame, follows: DataFrame,
+                  within: String = "2 hours"): DataFrame = {
+    val t = triggers.select(col("event_id").as("trigger_id"),
+      col("user_id"), col("ts").as("t_ts"))
+    val f = follows.select(col("event_id").as("follow_id"),
+      col("user_id").as("f_user"), col("ts").as("f_ts"))
+    t.join(f, col("user_id") === col("f_user") &&
+        col("f_ts") > col("t_ts") &&
+        col("f_ts") <= col("t_ts") + expr(s"INTERVAL $within"))
+      .select(col("trigger_id"), col("user_id"), col("follow_id"),
+        col("t_ts"), col("f_ts"))
+  }
+
+  /** First follow per trigger (the conversion row marketing funnels key
+    * on): earliest f_ts wins, follow_id breaks exact-timestamp ties so
+    * the row is deterministic. min(struct(...)) keeps the aggregation a
+    * partial-merge hash agg (map-side combine before the one exchange) —
+    * no window sort over the pair set. */
+  def funnelFirst(events: DataFrame, triggerType: String, followType: String,
+                  within: String = "2 hours"): DataFrame =
+    funnelPairs(events.where(col("event_type") === triggerType),
+        events.where(col("event_type") === followType), within)
+      .groupBy(col("trigger_id"), col("user_id"), col("t_ts"))
+      .agg(min(struct(col("f_ts"), col("follow_id"))).as("first"))
+      .select(col("trigger_id"), col("user_id"),
+        col("first.follow_id").as("follow_id"),
+        (unix_millis(col("first.f_ts")) - unix_millis(col("t_ts")))
+          .as("lag_ms"))
+
   /** Streaming exact dedup for a live document feed: drop re-deliveries
     * and content duplicates whose normalized-text hash was already seen
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keys

@@ -195,6 +195,47 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.intersect(batch.filter(_._1 == 1L)).size == 2)
   }
 
+  test("funnel pairs: stream-stream interval join equals batch; window bounds respected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Event(0L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Event(1L, ts("2024-01-01 03:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 00:00:00"), 2L, "click", 1.0))
+    val purchases = Seq(
+      Event(10L, ts("2024-01-01 00:30:00"), 1L, "purchase", 5.0), // in window of click 0
+      Event(11L, ts("2024-01-01 02:00:00"), 1L, "purchase", 5.0), // exactly at 0+2h: inclusive
+      Event(12L, ts("2024-01-01 03:00:00"), 1L, "purchase", 5.0), // at click-1 ts: EXCLUDED (strict >)
+      Event(13L, ts("2024-01-01 04:30:00"), 1L, "purchase", 5.0), // in window of click 1 only
+      Event(14L, ts("2024-01-01 00:10:00"), 2L, "purchase", 5.0)) // user 2
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("trigger_id"), col("follow_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = canon(EventStream.funnelPairs(
+      clicks.toDF(), purchases.toDF(), "2 hours"))
+    assert(batch == Set((0L, 10L), (0L, 11L), (1L, 13L), (2L, 14L)))
+
+    val cSrc = MemoryStream[Event]; val pSrc = MemoryStream[Event]
+    cSrc.addData(clicks: _*); pSrc.addData(purchases: _*)
+    val q = EventStream.funnelPairs(
+        cSrc.toDF().withWatermark("ts", "1 hour"),
+        pSrc.toDF().withWatermark("ts", "1 hour"), "2 hours")
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(canon(spark.table("funnel_sink")) == batch)
+
+    // first-follow aggregation: earliest f_ts wins per trigger
+    val first = EventStream.funnelFirst(
+        (clicks ++ purchases).toDF(), "click", "purchase", "2 hours")
+      .collect().map(r => r.getAs[Long]("trigger_id") ->
+        (r.getAs[Long]("follow_id"), r.getAs[Long]("lag_ms"))).toMap
+    assert(first == Map(
+      0L -> (10L, 30L * 60 * 1000),
+      1L -> (13L, 90L * 60 * 1000),
+      2L -> (14L, 10L * 60 * 1000)))
+  }
+
   test("stream-static enrichment equals the batch join; unmatched keys keep nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

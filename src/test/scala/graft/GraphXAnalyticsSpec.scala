@@ -153,4 +153,24 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(top10.forall(v => !(v >= 3000000L && v < 4000000L)),
       s"customers are leaves and must not top the ranking: ${top10.toSeq}")
   }
+
+  test("personalized pagerank: mass stays near the source's forward cone") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    val src = 3000042L // customer 42
+    val top = graft.gx.GraphXTraversal
+      .personalizedPageRankDF(spark, snap, src, numIter = 10, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 30)
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    // teleport returns only to the source: it must dominate the ranking
+    assert(top.head._1 == src, s"source should rank first, got ${top.head}")
+    // everything ranked sits in the source's forward cone: the source
+    // itself, its nation/region, its orders, or parts/suppliers they
+    // reach — customers OTHER than the source get zero mass (nothing
+    // points at a customer in this graph)
+    top.map(_._1).foreach { v =>
+      assert(v == src || !(v >= 3000000L && v < 4000000L),
+        s"foreign customer $v cannot receive personalized mass")
+    }
+  }
 }
