@@ -779,6 +779,28 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
     "doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "bottomk_sketch" -> ((s, d) =>
+      // engine-portable bottom-k minhash twin of doc_fingerprint: the k
+      // smallest md5(shingle) per doc, re-derived bit-for-bit in DuckDB
+      TextOps.bottomKSketch(docs(s, d), 5)),
+    "domain_mix" -> ((s, d) =>
+      // per-source quota sampling by stable md5 priority, with the exact
+      // hash-threshold prune that bounds the window at 100 TB
+      TextOps.domainMix(docs(s, d), 10)),
+    "tfidf_topterms" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), 5)),
+    "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(docs(s, d), 10)),
+    "heavy_hitters_sketch" -> ((s, d) =>
+      // Misra–Gries bounded-memory twin (native graft_topfreq aggregate);
+      // rows-only — summary contents depend on partial-merge order — with
+      // the MG error-bound gate in PipelineSpec
+      TextOps.heavyHittersSketch(docs(s, d), 10)),
+    "dedup_incremental" -> { (s, d) =>
+      // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
+      // the accumulated corpus; survivors = batch reps with unseen text
+      val all = docs(s, d)
+      TextOps.dedupIncremental(
+        all.where(col("doc_id") >= 400), all.where(col("doc_id") < 400))
+    },
 
     // ---- LLM-pipeline: similarity search ----
     "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),
@@ -1722,6 +1744,65 @@ object SparkEntry {
         |FROM documents
         |WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT lang, tok, count(*) AS freq FROM toks GROUP BY lang, tok),
+        |ranked AS (SELECT lang, tok, freq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rk
+        |  FROM freqs)
+        |SELECT lang, tok, CAST(freq AS BIGINT) AS freq, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    min(doc_id) AS doc_id, count(*) AS batch_dups
+        |  FROM documents WHERE doc_id >= 400 GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(batch_dups AS BIGINT) AS batch_dups
+        |FROM batch
+        |WHERE norm NOT IN (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  FROM documents WHERE doc_id < 400)""".stripMargin,
+
+    "domain_mix" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 10""".stripMargin,
+
+    "tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |dft AS (SELECT term, ln((SELECT n + 1 FROM n) / (count(*) + 1)) + 1 AS idf
+        |        FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * dft.idf AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * dft.idf DESC, tf.term) AS rk
+        |  FROM tf JOIN dft USING (term))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+        |  round(score, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM scored WHERE rk <= 5""".stripMargin,
+
+    "bottomk_sketch" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |hashed AS (SELECT doc_id, md5(g) AS h FROM ex),
+         |ranked AS (SELECT doc_id, h,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+         |  FROM hashed)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rk, h
+         |FROM ranked WHERE rk <= 5""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $shingleCte

@@ -140,6 +140,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKAgg(children(0), children(1), k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topfreq"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "graft_topfreq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_topfreq(item, capacity) needs a literal capacity")
+        val cap = children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topfreq: capacity must be integral, got $other")
+        }
+        FreqSketchAgg(children(0), cap).toAggregateExpression()
+      }))
   }
 }
 

@@ -740,4 +740,213 @@ object TextOps {
       }
       .toDF()
   }
+
+  /**
+   * Exact per-language heavy hitters: the `k` most frequent tokens per
+   * lang — the vocabulary-mining pass tokenizer training starts from.
+   * One (lang, token) count shuffle, then a per-lang rank (few langs ×
+   * bounded k). Returns (lang, tok, freq, rk), ties broken tok asc.
+   *
+   * At 100 TB the count shuffle moves one row per distinct (lang,
+   * token) — the full vocabulary. [[heavyHittersSketch]] is the
+   * bounded-memory twin: Misra–Gries partials cap map-side state AND
+   * shuffled rows at `capacity` per partition, at the cost of
+   * (spec-gated) estimate error.
+   */
+  def heavyHitters(docs: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("tok"))))
+      .where(col("rk") <= k)
+      .select(col("lang"), col("tok"), col("freq"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Sketch twin of [[heavyHitters]] via the native `graft_topfreq`
+    * Misra–Gries aggregate (functions/FreqSketchAgg.scala): per-lang
+    * state is ≤ `capacity` counters on every partition, so neither
+    * memory nor shuffle width scales with vocabulary. Estimates are
+    * under-counts with error ≤ n/(capacity+1) (exact when a lang's
+    * distinct tokens fit in `capacity`); accuracy is gated vs the exact
+    * form in PipelineSpec, not SQL-oracled (summary contents depend on
+    * partial-merge order). Requires the graft session extension. */
+  def heavyHittersSketch(docs: DataFrame, k: Int = 10,
+                         capacity: Int = 1024): DataFrame = {
+    require(k > 0 && capacity >= k, "need capacity >= k > 0")
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(call_function("graft_topfreq", col("tok"), lit(capacity)).as("top"))
+      .select(col("lang"), posexplode(slice(col("top"), 1, k)))
+      .select(col("lang"), col("col.item").as("tok"),
+        col("col.est").as("freq_est"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /**
+   * Incremental corpus dedup — the daily-ingest shape: dedup the NEW
+   * batch within itself (min doc_id per normalized text), then drop
+   * every normalized text the HISTORICAL corpus already contains.
+   * Returns the surviving new docs as (doc_id, is_new_text = always
+   * true rows only). One hash-group on the batch + one anti-join.
+   *
+   * Scale shape: the batch is small relative to history (a day's crawl
+   * vs the accumulated corpus), so the anti-join shuffles the BATCH to
+   * history's layout, never the reverse: persist the historical
+   * fingerprint set as a table bucketed by the join key (the
+   * [[graft.log.MemFactLog.saveBucketedTable]] discipline) and the
+   * nightly run reads it shuffle-free. Keys here are the normalized
+   * text itself so the DuckDB oracle replays string-exactly; at 100 TB
+   * you key `xxhash64(norm)` — 8-byte keys, same plan (collisions
+   * re-checked on the string like the LSH verify stage).
+   */
+  def dedupIncremental(newBatch: DataFrame, history: DataFrame): DataFrame =
+    newBatch
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dups"))
+      .join(history.select(normText(col("text")).as("norm")).distinct(),
+        Seq("norm"), "left_anti")
+      .select(col("doc_id"), col("batch_dups"))
+
+  /**
+   * Domain mixing: deterministic per-source quota sampling — the data-
+   * mixing step a pretraining pipeline runs to hit its target corpus
+   * composition (keep at most `quota` documents per source, chosen by a
+   * stable hash order so reruns and incremental appends agree on the
+   * kept set). Selection priority is `md5(doc_id)` — uniform,
+   * engine-portable (the DuckDB oracle replays it bit-for-bit), and
+   * independent of input order. Returns (doc_id, source, rk), rk =
+   * 1-based rank within the source's kept set.
+   *
+   * Scale shape: the naive form is one window sort over EVERY row of
+   * each source — at 100 TB a popular domain funnels billions of rows
+   * through one partition's sort. This implementation prunes first:
+   * because md5 is uniform, the quota-th smallest hash of an n-row
+   * source concentrates at ≈ quota/n of the hash space, so a cheap
+   * count-by-source (map-side-combined, rows ∝ #sources) yields a
+   * per-source hash-prefix threshold at `margin ×` that fraction; the
+   * window then ranks only ~margin×quota candidates per source. The
+   * prune is EXACT, not probabilistic: a second count-by-source over
+   * the candidates verifies each source still holds min(quota, n)
+   * rows under its threshold, and any source that undershoots (wildly
+   * skewed luck) falls back to ranking all its rows. Candidates are a
+   * prefix of each source's md5 order, so ranks are unchanged by the
+   * prune.
+   */
+  def domainMix(docs: DataFrame, quota: Int, margin: Double = 4.0): DataFrame = {
+    require(quota > 0 && margin >= 1.0, "quota must be positive, margin >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pr = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("h"))
+    // per-source row counts → hash-prefix thresholds. Sources are a
+    // dimension (10²–10⁵ rows even at 100 TB): broadcast both ways.
+    val thr = pr.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("frac", least(lit(1d), lit(margin * quota) / col("n")))
+      .withColumn("thr8", when(col("frac") >= 1d, lit("zzzzzzzz")) // keep all
+        // first 8 hex chars compare exactly like the top 32 hash bits
+        .otherwise(lpad(lower(hex(floor(col("frac") * 4294967296d)
+          .cast("long"))), 8, "0")))
+    val cand = pr.join(broadcast(thr), Seq("source"))
+      .where(substring(col("h"), 1, 8) <= col("thr8"))
+    // exactness check: did the threshold retain min(quota, n) per source?
+    // (left join from the FULL source list — a source whose threshold
+    // kept zero rows must land in the fallback set too)
+    val short = thr.select(col("source"), col("n"))
+      .join(cand.groupBy(col("source")).agg(count(lit(1)).as("kept")),
+        Seq("source"), "left_outer")
+      .where(coalesce(col("kept"), lit(0L)) < least(lit(quota.toLong), col("n")))
+      .select(col("source"))
+    val ranked = cand.join(broadcast(short), Seq("source"), "left_anti")
+      .select(col("source"), col("doc_id"), col("h"))
+      .unionAll(pr.join(broadcast(short), Seq("source"), "left_semi")
+        .select(col("source"), col("doc_id"), col("h")))
+    ranked
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .where(col("rk") <= quota)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+  }
+
+  /**
+   * TF-IDF top-`k` terms per document — the keyword/topic signal a
+   * curation pipeline extracts per doc (and the exact shape BM25 mining
+   * starts from). Smoothed idf `ln((N + 1)/(df + 1)) + 1` (the sklearn
+   * form: never negative, never /0), score = tf · idf, ranked
+   * (score desc, term asc). Returns (doc_id, term, tfidf, rk).
+   *
+   * Scale shape: ONE wide shuffle — the (doc, token) term-frequency
+   * aggregation with map-side partials (same backbone as [[bm25Scores]]).
+   * Document frequencies re-aggregate FROM tf (no second tokenize), and
+   * the (term, df) table is vocabulary-sized (Zipf: ~10⁶ rows at 100 TB)
+   * so the score join broadcasts it. The final top-k window partitions
+   * by doc_id — per-doc term counts are bounded by document length, so
+   * no partition outgrows a task no matter the corpus size.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+                    checkpoint: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count().toDouble // one scalar action, like bm25's (N, avgdl)
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nDocs + 1d) / (col("df") + 1d)) + 1d)
+    val out = tf
+      .join(broadcast(dfTab.select(col("term"), col("idf"))), Seq("term"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("score"), 4).as("tfidf"), col("rk").cast("long").as("rk"))
+    if (!checkpoint) return out // plan inspection
+    val res = out.localCheckpoint(true)
+    tf.unpersist(false)
+    res
+  }
+
+  /**
+   * Bottom-k sketch per document: the `k` smallest `md5(shingle)` values
+   * over the doc's distinct word-3-gram shingles — a fixed-size content
+   * fingerprint whose pairwise overlap estimates Jaccard similarity
+   * (bottom-k minhash, the one-permutation cousin of the LSH signature
+   * in [[dedupMinHashLsh]]). Unlike the xxhash64 [[fingerprint]], every
+   * stage is engine-portable, so the DuckDB oracle re-derives the
+   * sketch bit-for-bit. Returns (doc_id, rk, h) — docs with fewer than
+   * k shingles emit fewer rows, shingle-less docs emit none.
+   *
+   * Scale shape: tokenize → shingle → explode is map-only; the only
+   * shuffle is the per-doc rank, and the window partitions by doc_id
+   * with per-doc cardinality bounded by document length. (A grouped
+   * min-k heap aggregate would shortlist map-side like `graft_topk`;
+   * at one row per doc×shingle the bounded window is already the plan
+   * Spark picks for its own `collect_list`-style shapes.)
+   */
+  def bottomKSketch(docs: DataFrame, k: Int = 5,
+                    checkpoint: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    // persist barrier: CollapseProject would otherwise inline tokens()
+    // into shinglesFromTokens's size(t)+2 references (the O(tokens²) trap)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = toks
+      .select(col("doc_id"), explode(shinglesFromTokens(col("t"))).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("h"))
+    if (!checkpoint) return out // plan inspection
+    val res = out.localCheckpoint(true)
+    toks.unpersist(false)
+    res
+  }
 }

@@ -671,4 +671,124 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("too small"))
   }
+
+  test("heavy hitters: exact ranks; MG sketch exact when vocab fits capacity") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a a a b b c", "en"), (1L, "a b d", "en"),
+      (2L, "x x y", "de")).toDF("doc_id", "text", "lang")
+    val exact = TextOps.heavyHitters(d, 3).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("tok"), r.getAs[Long]("freq"))).toMap
+    assert(exact(("en", 1L)) == ("a", 4L))
+    assert(exact(("en", 2L)) == ("b", 3L))
+    assert(exact(("en", 3L)) == ("c", 1L)) // freq tie (c=d=1) → tok asc
+    assert(exact(("de", 1L)) == ("x", 2L))
+    // vocab per lang ≤ capacity → the sketch IS the exact answer,
+    // across the partial-merge path (forced multi-partition input)
+    val sk = TextOps.heavyHittersSketch(d.repartition(4), 3, capacity = 16)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("tok"), r.getAs[Long]("freq_est"))).toMap
+    assert(sk == exact)
+  }
+
+  test("graft_topfreq: MG error bound under capacity pressure; nulls skipped") {
+    import spark.implicits._
+    // zipf-ish: token t_i appears (40 - i) times, i = 0..39, n = 1020
+    val rows = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"t$i")) ++
+      Seq(null.asInstanceOf[String])
+    val d = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok").repartition(8)
+    val cap = 10
+    val est = d.groupBy(lit(1)).agg(
+        call_function("graft_topfreq", col("tok"), lit(cap)).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item"), col("e.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= cap)
+    val n = rows.count(_ != null).toLong
+    val trueFreq = (0 until 40).map(i => s"t$i" -> (40L - i)).toMap
+    // under-estimates only, within the n/(capacity+1) MG bound
+    est.foreach { case (t, e) =>
+      assert(e <= trueFreq(t) && trueFreq(t) - e <= n / (cap + 1) + 1)
+    }
+    // every item with true freq > n/(cap+1) must have survived
+    trueFreq.filter(_._2 > n / (cap + 1)).keys.foreach(t =>
+      assert(est.contains(t), s"guaranteed heavy hitter $t evicted"))
+  }
+
+  test("dedupIncremental: in-batch dedup plus anti-join against history") {
+    import spark.implicits._
+    val history = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen  BEFORE"),      // normalized dup of history → dropped
+      (11L, "fresh text"),        // survives
+      (12L, "fresh text"),        // in-batch dup of 11 → collapsed
+      (13L, "another new one")).toDF("doc_id", "text")
+    val r = TextOps.dedupIncremental(batch, history).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("batch_dups")).toMap
+    assert(r == Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("domainMix: quota respected, md5 order, threshold prune == plain window") {
+    import spark.implicits._
+    // 3 sources with very different sizes; source c smaller than quota
+    val rows = (0L until 200L).map(i => (i, "t" + i, s"src${i % 2}")) ++
+      Seq((1000L, "x", "c"), (1001L, "y", "c"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = TextOps.domainMix(d, quota = 7)
+    val byS = got.collect().groupBy(_.getAs[String]("source"))
+    assert(byS("src0").length == 7 && byS("src1").length == 7)
+    assert(byS("c").length == 2) // undersized source keeps everything
+    // reference: the plain per-source window over md5 order
+    import org.apache.spark.sql.expressions.Window
+    val ref = d.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .where(col("rk") <= 7)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+    assert(got.collect().toSet == ref.collect().toSet)
+    // margin 1.0 forces the shortfall fallback on some source with high
+    // probability; the answer must be identical either way
+    val tight = TextOps.domainMix(d, quota = 7, margin = 1.0)
+    assert(tight.collect().toSet == ref.collect().toSet)
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; k bound; idf formula") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha alpha alpha common"),
+      (1L, "beta common common"),
+      (2L, "gamma common")).toDF("doc_id", "text")
+    val r = TextOps.tfidfTopTerms(d, k = 2).collect()
+    assert(r.count(_.getAs[Long]("doc_id") == 0L) == 2)
+    val top0 = r.filter(_.getAs[Long]("doc_id") == 0L)
+      .minBy(_.getAs[Long]("rk"))
+    // alpha: tf=3, df=1 → 3·(ln(4/2)+1) ≈ 5.0794; common: tf=1, df=3 → 1.0
+    assert(top0.getAs[String]("term") == "alpha")
+    assert(math.abs(top0.getAs[Double]("tfidf") - 3d * (math.log(2d) + 1d)) < 1e-3)
+    val top2 = r.filter(_.getAs[Long]("doc_id") == 2L).minBy(_.getAs[Long]("rk"))
+    assert(top2.getAs[String]("term") == "gamma") // rarer beats common
+  }
+
+  test("bottomKSketch: k smallest shingle hashes, identical docs share sketches") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "THE  QUICK   brown fox jumps over the lazy dog"), // same tokens
+      (2L, "xy")).toDF("doc_id", "text") // < 3 tokens → no shingles
+    val r = TextOps.bottomKSketch(d, k = 3).collect()
+    val sk = r.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[String]("h")).toSeq }
+    assert(sk(0L) == sk(1L) && sk(0L).length == 3)
+    assert(!sk.contains(2L))
+    assert(sk(0L) == sk(0L).sorted) // ranks follow hash order
+    // brute-force twin: md5 of every shingle, 3 smallest
+    val brute = d.where(col("doc_id") === 0L)
+      .select(explode(TextOps.shingles(col("text"))).as("s"))
+      .select(md5(col("s")).as("h")).collect().map(_.getString(0)).sorted.take(3)
+    assert(sk(0L) == brute.toSeq)
+  }
 }

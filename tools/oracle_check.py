@@ -50,11 +50,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # intentionally brute-force/quadratic (exact all-pairs Jaccard) and only
 # tractable at the sf0.01 gate scale. Reported separately, not as PASS.
 skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
+# ORACLE_ONLY=a,b — check just the named queries (targeted re-checks at
+# scaled data where the full DuckDB replay takes ~45 min).
+only = set(filter(None, os.environ.get("ORACLE_ONLY", "").split(",")))
 
 fails, passes, noracle, skipped = [], [], [], []
 for d in sorted(glob.glob(f"{outdir}/*")):
     name = os.path.basename(d)
     if not os.path.isdir(d):
+        continue
+    if only and name not in only:
         continue
     if name in skip:
         skipped.append(name)
