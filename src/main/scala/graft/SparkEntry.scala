@@ -287,6 +287,11 @@ object SparkEntry {
       graft.gx.GraphXTraversal.shortestPathsDF(
         s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
 
+    "clustering_coeff" -> ((s, d) =>
+      // per-vertex local clustering coefficient on the same pair graph;
+      // the oracle recomputes per-vertex wedge closure + degrees in SQL
+      graft.gx.GraphXTraversal.clusteringCoeffDF(s, TpchGraph.snapshot(s, d))),
+
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
@@ -1503,6 +1508,33 @@ object SparkEntry {
         |  CAST((SELECT count(*)
         |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles""".stripMargin,
+
+    // per-vertex wedge closure: each triangle (x < y < z) credits all
+    // three corners; degrees from canonical pair endpoints
+    "clustering_coeff" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e AS (
+        |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+        |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tl AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tri AS (
+        |  SELECT v, count(*) AS t FROM (
+        |    SELECT x AS v FROM tl UNION ALL SELECT y FROM tl UNION ALL SELECT z FROM tl)
+        |  GROUP BY v),
+        |deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+        |SELECT CAST(deg.v AS BIGINT) AS part_id, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(tri.t, 0) AS BIGINT) AS triangles,
+        |  round(CASE WHEN deg.d < 2 THEN 0
+        |        ELSE 2.0 * coalesce(tri.t, 0) / (deg.d * (deg.d - 1)) END, 4) AS coeff
+        |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
 
     // closed-form BFS levels on the placed/contains/supplied_by DAG
     // (see GraphXTraversal.shortestPathsDF): landmark suppliers 0,

@@ -237,14 +237,14 @@ object GraphXTraversal {
     * Returns one row: (n_parts, n_coedges, n_triangles). */
   private val pairGraphCache = new LruGraphCache[(Snapshot, Double), Unit, Unit]
 
-  def triangleCensusDF(spark: SparkSession, snap: Snapshot,
-                       minQty: Double = 30.0): DataFrame = {
+  /** The bulk-quantity part co-occurrence pair graph, shared by
+    * [[triangleCensusDF]] and [[clusteringCoeffDF]]: the expensive part
+    * (property-filtered self-join + distinct) gets the same LRU memo as
+    * the label-filtered graphs — repeated analytics pay only their own
+    * neighbor-set intersection rounds. */
+  private def pairGraph(snap: Snapshot, minQty: Double): Graph[Unit, Unit] = {
     import graft.model.{A, PropType}
-    // the co-occurrence pair graph is the expensive part (property-
-    // filtered self-join + distinct), so it gets the same LRU memo as
-    // the label-filtered graphs — repeated censuses pay only the
-    // neighbor-set intersection rounds
-    val g = pairGraphCache.getOrBuild((snap, minQty)) {
+    pairGraphCache.getOrBuild((snap, minQty)) {
       val bulkIds = snap.prop("quantity", PropType.PDouble, A.Edge)
         .where(col("v") >= minQty).select(col("e").as("id"))
       val bulk = snap.edges.where(col("label") === "contains")
@@ -264,12 +264,42 @@ object GraphXTraversal {
       pairs.unpersist(blocking = false)
       built
     }
+  }
+
+  def triangleCensusDF(spark: SparkSession, snap: Snapshot,
+                       minQty: Double = 30.0): DataFrame = {
+    val g = pairGraph(snap, minQty)
     // a < b and distinct → edges are already canonical; triangleCount
     // re-canonicalizes internally, which is a cheap no-op here
     val nTriangles = g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
     spark.createDataFrame(
       Seq((g.numVertices, g.numEdges, nTriangles)))
       .toDF("n_parts", "n_coedges", "n_triangles")
+  }
+
+  /** Per-vertex local clustering coefficient over the same co-occurrence
+    * pair graph: coeff(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), 0 for
+    * degree < 2 — the "how clique-like is this part's neighborhood"
+    * signal. GraphX runs the GENERAL per-vertex triangle count
+    * (neighbor-set intersection per edge) and a degree aggregation; the
+    * DuckDB oracle recomputes both relationally (per-vertex wedge
+    * closure + pair-endpoint counts), so the iterative engine is checked
+    * on every vertex, not just the census total. Both RDDs are
+    * vertex-sized; the join is on the vertex id — no edge-scale shuffle
+    * beyond what triangleCount itself does. */
+  def clusteringCoeffDF(spark: SparkSession, snap: Snapshot,
+                        minQty: Double = 30.0): DataFrame = {
+    val g = pairGraph(snap, minQty)
+    val joined = g.degrees.leftOuterJoin(g.triangleCount().vertices)
+      .map { case (v, (d, t)) =>
+        val tri = t.getOrElse(0).toLong
+        val coeff = if (d < 2) 0d else 2d * tri / (d.toLong * (d - 1L))
+        (v, d.toLong, tri, coeff)
+      }
+    spark.createDataFrame(joined)
+      .toDF("part_id", "degree", "triangles", "coeff")
+      .select(col("part_id"), col("degree"), col("triangles"),
+        round(col("coeff"), 4).as("coeff"))
   }
 
   /** Memoized label-filtered graphs, same LRU discipline as

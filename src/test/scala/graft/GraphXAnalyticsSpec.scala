@@ -93,6 +93,25 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(nTris == expectTris.toLong, s"triangles $nTris vs $expectTris")
   }
 
+  test("clustering coefficient: per-vertex recount; totals tie to the census") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    val rows = graft.gx.GraphXTraversal.clusteringCoeffDF(spark, snap).collect()
+    assert(rows.nonEmpty)
+    // formula and bound invariants on every vertex
+    rows.foreach { r =>
+      val (d, t, c) = (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+        r.getAs[Double]("coeff"))
+      assert(d >= 1) // Graph.fromEdges keeps only edge endpoints
+      assert(t <= d * (d - 1) / 2, s"triangles $t exceed C($d,2)")
+      val expect = if (d < 2) 0d else 2d * t / (d * (d - 1))
+      assert(math.abs(c - expect) < 5e-5)
+    }
+    // per-vertex triangle credits sum to 3× the census total
+    val census = graft.gx.GraphXTraversal.triangleCensusDF(spark, snap).head()
+    assert(rows.map(_.getAs[Long]("triangles")).sum == 3 * census.getLong(2))
+    assert(rows.length.toLong == census.getLong(0)) // one row per part
+  }
+
   test("shortest paths: BFS levels land on the DAG's closed-form distances") {
     val snap = TpchGraph.snapshot(spark, dir)
     val rows = graft.gx.GraphXTraversal
