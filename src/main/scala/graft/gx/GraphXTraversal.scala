@@ -191,8 +191,11 @@ object GraphXTraversal {
     * the partitioned edge RDD, no driver loop. */
   def componentsDF(spark: SparkSession, snap: Snapshot,
                    labels: Seq[String]): DataFrame = {
-    val cc = cachedLabelGraph(snap, labels).connectedComponents().vertices
-    spark.createDataFrame(cc).toDF("vertex_id", "component")
+    val res = cachedLabelGraph(snap, labels).connectedComponents()
+    val out = spark.createDataFrame(res.vertices)
+      .toDF("vertex_id", "component").localCheckpoint(true)
+    res.unpersist(blocking = false) // release the Pregel result graph
+    out
   }
 
   /** PageRank restricted to a label-filtered subgraph, built with
@@ -218,9 +221,12 @@ object GraphXTraversal {
   def pageRankStarDF(spark: SparkSession, snap: Snapshot,
                      labels: Seq[String] = Seq("in_nation", "in_region"),
                      numIter: Int = 3): DataFrame = {
-    val ranks = cachedLabelGraph(snap, labels).staticPageRank(numIter).vertices
-    spark.createDataFrame(ranks).toDF("vertex_id", "rank")
+    val pr = cachedLabelGraph(snap, labels).staticPageRank(numIter)
+    val out = spark.createDataFrame(pr.vertices).toDF("vertex_id", "rank")
       .select(col("vertex_id"), round(col("rank"), 4).as("rank"))
+      .localCheckpoint(true)
+    pr.unpersist(blocking = false) // release the rank graph
+    out
   }
 
   /** Triangle census of the bulk-quantity part-co-occurrence graph:
@@ -271,7 +277,9 @@ object GraphXTraversal {
     val g = pairGraph(snap, minQty)
     // a < b and distinct → edges are already canonical; triangleCount
     // re-canonicalizes internally, which is a cheap no-op here
-    val nTriangles = g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+    val tg = g.triangleCount()
+    val nTriangles = tg.vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+    tg.unpersist(blocking = false) // counts folded — release the result graph
     spark.createDataFrame(
       Seq((g.numVertices, g.numEdges, nTriangles)))
       .toDF("n_parts", "n_coedges", "n_triangles")
@@ -290,16 +298,22 @@ object GraphXTraversal {
   def clusteringCoeffDF(spark: SparkSession, snap: Snapshot,
                         minQty: Double = 30.0): DataFrame = {
     val g = pairGraph(snap, minQty)
-    val joined = g.degrees.leftOuterJoin(g.triangleCount().vertices)
+    val tg = g.triangleCount()
+    val joined = g.degrees.leftOuterJoin(tg.vertices)
       .map { case (v, (d, t)) =>
         val tri = t.getOrElse(0).toLong
         val coeff = if (d < 2) 0d else 2d * tri / (d.toLong * (d - 1L))
         (v, d.toLong, tri, coeff)
       }
-    spark.createDataFrame(joined)
+    // materialize the vertex-sized output, then drop the triangle result
+    // graph (NEW cached graph per call — the §16 release discipline)
+    val out = spark.createDataFrame(joined)
       .toDF("part_id", "degree", "triangles", "coeff")
       .select(col("part_id"), col("degree"), col("triangles"),
         round(col("coeff"), 4).as("coeff"))
+      .localCheckpoint(true)
+    tg.unpersist(blocking = false)
+    out
   }
 
   /** Memoized label-filtered graphs, same LRU discipline as
@@ -339,10 +353,18 @@ object GraphXTraversal {
                       landmarks: Seq[Long],
                       labels: Seq[String] =
                         Seq("placed", "contains", "supplied_by")): DataFrame = {
-    val sp = org.apache.spark.graphx.lib.ShortestPaths
-      .run(cachedLabelGraph(snap, labels), landmarks).vertices
+    // the Pregel result is a NEW cached graph (spmap vertices + an
+    // edge-scale replicated view) — materialize the vertex-sized output,
+    // then release it (the §16 leak discipline: algo-returned graphs
+    // accumulate across calls and evict the shared snapshot views)
+    val res = org.apache.spark.graphx.lib.ShortestPaths
+      .run(cachedLabelGraph(snap, labels), landmarks)
+    val sp = res.vertices
       .flatMap { case (vid, m) => m.map { case (lm, d) => (vid, lm, d) } }
-    spark.createDataFrame(sp).toDF("vertex_id", "landmark_id", "dist")
+    val out = spark.createDataFrame(sp).toDF("vertex_id", "landmark_id", "dist")
+      .localCheckpoint(true)
+    res.unpersist(blocking = false)
+    out
   }
 
   /** Static PageRank over the full snapshot graph (`numIter` fixed
@@ -352,11 +374,14 @@ object GraphXTraversal {
     * [[pageRankStarDF]], whose subgraph admits a closed form. */
   def pageRankDF(spark: SparkSession, snap: Snapshot, numIter: Int = 10,
                  topK: Int = 30): DataFrame = {
-    val ranks = cachedGraph(snap).staticPageRank(numIter).vertices
+    val pr = cachedGraph(snap).staticPageRank(numIter)
     // top() = per-partition heads merged on the driver (topK rows), no
     // full sort shuffle; vid tiebreak keeps the cut deterministic
-    val top = ranks.map { case (vid, r) => (vid, r) }
+    val top = pr.vertices.map { case (vid, r) => (vid, r) }
       .top(topK)(Ordering.by { case (vid, r) => (r, -vid) })
+    // the rank graph is a NEW cached graph; the top-k is already on the
+    // driver, so release it before the next caller piles another one on
+    pr.unpersist(blocking = false)
     spark.createDataFrame(top.toSeq).toDF("vertex_id", "rank")
       .select(org.apache.spark.sql.functions.col("vertex_id"),
         org.apache.spark.sql.functions.round(
@@ -377,10 +402,10 @@ object GraphXTraversal {
     * governs parallelism exactly as for the global variant. */
   def personalizedPageRankDF(spark: SparkSession, snap: Snapshot, src: Long,
                              numIter: Int = 10, topK: Int = 30): DataFrame = {
-    val ranks = cachedGraph(snap)
-      .staticPersonalizedPageRank(src, numIter).vertices
-    val top = ranks.map { case (vid, r) => (vid, r) }
+    val pr = cachedGraph(snap).staticPersonalizedPageRank(src, numIter)
+    val top = pr.vertices.map { case (vid, r) => (vid, r) }
       .top(topK)(Ordering.by { case (vid, r) => (r, -vid) })
+    pr.unpersist(blocking = false) // same release discipline as pageRankDF
     spark.createDataFrame(top.toSeq).toDF("vertex_id", "rank")
       .select(org.apache.spark.sql.functions.col("vertex_id"),
         org.apache.spark.sql.functions.round(
