@@ -806,6 +806,23 @@ object SparkEntry {
       TextOps.dedupIncremental(
         all.where(col("doc_id") >= 400), all.where(col("doc_id") < 400))
     },
+    "dedup_incremental_lsh" -> { (s, d) =>
+      // the NEAR-dup twin of dedup_incremental: today's batch against
+      // the corpus's LSH band index (candidates from the band equi-join,
+      // exact-Jaccard verify); twin replays the exact cross-set Jaccard
+      val all = docs(s, d)
+      TextOps.dedupIncrementalLsh(
+        all.where(col("doc_id") >= 400), all.where(col("doc_id") < 400), 0.8)
+    },
+    "chunk_dedup" -> ((s, d) =>
+      // paragraph-level dedup: identical 50-token windows collapsed
+      // corpus-wide to their first (doc_id, chunk_id) owner — catches
+      // sub-document boilerplate whole-doc dedup never sees
+      TextOps.chunkDedup(docs(s, d))),
+    "mixture_weights" -> ((s, d) =>
+      // α=0.5 temperature mixing over sources, 1000-doc budget: the
+      // sampling-ratio table a multi-source training run is configured from
+      TextOps.mixtureWeights(docs(s, d), 0.5, 1000L)),
 
     // ---- LLM-pipeline: similarity search ----
     "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),
@@ -880,6 +897,29 @@ object SparkEntry {
         VectorOps.ivfPqTopK(VectorOps.IvfCache.index(s, d), codes, cb, e, qs, 10)
           .select(col("qid").as("q"), col("vec_id").as("nb")),
         VectorOps.bruteForceTopK(e, qs, 10))
+    },
+    "dedup_semantic" -> ((s, d) =>
+      // SemDeDup shape: the ANN index's IVF cells ARE the dedup
+      // clustering — exact cosine verify only within a cell, so pair
+      // work is Σ|cell|², never |corpus|². The twin replays the k-means
+      // chain (the ann_ivf CTEs) and the same within-cell verify.
+      VectorOps.semanticDedupPairs(VectorOps.IvfCache.index(s, d), 0.45)),
+    "rp_project" -> ((s, d) =>
+      // Johnson–Lindenstrauss 64→16 with the md5-derived ±1 matrix —
+      // map-side column arithmetic, no shuffle; twin re-derives the
+      // matrix and replays the fold bit-for-bit
+      VectorOps.randomProjectLong(emb(s, d), 16, 64)),
+    "rp_recall" -> { (s, d) =>
+      // how much geometry the 4× reduction keeps, driver-visible the
+      // same way as ann_ivf_recall: recall@10 of brute-force search in
+      // PROJECTED space vs exact search in the original space
+      val e = emb(s, d)
+      val proj = VectorOps.randomProject(e, 16, 64)
+        .select(col("vec_id"), col("proj").as("embedding"))
+      annRecall(
+        VectorOps.bruteForceTopK(proj, proj.where(col("vec_id") < 10), 10)
+          .select(col("q"), col("nb")),
+        VectorOps.bruteForceTopK(e, e.where(col("vec_id") < 10), 10))
     },
     "label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(emb(s, d).withColumn("label", col("label").cast("long")))),
@@ -1263,13 +1303,18 @@ object SparkEntry {
     * ±1 plane matrix from md5 (graft.functions.Hyperplanes.matrix), the
     * signature bits as sign-of-dot with the same sequential fold, and
     * the band buckets as exact integer packing. */
-  private def lshChainCte(nPlanes: Int, rowsPerBand: Int): String =
-    s"""$rawEmbCte,
-       |planes AS (SELECT CAST(p.j AS INT) AS j, list(w ORDER BY i) AS pw FROM (
+  /** The md5-derived ±1 plane matrix (Hyperplanes.matrix) as a CTE —
+    * shared by the LSH chain and the random-projection twins. */
+  private def planesCte(nPlanes: Int): String =
+    s"""planes AS (SELECT CAST(p.j AS INT) AS j, list(w ORDER BY i) AS pw FROM (
        |    SELECT p.j, d.i,
        |      CASE WHEN ((strpos('0123456789abcdef', substr(md5(p.j || '_' || d.i), 2, 1)) - 1) & 1) = 1
        |           THEN 1.0 ELSE -1.0 END AS w
-       |    FROM range($nPlanes) p(j), range(64) d(i)) p(j, i, w) GROUP BY p.j),
+       |    FROM range($nPlanes) p(j), range(64) d(i)) p(j, i, w) GROUP BY p.j)""".stripMargin
+
+  private def lshChainCte(nPlanes: Int, rowsPerBand: Int): String =
+    s"""$rawEmbCte,
+       |${planesCte(nPlanes)},
        |sig AS (SELECT v.vec_id, p.j,
        |    CASE WHEN list_sum(list_transform(range(len(v.x)), i -> v.x[i+1] * p.pw[i+1])) > 0
        |         THEN 1 ELSE 0 END AS bit
@@ -1800,6 +1845,40 @@ object SparkEntry {
         |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |  FROM documents WHERE doc_id < 400)""".stripMargin,
 
+    // The NEAR-dup incremental contract: the banded candidate join plus
+    // exact-Jaccard verify must equal the exact cross-set relation (the
+    // same guarantee dedup_minhash proves for the self-join form).
+    "dedup_incremental_lsh" ->
+      s"""WITH $shingleCte
+         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(h.doc_id AS BIGINT) AS dup_of,
+         |  round(len(list_intersect(b.s, h.s))::DOUBLE / len(list_distinct(list_concat(b.s, h.s))), 3) AS jac
+         |FROM sh b JOIN sh h ON b.doc_id >= 400 AND h.doc_id < 400
+         |WHERE len(b.s) > 0 AND len(h.s) > 0
+         |  AND len(list_intersect(b.s, h.s))::DOUBLE / len(list_distinct(list_concat(b.s, h.s))) >= 0.8""".stripMargin,
+
+    "chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_id, array_to_string(t[(i*40+1):(i*40+50)], ' ') AS chunk
+        |  FROM toks, UNNEST(range(0, ((len(t)-1)//40) + 1)) AS u(i) WHERE len(t) >= 1),
+        |ranked AS (SELECT doc_id, chunk_id,
+        |    count(*) OVER (PARTITION BY chunk) AS n_copies,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM ranked WHERE rn = 1 AND n_copies >= 2""".stripMargin,
+
+    "mixture_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n,
+        |    sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(toks AS BIGINT) AS n_tokens,
+        |  round(pow(n, 0.5) / z, 6) AS weight,
+        |  CAST(round(1000 * pow(n, 0.5) / z) AS BIGINT) AS expected_docs,
+        |  round(1000 * pow(n, 0.5) / z / n, 4) AS epochs
+        |FROM c, z""".stripMargin,
+
     "domain_mix" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rk AS BIGINT) AS rk
         |FROM (SELECT doc_id, source,
@@ -1916,6 +1995,46 @@ object SparkEntry {
          |  round(count(e.nb) / 10.0, 4) AS recall
          |FROM pq p LEFT JOIN ex e ON p.qid = e.q AND p.vec_id = e.nb
          |GROUP BY p.qid""".stripMargin,
+
+    // SemDeDup twin: the SAME replicated k-means chain as ann_ivf gives
+    // the cell assignment; the verify stage is a plain within-cell
+    // cosine predicate — both halves of the contract oracle-checked.
+    "dedup_semantic" ->
+      s"""WITH ${ivfChainCte("TRUE")}
+         |SELECT CAST(a.nb AS BIGINT) AS a, CAST(b.nb AS BIGINT) AS b,
+         |  CAST(a.cell AS BIGINT) AS cell,
+         |  round(list_cosine_similarity(a.nbv, b.nbv), 4) AS sim
+         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.nb < b.nb
+         |WHERE list_cosine_similarity(a.nbv, b.nbv) >= 0.45""".stripMargin,
+
+    // Random-projection twins: the ±1 matrix is the same md5 derivation
+    // as the LSH planes, so the projection — and the recall of search in
+    // projected space — replay exactly.
+    "rp_project" ->
+      s"""WITH $rawEmbCte,
+         |${planesCte(16)},
+         |proj AS (SELECT v.vec_id, p.j,
+         |    ${dotSql("v.x", "p.pw")} / sqrt(16.0) AS val
+         |  FROM raw v, planes p)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j,
+         |  round(val, 4) AS v FROM proj""".stripMargin,
+    "rp_recall" ->
+      s"""WITH $rawEmbCte,
+         |${planesCte(16)},
+         |projv AS (SELECT vec_id, list(val ORDER BY j) AS y FROM (
+         |    SELECT v.vec_id, p.j, ${dotSql("v.x", "p.pw")} / sqrt(16.0) AS val
+         |    FROM raw v, planes p) GROUP BY vec_id),
+         |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
+         |$exactTopKCte,
+         |rqs AS (SELECT vec_id AS q, y AS qy FROM projv WHERE vec_id < 10),
+         |rp AS (SELECT q, nb FROM (
+         |    SELECT rqs.q, pv.vec_id AS nb, row_number() OVER (PARTITION BY rqs.q
+         |      ORDER BY list_cosine_similarity(rqs.qy, pv.y) DESC, pv.vec_id) AS rn
+         |    FROM rqs, projv pv WHERE pv.vec_id <> rqs.q) WHERE rn <= 10)
+         |SELECT CAST(rp.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM rp LEFT JOIN ex e ON rp.q = e.q AND rp.nb = e.nb
+         |GROUP BY rp.q""".stripMargin,
 
     // Hyperplane-LSH twins: the md5-derived ±1 plane matrix
     // (Hyperplanes.matrix) is re-derived IN SQL, so bucketing and the

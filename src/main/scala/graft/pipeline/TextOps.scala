@@ -143,31 +143,7 @@ object TextOps {
    */
   def dedupMinHashLsh(docs: DataFrame, threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val r = numHashes / bands
-    // The persist() calls below are materialization BARRIERS, not just
-    // caches: every stage's heavy array expression is multi-referenced by
-    // the next stage's lambdas, and Spark re-evaluates expression (not
-    // attribute) references per use — unstaged, tokenization alone goes
-    // O(tokens²) and the signature is recomputed per band (measured 100×
-    // total slowdown at 5k docs).
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = toks.select(col("doc_id"), shinglesFromTokens(col("t")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hp = sh.select(col("doc_id"), hashPairs(col("sh")).as("hp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = hp.select(col("doc_id"),
-        signatureBest(docs.sparkSession, col("hp"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val banded = sig
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("bh"))))
-          .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (sh, banded, caches) = lshStages(docs, numHashes, bands)
 
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -188,7 +164,83 @@ object TextOps {
     // materialize the (small) result, then release the stage caches —
     // otherwise every call pins 5 intermediates for the session lifetime
     val res = out.localCheckpoint(true)
-    Seq(toks, sh, hp, sig, banded).foreach(_.unpersist(false))
+    caches.foreach(_.unpersist(false))
+    res
+  }
+
+  /** Staged shingle-set + banded-signature tables for a doc set — the
+    * shared candidate-generation front end of [[dedupMinHashLsh]] and
+    * [[dedupIncrementalLsh]]. Returns (sh = (doc_id, sh), banded =
+    * (doc_id, band, bh), caches to release after the result
+    * materializes). The persist() calls are materialization BARRIERS,
+    * not just caches: every stage's heavy array expression is
+    * multi-referenced by the next stage's lambdas, and Spark
+    * re-evaluates expression (not attribute) references per use —
+    * unstaged, tokenization alone goes O(tokens²) and the signature is
+    * recomputed per band (measured 100× total slowdown at 5k docs). */
+  private def lshStages(docs: DataFrame, numHashes: Int, bands: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val r = numHashes / bands
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = toks.select(col("doc_id"), shinglesFromTokens(col("t")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hp = sh.select(col("doc_id"), hashPairs(col("sh")).as("hp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = hp.select(col("doc_id"),
+        signatureBest(docs.sparkSession, col("hp"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sig
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("bh"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (sh, banded, Seq(toks, sh, hp, sig, banded))
+  }
+
+  /**
+   * Incremental NEAR-dup — the minhash twin of [[dedupIncremental]]:
+   * today's batch against the accumulated corpus's LSH band index.
+   * Returns (doc_id, dup_of, jac): each batch doc paired with every
+   * history doc whose exact shingle Jaccard ≥ `threshold`, candidates
+   * generated by the (band, bandHash) equi-join — never batch×history.
+   *
+   * Scale shape: in production the history side of this join IS the
+   * persisted band index (the banded table saved bucketed by its join
+   * key, the [[graft.log.MemFactLog.saveBucketedTable]] discipline —
+   * ~bands rows per corpus doc, append-only as batches land), so the
+   * nightly run computes signatures for the BATCH only and joins
+   * shuffle-free against history's layout; history text is touched only
+   * for the candidates' verify stage, via the same bucketed point-read
+   * path. Here both sides derive from the documents table so the DuckDB
+   * twin can replay the whole contract (exact cross-set Jaccard).
+   */
+  def dedupIncrementalLsh(newBatch: DataFrame, history: DataFrame,
+                          threshold: Double = 0.8,
+                          numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val (bSh, bBanded, bCaches) = lshStages(newBatch, numHashes, bands)
+    val (hSh, hBanded, hCaches) = lshStages(history, numHashes, bands)
+
+    val cand = bBanded.as("x").join(hBanded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+
+    val withSets = cand
+      .join(bSh.select(col("doc_id"), col("sh").as("shb")), "doc_id")
+      .join(hSh.select(col("doc_id").as("dup_of"), col("sh").as("shh")), "dup_of")
+    val inter = size(array_intersect(col("shb"), col("shh"))).cast("double")
+    val union = size(array_union(col("shb"), col("shh"))).cast("double")
+    val out = withSets
+      .where(size(col("shb")) > 0 && size(col("shh")) > 0)
+      .withColumn("jac", inter / union)
+      .where(col("jac") >= threshold)
+      .select(col("doc_id"), col("dup_of"), round(col("jac"), 3).as("jac"))
+    val res = out.localCheckpoint(true)
+    (bCaches ++ hCaches).foreach(_.unpersist(false))
     res
   }
 
@@ -475,6 +527,57 @@ object TextOps {
     val res = out.localCheckpoint(true)
     toks.unpersist(false)
     res
+  }
+
+  /**
+   * Cross-document CHUNK-level exact dedup — the paragraph-dedup pass
+   * (C4-style "three-sentence span" dedup, over token windows here):
+   * chunk every doc with [[chunkDocs]], then collapse identical chunks
+   * corpus-wide, keeping the lexicographically first (doc_id, chunk_id)
+   * owner. Returns one row per DUPLICATED chunk: (doc_id, chunk_id,
+   * n_copies ≥ 2) of the kept owner.
+   *
+   * Scale shape: one hash-groupBy shuffle keyed on the chunk text (at
+   * 100 TB: on xxhash64 of it — 8-byte keys, collision re-check like
+   * the LSH verify stage), map-side partial min/count; the chunker
+   * itself is shuffle-free. This catches the sub-document boilerplate
+   * (headers, license blocks, navigation) that whole-doc dedup never
+   * sees, which is why pipelines run both.
+   */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame =
+    chunkDocs(docs, chunkTokens, stride)
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .where(col("n_copies") >= 2)
+      .select(col("keep.doc_id").as("doc_id"), col("keep.chunk_id").as("chunk_id"),
+        col("n_copies"))
+
+  /**
+   * Temperature-scaled mixture weights per source — the sampling-ratio
+   * table a multi-source pretraining run is configured from (the
+   * multilingual/LLM data-mixing rule: wₛ ∝ nₛ^α with α < 1 upweights
+   * small sources; α = 1 is proportional, α = 0 uniform). For a target
+   * corpus of `budgetDocs` documents, emits per source: size, token
+   * mass, normalized weight, the expected draw count, and the implied
+   * epoch count over that source (> 1 ⇒ the source repeats).
+   *
+   * Scale shape: ONE count/sum aggregation over the corpus (map-side
+   * combined, output rows = #sources — a dimension), then a single-row
+   * broadcast join for the normalizer. Nothing corpus-sized moves.
+   */
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.5,
+                     budgetDocs: Long = 1000L): DataFrame = {
+    val counts = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens(col("text"))).as("n_tokens"))
+    val w = pow(col("n_docs").cast("double"), lit(alpha))
+    val z = broadcast(counts.agg(sum(w).as("z")))
+    counts.join(z, lit(true))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(w / col("z"), 6).as("weight"),
+        round(lit(budgetDocs.toDouble) * w / col("z")).cast("long").as("expected_docs"),
+        round(lit(budgetDocs.toDouble) * w / col("z") / col("n_docs"), 4).as("epochs"))
   }
 
   /** The composed corpus-cleaning pass a training pipeline actually runs:

@@ -822,4 +822,61 @@ object VectorOps {
       .where(col("rank") <= topK)
       .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  /**
+   * SemDeDup-style semantic near-duplicate pairs: cluster the corpus with
+   * the (already-trained) IVF coarse quantizer, then exact-verify cosine
+   * only WITHIN each cell — (a, b, cell, sim) with a < b and sim ≥
+   * `threshold`.
+   *
+   * This is the embedding-dedup shape that survives 100 TB when even the
+   * banded-LSH self-join gets expensive: the candidate set is a self
+   * equi-join on the cell id, so pair work is Σ|cell|² instead of
+   * |corpus|² — with k cells of balanced size that is |corpus|²/k, and k
+   * grows with the corpus (the index is the same one ANN search already
+   * maintains, so the clustering is free). Cross-cell near-dups are
+   * deliberately out of contract (the SemDeDup trade: a pair whose
+   * vectors quantize to different cells is below the dedup bar in
+   * practice); the oracle replays the SAME assignment, so the contract
+   * is exact on both sides.
+   */
+  def semanticDedupPairs(index: IvfIndex, threshold: Double): DataFrame = {
+    val l = index.indexed.select(col("cell"), col("nb").as("a"), col("nbv").as("av"))
+    val r = index.indexed.select(col("cell"), col("nb").as("b"), col("nbv").as("bv"))
+    l.join(r, Seq("cell")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("cell").cast("long").as("cell"),
+        cosineBest(index.indexed.sparkSession, col("av"), col("bv")).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("cell"), round(col("sim"), 4).as("sim"))
+  }
+
+  /**
+   * Johnson–Lindenstrauss random projection to `outDims` dimensions with
+   * the shared md5-derived ±1 Rademacher matrix ([[graft.functions
+   * .Hyperplanes.matrix]], the same family the LSH signatures use —
+   * Achlioptas 2003 shows ±1 entries satisfy the JL lemma):
+   * yⱼ = (pⱼ · x) / √outDims.
+   *
+   * The 100 TB role: dimensionality reduction BEFORE the heavy vector
+   * stages — a 64→16 projection cuts every downstream shuffle, cache,
+   * and index build 4× while approximately preserving pairwise geometry
+   * (measured as `rp_recall`). Pure map-side column arithmetic: the
+   * plane matrix is a plan literal, no shuffle, no UDF.
+   */
+  def randomProject(emb: DataFrame, outDims: Int = 16, dims: Int = 64): DataFrame = {
+    val planes = typedlit(graft.functions.Hyperplanes.matrix(outDims, dims)
+      .map(_.toSeq).toSeq)
+    val scale = math.sqrt(outDims.toDouble)
+    emb.select(col("vec_id"), transform(planes, p =>
+        aggregate(zip_with(dvec(col("embedding")), p, (x, w) => x * w),
+          lit(0d), (acc, x) => acc + x) / scale).as("proj"))
+  }
+
+  /** [[randomProject]] in long (vec_id, j, value) form — the registered
+    * oracle shape (scalar columns hash deterministically; the DuckDB twin
+    * re-derives the ±1 matrix from md5 and replays the fold). */
+  def randomProjectLong(emb: DataFrame, outDims: Int = 16, dims: Int = 64): DataFrame =
+    randomProject(emb, outDims, dims)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), round(col("v"), 4).as("v"))
 }

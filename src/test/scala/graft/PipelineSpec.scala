@@ -791,4 +791,128 @@ class PipelineSpec extends AnyFunSuite {
       .select(md5(col("s")).as("h")).collect().map(_.getString(0)).sorted.take(3)
     assert(sk(0L) == brute.toSeq)
   }
+
+  test("semanticDedupPairs: tight clusters pair within their cell; verify bound holds") {
+    import spark.implicits._
+    // two tight clusters, one seed vector each (init = the k lowest
+    // vec_ids) — k-means separates them, so the in-cluster near-dup
+    // pairs are guaranteed same-cell regardless of cell ids
+    val d = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f)), (3L, Array(0.01f, 0.99f, 0f))
+    ).toDF("vec_id", "embedding")
+    val idx = VectorOps.ivfBuild(d, k = 2, iters = 3)
+    val r = VectorOps.semanticDedupPairs(idx, 0.9).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"), x.getAs[Double]("sim")))
+    idx.indexed.unpersist(false)
+    assert(r.map(t => (t._1, t._2)).toSet == Set((0L, 2L), (1L, 3L)))
+    assert(r.forall(_._3 >= 0.9)) // verify stage: exact cosine, not cell co-residency
+
+    // real-corpus parity: the cell-bucketed join must equal the plain
+    // same-cell all-pairs relation (the contract the oracle replays)
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val ridx = VectorOps.ivfBuild(realE, k = 16, iters = 3)
+    val got = VectorOps.semanticDedupPairs(ridx, 0.45).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"))).toSet
+    val asg = ridx.indexed.select(col("nb"), col("nbv"), col("cell")).collect()
+      .map(x => x.getAs[Long]("nb") ->
+        (x.getAs[Int]("cell"), x.getAs[scala.collection.Seq[Double]]("nbv").toArray))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = asg.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if asg(a)._1 == asg(b)._1 && cos(asg(a)._2, asg(b)._2) >= 0.45
+    } yield (a, b)).toSet
+    ridx.indexed.unpersist(false)
+    assert(got == brute, s"cell-join pairs != brute same-cell pairs")
+    info(s"semantic pairs on real corpus: ${got.size}")
+  }
+
+  test("dedupIncrementalLsh: batch-vs-history near-dups only, exact-Jaccard verified") {
+    import spark.implicits._
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text about spark engines and parquet files"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (11L, "THE  QUICK   brown fox jumps over the lazy dog"), // exact dup of 0
+      (12L, "totally novel content nothing like the corpus here at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.dedupIncrementalLsh(batch, history, threshold = 0.5)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("dup_of"),
+        x.getAs[Double]("jac")))
+    val pairs = r.map(t => (t._1, t._2)).toSet
+    assert(pairs == Set((10L, 0L), (11L, 0L))) // 12 is new; no in-batch pairs
+    assert(r.find(_._1 == 11L).get._3 == 1.0)  // exact dup: J = 1
+    assert(r.find(_._1 == 10L).get._3 == 0.75) // 6 shared of 8 distinct shingles
+  }
+
+  test("chunkDedup: identical token windows collapse to their first owner") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "a b c d e f"),
+      (11L, "a b c x y z"),
+      (12L, "q r s")).toDF("doc_id", "text")
+    val r = TextOps.chunkDedup(d, chunkTokens = 3, stride = 3).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("doc_id") == 10L && row.getAs[Long]("chunk_id") == 0L
+      && row.getAs[Long]("n_copies") == 2L) // "a b c" shared by 10 and 11
+  }
+
+  test("mixtureWeights: alpha-temperature weights, budget draws, epoch counts") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "srcA", "w w w"), (1L, "srcA", "w w"), (2L, "srcA", "w"),
+      (3L, "srcA", "w w w w"), (4L, "srcB", "w w w w w")
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.mixtureWeights(d, alpha = 0.5, budgetDocs = 10L).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"),
+          x.getAs[Double]("weight"), x.getAs[Long]("expected_docs"),
+          x.getAs[Double]("epochs"))).toMap
+    // w_A = √4/(√4+√1) = 2/3, w_B = 1/3; α<1 upweights the small source
+    // (proportional would give B 2 draws; temperature gives it 3)
+    assert(r("srcA") == ((4L, 10L, 0.666667, 7L, 1.6667)))
+    assert(r("srcB") == ((1L, 5L, 0.333333, 3L, 3.3333)))
+  }
+
+  test("randomProject: exact JL projection; near-dup cosine distortion bounded") {
+    import spark.implicits._
+    // hand-check against the shared ±1 matrix on a tiny fixture
+    val d = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val m = graft.functions.Hyperplanes.matrix(2, 3)
+    val got = VectorOps.randomProject(d, outDims = 2, dims = 3).head()
+      .getAs[scala.collection.Seq[Double]]("proj")
+    val want = m.map(p => (p(0) * 1 + p(1) * 2 + p(2) * 3) / math.sqrt(2d))
+    assert(got.zip(want).forall { case (g, w) => math.abs(g - w) < 1e-12 })
+
+    // the JL guarantee is PAIRWISE geometry, not top-k rank (rank recall
+    // on this weak-neighbor corpus is registered honestly as rp_recall):
+    // for the 14 near-dup pairs, 64→16 keeps cosine within ±0.4 (measured
+    // max 0.357, mean 0.184 — deterministic: fixed matrix, fixed data)
+    val realE = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val proj = VectorOps.randomProject(realE, 16, 64)
+      .select(col("vec_id"), col("proj").as("embedding"))
+    val origPairs = VectorOps.embeddingNearDupPairs(realE, threshold = 0.45)
+      .select(col("a"), col("b"), col("sim").as("c0"))
+    val projV = proj.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Double]]("embedding").toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val deltas = origPairs.collect().map { r =>
+      math.abs(r.getAs[Double]("c0") - cos(projV(r.getAs[Long]("a")), projV(r.getAs[Long]("b"))))
+    }
+    assert(deltas.nonEmpty && deltas.max < 0.4,
+      s"JL max distortion ${if (deltas.isEmpty) -1 else deltas.max}")
+    assert(deltas.sum / deltas.length < 0.22, s"JL mean distortion ${deltas.sum / deltas.length}")
+  }
 }
