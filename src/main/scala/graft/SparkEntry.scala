@@ -292,6 +292,12 @@ object SparkEntry {
       // the oracle recomputes per-vertex wedge closure + degrees in SQL
       graft.gx.GraphXTraversal.clusteringCoeffDF(s, TpchGraph.snapshot(s, d))),
 
+    "kcore" -> ((s, d) =>
+      // 12-core after 12 deterministic peels over the pair graph (the
+      // fixpoint at this data — convergence gated in the spec); the
+      // oracle unrolls the same peels as sequential CTE steps
+      graft.gx.GraphXTraversal.kCoreDF(s, TpchGraph.snapshot(s, d))),
+
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
@@ -823,6 +829,18 @@ object SparkEntry {
       // α=0.5 temperature mixing over sources, 1000-doc budget: the
       // sampling-ratio table a multi-source training run is configured from
       TextOps.mixtureWeights(docs(s, d), 0.5, 1000L)),
+    "bigram_logprob" -> ((s, d) =>
+      // add-k-smoothed bigram LM scoring — one (w1,w2) shuffle, context
+      // counts re-aggregated FROM the bigram table, V one distinct-count
+      TextOps.bigramLogProb(docs(s, d))),
+    "source_overlap" -> ((s, d) =>
+      // cross-source duplication matrix over the LSH-bounded pair set —
+      // the provenance report before dropping a source
+      TextOps.sourceOverlap(docs(s, d), 0.8)),
+    "curation_funnel" -> ((s, d) =>
+      // per-stage survivor counts of the cleaning pipeline in ONE scan
+      // (conditional aggregates over staged cumulative flags)
+      TextOps.curationFunnel(docs(s, d))),
 
     // ---- LLM-pipeline: similarity search ----
     "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),
@@ -1059,6 +1077,12 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n").cast("long").as("n"))
     },
+
+    // day-over-day event-type KL drift — the data-monitoring signal a
+    // feed pipeline alerts on; everything past the (day,type) count is
+    // dimension-sized
+    "event_drift" -> ((s, d) =>
+      EventStream.typeDriftDaily(graft.projection.EventsReplay.rawEvents(s, d))),
 
     // funnel conversion: first purchase within 2h of each click — the
     // stream-stream interval-join shape (EventStream.funnelPairs runs
@@ -1323,6 +1347,33 @@ object SparkEntry {
        |    sum(bit * (1 << CAST(j % $rowsPerBand AS INT))) AS bh
        |  FROM sig GROUP BY vec_id, j // $rowsPerBand)""".stripMargin
 
+  /** k-core twin: the kCoreDF peel loop unrolled as sequential CTE
+    * steps — round r computes degrees over e_{r-1}, keeps vertices with
+    * degree ≥ k, and re-induces e_r. Same pair-graph derivation as the
+    * triangle/clustering twins (5000000 + l_partkey vertex ids). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each round references the previous one 3× — an
+    // inlining planner would expand the chain 3^rounds-fold (DuckDB ran
+    // out of file handles re-scanning the base table before the fix)
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY v),
+         |al$r AS MATERIALIZED (SELECT v FROM d$r WHERE c >= $k),
+         |e$r AS MATERIALIZED (SELECT x.a, x.b FROM e${r - 1} x
+         |    JOIN al$r p ON x.a = p.v JOIN al$r q ON x.b = q.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bulk AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+       |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+       |  FROM bulk x JOIN bulk y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$steps
+       |SELECT CAST(v AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
+  }
+
   /** Exact brute-force top-10 per query (`ex`) — the truth side of the
     * recall twins; same shape the ann_topk oracle already proves. */
   private val exactTopKCte =
@@ -1556,6 +1607,8 @@ object SparkEntry {
 
     // per-vertex wedge closure: each triangle (x < y < z) credits all
     // three corners; degrees from canonical pair endpoints
+    "kcore" -> kcoreSql(12, 12),
+
     "clustering_coeff" ->
       """WITH bulk AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
@@ -1867,6 +1920,69 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |  CAST(n_copies AS BIGINT) AS n_copies
         |FROM ranked WHERE rn = 1 AND n_copies >= 2""".stripMargin,
+
+    "bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+        |p AS (SELECT bg.doc_id, (c12.c + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+        |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(p)), 4) AS avg_logprob
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "source_overlap" ->
+      s"""WITH $shingleCte,
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+         |SELECT least(da.source, db.source) AS source_x,
+         |  greatest(da.source, db.source) AS source_y,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p JOIN documents da ON da.doc_id = p.a
+         |             JOIN documents db ON db.doc_id = p.b
+         |GROUP BY 1, 2""".stripMargin,
+
+    "curation_funnel" ->
+      """WITH t AS (SELECT lang, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |f AS (SELECT lang IN ('en', 'de') AS f1,
+        |    length(text) BETWEEN 100 AND 2000 AS f2,
+        |    len(list_distinct(t))::DOUBLE / greatest(len(t), 1) >= 0.3 AS f3,
+        |    norm FROM t),
+        |a AS (SELECT count(*) AS raw,
+        |    count(*) FILTER (f1) AS lang_n,
+        |    count(*) FILTER (f1 AND f2) AS len_n,
+        |    count(*) FILTER (f1 AND f2 AND f3) AS qual_n,
+        |    count(DISTINCT CASE WHEN f1 AND f2 AND f3 THEN norm END) AS dedup_n
+        |  FROM f)
+        |SELECT '0_raw' AS stage, CAST(raw AS BIGINT) AS n_docs FROM a
+        |UNION ALL SELECT '1_lang', CAST(lang_n AS BIGINT) FROM a
+        |UNION ALL SELECT '2_length', CAST(len_n AS BIGINT) FROM a
+        |UNION ALL SELECT '3_quality', CAST(qual_n AS BIGINT) FROM a
+        |UNION ALL SELECT '4_dedup', CAST(dedup_n AS BIGINT) FROM a""".stripMargin,
+
+    "event_drift" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |tc AS (SELECT count(*) AS t_cnt FROM types),
+        |tot AS (SELECT day, sum(c) AS tot FROM daily GROUP BY day),
+        |grid AS (SELECT t.day, ty.event_type, t.tot,
+        |    (coalesce(d.c, 0) + 1.0) / (t.tot + tc.t_cnt) AS p
+        |  FROM tot t CROSS JOIN types ty
+        |  LEFT JOIN daily d ON d.day = t.day AND d.event_type = ty.event_type, tc),
+        |lagged AS (SELECT day, tot, p,
+        |    lag(p) OVER (PARTITION BY event_type ORDER BY day) AS pp FROM grid)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(max(tot) AS BIGINT) AS n_events,
+        |  round(sum(p * ln(p / pp)), 6) AS kl
+        |FROM lagged WHERE pp IS NOT NULL GROUP BY day""".stripMargin,
 
     "mixture_weights" ->
       """WITH c AS (SELECT source, count(*) AS n,

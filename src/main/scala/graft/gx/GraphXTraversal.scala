@@ -316,6 +316,42 @@ object GraphXTraversal {
     out
   }
 
+  /** k-core membership after `rounds` peels over the same co-occurrence
+    * pair graph: each round drops vertices whose degree in the CURRENT
+    * induced subgraph is < k, then re-induces. A round that removes
+    * nothing is idempotent, so with enough rounds this is the true
+    * k-core fixpoint (convergence at the registered data is asserted in
+    * GraphXAnalyticsSpec); the FIXED round count keeps the contract
+    * deterministic and lets the DuckDB twin unroll the same peels.
+    * Returns the surviving (part_id, degree).
+    *
+    * Plan shape per round: one degree aggregation (map-side combined)
+    * + two semi-joins, each over a monotonically shrinking edge set;
+    * every round materializes eagerly (localCheckpoint) so the loop
+    * doesn't stack a 3·rounds-join plan — the Lloyd-iteration
+    * discipline. At 100 TB each round is one bounded shuffle on the
+    * current core's edges; rounds are scale-independent (peeling depth
+    * is a graph property, not a data-volume one). */
+  def kCoreDF(spark: SparkSession, snap: Snapshot, k: Int = 12,
+              rounds: Int = 12, minQty: Double = 30.0): DataFrame = {
+    import spark.implicits._
+    val g = pairGraph(snap, minQty)
+    def degrees(edges: org.apache.spark.sql.DataFrame) = edges
+      .select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    var edges = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
+      .toDF("a", "b").localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val alive = degrees(edges).where(col("d") >= k).select(col("v"))
+      edges = edges
+        .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    degrees(edges).select(col("v").as("part_id"), col("d").as("degree"))
+  }
+
   /** Memoized label-filtered graphs, same LRU discipline as
     * [[cachedGraph]]: repeated iterative analytics over the same
     * subgraph (the bench's 3-rep medians, or a session exploring one

@@ -715,6 +715,106 @@ object TextOps {
   }
 
   /**
+   * Bigram LM scoring with add-k smoothing — the step up from
+   * [[unigramLogProb]] every perplexity-filter pipeline eventually
+   * takes: per doc, the average log of p(w₂|w₁) = (c₁₂ + k) ∕ (c₁ + k·V)
+   * over its adjacent token pairs (c₁₂ = corpus bigram count, c₁ = the
+   * context's bigram-start count, V = corpus vocabulary). Returns
+   * (doc_id, n_bigrams, avg_logprob) for docs with ≥ 2 tokens.
+   *
+   * Shape: ONE wide shuffle (the (w₁, w₂) count; map-side partials);
+   * the context table re-aggregates FROM the bigram counts — no second
+   * pass (the tfidf df-from-tf trick); V is one distinct-count. The
+   * bigram table is corpus-sized at 100 TB — there you join only the
+   * head (top-n bigrams broadcast) and back off to the unigram model
+   * for the tail; the smoothing already makes that a graceful
+   * degradation, and this registered form is the exact-oracle anchor.
+   */
+  def bigramLogProb(docs: DataFrame, addK: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toksAll = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = toksAll.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
+    val bi = toksAll.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val out = bi
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        log((col("c") + addK) / (col("c1") + addK * vocab)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logprob"))
+    val res = out.localCheckpoint(true)
+    Seq(toksAll, bi).foreach(_.unpersist(false))
+    res
+  }
+
+  /**
+   * Cross-source duplication matrix — which sources copy from which:
+   * the near-dup pair relation ([[dedupMinHashLsh]]) joined to each
+   * side's source and folded to (source_x ≤ source_y, n_pairs). The
+   * provenance report a curation team reads before deciding which
+   * source to drop; at 100 TB the pair relation is LSH-bounded (that
+   * is its whole point) and this adds two dimension-sized joins plus
+   * one #sources²-bounded aggregation on top.
+   */
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = dedupMinHashLsh(docs, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
+   * The curation FUNNEL report: how many documents survive each stage
+   * of the cleaning pipeline (raw → language allowlist → length band →
+   * repetition quality → exact dedup), as (stage, n_docs) rows. This is
+   * the one-pass observability twin of [[cleanCorpus]]: every stage is
+   * a conditional aggregate over ONE scan (cumulative-filter flags
+   * staged as attributes, so the tokenize runs once per row), the dedup
+   * stage a conditional distinct — nothing corpus-sized is shuffled
+   * except the distinct's key set. Stage names carry an order prefix so
+   * the report sorts stably everywhere.
+   */
+  def curationFunnel(docs: DataFrame, langs: Seq[String] = Seq("en", "de"),
+                     minChars: Long = 100L, maxChars: Long = 2000L,
+                     minDistinctRatio: Double = 0.3): DataFrame = {
+    val staged = docs.select(col("lang"), col("text"),
+      tokens(col("text")).as("t"), normText(col("text")).as("norm"))
+    val flags = staged.select(
+      col("lang").isin(langs: _*).as("f1"),
+      length(col("text")).between(minChars, maxChars).as("f2"),
+      (size(array_distinct(col("t"))) / greatest(size(col("t")), lit(1))
+        >= minDistinctRatio).as("f3"),
+      col("norm"))
+    flags.agg(
+        count(lit(1)).as("raw"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("lang_n"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("len_n"),
+        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("qual_n"),
+        countDistinct(when(col("f1") && col("f2") && col("f3"), col("norm"))).as("dedup_n"))
+      .select(expr(
+        """stack(5,
+          |  '0_raw', raw,
+          |  '1_lang', lang_n,
+          |  '2_length', len_n,
+          |  '3_quality', qual_n,
+          |  '4_dedup', dedup_n) AS (stage, n_docs)""".stripMargin))
+  }
+
+  /**
    * BM25 relevance of every document against a fixed query-term set —
    * the retrieval-quality scorer a curation pipeline runs to mine
    * topic-focused subsets. Robertson idf

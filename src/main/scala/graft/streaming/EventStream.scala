@@ -145,6 +145,44 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /**
+   * Day-over-day event-type distribution drift — the data-monitoring
+   * number a pipeline alerts on before a bad feed poisons a training
+   * snapshot: per day, KL(today ‖ previous observed day) over the
+   * add-1-smoothed event-type distribution (the smoothing keeps
+   * zero-count types finite, so new/vanished types register as drift
+   * instead of NaN). Returns (day, n_events, kl) for every day with a
+   * predecessor.
+   *
+   * Shape: ONE map-side-combined (day, type) count over the feed; from
+   * there everything is dimension-sized — the |days|×|types| grid, the
+   * per-type lag, the per-day fold. Nothing event-scale shuffles twice.
+   */
+  def typeDriftDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val types = daily.select(col("event_type")).distinct()
+    val nTypes = broadcast(types.agg(count(lit(1)).as("t_cnt")))
+    val dayTotals = daily.groupBy(col("day")).agg(sum(col("c")).as("tot"))
+    // full day×type grid so a type absent today still contributes its
+    // smoothed floor (that's the "vanished type" drift signal)
+    val grid = dayTotals.join(broadcast(types), lit(true))
+      .join(daily, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(nTypes, lit(true))
+      .select(col("day"), col("event_type"), col("tot"),
+        ((col("c") + 1d) / (col("tot") + col("t_cnt"))).as("p"))
+    val lagged = grid.withColumn("pp",
+      lag(col("p"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    lagged.where(col("pp").isNotNull)
+      .groupBy(col("day"))
+      .agg(first(col("tot")).as("n_events"),
+        round(sum(col("p") * log(col("p") / col("pp"))), 6).as("kl"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("kl"))
+  }
+
   /** Stream-static enrichment: LEFT-join a (possibly live) event feed
     * against a slowly-changing dimension. The SAME transform runs on
     * batch and on a stream — Spark's stream-static join re-plans the

@@ -369,4 +369,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(byUser(1L).versions == 3 && byUser(1L).value.contains(2.0))
     assert(byUser(2L).versions == 1 && byUser(2L).value.isEmpty)
   }
+
+  test("typeDriftDaily: hand-computed smoothed KL; vanished types still register") {
+    import spark.implicits._
+    // day 1: 3 clicks, 1 buy; day 2: 1 click, 3 buys — strong drift.
+    // types T=2; p smoothed = (c+1)/(tot+2)
+    val ev = Seq(
+      (0L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 03:00:00"), 2L, "click", 0.0),
+      (3L, ts("2024-01-01 04:00:00"), 2L, "buy", 1.0),
+      (4L, ts("2024-01-02 01:00:00"), 1L, "click", 0.0),
+      (5L, ts("2024-01-02 02:00:00"), 1L, "buy", 1.0),
+      (6L, ts("2024-01-02 03:00:00"), 2L, "buy", 1.0),
+      (7L, ts("2024-01-02 04:00:00"), 2L, "buy", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.typeDriftDaily(ev).collect()
+      .map(x => x.getAs[String]("day") ->
+        (x.getAs[Long]("n_events"), x.getAs[Double]("kl"))).toMap
+    assert(r.keySet == Set("2024-01-02")) // day 1 has no predecessor
+    assert(r("2024-01-02")._1 == 4)
+    val p1c = 4d / 6; val p1b = 2d / 6 // day-1 smoothed shares
+    val p2c = 2d / 6; val p2b = 4d / 6
+    val want = p2c * math.log(p2c / p1c) + p2b * math.log(p2b / p1b)
+    assert(math.abs(r("2024-01-02")._2 - want) < 1e-6)
+  }
 }

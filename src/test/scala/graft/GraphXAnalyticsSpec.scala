@@ -192,4 +192,34 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
         s"foreign customer $v cannot receive personalized mass")
     }
   }
+
+  test("k-core: peels converge to the fixpoint; every survivor keeps degree >= k") {
+    import org.apache.spark.sql.functions.col
+    val snap = TpchGraph.snapshot(spark, dir)
+    // the registered contract's k: at sf0.001 this genuinely peels
+    // (converges after 3 rounds, 174 of 200 vertices survive) — the
+    // invariants are the fixpoint (one more round changes nothing) and
+    // the core property itself
+    val core = graft.gx.GraphXTraversal.kCoreDF(spark, snap, k = 12, rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coreMore = graft.gx.GraphXTraversal.kCoreDF(spark, snap, k = 12, rounds = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == coreMore, "peeling had not converged within the round budget")
+    assert(core.nonEmpty && core.values.forall(_ >= 12),
+      s"survivors below k: ${core.filter(_._2 < 12)}")
+    // independent recount: rebuild the pair edge set and take degrees
+    // within the surviving vertex set only
+    val bulkIds = snap.prop("quantity", graft.model.PropType.PDouble, graft.model.A.Edge)
+      .where(col("v") >= 30.0).select(col("e").as("id"))
+    val bulk = snap.edges.where(col("label") === "contains").join(bulkIds, "id")
+    val l = bulk.select(col("outV").as("o"), col("inV").as("a"))
+    val r = bulk.select(col("outV").as("o"), col("inV").as("b"))
+    val es = l.join(r, "o").where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val inCore = core.keySet
+    val recount = es.filter(e => inCore(e._1) && inCore(e._2))
+      .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, o) => v -> o.length.toLong }
+    assert(recount == core, "kCoreDF degrees disagree with the driver recount")
+  }
 }

@@ -883,6 +883,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(r("srcB") == ((1L, 5L, 0.333333, 3L, 3.3333)))
   }
 
+  test("bigramLogProb: hand-computed add-k conditional probabilities") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b a b"),   // bigrams: (a,b) ×2, (b,a) ×1
+      (1L, "a b"),       // bigram: (a,b)
+      (2L, "c")          // < 2 tokens → excluded
+    ).toDF("doc_id", "text")
+    // corpus: c12(a,b)=3, c12(b,a)=1; c1(a)=3, c1(b)=1; V=3 (a,b,c)
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3) // 3.5/4.5
+    val pBA = (1 + 0.5) / (1 + 0.5 * 3) // 1.5/2.5
+    val r = TextOps.bigramLogProb(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_logprob"))).toMap
+    assert(!r.contains(2L))
+    assert(r(0L)._1 == 3 && r(1L)._1 == 1)
+    val want0 = (2 * math.log(pAB) + math.log(pBA)) / 3
+    assert(math.abs(r(0L)._2 - BigDecimal(want0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r(1L)._2 - BigDecimal(math.log(pAB)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("sourceOverlap: near-dup pairs fold to an ordered source matrix") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "web", "the quick brown fox jumps over the lazy dog"),
+      (1L, "books", "the quick brown fox jumps over the lazy dog"),  // dup of 0, cross-source
+      (2L, "web", "the quick brown fox jumps over the lazy dog"),    // dup of 0, same source
+      (3L, "books", "completely different text about spark engines and parquet")
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.sourceOverlap(d, threshold = 0.9).collect()
+      .map(x => (x.getAs[String]("source_x"), x.getAs[String]("source_y")) ->
+        x.getAs[Long]("n_pairs")).toMap
+    // pairs: (0,1) web-books, (0,2) web-web, (1,2) books-web
+    assert(r(("books", "web")) == 2 && r(("web", "web")) == 1 && r.size == 2)
+  }
+
+  test("curationFunnel: cumulative stage counts in one pass") {
+    import spark.implicits._
+    // 26 distinct words, ~170 chars: inside the length band, ratio 1.0
+    val longText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu"
+    val d = Seq(
+      (0L, "en", longText),                         // passes everything
+      (1L, "en", longText),                         // exact dup of 0
+      (2L, "fr", longText),                         // fails lang
+      (3L, "en", "short"),                          // fails length
+      (4L, "en", ("spam " * 60).trim)               // 300 chars, 1 distinct token → fails quality
+    ).toDF("doc_id", "lang", "text")
+    val r = TextOps.curationFunnel(d, Seq("en", "de"), 100L, 2000L, 0.3).collect()
+      .map(x => x.getAs[String]("stage") -> x.getAs[Long]("n_docs")).toMap
+    assert(r == Map("0_raw" -> 5L, "1_lang" -> 4L, "2_length" -> 3L,
+      "3_quality" -> 2L, "4_dedup" -> 1L))
+  }
+
   test("randomProject: exact JL projection; near-dup cosine distortion bounded") {
     import spark.implicits._
     // hand-check against the shared ±1 matrix on a tiny fixture

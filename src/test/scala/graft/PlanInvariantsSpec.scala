@@ -32,7 +32,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // broadcast as ann_topk) next to the ANN path
       "ann_ivf_recall", "ann_ivfpq_recall",
       // joins two single-row aggregates (bin stats × distinct-doc count)
-      "pack_invariants")
+      "pack_invariants",
+      // same k-row centroid broadcast as ann_ivf (the IVF assignment
+      // inside the memoized index build); the pair join itself is equi
+      "dedup_semantic",
+      // brute-force in projected + original space: two tiny query
+      // broadcasts (the ann_topk shape, twice)
+      "rp_recall",
+      // single-row normalizer broadcast (Σ nₛ^α) against #sources rows
+      "mixture_weights",
+      // |types|-row dimension grid and 1-row type count, both broadcast
+      "event_drift")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
