@@ -341,13 +341,21 @@ object GraphXTraversal {
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     var edges = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
       .toDF("a", "b").localCheckpoint(true)
-    (1 to rounds).foreach { _ =>
+    // early exit at the fixpoint: the edge set shrinks monotonically, so
+    // an unchanged COUNT means an unchanged SET — the remaining rounds
+    // are no-ops (the oracle's fixed unroll computes the same answer)
+    var prev = edges.count()
+    var r = 0
+    while (r < rounds && prev > 0) {
       val alive = degrees(edges).where(col("d") >= k).select(col("v"))
       edges = edges
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      val n = edges.count()
+      r = if (n == prev) rounds else r + 1
+      prev = n
     }
     degrees(edges).select(col("v").as("part_id"), col("d").as("degree"))
   }
