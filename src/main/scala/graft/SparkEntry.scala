@@ -988,6 +988,15 @@ object SparkEntry {
         ds.where(col("doc_id") % 25 =!= 0),
         ds.where(col("doc_id") % 25 === 0), n = 3)
     },
+    "decontaminate_bloom" -> { (s, d) =>
+      // the 100 TB decontamination shape: Bloom prefilter (built by
+      // Spark's BloomFilterAggregate via graft_bloom_agg) + exact verify
+      // join — same contract as decontaminate, so the twin is shared
+      val ds = docs(s, d)
+      TextOps.decontaminateBloom(
+        ds.where(col("doc_id") % 25 =!= 0),
+        ds.where(col("doc_id") % 25 === 0), n = 3)
+    },
     "length_quantiles" -> ((s, d) =>
       TextOps.lengthQuantiles(docs(s, d))
         .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
@@ -2304,6 +2313,15 @@ object SparkEntry {
         |FROM s WHERE scale > 0""".stripMargin,
 
     "decontaminate" ->
+      s"""WITH $shingleCte,
+        |ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0)
+        |SELECT CAST(tr.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
+
+    // the bloom-prefiltered path verifies exactly, so its contract — and
+    // its twin — is decontaminate's
+    "decontaminate_bloom" ->
       s"""WITH $shingleCte,
         |ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
         |tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0)

@@ -154,6 +154,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FreqSketchAgg(children(0), cap).toAggregateExpression()
       }))
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // own runtime-filter injection but leaves them OUT of the function
+    // registry; exposing them makes the two-phase decontamination
+    // prefilter (TextOps.decontaminateBloom) expressible without a UDF —
+    // bloom build is one aggregation, the membership probe stays inside
+    // whole-stage codegen.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_agg(hash, estimatedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_might_contain(bloom, hash)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }
 

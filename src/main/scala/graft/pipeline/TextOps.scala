@@ -530,6 +530,55 @@ object TextOps {
   }
 
   /**
+   * Two-phase decontamination: a Bloom-filter PREFILTER over the eval
+   * n-gram set, then the exact join only on surviving candidates — the
+   * same (doc_id, n_hits) contract as [[decontaminate]] (blooms have no
+   * false negatives, and the verify join removes the false positives),
+   * so the two share one oracle.
+   *
+   * Why this exists: at 100 TB the eval gram set can reach 10⁸ rows ×
+   * ~100 bytes — too big to broadcast as a hash relation — while its
+   * Bloom filter at 10 bits/item is ~125 MB and membership is a codegen
+   * expression evaluated as the train grams stream by. The bloom build
+   * is ONE aggregation (Spark's own BloomFilterAggregate, exposed as
+   * `graft_bloom_agg` by the graft extension); only the prefiltered
+   * sliver reaches the exact join. Here the filter ships as a plan
+   * literal; at the 125 MB scale you'd stage it through a broadcast
+   * variable — same plan shape.
+   */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, n: Int = 13,
+                         expectedItems: Long = 100000L,
+                         numBits: Long = 800000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = train.sparkSession
+    require(graft.functions.GraftExtensions.loadedIn(spark),
+      "decontaminateBloom needs the graft session extension (graft_bloom_agg)")
+    val evalToks = eval.select(tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trainToks = train.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // distinct eval grams feed BOTH the bloom build and the verify join
+    val evalGrams = evalToks
+      .select(explode(shinglesFromTokens(col("t"), n)).as("gram")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bloomRow = evalGrams.agg(call_function("graft_bloom_agg",
+      xxhash64(col("gram")), lit(expectedItems), lit(numBits)).as("bf")).head()
+    val out =
+      if (bloomRow.isNullAt(0)) spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_hits")).limit(0)
+      else trainToks
+        .select(col("doc_id"), explode(shinglesFromTokens(col("t"), n)).as("gram"))
+        .where(call_function("graft_might_contain",
+          lit(bloomRow.getAs[Array[Byte]]("bf")), xxhash64(col("gram"))))
+        .join(broadcast(evalGrams), Seq("gram")) // exact verify: FPs drop here
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
+    val res = out.localCheckpoint(true)
+    Seq(evalToks, trainToks, evalGrams).foreach(_.unpersist(false))
+    res
+  }
+
+  /**
    * Cross-document CHUNK-level exact dedup — the paragraph-dedup pass
    * (C4-style "three-sentence span" dedup, over token windows here):
    * chunk every doc with [[chunkDocs]], then collapse identical chunks

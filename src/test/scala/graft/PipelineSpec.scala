@@ -883,6 +883,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r("srcB") == ((1L, 5L, 0.333333, 3L, 3.3333)))
   }
 
+  test("decontaminateBloom: identical to the exact join; bloom actually prunes; empty eval") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = real.where(col("doc_id") % 25 =!= 0)
+    val eval = real.where(col("doc_id") % 25 === 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val exact = toMap(TextOps.decontaminate(train, eval, n = 3))
+    val bloomed = toMap(TextOps.decontaminateBloom(train, eval, n = 3))
+    assert(exact.nonEmpty && bloomed == exact,
+      "bloom-prefiltered result diverged from the exact join")
+
+    // the prefilter must REJECT most non-eval grams: probe the filter
+    // directly with grams that are not in the eval set
+    val evalGrams = eval.select(explode(TextOps.shingles(col("text"), 3)).as("gram")).distinct()
+    val bloom = evalGrams.agg(call_function("graft_bloom_agg",
+      xxhash64(col("gram")), lit(100000L), lit(800000L))).head().getAs[Array[Byte]](0)
+    val foreign = (1 to 1000).map(i => s"zz_$i nope_$i gram_$i").toDF("gram")
+    val fp = foreign.where(call_function("graft_might_contain",
+      lit(bloom), xxhash64(col("gram")))).count()
+    assert(fp < 20, s"bloom false-positive count $fp of 1000 foreign grams")
+
+    // empty eval set → empty result, no NPE on the null bloom
+    val none = TextOps.decontaminateBloom(train, eval.limit(0), n = 3)
+    assert(none.count() == 0)
+  }
+
   test("bigramLogProb: hand-computed add-k conditional probabilities") {
     import spark.implicits._
     val d = Seq(
