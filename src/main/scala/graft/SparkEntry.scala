@@ -833,6 +833,22 @@ object SparkEntry {
       // add-k-smoothed bigram LM scoring — one (w1,w2) shuffle, context
       // counts re-aggregated FROM the bigram table, V one distinct-count
       TextOps.bigramLogProb(docs(s, d))),
+    "pmi_collocations" -> ((s, d) =>
+      // top-20 adjacent pairs by PMI, ranked on the exact-integer ratio
+      // (ln only for display — engines round ln differently at rank
+      // boundaries); marginals re-aggregated FROM the pair counts
+      TextOps.pmiTopPairs(docs(s, d), minCount = 5L, k = 20)),
+    "length_percentiles" -> ((s, d) =>
+      // per-lang percent_rank of doc length — exact tie-aware rational,
+      // the distribution-aware filter bound
+      TextOps.lengthPercentiles(docs(s, d))),
+    "standardize_embeddings" -> ((s, d) =>
+      // per-dim whitening via two graft_vec_mean buffers (mean of v and
+      // v² in ONE pass — no rows×dims shuffle), broadcast-applied
+      VectorOps.standardize(emb(s, d))),
+    "user_features" -> ((s, d) =>
+      // RFM-style per-user feature table: one hash agg, all algebraic
+      EventStream.userFeatures(graft.projection.EventsReplay.rawEvents(s, d))),
     "source_overlap" -> ((s, d) =>
       // cross-source duplication matrix over the LSH-bounded pair set —
       // the provenance report before dropping a source
@@ -1942,6 +1958,47 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(ln(p)), 4) AS avg_logprob
         |FROM p GROUP BY doc_id""".stripMargin,
+
+    "pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+        |tot AS (SELECT sum(n)::DOUBLE AS total FROM c12),
+        |cl AS (SELECT w1, sum(n) AS cl FROM c12 GROUP BY w1),
+        |cr AS (SELECT w2, sum(n) AS cr FROM c12 GROUP BY w2),
+        |r AS (SELECT c12.w1, c12.w2, c12.n, (c12.n * tot.total) / (cl.cl * cr.cr) AS ratio
+        |      FROM c12 JOIN cl USING (w1) JOIN cr USING (w2), tot WHERE c12.n >= 5),
+        |rk AS (SELECT w1, w2, n, ratio,
+        |    row_number() OVER (ORDER BY ratio DESC, w1, w2) AS rk FROM r)
+        |SELECT w1, w2, CAST(n AS BIGINT) AS n, round(ln(ratio), 4) AS pmi,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 20""".stripMargin,
+
+    "length_percentiles" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY length(text)), 6) AS pr
+        |FROM documents""".stripMargin,
+
+    "standardize_embeddings" ->
+      s"""WITH $rawEmbCte,
+         |e AS (SELECT vec_id, unnest(x) AS xx, unnest(range(len(x))) AS i FROM raw),
+         |sd AS (SELECT i, avg(xx) AS m, sqrt(greatest(0, avg(xx*xx) - avg(xx)*avg(xx))) AS s
+         |       FROM e GROUP BY i)
+         |SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.i AS BIGINT) AS i,
+         |  round(CASE WHEN sd.s > 0 THEN (e.xx - sd.m) / sd.s ELSE e.xx - sd.m END, 4) AS z
+         |FROM e JOIN sd USING (i)""".stripMargin,
+
+    "user_features" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  round(sum(value), 4) AS total_value,
+        |  round(avg(value), 4) AS mean_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "source_overlap" ->
       s"""WITH $shingleCte,

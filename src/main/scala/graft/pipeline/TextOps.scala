@@ -806,6 +806,64 @@ object TextOps {
   }
 
   /**
+   * Collocation mining: top-k adjacent token pairs by pointwise mutual
+   * information over the corpus — PMI(w₁,w₂) = ln(c₁₂·N ∕ (cL(w₁)·cR(w₂)))
+   * with marginals cL/cR re-aggregated FROM the pair counts (one wide
+   * shuffle total, the bigram_logprob spine) and a min-count floor so
+   * hapax pairs don't dominate. Ranking compares the RAW RATIO
+   * c₁₂·N∕(cL·cR) — a division of exact integers, IEEE-identical in any
+   * engine — rather than its logarithm (ln is the one step two engines
+   * may round differently, and rank boundaries are where that bites);
+   * the displayed pmi is the rounded ln. Returns (w1, w2, n, pmi, rk ≤ k).
+   */
+  def pmiTopPairs(docs: DataFrame, minCount: Long = 5L, k: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2).persist(StorageLevel.MEMORY_AND_DISK)
+    val bi = toks.select(explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val total = c12.agg(sum(col("n"))).head().getLong(0).toDouble
+    val cl = c12.groupBy(col("w1")).agg(sum(col("n")).as("cl"))
+    val cr = c12.groupBy(col("w2")).agg(sum(col("n")).as("cr"))
+    val ratio = (col("n") * total) / (col("cl") * col("cr"))
+    // global top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    // heaps + driver merge of k rows) — NOT a single-partition window sort
+    // over every qualifying pair; the rank window then touches k rows only
+    val out = c12.where(col("n") >= minCount)
+      .join(cl, "w1").join(cr, "w2")
+      .withColumn("ratio", ratio)
+      .orderBy(col("ratio").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("ratio").desc, col("w1"), col("w2"))))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log(col("ratio")), 4).as("pmi"), col("rk").cast("long").as("rk"))
+    val res = out.localCheckpoint(true)
+    Seq(toks, c12).foreach(_.unpersist(false))
+    res
+  }
+
+  /** Percentile rank of document length within its language — the
+    * distribution-aware filter bound ("drop the shortest 10% per lang")
+    * a curation pass derives thresholds from. percent_rank is an exact
+    * rational of tie-aware ranks, so it replays engine-identically.
+    * ONE per-lang window; at 100 TB you'd pre-aggregate to (lang,
+    * n_chars) counts first (the value space is tiny) and rank that —
+    * noted here, exact form registered. */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+      .withColumn("pr", round(percent_rank().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"))), 6))
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"), col("pr"))
+  }
+
+  /**
    * Cross-source duplication matrix — which sources copy from which:
    * the near-dup pair relation ([[dedupMinHashLsh]]) joined to each
    * side's source and folded to (source_x ≤ source_y, n_pairs). The

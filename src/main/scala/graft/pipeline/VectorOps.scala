@@ -879,4 +879,39 @@ object VectorOps {
     randomProject(emb, outDims, dims)
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
       .select(col("vec_id"), col("j").cast("long").as("j"), round(col("v"), 4).as("v"))
+
+  /**
+   * Per-dimension standardization (whitening without rotation):
+   * zᵢ = (xᵢ − μᵢ) ∕ σᵢ with population μ/σ over the corpus — the
+   * embedding-preprocessing pass before distance-based stages (k-means
+   * and cosine thresholds behave badly when a few dimensions dominate
+   * the variance). Returns long-form (vec_id, i, z).
+   *
+   * Shape: the corpus statistics come from TWO `graft_vec_mean` buffers
+   * (mean of v and of v² — one aggregation pass, 16 + 8·dims bytes per
+   * partition partial, never a rows×dims posexplode shuffle); the
+   * normalization itself is a broadcast of two dims-sized vectors into a
+   * map-side zip. Constant-variance dimensions pass through centered
+   * (σ = 0 ⇒ z = 0, not NaN).
+   */
+  def standardize(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    require(graft.functions.GraftExtensions.loadedIn(spark),
+      "standardize needs the graft session extension (graft_vec_mean)")
+    val v = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+    val statsRow = v
+      .select(col("v"), transform(col("v"), x => x * x).as("v2"))
+      .agg(call_function("graft_vec_mean", col("v")).as("m"),
+        call_function("graft_vec_mean", col("v2")).as("m2")).head()
+    val m = statsRow.getAs[scala.collection.Seq[Double]]("m").toArray
+    val m2 = statsRow.getAs[scala.collection.Seq[Double]]("m2").toArray
+    val sd = m.indices.map(i => math.sqrt(math.max(0d, m2(i) - m(i) * m(i)))).toArray
+    val mLit = typedlit(m.toSeq)
+    val sdLit = typedlit(sd.toSeq)
+    val mu = element_at(mLit, col("i") + 1)
+    val sig = element_at(sdLit, col("i") + 1)
+    v.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        round(when(sig > 0d, (col("x") - mu) / sig).otherwise(col("x") - mu), 4).as("z"))
+  }
 }

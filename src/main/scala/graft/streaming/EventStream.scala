@@ -183,6 +183,27 @@ object EventStream {
         col("n_events"), col("kl"))
   }
 
+  /**
+   * Per-user behavioral feature extraction — the RFM-style table a
+   * downstream model trains on: event count, distinct event types,
+   * active-day count, first/last timestamps, value total and mean.
+   * ONE hash aggregation on user_id with map-side partials; every
+   * feature is an algebraic or bounded-sketch-able aggregate, so the
+   * same plan holds when users are 10⁹ (distinct-type counts are ≤ the
+   * tiny type dimension; active_days is bounded by the calendar).
+   */
+  def userFeatures(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        round(sum(col("value")), 4).as("total_value"),
+        round(avg(col("value")), 4).as("mean_value"))
+
   /** Stream-static enrichment: LEFT-join a (possibly live) event feed
     * against a slowly-changing dimension. The SAME transform runs on
     * batch and on a stream — Spark's stream-static join re-plans the

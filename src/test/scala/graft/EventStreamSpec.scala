@@ -370,6 +370,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(byUser(2L).versions == 1 && byUser(2L).value.isEmpty)
   }
 
+  test("userFeatures: RFM aggregates per user, hand-checked") {
+    import spark.implicits._
+    val ev = Seq(
+      (0L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 1L, "buy", 2.0),
+      (2L, ts("2024-01-02 01:00:00"), 1L, "click", 4.0),
+      (3L, ts("2024-01-01 05:00:00"), 2L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.userFeatures(ev).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    val u1 = r(1L)
+    assert(u1.getAs[Long]("n_events") == 3 && u1.getAs[Long]("n_types") == 2
+      && u1.getAs[Long]("active_days") == 2)
+    assert(u1.getAs[String]("first_ts") == "2024-01-01 01:00:00"
+      && u1.getAs[String]("last_ts") == "2024-01-02 01:00:00")
+    assert(u1.getAs[Double]("total_value") == 6.0 && u1.getAs[Double]("mean_value") == 2.0)
+    assert(r(2L).getAs[Long]("n_events") == 1 && r(2L).getAs[Double]("mean_value") == 1.0)
+  }
+
   test("typeDriftDaily: hand-computed smoothed KL; vanished types still register") {
     import spark.implicits._
     // day 1: 3 clicks, 1 buy; day 2: 1 click, 3 buys — strong drift.

@@ -964,6 +964,46 @@ class PipelineSpec extends AnyFunSuite {
       "3_quality" -> 2L, "4_dedup" -> 1L))
   }
 
+  test("pmiTopPairs: a dominating collocation wins; min-count floor; exact ratio rank") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "new york a b new york c d new york")
+    ).toDF("doc_id", "text")
+    // bigrams: 9 total; (new,york)=3; cl(new)=3, cr(york)=3 → ratio = 3·9/9 = 3
+    val r = TextOps.pmiTopPairs(d, minCount = 2L, k = 5).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("w1") == "new" && row.getAs[String]("w2") == "york")
+    assert(row.getAs[Long]("n") == 3 && row.getAs[Long]("rk") == 1)
+    assert(math.abs(row.getAs[Double]("pmi") - 1.0986) < 1e-9) // ln 3
+  }
+
+  test("lengthPercentiles: tie-aware percent_rank per language") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "en", "a"), (1L, "en", "ab"), (2L, "en", "xy"), (3L, "de", "zzz")
+    ).toDF("doc_id", "lang", "text")
+    val r = TextOps.lengthPercentiles(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("pr")).toMap
+    assert(r(0L) == 0.0)                 // shortest en doc
+    assert(r(1L) == 0.5 && r(2L) == 0.5) // tied lengths share the rank
+    assert(r(3L) == 0.0)                 // singleton partition
+  }
+
+  test("standardize: hand-computed z-scores; constant dimension centers without NaN") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(1f, 10f)), (1L, Array(3f, 10f)), (2L, Array(5f, 10f))
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.standardize(d).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("i")) -> x.getAs[Double]("z")).toMap
+    // dim 0: μ=3, σ=√(8/3)≈1.632993 → z(1)=-1.2247, z(3)=0, z(5)=1.2247
+    assert(math.abs(r((0L, 0L)) + 1.2247) < 1e-9 && r((1L, 0L)) == 0.0
+      && math.abs(r((2L, 0L)) - 1.2247) < 1e-9)
+    // dim 1 constant: σ=0 → centered, not NaN
+    assert(Seq(0L, 1L, 2L).forall(v => r((v, 1L)) == 0.0))
+  }
+
   test("randomProject: exact JL projection; near-dup cosine distortion bounded") {
     import spark.implicits._
     // hand-check against the shared ±1 matrix on a tiny fixture
