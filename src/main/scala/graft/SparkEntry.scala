@@ -298,6 +298,12 @@ object SparkEntry {
       // oracle unrolls the same peels as sequential CTE steps
       graft.gx.GraphXTraversal.kCoreDF(s, TpchGraph.snapshot(s, d))),
 
+    "assortativity" -> ((s, d) =>
+      // Newman degree-mixing coefficient over the pair graph; every
+      // aggregate stays an exact integer until the single final
+      // division, so the oracle replays the double bit-for-bit
+      graft.gx.GraphXTraversal.assortativityDF(s, TpchGraph.snapshot(s, d))),
+
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
@@ -1113,6 +1119,11 @@ object SparkEntry {
     "event_drift" -> ((s, d) =>
       EventStream.typeDriftDaily(graft.projection.EventsReplay.rawEvents(s, d))),
 
+    // first-active-day cohorts × day offsets — the retention matrix;
+    // two user-keyed aggregations riding one hash partitioning
+    "retention_cohorts" -> ((s, d) =>
+      EventStream.retentionCohorts(graft.projection.EventsReplay.rawEvents(s, d))),
+
     // funnel conversion: first purchase within 2h of each click — the
     // stream-stream interval-join shape (EventStream.funnelPairs runs
     // watermarked on live feeds; parity gated in EventStreamSpec), batch
@@ -1637,6 +1648,40 @@ object SparkEntry {
     // per-vertex wedge closure: each triangle (x < y < z) credits all
     // three corners; degrees from canonical pair endpoints
     "kcore" -> kcoreSql(12, 12),
+
+    // integer-exact Pearson of endpoint degrees over the symmetrized
+    // pair edge list; HUGEINT widening mirrors the BigInt combination
+    "assortativity" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |xy AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b
+        |  UNION ALL
+        |  SELECT db.d, da.d
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  round((n*sxy - sx*sy)::DOUBLE /
+        |    (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4) AS r
+        |FROM s""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |            FROM events GROUP BY user_id),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(day - cohort AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+        |FROM ud JOIN fd USING (user_id)
+        |GROUP BY fd.cohort, day - cohort""".stripMargin,
 
     "clustering_coeff" ->
       """WITH bulk AS (

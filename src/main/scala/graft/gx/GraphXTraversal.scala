@@ -360,6 +360,53 @@ object GraphXTraversal {
     degrees(edges).select(col("v").as("part_id"), col("d").as("degree"))
   }
 
+  /**
+   * Degree assortativity of the co-occurrence pair graph: the Pearson
+   * correlation of endpoint degrees over the symmetrized edge list —
+   * positive r = hubs link hubs, negative = hubs link leaves (the
+   * Newman 2002 mixing coefficient). Returns one row
+   * (n_edges, r).
+   *
+   * Float discipline: every aggregate in the formula is an EXACT
+   * integer sum (degrees are ints, edge counts are longs), kept as
+   * longs until the single final division — so the oracle replays the
+   * number bit-for-bit instead of chasing float-fold order. Shape: one
+   * vertex-sized degree table joined to the edge list on each endpoint
+   * (two dimension joins), one scalar fold.
+   */
+  def assortativityDF(spark: SparkSession, snap: Snapshot,
+                      minQty: Double = 30.0): DataFrame = {
+    val g = pairGraph(snap, minQty)
+    import spark.implicits._
+    val deg = spark.createDataFrame(g.degrees.map { case (v, d) => (v, d.toLong) })
+      .toDF("v", "d")
+    val e = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
+      .toDF("a", "b")
+    // symmetrize: each undirected edge contributes (da,db) AND (db,da),
+    // making the x and y marginals identical (the undirected convention)
+    val xy = e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+      .unionAll(e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(col("db").as("x"), col("da").as("y")))
+    val s = xy.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy")).head()
+    val (n, sx, sy, sxy, sxx, syy) = (s.getLong(0), s.getLong(1), s.getLong(2),
+      s.getLong(3), s.getLong(4), s.getLong(5))
+    // the SUMS fit longs (Σd·d′ ≤ maxDeg²·2|E|) but the combinations
+    // n·Σx² − (Σx)² overflow past ~10⁶ edges — combine in BigInt (the
+    // DuckDB twin's integer ops widen to HUGEINT the same way)
+    val num = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+    val den = math.sqrt((BigInt(n) * sxx - BigInt(sx) * sx).toDouble) *
+      math.sqrt((BigInt(n) * syy - BigInt(sy) * sy).toDouble)
+    val r = if (den == 0d) 0d else num / den
+    spark.createDataFrame(Seq((n / 2, BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n_edges", "r")
+  }
+
   /** Memoized label-filtered graphs, same LRU discipline as
     * [[cachedGraph]]: repeated iterative analytics over the same
     * subgraph (the bench's 3-rep medians, or a session exploring one

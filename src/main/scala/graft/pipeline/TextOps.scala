@@ -771,13 +771,16 @@ object TextOps {
    * context's bigram-start count, V = corpus vocabulary). Returns
    * (doc_id, n_bigrams, avg_logprob) for docs with ≥ 2 tokens.
    *
-   * Shape: ONE wide shuffle (the (w₁, w₂) count; map-side partials);
+   * Shape: the bigram instances move twice — once into the (w₁, w₂)
+   * count (map-side partials) and once into the scoring join against
+   * that count table (AQE broadcasts the count side while it fits);
    * the context table re-aggregates FROM the bigram counts — no second
-   * pass (the tfidf df-from-tf trick); V is one distinct-count. The
-   * bigram table is corpus-sized at 100 TB — there you join only the
-   * head (top-n bigrams broadcast) and back off to the unigram model
-   * for the tail; the smoothing already makes that a graceful
-   * degradation, and this registered form is the exact-oracle anchor.
+   * tokenize pass (the tfidf df-from-tf trick); V is one
+   * distinct-count. The bigram table is corpus-sized at 100 TB — there
+   * you join only the head (top-n bigrams broadcast) and back off to
+   * the unigram model for the tail; the smoothing already makes that a
+   * graceful degradation, and this registered form is the exact-oracle
+   * anchor.
    */
   def bigramLogProb(docs: DataFrame, addK: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -210,6 +210,28 @@ object EventStream {
         // The sf1 oracle caught this; the spec hand-checks the value.
         round(round(sum(col("value")), 4) / count(lit(1)), 4).as("mean_value"))
 
+  /**
+   * Retention cohort matrix — the product-analytics table behind every
+   * retention curve: users grouped by FIRST-ACTIVE day (their cohort),
+   * counted on each later active day as an offset from it. Returns
+   * (cohort, day_offset, n_users).
+   *
+   * Shape: one user-keyed aggregation for the cohort assignment, one
+   * distinct over (user, day) — both map-side combined — then the
+   * user-keyed join rides the same hash partitioning (no third
+   * corpus-scale shuffle) and the final fold is calendar²-bounded.
+   */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset").cast("long").as("day_offset"), col("n_users"))
+  }
+
   /** Stream-static enrichment: LEFT-join a (possibly live) event feed
     * against a slowly-changing dimension. The SAME transform runs on
     * batch and on a stream — Spark's stream-static join re-plans the

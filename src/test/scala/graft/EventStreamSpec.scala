@@ -389,6 +389,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(r(2L).getAs[Long]("n_events") == 1 && r(2L).getAs[Double]("mean_value") == 1.0)
   }
 
+  test("retentionCohorts: first-day cohorts, offsets, distinct user counts") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: first active day1, returns day2 and day4
+      (0L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-01-02 01:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-02 02:00:00"), 1L, "buy", 1.0), // same day, counted once
+      (3L, ts("2024-01-04 01:00:00"), 1L, "click", 0.0),
+      // user 2: also cohort day1, no return
+      (4L, ts("2024-01-01 05:00:00"), 2L, "click", 0.0),
+      // user 3: cohort day2, returns day3
+      (5L, ts("2024-01-02 09:00:00"), 3L, "click", 0.0),
+      (6L, ts("2024-01-03 09:00:00"), 3L, "buy", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.retentionCohorts(ev).collect()
+      .map(x => (x.getAs[String]("cohort"), x.getAs[Long]("day_offset")) ->
+        x.getAs[Long]("n_users")).toMap
+    assert(r == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L, ("2024-01-01", 3L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
   test("typeDriftDaily: hand-computed smoothed KL; vanished types still register") {
     import spark.implicits._
     // day 1: 3 clicks, 1 buy; day 2: 1 click, 3 buys — strong drift.

@@ -193,6 +193,36 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("assortativity: matches a driver-side Pearson recount of the pair graph") {
+    import org.apache.spark.sql.functions.col
+    val snap = TpchGraph.snapshot(spark, dir)
+    val row = graft.gx.GraphXTraversal.assortativityDF(spark, snap).head()
+    val (nEdges, r) = (row.getLong(0), row.getDouble(1))
+    assert(r >= -1.0 && r <= 1.0)
+    // independent recount from the raw pair edges
+    val bulkIds = snap.prop("quantity", graft.model.PropType.PDouble, graft.model.A.Edge)
+      .where(col("v") >= 30.0).select(col("e").as("id"))
+    val bulk = snap.edges.where(col("label") === "contains").join(bulkIds, "id")
+    val l = bulk.select(col("outV").as("o"), col("inV").as("a"))
+    val rr = bulk.select(col("outV").as("o"), col("inV").as("b"))
+    val es = l.join(rr, "o").where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(nEdges == es.length)
+    val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, o) => v -> o.length.toLong }
+    val xs = es.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val n = BigInt(xs.length)
+    val sx = BigInt(xs.map(_._1).sum); val sy = BigInt(xs.map(_._2).sum)
+    val sxy = BigInt(xs.map(p => p._1 * p._2).sum)
+    val sxx = BigInt(xs.map(p => p._1 * p._1).sum)
+    val syy = BigInt(xs.map(p => p._2 * p._2).sum)
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    assert(math.abs(r - BigDecimal(want).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+      s"assortativity $r != recount $want")
+  }
+
   test("k-core: peels converge to the fixpoint; every survivor keeps degree >= k") {
     import org.apache.spark.sql.functions.col
     val snap = TpchGraph.snapshot(spark, dir)
