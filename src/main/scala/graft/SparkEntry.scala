@@ -835,6 +835,14 @@ object SparkEntry {
       // α=0.5 temperature mixing over sources, 1000-doc budget: the
       // sampling-ratio table a multi-source training run is configured from
       TextOps.mixtureWeights(docs(s, d), 0.5, 1000L)),
+    "split_stratified" -> ((s, d) =>
+      // exact per-(lang,source) split proportions with integer-exact
+      // cut thresholds — the per-stratum twin of split_assign
+      TextOps.splitStratified(docs(s, d))),
+    "budget_sample" -> ((s, d) =>
+      // materialize the per-source token-budget sample in stable md5
+      // order: integer running totals, exactly replayable
+      TextOps.budgetSample(docs(s, d), 1000L)),
     "bigram_logprob" -> ((s, d) =>
       // add-k-smoothed bigram LM scoring — one (w1,w2) shuffle, context
       // counts re-aggregated FROM the bigram table, V one distinct-count
@@ -2108,6 +2116,32 @@ object SparkEntry {
         |  CAST(round(1000 * pow(n, 0.5) / z) AS BIGINT) AS expected_docs,
         |  round(1000 * pow(n, 0.5) / z / n, 4) AS epochs
         |FROM c, z""".stripMargin,
+
+    "split_stratified" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+        |  CAST(rk AS BIGINT) AS rk,
+        |  CASE WHEN rk * 100 <= n * 90 THEN 'train'
+        |       WHEN rk * 100 <= n * 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+
+    "budget_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 1000""".stripMargin,
 
     "domain_mix" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rk AS BIGINT) AS rk

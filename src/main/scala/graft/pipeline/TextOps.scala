@@ -867,6 +867,63 @@ object TextOps {
   }
 
   /**
+   * Stratified train/val/test split with EXACT per-stratum proportions —
+   * the deterministic-hash split ([[splitAssign]]) is uniform only in
+   * expectation, which over-/under-fills small (lang, source) strata;
+   * evaluation protocols that compare per-stratum metrics need the
+   * exact-count version: rank by md5(doc_id) within the stratum, cut at
+   * integer-exact thresholds (rk·100 ≤ n·trainPct — no float ceil
+   * ambiguity between engines). Returns (doc_id, lang, source, rk,
+   * split).
+   *
+   * Scale: one window per stratum, bounded by stratum size; a popular
+   * stratum at 100 TB takes the [[domainMix]] hash-prefix prune (rank
+   * only candidates below the estimated cut threshold) — same order,
+   * same ranks.
+   */
+  def splitStratified(docs: DataFrame, trainPct: Int = 90,
+                      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+    val wo = w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("split",
+        when(col("rk") * 100 <= col("n") * trainPct, "train")
+          .when(col("rk") * 100 <= col("n") * (trainPct + valPct), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rk").cast("long").as("rk"), col("split"))
+  }
+
+  /**
+   * Token-budget sampling: materialize the per-source sample a
+   * [[mixtureWeights]] row prescribes — keep each source's docs in
+   * stable md5 order while the RUNNING token total (inclusive) stays
+   * within the source's budget. Deterministic, append-stable (new docs
+   * sort after the kept prefix only if their hash does), and exactly
+   * replayable: the cumulative sum is integer math over a total order.
+   * Returns kept (doc_id, source, n_tokens, cum_tokens).
+   *
+   * Scale: one window per source over (hash, id) order — with the
+   * [[domainMix]] prefix prune bounding the ranked candidates, since
+   * budget∕avg_tokens estimates the kept count the same way quota did.
+   */
+  def budgetSample(docs: DataFrame, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"), nTokens(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /**
    * Cross-source duplication matrix — which sources copy from which:
    * the near-dup pair relation ([[dedupMinHashLsh]]) joined to each
    * side's source and folded to (source_x ≤ source_y, n_pairs). The

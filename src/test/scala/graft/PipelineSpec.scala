@@ -964,6 +964,46 @@ class PipelineSpec extends AnyFunSuite {
       "3_quality" -> 2L, "4_dedup" -> 1L))
   }
 
+  test("splitStratified: exact per-stratum proportions, integer-exact cuts") {
+    import spark.implicits._
+    // 20 docs in one stratum, 3 in another — hash split would drift on
+    // the small one; stratified must cut exactly 18/1/1 and 2/0/1
+    val d = ((0L until 20L).map(i => (i, "en", "web", s"doc $i")) ++
+      Seq((100L, "de", "books", "a"), (101L, "de", "books", "b"), (102L, "de", "books", "c")))
+      .toDF("doc_id", "lang", "source", "text")
+    val r = TextOps.splitStratified(d, 90, 5).collect()
+      .groupBy(x => (x.getAs[String]("lang"), x.getAs[String]("split")))
+      .map { case (k, v) => k -> v.length }
+    assert(r(("en", "train")) == 18 && r(("en", "val")) == 1 && r(("en", "test")) == 1)
+    // n=3: rk*100 <= 270 → train rk 1,2; <= 285 → no val; test rk 3
+    assert(r(("de", "train")) == 2 && r(("de", "test")) == 1 && !r.contains(("de", "val")))
+  }
+
+  test("budgetSample: running token totals stop exactly at the budget, md5 order") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "web", "a b c"),      // 3 tokens
+      (1L, "web", "d e"),        // 2
+      (2L, "web", "f g h i"),    // 4
+      (3L, "books", "x y z")     // separate source, own budget
+    ).toDF("doc_id", "source", "text")
+    val kept = TextOps.budgetSample(d, 5L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cum_tokens")).toMap
+    // md5 order within 'web' is deterministic; recompute it here
+    val order = Seq(0L, 1L, 2L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5").digest(i.toString.getBytes)
+        .map("%02x".format(_)).mkString)
+    val toks = Map(0L -> 3L, 1L -> 2L, 2L -> 4L)
+    var cum = 0L
+    val expect = order.flatMap { i =>
+      cum += toks(i); if (cum <= 5L) Some(i -> cum) else None
+    }.toMap
+    // kept 'web' docs must equal the hand-walked prefix-within-budget
+    assert(kept.filter(_._1 != 3L) == expect)
+    assert(kept(3L) == 3L) // books fits its own budget
+    assert(kept.values.forall(_ <= 5L))
+  }
+
   test("pmiTopPairs: a dominating collocation wins; min-count floor; exact ratio rank") {
     import spark.implicits._
     val d = Seq(
