@@ -961,6 +961,12 @@ object SparkEntry {
       // map-side column arithmetic, no shuffle; twin re-derives the
       // matrix and replays the fold bit-for-bit
       VectorOps.randomProjectLong(emb(s, d), 16, 64)),
+    "mmr_rerank" -> { (s, d) =>
+      // diversity-aware retrieval: MMR greedy over the bounded brute-force
+      // shortlist for query 0; twin unrolls the same greedy picks
+      val e = emb(s, d)
+      VectorOps.mmrRerank(e, e.where(col("vec_id") === 0), k = 5, shortlist = 20)
+    },
     "rp_recall" -> { (s, d) =>
       // how much geometry the 4× reduction keeps, driver-visible the
       // same way as ann_ivf_recall: recall@10 of brute-force search in
@@ -1420,6 +1426,38 @@ object SparkEntry {
        |$steps
        |SELECT CAST(v AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS degree FROM (
        |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
+  }
+
+  /** MMR greedy re-rank twin: the shortlist is the exact-rank CTE, the
+    * pairwise-sim table is rounded to 4 BEFORE the objective (both
+    * engines then pick from identical numbers), and each greedy step is
+    * an unrolled pick CTE — the kcore pattern for iterative algorithms. */
+  private def mmrSql(k: Int, shortlist: Int, lambda: Double): String = {
+    val steps = (2 to k).map { t =>
+      s"""obj$t AS (
+         |  SELECT c.nb, round($lambda * c.simq - ${1 - lambda} * (
+         |      SELECT max(ps.s) FROM ps JOIN sel${t - 1} s ON ps.x = c.nb AND ps.y = s.nb), 5) AS score
+         |  FROM cand c WHERE c.nb NOT IN (SELECT nb FROM sel${t - 1})),
+         |pick$t AS (SELECT nb, score FROM obj$t ORDER BY score DESC, nb LIMIT 1),
+         |sel$t AS (SELECT nb FROM sel${t - 1} UNION ALL SELECT nb FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(t =>
+      s"SELECT $t AS step, nb AS vec_id, score FROM pick$t").mkString("\nUNION ALL ")
+    s"""WITH $rawEmbCte,
+       |qv AS (SELECT x AS qx FROM raw WHERE vec_id = 0),
+       |cand AS (SELECT nb, simq FROM (
+       |    SELECT r.vec_id AS nb, round(list_cosine_similarity(qv.qx, r.x), 4) AS simq,
+       |      row_number() OVER (ORDER BY list_cosine_similarity(qv.qx, r.x) DESC, r.vec_id) AS rn
+       |    FROM raw r, qv WHERE r.vec_id <> 0) WHERE rn <= $shortlist),
+       |candv AS (SELECT c.nb, r.x FROM cand c JOIN raw r ON r.vec_id = c.nb),
+       |ps AS (SELECT a.nb AS x, b.nb AS y, round(list_cosine_similarity(a.x, b.x), 4) AS s
+       |       FROM candv a JOIN candv b ON a.nb <> b.nb),
+       |pick1 AS (SELECT nb, round($lambda * simq, 5) AS score
+       |          FROM cand ORDER BY round($lambda * simq, 5) DESC, nb LIMIT 1),
+       |sel1 AS (SELECT nb FROM pick1),
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id, score FROM (
+       |$union)""".stripMargin
   }
 
   /** Exact brute-force top-10 per query (`ex`) — the truth side of the
@@ -2270,6 +2308,8 @@ object SparkEntry {
          |  round(list_cosine_similarity(a.nbv, b.nbv), 4) AS sim
          |FROM asg a JOIN asg b ON a.cell = b.cell AND a.nb < b.nb
          |WHERE list_cosine_similarity(a.nbv, b.nbv) >= 0.45""".stripMargin,
+
+    "mmr_rerank" -> mmrSql(5, 20, 0.7),
 
     // Random-projection twins: the ±1 matrix is the same md5 derivation
     // as the LSH planes, so the projection — and the recall of search in

@@ -881,6 +881,64 @@ object VectorOps {
       .select(col("vec_id"), col("j").cast("long").as("j"), round(col("v"), 4).as("v"))
 
   /**
+   * Maximal-marginal-relevance re-ranking: from a bounded ANN shortlist,
+   * greedily pick `k` results that balance query relevance against
+   * redundancy with what's already picked —
+   * argmax over remaining d of λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+   * (Carbonell & Goldstein 1998), ties → lowest id; the first pick is
+   * pure relevance (empty S ⇒ zero penalty). The training-data use is
+   * retrieval WITHOUT redundancy: k near-identical neighbors carry one
+   * document's worth of signal.
+   *
+   * Shape: the DISTRIBUTED work is the shortlist itself (brute force
+   * here; any registered ANN path at scale). The greedy loop runs
+   * driver-side over shortlist² rounded similarities — bounded by
+   * construction (20² doubles), the same query-time footprint as the
+   * PQ ADC table. All similarities are rounded to 4 decimals BEFORE
+   * the objective so both engines make every pick from identical
+   * numbers; the objective itself is then deterministic double math.
+   */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, k: Int = 5,
+                shortlist: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // objectives combine 4-decimal inputs with λ∕(1−λ) weights — exact
+    // 5-decimal rationals whose round-4 HALF-POINTS the two engines
+    // resolve differently by algorithm; rounding at 5 lands ON the grid
+    def r5(x: Double): Double =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val simQ = bruteForceTopK(corpus, query, shortlist).collect()
+      .map(r => r.getAs[Long]("nb") -> r.getAs[Double]("sim")).toMap // pre-rounded
+    val ids = simQ.keys.toSeq.sorted
+    val vecs = corpus.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), dvec(col("embedding")).as("v")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pair = (for { a <- ids; b <- ids if a != b }
+      yield (a, b) -> r4(cosD(vecs(a), vecs(b)))).toMap
+    var sel = Vector.empty[(Int, Long, Double)]
+    (1 to math.min(k, ids.length)).foreach { step =>
+      val chosen = sel.map(_._2).toSet
+      val best = ids.filterNot(chosen)
+        .map { d =>
+          val pen = if (chosen.isEmpty) 0d else chosen.map(s => pair((d, s))).max
+          d -> r5(lambda * simQ(d) - (1 - lambda) * pen)
+        }
+        .minBy { case (d, score) => (-score, d) }
+      sel :+= ((step, best._1, best._2))
+    }
+    spark.createDataFrame(sel).toDF("step", "vec_id", "score")
+      .select(col("step").cast("long").as("step"), col("vec_id"), col("score"))
+  }
+
+  /**
    * Per-dimension standardization (whitening without rotation):
    * zᵢ = (xᵢ − μᵢ) ∕ σᵢ with population μ/σ over the corpus — the
    * embedding-preprocessing pass before distance-based stages (k-means

@@ -1044,6 +1044,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L).forall(v => r((v, 1L)) == 0.0))
   }
 
+  test("mmrRerank: diversity beats redundancy; greedy order is deterministic") {
+    import spark.implicits._
+    // q on the x-axis; a and c symmetric around it (equal relevance, a
+    // wins the tie by id), b nearly parallel to a (redundant)
+    val d = Seq(
+      (0L, Array(1f, 0f, 0f)),      // query
+      (1L, Array(0.9f, 0.1f, 0f)),  // a
+      (2L, Array(0.9f, 0.11f, 0f)), // b — redundant with a, higher simq than c? no: ~0.9926
+      (3L, Array(0.9f, -0.1f, 0f))  // c — as relevant as a, diverse
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.mmrRerank(d, d.where(col("vec_id") === 0L), k = 3, shortlist = 3)
+      .collect().sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("vec_id")).toSeq
+    // step1: tie a/c on relevance → lowest id (a); step2: c's penalty
+    // (sim to a ≈ .9756) < b's (≈ .99997), so diversity wins; step3: b
+    assert(r == Seq(1L, 3L, 2L), s"MMR pick order was $r")
+  }
+
   test("randomProject: exact JL projection; near-dup cosine distortion bounded") {
     import spark.implicits._
     // hand-check against the shared ±1 matrix on a tiny fixture

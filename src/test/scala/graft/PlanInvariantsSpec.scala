@@ -42,7 +42,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // single-row normalizer broadcast (Σ nₛ^α) against #sources rows
       "mixture_weights",
       // |types|-row dimension grid and 1-row type count, both broadcast
-      "event_drift")
+      "event_drift",
+      // the MMR shortlist is the ann_topk brute-force shape (tiny query
+      // broadcast); the greedy itself is bounded driver math
+      "mmr_rerank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
