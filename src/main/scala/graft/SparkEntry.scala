@@ -835,6 +835,14 @@ object SparkEntry {
       // α=0.5 temperature mixing over sources, 1000-doc budget: the
       // sampling-ratio table a multi-source training run is configured from
       TextOps.mixtureWeights(docs(s, d), 0.5, 1000L)),
+    "lang_confusion" -> ((s, d) =>
+      // labeled lang vs langId prediction — the is-the-filter-good-enough
+      // evaluation table; |langs|²-bounded output
+      TextOps.langConfusion(docs(s, d))),
+    "split_balance" -> ((s, d) =>
+      // per-(split,lang) doc/token counts + within-split share — the
+      // split-skew audit over the deterministic hash split
+      TextOps.splitBalance(docs(s, d))),
     "split_stratified" -> ((s, d) =>
       // exact per-(lang,source) split proportions with integer-exact
       // cut thresholds — the per-stratum twin of split_assign
@@ -2154,6 +2162,35 @@ object SparkEntry {
         |  CAST(round(1000 * pow(n, 0.5) / z) AS BIGINT) AS expected_docs,
         |  round(1000 * pow(n, 0.5) / z / n, 4) AS epochs
         |FROM c, z""".stripMargin,
+
+    "lang_confusion" ->
+      """SELECT lang,
+        |  CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS pred,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT lang, list_max([
+        |    {'s': len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','that','for','with']))), 'l': 'en'},
+        |    {'s': len(list_distinct(list_intersect(t, ['der','die','das','und','ist','von','mit','ein','nicht','auf']))), 'l': 'de'},
+        |    {'s': len(list_distinct(list_intersect(t, ['le','la','les','et','de','est','un','une','pour','dans']))), 'l': 'fr'},
+        |    {'s': len(list_distinct(list_intersect(t, ['el','la','los','y','de','es','un','una','por','con']))), 'l': 'es'}
+        |  ]) AS best
+        |  FROM (SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |        FROM documents))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "split_balance" ->
+      """WITH s AS (SELECT lang,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+        |  FROM (SELECT lang, text,
+        |          CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS b
+        |        FROM documents)),
+        |c AS (SELECT split, lang, count(*) AS n_docs, sum(toks) AS n_tokens
+        |      FROM s GROUP BY split, lang)
+        |SELECT split, lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY split), 6) AS share
+        |FROM c""".stripMargin,
 
     "split_stratified" ->
       """WITH r AS (SELECT doc_id, lang, source,

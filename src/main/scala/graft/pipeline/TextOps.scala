@@ -851,6 +851,34 @@ object TextOps {
     res
   }
 
+  /**
+   * Language-ID confusion matrix: labeled `lang` vs [[langId]]
+   * prediction, with counts — the evaluation table that tells you
+   * whether the classifier is good enough to FILTER on before you
+   * let it drop petabytes. One map-side-combined aggregation; output
+   * is |langs|²-bounded.
+   */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), langId(col("text")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /**
+   * Split balance audit: per (split, lang) doc and token counts with
+   * the within-split share — the check that a hash or stratified split
+   * didn't skew a language between train and test. Composes
+   * [[splitAssign]]; one aggregation, dimension-sized output. Share is
+   * an exact integer ratio rounded for display.
+   */
+  def splitBalance(docs: DataFrame): DataFrame = {
+    val counts = splitAssign(docs, "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens(col("text"))).as("n_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    counts.withColumn("share",
+        round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy(col("split"))), 6))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"), col("share"))
+  }
+
   /** Percentile rank of document length within its language — the
     * distribution-aware filter bound ("drop the shortest 10% per lang")
     * a curation pass derives thresholds from. percent_rank is an exact

@@ -964,6 +964,33 @@ class PipelineSpec extends AnyFunSuite {
       "3_quality" -> 2L, "4_dedup" -> 1L))
   }
 
+  test("langConfusion: diagonal for clean text, 'und' column for noise") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "en", "the cat and the dog of a house"),
+      (1L, "en", "the fox is in the den for now"),
+      (2L, "de", "der Hund und die Katze ist nicht da"),
+      (3L, "en", "zzz qqq xxx")).toDF("doc_id", "lang", "text")
+    val r = TextOps.langConfusion(d).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("pred")) -> x.getAs[Long]("n")).toMap
+    assert(r == Map(("en", "en") -> 2L, ("de", "de") -> 1L, ("en", "und") -> 1L))
+  }
+
+  test("splitBalance: counts and within-split shares per (split, lang)") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, if (i % 4 == 0) "de" else "en", "w x y z"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextOps.splitBalance(d).collect()
+    val bySplit = r.groupBy(_.getAs[String]("split"))
+    // every split's shares sum to 1 and docs sum to the split size
+    bySplit.foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    }
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 200)
+    // every doc contributes exactly its 4 tokens
+    assert(r.forall(x => x.getAs[Long]("n_tokens") == 4 * x.getAs[Long]("n_docs")))
+  }
+
   test("splitStratified: exact per-stratum proportions, integer-exact cuts") {
     import spark.implicits._
     // 20 docs in one stratum, 3 in another — hash split would drift on
