@@ -792,6 +792,14 @@ object SparkEntry {
       // closure with a recursive CTE over the exact-Jaccard pair set
       TextOps.dedupClusters(docs(s, d), 0.8)),
     "dedup_simhash" -> ((s, d) => TextOps.simhashPairs(docs(s, d), 3)),
+    "dedup_edit" -> ((s, d) =>
+      // character-level verify over the LSH candidates: the contract is
+      // the exact integer predicate 5·lev ≤ max_len — no float anywhere
+      TextOps.dedupEditPairs(docs(s, d), 0.8)),
+    "winnow_fingerprints" -> ((s, d) =>
+      // MOSS winnowing: any shared ≥(w+2)-token run shares a selected
+      // fingerprint; md5 grams so the twin replays bit-for-bit
+      TextOps.winnowFingerprints(docs(s, d), 4)),
     "lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
     "doc_fingerprint" -> ((s, d) =>
@@ -2025,6 +2033,28 @@ object SparkEntry {
         |WHERE norm NOT IN (
         |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |  FROM documents WHERE doc_id < 400)""".stripMargin,
+
+    // exact all-pairs edit twin (quadratic — ORACLE_SKIP at scaled data
+    // like dedup_minhash); the length-difference prefilter is a lower
+    // bound on levenshtein, cutting the DP work without changing the set
+    "dedup_edit" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+        |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+        |  CAST(greatest(length(a.nt), length(b.nt)) AS BIGINT) AS max_len
+        |FROM n a JOIN n b ON a.doc_id < b.doc_id
+        |  AND 5 * abs(length(a.nt) - length(b.nt)) <= greatest(length(a.nt), length(b.nt))
+        |WHERE 5 * levenshtein(a.nt, b.nt) <= greatest(length(a.nt), length(b.nt))""".stripMargin,
+
+    "winnow_fingerprints" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |hs AS (SELECT doc_id,
+        |    [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) for i in range(1, len(t) - 1)] AS hs
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, unnest(list_distinct(
+        |    [list_min(hs[i:i+3]) for i in range(1, greatest(len(hs) - 3, 1) + 1)])) AS fp
+        |FROM hs""".stripMargin,
 
     // The NEAR-dup incremental contract: the banded candidate join plus
     // exact-Jaccard verify must equal the exact cross-set relation (the

@@ -11,7 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
  * Native Catalyst expression for the MinHash signature — the hot loop of
  * the near-dup pipeline: given the per-shingle `(h1, h2)` hash pairs
  * (Kirsch–Mitzenmacher double hashing, see TextOps.hashPairs), compute
- * `sig[i] = min_j (h1_j + i·h2_j)` for i < numHashes.
+ * `sig[i] = min_j ((h1_j + i·h2_j) mod p)` for i < numHashes, p = 2³¹−1.
+ * The mod is load-bearing — unreduced, the affine family's argmin
+ * follows a lower envelope of lines and the 128 positions collapse to a
+ * few effective draws (see TextOps.signatureFromPairs).
  *
  * The HOF composition (`transform(sequence(...), i => array_min(
  * transform(pairs, ...)))`) evaluates interpreted lambdas and allocates
@@ -26,6 +29,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
  * noise that the exact-verify stage had to filter); this returns NULL, so
  * empty docs simply never enter the banded join.
  */
+object MinHashSignature {
+  /** The KM modulus (TextOps.MinHashP) — single source for both paths. */
+  val P: Long = 2147483647L
+}
+
 case class MinHashSignature(child: Expression, numHashes: Int)
   extends UnaryExpression {
 
@@ -54,11 +62,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         contributed = true
         val r = pairs.getStruct(j, 2)
         val h2 = r.getLong(1)
-        var v = r.getLong(0)
+        // incremental modular walk: v stays < p, v + h2 < p + 2³² — no
+        // overflow, and reducing per step equals reducing h1 + i·h2 once
+        var v = r.getLong(0) % MinHashSignature.P
         var i = 0
         while (i < numHashes) {
           if (v < sig(i)) sig(i) = v
-          v += h2
+          v = (v + h2) % MinHashSignature.P
           i += 1
         }
       }
@@ -82,11 +92,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  if ($p.isNullAt($j)) continue;  // null element from direct SQL use
          |  $contributed = true;
          |  InternalRow $row = $p.getStruct($j, 2);
-         |  long $v = $row.getLong(0);
+         |  long $v = $row.getLong(0) % ${MinHashSignature.P}L;
          |  long $h2 = $row.getLong(1);
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    if ($v < $sig[$i]) $sig[$i] = $v;
-         |    $v += $h2;
+         |    $v = ($v + $h2) % ${MinHashSignature.P}L;
          |  }
          |}
          |if (!$contributed) {

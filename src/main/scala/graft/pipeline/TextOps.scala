@@ -94,9 +94,19 @@ object TextOps {
     shinglesFromTokens(tokens(text), n)
 
   /** MinHash signature. The `numHashes` hash family is derived as
-    * h_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher double hashing): two
-    * xxhash64 evaluations per shingle instead of `numHashes` — measured
-    * ~7× faster at 5k docs. Built-ins only, stays inside codegen. */
+    * h_i(s) = (h1(s) + i·h2(s)) mod p (Kirsch–Mitzenmacher double
+    * hashing, p = 2³¹−1): two xxhash64 evaluations per shingle instead
+    * of `numHashes` — measured ~7× faster at 5k docs. Built-ins only,
+    * stays inside codegen.
+    *
+    * The `mod p` is LOAD-BEARING, not a formality (round-9 catch):
+    * without it h_i is affine in i, so the per-position argmin follows
+    * the lower envelope of |shingles| lines — a handful of distinct
+    * argmin shingles across all 128 positions instead of 128
+    * independent draws. Measured on a J≈0.82 pair: 1/128 positions
+    * agreed unreduced (whole signatures diverge whenever ONE envelope
+    * shingle differs) vs ≈J·128 with the mod. The wraparound destroys
+    * the envelope structure, restoring per-position independence. */
   /** Per-shingle (h1, h2) hash pairs — masked to 32 bits so h1 + i·h2
     * stays well inside a long under ANSI arithmetic (no wrapping overflow
     * in Spark 4's default mode). */
@@ -105,12 +115,19 @@ object TextOps {
       xxhash64(s, lit(0)).bitwiseAND(0xFFFFFFFFL).as("h1"),
       xxhash64(s, lit(1)).bitwiseAND(0xFFFFFFFFL).as("h2")))
 
+  /** The KM modulus: 2³¹−1 (Mersenne prime). Small enough that the
+    * ≤2³⁹ affine values wrap many times (see the family note above),
+    * large enough that min-collisions stay negligible. Single source
+    * with the native expression's constant. */
+  private[graft] val MinHashP = graft.functions.MinHashSignature.P
+
   /** Signature from a HASH-PAIR ATTRIBUTE (staged — see
     * [[shinglesFromTokens]] for why the argument must be materialized:
     * it is referenced numHashes times). */
   def signatureFromPairs(hp: Column, numHashes: Int = 128): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hp, p => p.getField("h1") + i * p.getField("h2"))))
+      i => array_min(transform(hp,
+        p => (p.getField("h1") + i * p.getField("h2")) % MinHashP)))
 
   def minhashSignature(sh: Column, numHashes: Int = 128): Column =
     signatureFromPairs(hashPairs(sh), numHashes)
@@ -949,6 +966,75 @@ object TextOps {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .where(col("cum_tokens") <= tokenBudget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /**
+   * Near-dup pairs verified by EDIT similarity — the character-level
+   * twin of the Jaccard verify: candidates from the same banded
+   * MinHash-LSH front end, kept when 1 − lev∕max_len ≥ `threshold`.
+   * Levenshtein catches in-place edits (typos, entity substitutions)
+   * that token-set Jaccard smears, and both engines compute it as an
+   * EXACT INTEGER — so the filter is the cross-multiplied integer
+   * predicate lev·denom ≤ (1−threshold)·denom·max_len (for the 0.8
+   * default: 5·lev ≤ max_len), and the emitted columns are the raw
+   * integers. No float enters the contract at all (§23 doctrine).
+   *
+   * Scale: O(len²) edit DP runs ONLY on LSH candidates — the verify
+   * stage's cost profile, not the corpus's.
+   */
+  def dedupEditPairs(docs: DataFrame, threshold: Double = 0.8,
+                     numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(threshold == 0.8, "the integer-exact predicate is derived for 0.8")
+    val (_, banded, caches) = lshStages(docs, numHashes, bands)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val norm = docs.select(col("doc_id"), normText(col("text")).as("nt"))
+    val out = cand
+      .join(norm.select(col("doc_id").as("a"), col("nt").as("na")), "a")
+      .join(norm.select(col("doc_id").as("b"), col("nt").as("nb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("na"), col("nb")).cast("long").as("lev"),
+        greatest(length(col("na")), length(col("nb"))).cast("long").as("max_len"))
+      .where(col("lev") * 5 <= col("max_len")) // 1 − lev/max ≥ 0.8, exactly
+    val res = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    res
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+   * algorithm): hash every POSITIONAL token 3-gram, slide a window of
+   * `w` consecutive hashes, keep each window's minimum — guaranteeing
+   * any shared run of ≥ w+2 tokens between two documents shares a
+   * selected fingerprint, at ~2∕(w+1) the density of the full gram set.
+   * Emits distinct (doc_id, fp). Bottom-k sketches bound the SKETCH
+   * size per doc; winnowing bounds the MISS length — the
+   * plagiarism/overlap-detection trade. md5 hashes so the DuckDB twin
+   * replays bit-for-bit. Map-only: staged token array → positional
+   * grams → window minima, no shuffle at all.
+   */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 3).persist(StorageLevel.MEMORY_AND_DISK)
+    // positional (NOT distinct) 3-gram hashes — winnowing needs every
+    // occurrence; staged before the window pass (multi-referenced)
+    val hs = toks.select(col("doc_id"),
+        transform(sequence(lit(1), size(col("t")) - 2), i =>
+          md5(concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nWin = greatest(size(col("hs")) - (w - 1), lit(1))
+    val out = hs.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), nWin), i =>
+          array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+      .distinct()
+    val res = out.localCheckpoint(true)
+    Seq(toks, hs).foreach(_.unpersist(false))
+    res
   }
 
   /**

@@ -964,6 +964,75 @@ class PipelineSpec extends AnyFunSuite {
       "3_quality" -> 2L, "4_dedup" -> 1L))
   }
 
+  test("minhash family: per-position agreement tracks Jaccard (the mod-p property)") {
+    import spark.implicits._
+    // the direct probability claim behind banded LSH recall: for a pair
+    // at Jaccard J, each signature position agrees with probability J.
+    // The unreduced affine family failed this catastrophically (1/128
+    // positions at J=0.82 — lower-envelope argmin correlation); the
+    // mod-p family must sit near J·128
+    val base = "the quick brown fox jumps over the lazy dog while the calm " +
+      "river flows past the old stone bridge under a pale morning sky and " +
+      "birds circle slowly above the quiet field"
+    val d = Seq((0L, base), (1L, base.replace("quick", "quack"))).toDF("doc_id", "text")
+    val sh = d.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val sets = sh.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[String]]("sh").toSet).toMap
+    val j = (sets(0L) & sets(1L)).size.toDouble / (sets(0L) | sets(1L)).size
+    val hp = sh.select(col("doc_id"), TextOps.hashPairs(col("sh")).as("hp"))
+    val sig = hp.select(col("doc_id"),
+      TextOps.signatureBest(spark, col("hp"), 128).as("sig"))
+    val sigs = sig.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    val agree = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    // binomial(128, J): mean ≈ J·128, σ ≈ 4.4 — gate at ±4σ
+    assert(math.abs(agree - j * 128) < 18,
+      s"position agreement $agree far from J*128 = ${j * 128}")
+    // and the banded join must therefore see the pair
+    val pairs = TextOps.dedupMinHashLsh(d, threshold = 0.5).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Long]("a") == 0L)
+  }
+
+  test("dedupEditPairs: integer predicate keeps small edits, drops rewrites") {
+    import spark.implicits._
+    // long enough that one edit keeps shingle Jaccard ≈ 0.8 (the banded
+    // candidate stage is shared with dedupMinHashLsh; a short doc's
+    // single edit can push J below the band geometry's recall)
+    val base = "the quick brown fox jumps over the lazy dog while the calm " +
+      "river flows past the old stone bridge under a pale morning sky and " +
+      "birds circle slowly above the quiet field"
+    val d = Seq(
+      (0L, base),
+      (1L, base.replace("quick", "quack")),  // 1 char edit
+      (2L, "completely different content with nothing shared at all okay")
+    ).toDF("doc_id", "text")
+    val r = TextOps.dedupEditPairs(d).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"),
+        x.getAs[Long]("lev"), x.getAs[Long]("max_len")))
+    assert(r.length == 1)
+    assert(r.head._1 == 0L && r.head._2 == 1L && r.head._3 == 1L)
+    assert(r.head._3 * 5 <= r.head._4)
+    assert(r.head._4 == base.length) // normText is a no-op on this fixture
+  }
+
+  test("winnowFingerprints: shared long runs share a fingerprint; density bounded") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (0L, s"$shared india juliet"),
+      (1L, s"kilo lima $shared"),           // same 8-token run, shifted
+      (2L, "mike november oscar papa")       // nothing shared
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(d, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[String]("fp")).toSet }
+    // winnowing guarantee: a shared run of ≥ w+2 = 6 tokens ⇒ ≥1 shared fp
+    assert((fps(0L) & fps(1L)).nonEmpty)
+    assert((fps(0L) & fps(2L)).isEmpty)
+    // density: selected ≤ number of windows ≤ grams
+    assert(fps(0L).size <= 8) // 10 tokens → 8 grams
+  }
+
   test("langConfusion: diagonal for clean text, 'und' column for noise") {
     import spark.implicits._
     val d = Seq(
