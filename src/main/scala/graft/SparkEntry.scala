@@ -859,6 +859,10 @@ object SparkEntry {
       // materialize the per-source token-budget sample in stable md5
       // order: integer running totals, exactly replayable
       TextOps.budgetSample(docs(s, d), 1000L)),
+    "weighted_sample" -> ((s, d) =>
+      // Efraimidis–Spirakis: inclusion ∝ token count, deterministic
+      // md5-derived uniforms, distributed TakeOrdered top-k
+      TextOps.weightedSample(docs(s, d), 100)),
     "bigram_logprob" -> ((s, d) =>
       // add-k-smoothed bigram LM scoring — one (w1,w2) shuffle, context
       // counts re-aggregated FROM the bigram table, V one distinct-count
@@ -2234,6 +2238,24 @@ object SparkEntry {
         |       WHEN rk * 100 <= n * 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+
+    // A-ES twin: u re-derived digit-wise from the md5 hex (same integer,
+    // same double); ln and the division replay on identical inputs
+    "weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |    ln((list_sum([CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
+        |          * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)]) + 1)::DOUBLE
+        |       / 4294967297) / n_tokens AS priority
+        |  FROM t WHERE n_tokens >= 1),
+        |rk AS (SELECT doc_id, n_tokens, priority,
+        |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(priority, 6) AS priority, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 100""".stripMargin,
 
     "budget_sample" ->
       """WITH t AS (SELECT doc_id, source,

@@ -912,6 +912,35 @@ object TextOps {
   }
 
   /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+   * keep the top-k documents by priority ln(u)∕w, where u ∈ (0,1) is the
+   * doc's deterministic md5-derived uniform and w its token count — each
+   * doc's inclusion probability is proportional to its weight, the
+   * one-pass weighted-reservoir rule. Deterministic (hash-derived u, no
+   * RNG), so reruns and the oracle agree; the top-k is a distributed
+   * TakeOrdered (per-partition heaps), never a global sort.
+   * Returns (doc_id, n_tokens, priority, rk).
+   */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // top 32 bits of md5 as an exact integer, shifted into (0,1): both
+    // engines derive the same integer, so u is the same double
+    val uInt = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val staged = docs.select(col("doc_id"),
+      nTokens(col("text")).cast("long").as("n_tokens"),
+      ((uInt + 1L).cast("double") / 4294967297d).as("u"))
+    val scored = staged
+      .where(col("n_tokens") >= 1)
+      .withColumn("priority", log(col("u")) / col("n_tokens"))
+    scored.orderBy(col("priority").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("priority").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), round(col("priority"), 6).as("priority"),
+        col("rk"))
+  }
+
+  /**
    * Stratified train/val/test split with EXACT per-stratum proportions —
    * the deterministic-hash split ([[splitAssign]]) is uniform only in
    * expectation, which over-/under-fills small (lang, source) strata;

@@ -1060,6 +1060,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.forall(x => x.getAs[Long]("n_tokens") == 4 * x.getAs[Long]("n_docs")))
   }
 
+  test("weightedSample: hand-computed A-ES priorities; heavier docs favored in aggregate") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "one two three four five six seven eight nine ten"), // 10 tokens
+      (1L, "a b"),                                              // 2 tokens
+      (2L, "x y z w")                                           // 4 tokens
+    ).toDF("doc_id", "text")
+    val r = TextOps.weightedSample(d, k = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("priority"), x.getAs[Long]("rk"))).toMap
+    // replicate priority for doc 0 exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(id: Long, w: Long): Double = {
+      val h = md.digest(id.toString.getBytes).take(4)
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(h, 16) + 1d) / 4294967297d
+      BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq((0L, 10L), (1L, 2L), (2L, 4L)).foreach { case (id, w) =>
+      assert(r(id)._1 == w && math.abs(r(id)._2 - pri(id, w)) < 1e-9, s"doc $id")
+    }
+    // ranks follow priority desc
+    val byRk = r.toSeq.sortBy(_._2._3).map(_._2._2)
+    assert(byRk.sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("splitStratified: exact per-stratum proportions, integer-exact cuts") {
     import spark.implicits._
     // 20 docs in one stratum, 3 in another — hash split would drift on
