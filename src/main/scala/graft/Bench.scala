@@ -110,7 +110,32 @@ object Bench {
     val queryTotal = timings.values.sum
     val buildTotal = builds.values.sum
     val total = queryTotal + buildTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
+    // full per-query detail: first line of stdout (human/log record) and
+    // a sidecar file for mechanical regression diffing
+    println(full)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
+    catch { case _: Throwable => () }
+    // LAST line: compact sentinel the driver parses. Its tail buffer is
+    // 2000 chars (BENCH_r09 "parsed": null — the 136-query map overflowed
+    // it), so keep this line under ~1800: aggregates + builds + error
+    // names + the slowest queries that fit, 3-decimal seconds.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_total":${r3(queryTotal)},"build_total":${r3(buildTotal)},"reps":$reps,"agg":"median","n_queries":${timings.size},"detail":"BENCH_DETAIL.json","builds":${
+      builds.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"errors":${
+      errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{"""
+    val tailBudget = 1800 - head.length - 60
+    val slowFirst = timings.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowFirst.foreach { e =>
+      if (used + e.length + 1 <= tailBudget) { kept += e; used += e.length + 1 }
+    }
+    println(head + kept.mkString(",") +
+      s"""},"queries_omitted":${timings.size - kept.size}}""")
     spark.stop()
   }
 }

@@ -803,7 +803,10 @@ object SparkEntry {
     "lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
     "doc_fingerprint" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+      // md5-family fingerprint (r10): engine-portable, so the driver
+      // hash-matches instead of the old xxhash64 rows-only fallback
+      docs(s, d).select(col("doc_id"),
+        TextOps.fingerprintPortable(col("text")).as("fp"))),
     "bottomk_sketch" -> ((s, d) =>
       // engine-portable bottom-k minhash twin of doc_fingerprint: the k
       // smallest md5(shingle) per doc, re-derived bit-for-bit in DuckDB
@@ -877,8 +880,9 @@ object SparkEntry {
       // the distribution-aware filter bound
       TextOps.lengthPercentiles(docs(s, d))),
     "standardize_embeddings" -> ((s, d) =>
-      // per-dim whitening via two graft_vec_mean buffers (mean of v and
-      // v² in ONE pass — no rows×dims shuffle), broadcast-applied
+      // per-dim whitening; order-independent contract — exact integer
+      // Σxq/Σxq² over 1e-4-quantized inputs (map-side partials fold to
+      // dims rows pre-shuffle), broadcast-applied
       VectorOps.standardize(emb(s, d))),
     "user_features" -> ((s, d) =>
       // RFM-style per-user feature table: one hash agg, all algebraic.
@@ -971,11 +975,12 @@ object SparkEntry {
         VectorOps.bruteForceTopK(e, qs, 10))
     },
     "dedup_semantic" -> ((s, d) =>
-      // SemDeDup shape: the ANN index's IVF cells ARE the dedup
-      // clustering — exact cosine verify only within a cell, so pair
-      // work is Σ|cell|², never |corpus|². The twin replays the k-means
-      // chain (the ann_ivf CTEs) and the same within-cell verify.
-      VectorOps.semanticDedupPairs(VectorOps.IvfCache.index(s, d), 0.45)),
+      // SemDeDup shape: IVF cells ARE the dedup clustering — exact
+      // cosine verify only within a cell. k scales with the corpus
+      // (k = max(16, N/32)) so Σ|cell|² ≈ 32·N stays LINEAR in N —
+      // the r9-registered pinned k=16 was N²/16 by construction. The
+      // twin replays the same k-derivation and k-means chain.
+      VectorOps.semanticDedupPairs(VectorOps.IvfCache.dedupIndex(s, d), 0.45)),
     "rp_project" -> ((s, d) =>
       // Johnson–Lindenstrauss 64→16 with the md5-derived ±1 matrix —
       // map-side column arithmetic, no shuffle; twin re-derives the
@@ -1186,8 +1191,11 @@ object SparkEntry {
     },
 
     // graph motif: two orders by the same customer containing the same
-    // part — pattern matching composed from equi-joins on the snapshot
-    // views; candidates bounded by per-(customer, part) multiplicity
+    // part. ΣC(n,2) needs NO pair join (the r9 plan materialized every
+    // order-pair — per-(customer, part) quadratic, a hot key at 100×
+    // is a blowup): count orders per (customer, part) — rows are
+    // already distinct on (customer, part, order) — then sum n·(n−1)/2.
+    // Two hash aggregations with map-side partials, skew-proof.
     "motif_shared_part" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
       val placed = snap.edges.where(col("label") === "placed")
@@ -1195,12 +1203,11 @@ object SparkEntry {
       val contains = snap.edges.where(col("label") === "contains")
         .select(col("outV").as("order_v"), col("inV").as("part_v")).distinct()
       val co = placed.join(contains, "order_v")
-      val lhs = co.select(col("customer"), col("order_v").as("o1"), col("part_v"))
-      val rhs = co.select(col("customer"), col("order_v").as("o2"), col("part_v"))
-      lhs.join(rhs, Seq("customer", "part_v"))
-        .where(col("o1") < col("o2"))
+      co.groupBy(col("customer"), col("part_v"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
         .groupBy(col("customer"))
-        .agg(count(lit(1)).as("n_motifs"))
+        .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")).as("n_motifs"))
     },
 
     // stream-static enrichment, batch twin (stream parity in
@@ -1279,7 +1286,7 @@ object SparkEntry {
     * TRUE for the plain index; the appended index trains on 6/7 of the
     * corpus and assigns the rest to the frozen centroids (ivfAppend) —
     * which is exactly "train on the base subset, assign everyone". */
-  private def ivfChainCte(baseFilter: String): String = {
+  private def ivfChainCte(baseFilter: String, kExpr: String = "16"): String = {
     val lloyd = (1 to 3).map { it =>
       s"""a$it AS (SELECT cell, x FROM (
          |    SELECT c.cell, s.x, row_number() OVER (PARTITION BY s.vec_id
@@ -1295,8 +1302,10 @@ object SparkEntry {
     s"""$rawEmbCte,
        |vbase AS (SELECT * FROM raw WHERE $baseFilter),
        |samp AS (SELECT * FROM vbase WHERE vec_id % 5 = 0),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, x AS cv
-       |    FROM (SELECT * FROM vbase ORDER BY vec_id LIMIT 16)),
+       |kk AS (SELECT CAST($kExpr AS BIGINT) AS k FROM (SELECT count(*) AS n FROM vbase)),
+       |c0 AS (SELECT t.rn - 1 AS cell, t.x AS cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, x FROM vbase) t, kk
+       |    WHERE t.rn <= kk.k),
        |$lloyd,
        |asg AS (SELECT vec_id AS nb, x AS nbv, cell FROM (
        |    SELECT r.vec_id, r.x, c.cell, row_number() OVER (PARTITION BY r.vec_id
@@ -1735,8 +1744,10 @@ object SparkEntry {
         |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
         |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
         |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
-        |  round((n*sxy - sx*sy)::DOUBLE /
-        |    (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4) AS r
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
+        |       ELSE round((n*sxy - sx*sy)::DOUBLE /
+        |         (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+        |  END AS r
         |FROM s""".stripMargin,
 
     "retention_cohorts" ->
@@ -2009,6 +2020,11 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
         |FROM documents GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
 
+    "doc_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
     "clean_corpus" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
         |FROM documents
@@ -2041,15 +2057,37 @@ object SparkEntry {
     // exact all-pairs edit twin (quadratic — ORACLE_SKIP at scaled data
     // like dedup_minhash); the length-difference prefilter is a lower
     // bound on levenshtein, cutting the DP work without changing the set
+    // r10: the twin replays the PORTABLE banded candidate stage (md5
+    // KM family, 128 hashes / 32 bands) bit-for-bit, then applies the
+    // same integer edit predicate — both engines share the exact
+    // candidate relation, so the shingle-vs-edit metric mismatch can no
+    // longer diverge on pairs the bands miss (the contract IS
+    // "candidates ∩ edit-predicate"; ADVICE r9 closed).
     "dedup_edit" ->
-      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      s"""WITH $shingleCte,
+        |hx AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+        |hp AS (SELECT doc_id,
+        |    list_sum([(strpos('0123456789abcdef', substr(md5(g), k, 1)) - 1)
+        |              * (1::BIGINT << (4*(8-k))) for k in range(1, 9)]) AS h1,
+        |    list_sum([(strpos('0123456789abcdef', substr(md5(g), k + 8, 1)) - 1)
+        |              * (1::BIGINT << (4*(8-k))) for k in range(1, 9)]) AS h2
+        |  FROM hx),
+        |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS mh
+        |  FROM hp, range(128) r(i) GROUP BY doc_id, i),
+        |sigl AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM sig GROUP BY doc_id),
+        |band AS (SELECT doc_id, b,
+        |    md5(array_to_string([sg[b*4 + j] for j in range(1, 5)], ',')) AS bh
+        |  FROM sigl, range(32) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
         |  FROM documents)
-        |SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
-        |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
-        |  CAST(greatest(length(a.nt), length(b.nt)) AS BIGINT) AS max_len
-        |FROM n a JOIN n b ON a.doc_id < b.doc_id
-        |  AND 5 * abs(length(a.nt) - length(b.nt)) <= greatest(length(a.nt), length(b.nt))
-        |WHERE 5 * levenshtein(a.nt, b.nt) <= greatest(length(a.nt), length(b.nt))""".stripMargin,
+        |SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+        |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS lev,
+        |  CAST(greatest(length(na.nt), length(nb.nt)) AS BIGINT) AS max_len
+        |FROM cand c JOIN n na ON na.doc_id = c.a JOIN n nb ON nb.doc_id = c.b
+        |WHERE 100 * levenshtein(na.nt, nb.nt)
+        |      <= 20 * greatest(length(na.nt), length(nb.nt))""".stripMargin,
 
     "winnow_fingerprints" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
@@ -2118,14 +2156,23 @@ object SparkEntry {
         |  round(percent_rank() OVER (PARTITION BY lang ORDER BY length(text)), 6) AS pr
         |FROM documents""".stripMargin,
 
+    // order-independent contract (r10): quantize to the 1e-4 grid, take
+    // EXACT integer sums Σxq/Σxq², then identical double arithmetic on
+    // both sides — μ/σ no longer depend on either engine's summation
+    // order, so round(z, 4) sees bit-identical inputs
     "standardize_embeddings" ->
       s"""WITH $rawEmbCte,
-         |e AS (SELECT vec_id, unnest(x) AS xx, unnest(range(len(x))) AS i FROM raw),
-         |sd AS (SELECT i, avg(xx) AS m, sqrt(greatest(0, avg(xx*xx) - avg(xx)*avg(xx))) AS s
-         |       FROM e GROUP BY i)
+         |e AS (SELECT vec_id, CAST(floor(xx * 10000 + 0.5) AS BIGINT) AS xq, i FROM (
+         |      SELECT vec_id, unnest(x) AS xx, unnest(range(len(x))) AS i FROM raw)),
+         |st AS (SELECT i, CAST(sum(xq) AS DOUBLE) / count(*) / 10000 AS m,
+         |    sqrt(greatest(0, CAST(sum(xq*xq) AS DOUBLE) / count(*) / 100000000
+         |      - (CAST(sum(xq) AS DOUBLE) / count(*) / 10000)
+         |        * (CAST(sum(xq) AS DOUBLE) / count(*) / 10000))) AS sd
+         |  FROM e GROUP BY i)
          |SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.i AS BIGINT) AS i,
-         |  round(CASE WHEN sd.s > 0 THEN (e.xx - sd.m) / sd.s ELSE e.xx - sd.m END, 4) AS z
-         |FROM e JOIN sd USING (i)""".stripMargin,
+         |  round(CASE WHEN st.sd > 0 THEN (e.xq / 10000.0 - st.m) / st.sd
+         |             ELSE e.xq / 10000.0 - st.m END, 4) AS z
+         |FROM e JOIN st USING (i)""".stripMargin,
 
     "user_features" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -2388,10 +2435,12 @@ object SparkEntry {
          |GROUP BY p.qid""".stripMargin,
 
     // SemDeDup twin: the SAME replicated k-means chain as ann_ivf gives
-    // the cell assignment; the verify stage is a plain within-cell
+    // the cell assignment — but with the dedup k-derivation
+    // k = max(16, ⌊N/32⌋) replayed, so the registered contract is the
+    // scale-linear one; the verify stage is a plain within-cell
     // cosine predicate — both halves of the contract oracle-checked.
     "dedup_semantic" ->
-      s"""WITH ${ivfChainCte("TRUE")}
+      s"""WITH ${ivfChainCte("TRUE", "greatest(16, n // 32)")}
          |SELECT CAST(a.nb AS BIGINT) AS a, CAST(b.nb AS BIGINT) AS b,
          |  CAST(a.cell AS BIGINT) AS cell,
          |  round(list_cosine_similarity(a.nbv, b.nbv), 4) AS sim
@@ -2743,12 +2792,14 @@ object SparkEntry {
         |GROUP BY q.doc_id""".stripMargin,
 
     // Oracle-less (rows-only per the driver contract) — genuinely not
-    // DuckDB-expressible: doc_fingerprint (xxhash64 rolling hash),
-    // vocab_sketch (HLL++ registers; accuracy gated in PipelineSpec),
-    // pack_sequences (partition-local greedy bin state; its relational
-    // contract is oracle-checked by pack_invariants, the rest gated in
+    // DuckDB-expressible: vocab_sketch (HLL++ registers; accuracy gated
+    // in PipelineSpec), heavy_hitters_sketch (Misra–Gries partial-merge
+    // order; error bound gated in PipelineSpec), pack_sequences
+    // (partition-local greedy bin state; its relational contract is
+    // oracle-checked by pack_invariants, the rest gated in
     // PipelineSpec). Round 8 retired dedup_simhash, dedup_embedding,
     // ann_lsh, ann_ivf, ann_ivf_opened, ann_ivf_appended, ann_pq, and
-    // ann_ivfpq from this list via replicated-index / md5-derived twins.
+    // ann_ivfpq from this list via replicated-index / md5-derived
+    // twins; round 10 retired doc_fingerprint (md5 fingerprint family).
   )
 }

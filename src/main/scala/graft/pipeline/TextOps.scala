@@ -115,6 +115,16 @@ object TextOps {
       xxhash64(s, lit(0)).bitwiseAND(0xFFFFFFFFL).as("h1"),
       xxhash64(s, lit(1)).bitwiseAND(0xFFFFFFFFL).as("h2")))
 
+  /** Engine-portable (h1, h2): the two 32-bit halves of md5's leading
+    * 16 hex chars — same uint32 range as [[hashPairs]] so the KM family
+    * arithmetic is identical, but any engine with md5 re-derives the
+    * values bit-for-bit (the [[dedupEditPairs]] oracle replays the
+    * whole banded candidate stage this way; §planesCte discipline). */
+  def portableHashPairs(sh: Column): Column =
+    transform(sh, s => struct(
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("h2")))
+
   /** The KM modulus: 2³¹−1 (Mersenne prime). Small enough that the
     * ≤2³⁹ affine values wrap many times (see the family note above),
     * large enough that min-collisions stay negligible. Single source
@@ -195,7 +205,8 @@ object TextOps {
     * re-evaluates expression (not attribute) references per use —
     * unstaged, tokenization alone goes O(tokens²) and the signature is
     * recomputed per band (measured 100× total slowdown at 5k docs). */
-  private def lshStages(docs: DataFrame, numHashes: Int, bands: Int)
+  private def lshStages(docs: DataFrame, numHashes: Int, bands: Int,
+                        portable: Boolean = false)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val r = numHashes / bands
@@ -203,16 +214,25 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = toks.select(col("doc_id"), shinglesFromTokens(col("t")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hp = sh.select(col("doc_id"), hashPairs(col("sh")).as("hp"))
+    val hp = sh.select(col("doc_id"),
+        (if (portable) portableHashPairs(col("sh")) else hashPairs(col("sh"))).as("hp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = hp.select(col("doc_id"),
         signatureBest(docs.sparkSession, col("hp"), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sig
+    // band hash: xxhash64 (cheapest) by default; md5 of the
+    // comma-joined band slice when the oracle must replay the buckets
+    def bandHash(b: Column): Column =
+      if (portable) md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))
+      else xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)
+    // sig IS NULL = no shingles (sub-3-token doc): keep it out of the
+    // banded join EXPLICITLY — hash-of-null is a per-band constant in
+    // both families (md5("")/xxhash64(seed)), which would bucket every
+    // shingle-less doc together; the oracle replays "≥1 shingle only"
+    val banded = sig.where(col("sig").isNotNull)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("bh"))))
-          .as("bb"))
+          b => struct(b.as("band"), bandHash(b).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     (sh, banded, Seq(toks, sh, hp, sig, banded))
@@ -422,6 +442,13 @@ object TextOps {
   /** Rolling-hash document fingerprint (content-defined): xxhash64 of the
     * normalized text — cheap identity for exact-dup clustering at scale. */
   def fingerprint(text: Column): Column = xxhash64(normText(text))
+
+  /** Engine-portable fingerprint: md5 hex of the normalized text. Same
+    * identity contract as [[fingerprint]] but every engine computes the
+    * identical value (r10: this is the registered `doc_fingerprint`, so
+    * the driver hash-matches it instead of the rows-only fallback);
+    * xxhash64 stays the in-plan default where only Spark consumes it. */
+  def fingerprintPortable(text: Column): Column = md5(normText(text))
 
   /**
    * Per-document repetition signals — the Gopher-style quality filters
@@ -999,22 +1026,35 @@ object TextOps {
 
   /**
    * Near-dup pairs verified by EDIT similarity — the character-level
-   * twin of the Jaccard verify: candidates from the same banded
-   * MinHash-LSH front end, kept when 1 − lev∕max_len ≥ `threshold`.
-   * Levenshtein catches in-place edits (typos, entity substitutions)
-   * that token-set Jaccard smears, and both engines compute it as an
-   * EXACT INTEGER — so the filter is the cross-multiplied integer
-   * predicate lev·denom ≤ (1−threshold)·denom·max_len (for the 0.8
-   * default: 5·lev ≤ max_len), and the emitted columns are the raw
+   * twin of the Jaccard verify: candidates from the banded MinHash-LSH
+   * front end, kept when 1 − lev∕max_len ≥ `threshold`. Levenshtein
+   * catches in-place edits (typos, entity substitutions) that token-set
+   * Jaccard smears, and both engines compute it as an EXACT INTEGER —
+   * the filter is the cross-multiplied predicate
+   * 100·lev ≤ (100 − pct)·max_len (threshold as integer percent; for
+   * 0.8: 5·lev ≤ max_len), and the emitted columns are the raw
    * integers. No float enters the contract at all (§23 doctrine).
+   *
+   * CONTRACT (r10, closing the ADVICE divergence): the result is
+   * `banded-candidates ∩ edit-predicate`, NOT "all pairs satisfying the
+   * edit predicate" — the candidate metric (shingle Jaccard) and the
+   * verify metric (edit) are different, so the banded recall bound
+   * 1−(1−Jʳ)ᵇ applies to SHINGLE similarity only; a pair of scattered
+   * single-char edits can pass the edit bar yet break every 3-gram and
+   * never collide. To make that a checkable contract rather than a
+   * latent divergence, the candidate stage uses the PORTABLE md5
+   * signature family and the oracle replays the same bands bit-for-bit
+   * — both engines share the exact candidate relation by construction.
    *
    * Scale: O(len²) edit DP runs ONLY on LSH candidates — the verify
    * stage's cost profile, not the corpus's.
    */
   def dedupEditPairs(docs: DataFrame, threshold: Double = 0.8,
                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    require(threshold == 0.8, "the integer-exact predicate is derived for 0.8")
-    val (_, banded, caches) = lshStages(docs, numHashes, bands)
+    val pct = math.round(threshold * 100).toInt
+    require(pct > 0 && pct < 100 && pct / 100.0 == threshold,
+      "threshold must be an integer percent in (0, 1) for the exact predicate")
+    val (_, banded, caches) = lshStages(docs, numHashes, bands, portable = true)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1027,7 +1067,7 @@ object TextOps {
       .select(col("a"), col("b"),
         levenshtein(col("na"), col("nb")).cast("long").as("lev"),
         greatest(length(col("na")), length(col("nb"))).cast("long").as("max_len"))
-      .where(col("lev") * 5 <= col("max_len")) // 1 − lev/max ≥ 0.8, exactly
+      .where(col("lev") * 100 <= col("max_len") * (100 - pct)) // 1 − lev/max ≥ pct/100, exactly
     val res = out.localCheckpoint(true)
     caches.foreach(_.unpersist(false))
     res

