@@ -320,10 +320,16 @@ object EventStream {
     * of the true Jaccard (σ ≈ √(j(1−j)/k), ~0.03 at k=128) — rather
     * than exact shingle intersection: state then carries one fixed-width
     * signature per row instead of unbounded shingle sets, the choice
-    * that keeps join state bounded at 100 TB stream scale. Pairs
-    * arriving further apart than the watermark are structurally excluded
-    * by the time-range join condition (that bound is what lets Spark
-    * evict state). Emits one row per colliding band; the final
+    * that keeps join state bounded at 100 TB stream scale. The carried
+    * signature is TRUNCATED to 16 bits per component (r10, VERDICT
+    * state-size item): equal full components stay equal truncated, and
+    * an unequal pair falsely matches w.p. 2⁻¹⁶ — a jac_est bias of
+    * (1−j)·2⁻¹⁶ ≈ 10⁻⁵, invisible at round(3) — while join state drops
+    * from ~1 KB to ~0.3 KB per band row (~90 → ~10 KB per in-horizon
+    * doc with 32 bands; the full-width components never enter state).
+    * Pairs arriving further apart than the watermark are structurally
+    * excluded by the time-range join condition (that bound is what lets
+    * Spark evict state). Emits one row per colliding band; the final
     * `dropDuplicatesWithinWatermark` collapses them to one row per
     * (a, b) pair.
     *
@@ -343,11 +349,15 @@ object EventStream {
         .select(col("doc_id").as(side), col(tsCol).as(s"ts_$side"),
           TextOps.signatureBest(spark, TextOps.hashPairs(
             TextOps.shinglesFromTokens(TextOps.tokens(col("text")))),
-            numHashes).as(s"sig_$side"))
-        .select(col(side), col(s"ts_$side"), col(s"sig_$side"),
+            numHashes).as("sig_full"))
+        // band hashes from the FULL components; only the 16-bit
+        // truncation survives into join state (see the contract note)
+        .select(col(side), col(s"ts_$side"),
+          transform(col("sig_full"),
+            h => (h.bitwiseAND(0xFFFFL) - 32768L).cast("smallint")).as(s"sig_$side"),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
-              xxhash64(slice(col(s"sig_$side"), b * r + 1, lit(r)), b).as("bh"))))
+              xxhash64(slice(col("sig_full"), b * r + 1, lit(r)), b).as("bh"))))
             .as("bb"))
         .select(col(side), col(s"ts_$side"), col(s"sig_$side"),
           col("bb.band").as(s"band_$side"), col("bb.bh").as(s"bh_$side"))
