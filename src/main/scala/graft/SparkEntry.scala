@@ -42,6 +42,39 @@ object SparkEntry {
   private def vprop(s: Snapshot, key: String, t: PropType, alias: String): DataFrame =
     s.prop(key, t, A.Vertex).select(col("e"), col("v").as(alias))
 
+  /** The relational CONTRACT of the order-dependent BFD packing
+    * (VERDICT r7 #5), one row: every doc packed exactly once, token
+    * mass preserved, over-budget bins are EXACTLY the oversize
+    * singletons (BFD never overfills an open bin), and the bin count
+    * inside the BFD bound — ≤1 half-empty bin per shard means every
+    * other non-oversize bin carries more than budget/2 tokens, so
+    * bins − oversize ≤ shards + Σsmall/(budget/2+1). Shared by
+    * `pack_invariants` and `curation_pipeline_pack`. */
+  private def packInvariants(packed0: DataFrame, budget: Int,
+                             shards: Int = 8): DataFrame = {
+    val packed = packed0.localCheckpoint(true)
+    // coalesce: sums over an EMPTY packing must report 0, not null
+    // (an all-filtered upstream is a legal, checkable state)
+    val agg = packed.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+      coalesce(sum(col("total_tokens")), lit(0L)).as("total_tokens"),
+      coalesce(sum(when(col("total_tokens") > budget, 1L).otherwise(0L)), lit(0L))
+        .as("oversize_bins"),
+      coalesce(sum(when(col("total_tokens") > budget && col("n_docs") > 1, 1L)
+        .otherwise(0L)), lit(0L)).as("overfull_bins"),
+      count(lit(1)).as("n_bins"),
+      coalesce(sum(when(col("total_tokens") <= budget, col("total_tokens"))
+        .otherwise(0L)), lit(0L)).as("small_tokens"))
+    val distinctDocs = packed.select(explode(col("doc_ids")).as("doc_id"))
+      .agg(countDistinct(col("doc_id")).as("distinct_docs"))
+    agg.join(distinctDocs, lit(true))
+      .select(col("n_docs"), col("distinct_docs"), col("total_tokens"),
+        col("oversize_bins"), col("overfull_bins"),
+        (col("n_bins") - col("oversize_bins") <=
+          lit(shards) + floor(col("small_tokens") / lit(budget / 2 + 1)))
+          .as("bins_within_bound"))
+  }
+
   /** Memoized compacted / retained stores per (session, sf dir, cutoff)
     * — the deployment shape (ADVICE r6): compaction is a ONE-TIME
     * maintenance pass, billed as `build_compaction` in Bench like the
@@ -899,6 +932,21 @@ object SparkEntry {
       // per-stage survivor counts of the cleaning pipeline in ONE scan
       // (conditional aggregates over staged cumulative flags)
       TextOps.curationFunnel(docs(s, d))),
+    "curation_pipeline" -> ((s, d) =>
+      // the COMPOSED end-to-end chain: clean → decontaminate → domainMix
+      // → splitStratified as one DataFrame plan (stage relations feed
+      // the next stage; no driver round-trip) — the twin replays every
+      // stage's oracle CTE nested in sequence
+      TextOps.curationPipeline(docs(s, d))),
+    "curation_pipeline_pack" -> { (s, d) =>
+      // packSequences composed DOWNSTREAM of the full curation chain:
+      // pack the pipeline's train split and emit the provable BFD
+      // invariants (the pack_invariants contract over curated docs)
+      val trainDocs = docs(s, d).join(
+        TextOps.curationPipeline(docs(s, d))
+          .where(col("split") === "train").select(col("doc_id")), "doc_id")
+      packInvariants(TextOps.packSequences(trainDocs, budgetTokens = 512), 512)
+    },
 
     // ---- LLM-pipeline: similarity search ----
     "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),
@@ -1097,38 +1145,12 @@ object SparkEntry {
       // aggregates by pack_invariants below
       TextOps.packSequences(docs(s, d), budgetTokens = 512)
         .select(col("bin_id"), col("n_docs"), col("total_tokens"))),
-    "pack_invariants" -> { (s, d) =>
-      // the relational CONTRACT of the order-dependent BFD packing
-      // (VERDICT r7 #5), one row: every doc packed exactly once
-      // (n_docs == distinct_docs == |documents|), token mass preserved,
-      // over-budget bins are EXACTLY the oversize singletons (BFD never
-      // overfills an open bin), no multi-doc bin over budget, and the
-      // bin count inside the BFD bound — ≤1 half-empty bin per
-      // partition means every other non-oversize bin carries more than
-      // budget/2 tokens, so bins - oversize ≤ shards + Σsmall/(budget/2+1).
-      // The DuckDB twin re-derives all counts from the raw docs; the
-      // packing-dependent bound is emitted as a provable boolean.
-      val budget = 512
-      val packed = TextOps.packSequences(docs(s, d), budgetTokens = budget)
-        .localCheckpoint(true)
-      val agg = packed.agg(
-        sum(col("n_docs")).as("n_docs"),
-        sum(col("total_tokens")).as("total_tokens"),
-        sum(when(col("total_tokens") > budget, 1L).otherwise(0L)).as("oversize_bins"),
-        sum(when(col("total_tokens") > budget && col("n_docs") > 1, 1L).otherwise(0L))
-          .as("overfull_bins"),
-        count(lit(1)).as("n_bins"),
-        sum(when(col("total_tokens") <= budget, col("total_tokens")).otherwise(0L))
-          .as("small_tokens"))
-      val distinctDocs = packed.select(explode(col("doc_ids")).as("doc_id"))
-        .agg(countDistinct(col("doc_id")).as("distinct_docs"))
-      agg.join(distinctDocs, lit(true))
-        .select(col("n_docs"), col("distinct_docs"), col("total_tokens"),
-          col("oversize_bins"), col("overfull_bins"),
-          (col("n_bins") - col("oversize_bins") <=
-            lit(8) + floor(col("small_tokens") / lit(budget / 2 + 1)))
-            .as("bins_within_bound"))
-    },
+    "pack_invariants" -> ((s, d) =>
+      // BFD packing contract over the raw corpus (see packInvariants:
+      // coverage, token mass, oversize-singleton, bin-count bound); the
+      // twin re-derives all counts from the raw docs
+      packInvariants(
+        TextOps.packSequences(docs(s, d), budgetTokens = 512), 512)),
 
     // ---- event analytics: gap sessionization (same transform runs on a
     //      stream — EventStream.sessionize) ----
@@ -1252,6 +1274,42 @@ object SparkEntry {
     s"""SELECT user_id, event_type, value,
        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
        |FROM events WHERE ts <= TIMESTAMP '$t'""".stripMargin
+
+  /** The composed curation chain (clean → decontaminate → domainMix →
+    * splitStratified) as nested CTEs — each stage is its standalone
+    * oracle's SQL applied to the PREVIOUS stage's relation, replaying
+    * TextOps.curationPipeline end to end (13-gram decontamination, the
+    * production default — at sf1's eval-slice density 3-grams flag the
+    * ENTIRE corpus, a degenerate pipeline). Ends at `sp` (doc_id, lang,
+    * source, rk, n) and `ct` (doc_id, t = token list). */
+  private val curationGram13 = (0 until 13).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+  private val curationChainCte =
+    s"""cbase AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),
+      |cln AS (SELECT min(doc_id) AS doc_id FROM cbase
+      |  WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
+      |  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+      |cd AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d JOIN cln USING (doc_id)),
+      |ct AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM cd),
+      |csh AS (SELECT doc_id, CASE WHEN len(t) >= 13
+      |  THEN list_distinct([$curationGram13 for i in range(1, len(t) - 11)])
+      |  ELSE [] END AS s FROM ct),
+      |evt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |evg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 13
+      |  THEN list_distinct([$curationGram13 for i in range(1, len(t) - 11)])
+      |  ELSE [] END) AS gram FROM evt),
+      |hit AS (SELECT DISTINCT c.doc_id
+      |  FROM (SELECT doc_id, unnest(s) AS gram FROM csh) c JOIN evg USING (gram)),
+      |dec AS (SELECT cd.* FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+      |dm AS (SELECT doc_id FROM (SELECT doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM dec) WHERE rk <= 50),
+      |kept AS (SELECT dec.* FROM dec JOIN dm USING (doc_id)),
+      |sp AS (SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang, source) AS n
+      |  FROM kept)""".stripMargin
 
   private val shingleCte =
     """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
@@ -2216,6 +2274,31 @@ object SparkEntry {
         |UNION ALL SELECT '2_length', CAST(len_n AS BIGINT) FROM a
         |UNION ALL SELECT '3_quality', CAST(qual_n AS BIGINT) FROM a
         |UNION ALL SELECT '4_dedup', CAST(dedup_n AS BIGINT) FROM a""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH $curationChainCte
+         |SELECT CAST(sp.doc_id AS BIGINT) AS doc_id, sp.lang, sp.source,
+         |  CAST(sp.rk AS BIGINT) AS rk,
+         |  CASE WHEN sp.rk * 100 <= sp.n * 90 THEN 'train'
+         |       WHEN sp.rk * 100 <= sp.n * 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(len(ct.t) AS BIGINT) AS n_tokens
+         |FROM sp JOIN ct USING (doc_id)""".stripMargin,
+
+    // pack invariants over the PIPELINE's train split: counts re-derived
+    // from the curated relation; the packing-dependent bound is the
+    // provable TRUE (same contract as pack_invariants)
+    "curation_pipeline_pack" ->
+      s"""WITH $curationChainCte,
+         |tr AS (SELECT doc_id FROM sp WHERE rk * 100 <= n * 90),
+         |pt AS (SELECT len(ct.t) AS ntok FROM ct JOIN tr USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS distinct_docs,
+         |  CAST(coalesce(sum(ntok), 0) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) FILTER (WHERE ntok > 512) AS BIGINT) AS oversize_bins,
+         |  CAST(0 AS BIGINT) AS overfull_bins,
+         |  TRUE AS bins_within_bound
+         |FROM pt""".stripMargin,
 
     "event_drift" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c

@@ -1165,6 +1165,43 @@ object TextOps {
   }
 
   /**
+   * The composed END-TO-END curation chain (VERDICT r9 #7): hold out an
+   * eval slice → [[cleanCorpus]] (lang allowlist + length band + exact
+   * dedup) → [[decontaminate]] (drop training docs sharing any word
+   * `gramN`-gram with the eval slice) → [[domainMix]] (per-source quota
+   * by stable md5 priority) → [[splitStratified]] — one DataFrame chain,
+   * stage outputs feeding the next stage as relations (the only
+   * materializations are executor-side stage barriers, never a driver
+   * round-trip). Returns the doc-level curated table
+   * (doc_id, lang, source, rk, split, n_tokens), the input both to
+   * training-set export and to [[packSequences]] (see the registered
+   * `curation_pipeline_pack` invariants).
+   *
+   * Every stage keeps its own 100 TB shape through the composition:
+   * broadcast eval grams, hash-agg dedup, dimension-broadcast quota
+   * prune, per-stratum windows over quota-bounded survivors — composing
+   * them adds doc_id equi-joins only.
+   */
+  def curationPipeline(allDocs: DataFrame, langs: Seq[String] = Seq("en", "de"),
+                       minChars: Long = 100L, maxChars: Long = 2000L,
+                       evalMod: Int = 25, gramN: Int = 13,
+                       quota: Int = 50): DataFrame = {
+    val train = allDocs.where(col("doc_id") % evalMod =!= 0)
+    val evalSet = allDocs.where(col("doc_id") % evalMod === 0)
+    val cleaned = allDocs.join(
+      cleanCorpus(train, langs, minChars, maxChars), "doc_id")
+    val decon = cleaned.join(
+      decontaminate(cleaned, evalSet, gramN), Seq("doc_id"), "left_anti")
+    val kept = decon.join(
+      domainMix(decon, quota).select(col("doc_id")), "doc_id")
+    splitStratified(kept, 90, 5)
+      .join(kept.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"),
+        col("split"), col("n_tokens"))
+  }
+
+  /**
    * BM25 relevance of every document against a fixed query-term set —
    * the retrieval-quality scorer a curation pipeline runs to mine
    * topic-focused subsets. Robertson idf
