@@ -65,6 +65,9 @@ object Bench {
     }
     build("build_ivf") {
       pipeline.VectorOps.IvfCache.index(spark, sfDir).indexed.count()
+      // the dedup-scaled clustering (k = max(16, N/32)) is an index
+      // build like the others; dedup_semantic measures the verify join
+      pipeline.VectorOps.IvfCache.dedupIndex(spark, sfDir).indexed.count()
       // the opened twin: save + reopen billed here too, so ann_ivf_opened
       // measures SEARCH over the reopened index, not index I/O
       pipeline.VectorOps.IvfCache.opened(spark, sfDir).indexed.count()

@@ -121,9 +121,12 @@ object TextOps {
     * values bit-for-bit (the [[dedupEditPairs]] oracle replays the
     * whole banded candidate stage this way; §planesCte discipline). */
   def portableHashPairs(sh: Column): Column =
-    transform(sh, s => struct(
-      conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("h2")))
+    // inner transform stages each md5 ONCE (expression references are
+    // re-evaluated per use inside lambda bodies — the shinglesFromTokens
+    // lesson); the outer lambda then slices the staged hex
+    transform(transform(sh, s => md5(s)), m => struct(
+      conv(substring(m, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(m, 9, 8), 16, 10).cast("long").as("h2")))
 
   /** The KM modulus: 2³¹−1 (Mersenne prime). Small enough that the
     * ≤2³⁹ affine values wrap many times (see the family note above),

@@ -462,7 +462,16 @@ object VectorOps {
       * SemDeDup within-cell verify stays Σ|cell|² ≈ N·target, i.e.
       * LINEAR in N, instead of N²∕16 at a pinned k (the r9 `weak`).
       * The search indexes keep their recall-gated k=16; dedup gets its
-      * own clustering because its scale contract is different. */
+      * own clustering because its scale contract is different.
+      *
+      * Cost honesty: flat nearest-centroid ASSIGNMENT is O(N·k) =
+      * O(N²∕target) — the standard flat-k-means trade, damped here by
+      * the ÷5 training sample and the broadcast map-side fold. The
+      * verify join (the per-QUERY cost) is what this k makes linear;
+      * past ~10⁷ vectors the build should swap in a hierarchical
+      * coarse quantizer (two-level k-means: √k then √k within — same
+      * cell contract, O(N·√k) assignment), which composes without
+      * touching [[semanticDedupPairs]]. */
     private val dedupCache =
       new LruMemo[(org.apache.spark.sql.SparkSession, String), IvfIndex](
         MaxCachedIndexes, _.indexed.unpersist(false))
