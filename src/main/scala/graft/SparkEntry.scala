@@ -176,6 +176,17 @@ object SparkEntry {
     "scan_edges" -> ((s, d) =>
       TpchGraph.snapshot(s, d).edges.select(col("id"), col("label"), col("outV"), col("inV"))),
 
+    "sql_serving" -> { (s, d) =>
+      // the serving layer (Rexster analog): snapshot relations published
+      // to the session catalog, then queried with PLAIN SQL across two
+      // views — what a Thrift/Connect client would run
+      graft.serve.GraftViews.register(TpchGraph.snapshot(s, d))
+      s.sql("""SELECT e.label, count(*) AS n_edges,
+               |  count(DISTINCT v.id) AS n_src
+               |FROM graft_edges e JOIN graft_vertices v ON v.id = e.outV
+               |GROUP BY e.label""".stripMargin)
+    },
+
     "lookup_vertex" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
       val cid = VCustomer + 42L
@@ -1636,6 +1647,12 @@ object SparkEntry {
     "scan_vertices" -> vertexUnion,
 
     "scan_edges" -> edgeUnion,
+
+    "sql_serving" ->
+      s"""WITH edges AS ($edgeUnion)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(count(DISTINCT outV) AS BIGINT) AS n_src
+         |FROM edges GROUP BY label""".stripMargin,
 
     "out_edges_labeled" ->
       """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
