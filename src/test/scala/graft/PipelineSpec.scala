@@ -1166,6 +1166,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L).forall(v => r((v, 1L)) == 0.0))
   }
 
+  test("standardize: z-scores are summation-order-independent (the r9 driver-FAIL property)") {
+    import spark.implicits._
+    // §27 doctrine: test the PROPERTY directly, not just output equality.
+    // Awkward float values (many fractional bits) under 1 vs 32 input
+    // partitions — float-μ/σ would differ in last ulps across partition
+    // layouts; the integer-sum contract must be bit-identical.
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (math.sin(i * 31 + j) * 0.7).toFloat))
+    }
+    def z(parts: Int): Map[(Long, Long), Double] =
+      VectorOps.standardize(rows.toDF("vec_id", "embedding").repartition(parts))
+        .collect()
+        .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("i")) -> x.getAs[Double]("z"))
+        .toMap
+    val one = z(1)
+    val many = z(32)
+    assert(one.size == 1600)
+    // bit-for-bit, not approximate: the whole point of the contract
+    assert(one.forall { case (k, v) =>
+      java.lang.Double.doubleToLongBits(many(k)) == java.lang.Double.doubleToLongBits(v)
+    })
+  }
+
   test("mmrRerank: diversity beats redundancy; greedy order is deterministic") {
     import spark.implicits._
     // q on the x-axis; a and c symmetric around it (equal relevance, a
