@@ -1035,10 +1035,10 @@ object SparkEntry {
     },
     "dedup_semantic" -> ((s, d) =>
       // SemDeDup shape: IVF cells ARE the dedup clustering — exact
-      // cosine verify only within a cell. k scales with the corpus
-      // (k = max(16, N/32)) so Σ|cell|² ≈ 32·N stays LINEAR in N —
-      // the r9-registered pinned k=16 was N²/16 by construction. The
-      // twin replays the same k-derivation and k-means chain.
+      // cosine verify only within a cell. k = max(16, ⌈√N⌉) balances
+      // verify (Σ|cell|² ≈ N·√N) against the flat build (N·k = N·√N) —
+      // both O(N^1.5), vs N²/16 verify at the r9 pinned k=16. The twin
+      // replays the same k-derivation and k-means chain.
       VectorOps.semanticDedupPairs(VectorOps.IvfCache.dedupIndex(s, d), 0.45)),
     "rp_project" -> ((s, d) =>
       // Johnson–Lindenstrauss 64→16 with the md5-derived ±1 matrix —
@@ -2536,11 +2536,12 @@ object SparkEntry {
 
     // SemDeDup twin: the SAME replicated k-means chain as ann_ivf gives
     // the cell assignment — but with the dedup k-derivation
-    // k = max(16, ⌊N/32⌋) replayed, so the registered contract is the
-    // scale-linear one; the verify stage is a plain within-cell
-    // cosine predicate — both halves of the contract oracle-checked.
+    // k = max(16, ⌈√N⌉) replayed (IEEE sqrt/ceil are correctly rounded,
+    // so both engines derive the same k), making the registered
+    // contract the O(N^1.5)-balanced one; the verify stage is a plain
+    // within-cell cosine predicate — both halves oracle-checked.
     "dedup_semantic" ->
-      s"""WITH ${ivfChainCte("TRUE", "greatest(16, n // 32)")}
+      s"""WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))")}
          |SELECT CAST(a.nb AS BIGINT) AS a, CAST(b.nb AS BIGINT) AS b,
          |  CAST(a.cell AS BIGINT) AS cell,
          |  round(list_cosine_similarity(a.nbv, b.nbv), 4) AS sim

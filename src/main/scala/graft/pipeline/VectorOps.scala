@@ -458,20 +458,17 @@ object VectorOps {
     private[graft] def openedCachedCount: Int = openedCache.size
 
     /** Memoized DEDUP-SCALED index: same build chain, but k grows with
-      * the corpus — k = max(16, ⌊N∕[[DedupCellTarget]]⌋) — so the
-      * SemDeDup within-cell verify stays Σ|cell|² ≈ N·target, i.e.
-      * LINEAR in N, instead of N²∕16 at a pinned k (the r9 `weak`).
+      * the corpus — k = max(16, ⌈√N⌉) — so NEITHER side of the SemDeDup
+      * cost is quadratic: the within-cell verify is Σ|cell|² ≈ N·√N and
+      * the flat nearest-centroid build is N·k = N·√N — both O(N^1.5),
+      * the balanced point (verify ∝ N·(N∕k), build ∝ N·k ⇒ k = √N
+      * minimizes the sum), vs N²∕16 verify at the r9 pinned k=16 and
+      * N²∕32 build at a fixed-cell-target k (measured 1173 s at sf5).
       * The search indexes keep their recall-gated k=16; dedup gets its
-      * own clustering because its scale contract is different.
-      *
-      * Cost honesty: flat nearest-centroid ASSIGNMENT is O(N·k) =
-      * O(N²∕target) — the standard flat-k-means trade, damped here by
-      * the ÷5 training sample and the broadcast map-side fold. The
-      * verify join (the per-QUERY cost) is what this k makes linear;
-      * past ~10⁷ vectors the build should swap in a hierarchical
-      * coarse quantizer (two-level k-means: √k then √k within — same
-      * cell contract, O(N·√k) assignment), which composes without
-      * touching [[semanticDedupPairs]]. */
+      * own clustering because its scale contract is different. Past
+      * ~10⁸ vectors swap in a hierarchical coarse quantizer (two-level
+      * k-means, O(N·√k) assignment) — composes without touching
+      * [[semanticDedupPairs]]. */
     private val dedupCache =
       new LruMemo[(org.apache.spark.sql.SparkSession, String), IvfIndex](
         MaxCachedIndexes, _.indexed.unpersist(false))
@@ -482,12 +479,11 @@ object VectorOps {
       }
   }
 
-  /** Target mean cell population for the dedup-scaled IVF clustering. */
-  val DedupCellTarget = 32L
-
-  /** k for [[IvfCache.dedupIndex]]: ⌊N∕[[DedupCellTarget]]⌋, floored at
-    * 16 so tiny corpora keep a meaningful clustering. */
-  def dedupK(n: Long): Int = math.max(16L, n / DedupCellTarget).toInt
+  /** k for [[IvfCache.dedupIndex]]: ⌈√N⌉, floored at 16 so tiny corpora
+    * keep a meaningful clustering. IEEE sqrt/ceil are correctly rounded,
+    * so any engine replays the same k from the same N. */
+  def dedupK(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
   /** Incrementally extend a trained index with an appended vector batch —
     * the daily-append shape a real pipeline needs: new rows are assigned

@@ -33,6 +33,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "ann_ivf_recall", "ann_ivfpq_recall",
       // joins two single-row aggregates (bin stats × distinct-doc count)
       "pack_invariants",
+      // the same single-row × single-row invariant join, downstream of
+      // the composed curation chain
+      "curation_pipeline_pack",
       // same k-row centroid broadcast as ann_ivf (the IVF assignment
       // inside the memoized index build); the pair join itself is equi
       "dedup_semantic",
