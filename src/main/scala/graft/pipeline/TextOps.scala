@@ -1193,13 +1193,23 @@ object TextOps {
     val evalSet = allDocs.where(col("doc_id") % evalMod === 0)
     val cleaned = allDocs.join(
       cleanCorpus(train, langs, minChars, maxChars), "doc_id")
+    // stage barriers: domainMix references its input several times
+    // (priority, per-source counts, exactness check, fallback) and the
+    // split output is consumed twice — without the executor-side
+    // checkpoints each reference RE-EXPANDS the whole upstream chain
+    // (plan-probed: ~12 corpus scans at r10; 3 with the barriers)
     val decon = cleaned.join(
       decontaminate(cleaned, evalSet, gramN), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val kept = decon.join(
       domainMix(decon, quota).select(col("doc_id")), "doc_id")
+      .localCheckpoint(true)
+    // kept is quota-bounded (≤ sources × quota rows) BY CONSTRUCTION —
+    // broadcast the token-count side instead of letting the checkpoint's
+    // unknown stats default to a sort-merge join
     splitStratified(kept, 90, 5)
-      .join(kept.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .join(broadcast(kept.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))), "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("rk"),
         col("split"), col("n_tokens"))
   }
