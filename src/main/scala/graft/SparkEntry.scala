@@ -183,7 +183,7 @@ object SparkEntry {
       graft.serve.GraftViews.register(TpchGraph.snapshot(s, d))
       s.sql("""SELECT e.label, count(*) AS n_edges,
                |  count(DISTINCT v.id) AS n_src
-               |FROM graft_edges e JOIN graft_vertices v ON v.id = e.outV
+               |FROM graft_edges e JOIN graft_vertex_ids v ON v.id = e.outV
                |GROUP BY e.label""".stripMargin)
     },
 

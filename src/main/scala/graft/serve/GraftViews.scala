@@ -30,12 +30,16 @@ object GraftViews {
 
   /** Register the snapshot's relations as `<prefix>_*` temp views;
     * returns the registered names. Views: vertices (id, props map),
+    * vertex_ids (id only — the NARROW navigation view: joins that only
+    * need existence/ids must not pay the props-map pivot; Spark has no
+    * left-join elimination to prune it out of `vertices` per query),
     * edges (id, label, outV, inV), facts (live latest-wins facts),
     * history (all facts ≤ the snapshot's tx), vertex_props/edge_props
     * (long-form typed property facts). */
   def register(snap: Snapshot, prefix: String = "graft"): Seq[String] = {
     val views: Seq[(String, DataFrame)] = Seq(
       s"${prefix}_vertices" -> snap.vertices,
+      s"${prefix}_vertex_ids" -> snap.vertexIds,
       s"${prefix}_edges" -> snap.edges,
       s"${prefix}_facts" -> snap.currentFacts,
       s"${prefix}_history" -> snap.history,
