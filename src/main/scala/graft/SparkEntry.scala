@@ -1438,7 +1438,8 @@ object SparkEntry {
        |        ORDER BY ${l2sqSql("a.sv", "b.cv")} ASC, b.code) AS rn
        |    FROM allsub a JOIN b3 b USING (sub)) WHERE rn = 1),
        |qsub AS (SELECT vec_id AS qid, sub, sv FROM allsub WHERE vec_id < 10),
-       |wtab AS (SELECT q.qid, q.sub, b.code, ${dotSql("q.sv", "b.cv")} AS w
+       |wtab AS (SELECT q.qid, q.sub, b.code,
+       |    CAST(floor(${dotSql("q.sv", "b.cv")} * 1099511627776 + 0.5) AS BIGINT) AS w
        |    FROM qsub q JOIN b3 b USING (sub))""".stripMargin
   }
 

@@ -31,6 +31,16 @@ object VectorOps {
     * group, where the `row_number` window fallback would funnel every
     * candidate of the group through one reducer sort. Both paths emit
     * the identical (group, id, score) set in the identical rank order. */
+  /** ADC lookup weights quantized onto the 2⁻⁴⁰ grid as EXACT longs
+    * (the §28 float doctrine applied to the PQ shortlist): per-candidate
+    * ADC totals become integer sums — independent of row order in either
+    * engine — so the rank-`shortlist` cut between ulp-close candidates
+    * (e.g. duplicate vectors, the sf1 ann_ivfpq catch) is deterministic.
+    * ×2⁴⁰ is an exponent shift, exact for |w| ≤ 1; Σ over 8 subspaces
+    * ≤ 2⁴³ — exact in Long and in the double graft_topk casts to. */
+  private[graft] def adcWeight(w: Double): Long =
+    math.floor(w * 1099511627776d + 0.5d).toLong
+
   private[graft] def groupedTopK(df: DataFrame, group: String, id: String,
                                  score: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -586,7 +596,7 @@ object VectorOps {
       cb.books.zipWithIndex.flatMap { case (bk, j) =>
         val qj = q.slice(j * cb.subDim, (j + 1) * cb.subDim)
         bk.zipWithIndex.map { case (c, code) =>
-          (qid, j, code, qj.zip(c).map { case (a, b) => a * b }.sum)
+          (qid, j, code, adcWeight(qj.zip(c).map { case (a, b) => a * b }.sum))
         }
       }
     }.toSeq.toDF("qid", "sub", "code", "w"))
@@ -826,7 +836,7 @@ object VectorOps {
       cb.books.zipWithIndex.flatMap { case (bk, j) =>
         val qj = q.slice(j * cb.subDim, (j + 1) * cb.subDim)
         bk.zipWithIndex.map { case (c, code) =>
-          (qid, j, code, qj.zip(c).map { case (a, b) => a * b }.sum)
+          (qid, j, code, adcWeight(qj.zip(c).map { case (a, b) => a * b }.sum))
         }
       }
     }.toSeq.toDF("qid", "sub", "code", "w"))
