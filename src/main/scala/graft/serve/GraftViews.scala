@@ -55,4 +55,31 @@ object GraftViews {
   def registerAsOf(snap: Snapshot, tx: Long,
                    prefix: String = "graft_asof"): Seq[String] =
     register(snap.asOfTxId(tx), prefix)
+
+  /** Register the same surface as GLOBAL temp views
+    * (`global_temp.<prefix>_*`). Plain temp views are session-scoped,
+    * and every multi-session endpoint — Spark Connect, the Thrift
+    * JDBC/ODBC server — hands each remote client its OWN isolated
+    * session, so the session-scoped surface would be invisible over
+    * the wire. Global temp views live in the shared `global_temp`
+    * database and are the cross-session serving surface; they are
+    * still definitions (re-planned per query), not copies. */
+  def registerGlobal(snap: Snapshot, prefix: String = "graft"): Seq[String] = {
+    val views: Seq[(String, DataFrame)] = Seq(
+      s"${prefix}_vertices" -> snap.vertices,
+      s"${prefix}_vertex_ids" -> snap.vertexIds,
+      s"${prefix}_edges" -> snap.edges,
+      s"${prefix}_facts" -> snap.currentFacts,
+      s"${prefix}_history" -> snap.history,
+      s"${prefix}_vertex_props" -> snap.propFacts(A.Vertex),
+      s"${prefix}_edge_props" -> snap.propFacts(A.Edge))
+    views.foreach { case (name, df) => df.createOrReplaceGlobalTempView(name) }
+    views.map { case (name, _) => s"global_temp.$name" }
+  }
+
+  /** Global variant of [[registerAsOf]]: a pinned historical checkpoint
+    * published beside the head for every remote session. */
+  def registerGlobalAsOf(snap: Snapshot, tx: Long,
+                         prefix: String = "graft_asof"): Seq[String] =
+    registerGlobal(snap.asOfTxId(tx), prefix)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraftGraph
+import graft.serve.{GraftConnectServer, GraftViews}
+import graft.snapshot.Snapshot
+
+/** End-to-end remote serving over Spark Connect (the wire-protocol
+  * Rexster analog): a thin client session talks gRPC + Arrow to the
+  * in-process Connect service and must see the published global views
+  * — including a pinned asOf checkpoint — with answers identical to
+  * the local DataFrame API. Connect hands every client an ISOLATED
+  * server-side session, so this also proves the global_temp surface is
+  * the right scope (plain temp views would be invisible remotely). */
+class ServeConnectSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val port = 15212
+
+  test("thin client queries the published graph over gRPC") {
+    val g = new GraftGraph(spark)
+    val a = g.addVertex(); a.setProperty("name", "a")
+    val b = g.addVertex(); b.setProperty("name", "b")
+    val c = g.addVertex(); c.setProperty("name", "c")
+    g.addEdge(a, b, "knows"); g.addEdge(a, c, "knows")
+    val txBefore = g.log.headTx
+    g.addEdge(b, c, "likes")
+    val snap = Snapshot.head(g.log)
+
+    val names = GraftViews.registerGlobal(snap, "wire")
+    assert(names.contains("global_temp.wire_edges"))
+    GraftViews.registerGlobalAsOf(snap, txBefore, "wire_past")
+
+    GraftConnectServer.start(spark, port)
+    val remote = GraftConnectServer.client(port)
+    try {
+      // the client session is NOT the server session: server-side state
+      // is isolated per client, which is exactly why the surface is
+      // global_temp
+      val byLabel = remote.sql(
+        "SELECT label, count(*) AS n FROM global_temp.wire_edges GROUP BY label")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byLabel == Map("knows" -> 2L, "likes" -> 1L))
+
+      // cross-view join with map access arrives intact through Arrow
+      val out = remote.sql(
+        """SELECT v.props['name'] AS src, count(*) AS n
+          |FROM global_temp.wire_edges e
+          |JOIN global_temp.wire_vertices v ON v.id = e.outV
+          |GROUP BY v.props['name']""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("a" -> 2L, "b" -> 1L))
+
+      // remote time travel: head and pinned checkpoint in one statement
+      val newLabels = remote.sql(
+        """SELECT h.label FROM global_temp.wire_edges h
+          |LEFT ANTI JOIN global_temp.wire_past_edges p ON p.id = h.id""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(newLabels == Seq("likes"))
+
+      // remote answers == local answers on the same view text
+      val local = spark.sql(
+        "SELECT count(*) FROM global_temp.wire_edges").head().getLong(0)
+      val wire = remote.sql(
+        "SELECT count(*) FROM global_temp.wire_edges").head().getLong(0)
+      assert(local == wire && wire == 3L)
+    } finally {
+      try remote.close() catch { case _: Throwable => () }
+      GraftConnectServer.stop()
+    }
+  }
+}
