@@ -1099,6 +1099,11 @@ object SparkEntry {
     "split_assign" -> ((s, d) =>
       TextOps.splitAssign(docs(s, d), "doc_id")
         .select(col("doc_id"), col("bucket"), col("split"))),
+    "split_leakage_safe" -> ((s, d) =>
+      // near-dup-aware split: hash by CLUSTER so a doc and its 0.9-Jaccard
+      // copy always share a side; oracle replays the CC closure + the
+      // same integer bucket arithmetic on cluster_id
+      TextOps.splitLeakageSafe(docs(s, d), 0.8)),
     "chunk_docs" -> ((s, d) => TextOps.chunkDocs(docs(s, d))),
     "quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(emb(s, d))),
 
@@ -1111,6 +1116,15 @@ object SparkEntry {
       TextOps.decontaminate(
         ds.where(col("doc_id") % 25 =!= 0),
         ds.where(col("doc_id") % 25 === 0), n = 3)
+    },
+    "decontaminate_semantic" -> { (s, d) =>
+      // the semantic complement of the n-gram check: flag training
+      // vectors whose max cosine vs the eval embedding set (vec_id < 16)
+      // crosses 0.35 — catches paraphrased leakage no 13-gram sees.
+      // Zero-shuffle projection: eval rides in the plan as a literal
+      val e = emb(s, d)
+      VectorOps.decontaminateSemantic(
+        e.where(col("vec_id") >= 16), e.where(col("vec_id") < 16), 0.35)
     },
     "decontaminate_bloom" -> { (s, d) =>
       // the 100 TB decontamination shape: Bloom prefilter (built by
@@ -2717,6 +2731,33 @@ object SparkEntry {
         |        CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
         |      FROM documents)""".stripMargin,
 
+    // the dedup_clusters closure + split_assign's integer bucket
+    // arithmetic keyed on cluster_id: every cluster member inherits one
+    // split (quadratic exact-pair twin — sf0.01-gate class, like
+    // dedup_clusters)
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |clust AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
+         |asg AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |               COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         |        FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id, keep,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT *,
+         |        (((cluster_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket
+         |      FROM asg)""".stripMargin,
+
     "chunk_docs" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents)
         |SELECT doc_id, i AS chunk_id, array_to_string(t[(i*40+1):(i*40+50)], ' ') AS chunk,
@@ -2737,6 +2778,18 @@ object SparkEntry {
         |tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0)
         |SELECT CAST(tr.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
+
+    // max over eval cosines per train vector; each pairwise cosine is the
+    // same left-to-right double fold in both engines (the ann_topk-proven
+    // list_cosine_similarity twin) and max commutes exactly
+    "decontaminate_semantic" ->
+      """WITH ev AS (SELECT embedding::DOUBLE[] AS x FROM embeddings WHERE vec_id < 16),
+        |tr AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings WHERE vec_id >= 16),
+        |s AS (SELECT t.vec_id, max(list_cosine_similarity(t.x, e.x)) AS m
+        |      FROM tr t CROSS JOIN ev e GROUP BY t.vec_id)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, round(m, 4) AS max_sim,
+        |       m >= 0.35 AS contaminated
+        |FROM s""".stripMargin,
 
     // the bloom-prefiltered path verifies exactly, so its contract — and
     // its twin — is decontaminate's

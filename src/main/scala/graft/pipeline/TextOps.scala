@@ -546,6 +546,25 @@ object TextOps {
   }
 
   /**
+   * Leakage-safe split: hash-split by NEAR-DUP CLUSTER instead of by
+   * document, so two near-duplicate documents can never land on opposite
+   * sides of a train/test boundary (the classic eval-leakage bug a plain
+   * per-doc split has by construction — a doc and its 0.9-Jaccard copy
+   * are independent coin flips there). Composition: [[dedupClusters]]
+   * (LSH pairs → connected components → cluster_id = min doc_id) then
+   * [[splitAssign]] keyed on `cluster_id` — every member inherits its
+   * cluster's split. Singletons hash as themselves, so on a dup-free
+   * corpus this degrades to exactly `splitAssign`. Scale shape is the
+   * sum of its parts: banded candidate join + CC over the tiny pair
+   * graph + one projection; the corpus never shuffles for the split
+   * itself. Returns (doc_id, cluster_id, keep, split).
+   */
+  def splitLeakageSafe(docs: DataFrame, threshold: Double = 0.8,
+                       trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    splitAssign(dedupClusters(docs, threshold), "cluster_id", trainPct, valPct)
+      .select(col("doc_id"), col("cluster_id"), col("keep"), col("split"))
+
+  /**
    * Fixed-size token chunking with stride (overlap = chunkTokens −
    * stride): the sequence-packing step before tokenizer/embedding stages.
    * Emits (doc_id, chunk_id, chunk, n_chunk_tokens) — one row per window

@@ -230,6 +230,43 @@ object VectorOps {
   }
 
   /**
+   * Embedding-space decontamination: score every corpus vector by its
+   * max cosine against an EVAL embedding set and flag those at or above
+   * `threshold` — the semantic complement of the n-gram overlap check
+   * (TextOps.decontaminate catches verbatim/near-verbatim leakage; this
+   * catches paraphrased eval material that shares no 13-gram).
+   *
+   * Shape for 100 TB: eval sets are small by nature, so the eval
+   * vectors ride INSIDE the plan as one literal array (bounded driver
+   * collect, same class as ANN query batches) and the whole operator is
+   * a PROJECTION + filter — no join, no shuffle, no agg exchange; each
+   * corpus partition streams once computing m cosines per row. `max`
+   * commutes exactly (no float-order hazard — the §28/§31 doctrine
+   * needs no quantization here), and each pairwise cosine is one fixed
+   * left-to-right fold identical in both engines.
+   *
+   * Returns (vec_id, max_sim, contaminated) for every corpus vector;
+   * callers keep `!contaminated`.
+   */
+  def decontaminateSemantic(corpus: DataFrame, eval: DataFrame,
+                            threshold: Double, maxEval: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalVecs: Seq[Seq[Double]] = eval
+      .select(dvec(col("embedding")).as("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(evalVecs.nonEmpty && evalVecs.size <= maxEval,
+      s"eval set must be 1..$maxEval vectors (got ${evalVecs.size}) — " +
+        "an unbounded 'eval' side means the operator is being misused as a join")
+    val ev = typedlit(evalVecs)
+    corpus.select(col("vec_id"), dvec(col("embedding")).as("x"))
+      .withColumn("max_sim",
+        aggregate(ev, lit(-1d), (acc, e) => greatest(acc, cosineBest(spark, col("x"), e))))
+      .select(col("vec_id"),
+        round(col("max_sim"), 4).as("max_sim"),
+        (col("max_sim") >= threshold).as("contaminated"))
+  }
+
+  /**
    * IVF (inverted-file) ANN — the general-purpose path (the dedup-regime
    * alternative is [[lshTopK]]): a coarse k-means quantizer (trained on a
    * deterministic sample, driver-coordinated over tiny k×dims centroid

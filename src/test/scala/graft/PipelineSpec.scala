@@ -1238,4 +1238,44 @@ class PipelineSpec extends AnyFunSuite {
       s"JL max distortion ${if (deltas.isEmpty) -1 else deltas.max}")
     assert(deltas.sum / deltas.length < 0.22, s"JL mean distortion ${deltas.sum / deltas.length}")
   }
+
+  test("decontaminateSemantic: paraphrase-close vectors flagged, orthogonal clean; zero-shuffle plan") {
+    val evalE = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // cos ≈ 0.995 vs eval — leaked paraphrase
+      (2L, Seq(0f, 1f, 0f, 0f)),       // orthogonal — clean
+      (3L, Seq(-1f, 0f, 0f, 0f)))      // anti-parallel — clean (cos = -1)
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.decontaminateSemantic(corpus, evalE, 0.9)
+    // the operator must be a pure projection: eval rides in the plan as a
+    // literal, so NO exchange of any kind may appear
+    assert(!r.queryExecution.executedPlan.toString.contains("Exchange"),
+      r.queryExecution.executedPlan.toString)
+    val m = r.collect().map(x => x.getAs[Long]("vec_id") ->
+      ((x.getAs[Double]("max_sim"), x.getAs[Boolean]("contaminated")))).toMap
+    assert(m(1L)._2 && m(1L)._1 > 0.99)
+    assert(!m(2L)._2 && m(2L)._1 == 0.0)
+    assert(!m(3L)._2 && m(3L)._1 == -1.0)
+  }
+
+  test("splitLeakageSafe: near-dup cluster members always share a split") {
+    // doc 1 hashes to 'train' and doc 11 to 'test' under the per-doc
+    // split — the planted leakage: a near-dup pair straddling the
+    // train/test boundary. Cluster-keyed hashing must heal it.
+    val base = (1 to 50).map(i => s"tok$i")
+    val d = Seq(
+      (1L, base.mkString(" ")),
+      (11L, base.updated(9, "xx").mkString(" ")),
+      (99L, "completely different text about nothing else entirely"))
+      .toDF("doc_id", "text")
+    val perDoc = TextOps.splitAssign(d, "doc_id").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
+    assert(perDoc(1L) == "train" && perDoc(11L) == "test") // the leak exists
+    val r = TextOps.splitLeakageSafe(d, 0.8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("cluster_id"), x.getAs[Boolean]("keep"), x.getAs[String]("split")))).toMap
+    assert(r(1L) == ((1L, true, "train")))
+    assert(r(11L) == ((1L, false, "train"))) // healed: inherits cluster 1's split
+    assert(r(99L)._3 == perDoc(99L))         // singleton == plain splitAssign
+  }
 }
