@@ -251,11 +251,14 @@ object VectorOps {
   def decontaminateSemantic(corpus: DataFrame, eval: DataFrame,
                             threshold: Double, maxEval: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
+    // limit BEFORE collect: the guard must fire without materializing an
+    // unbounded eval side on the driver (limit(maxEval+1) caps the fetch;
+    // one extra row is enough to prove the bound was exceeded)
     val evalVecs: Seq[Seq[Double]] = eval
-      .select(dvec(col("embedding")).as("v")).collect()
+      .select(dvec(col("embedding")).as("v")).limit(maxEval + 1).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     require(evalVecs.nonEmpty && evalVecs.size <= maxEval,
-      s"eval set must be 1..$maxEval vectors (got ${evalVecs.size}) — " +
+      s"eval set must be 1..$maxEval vectors — " +
         "an unbounded 'eval' side means the operator is being misused as a join")
     val ev = typedlit(evalVecs)
     corpus.select(col("vec_id"), dvec(col("embedding")).as("x"))

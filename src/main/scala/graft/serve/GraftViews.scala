@@ -36,8 +36,10 @@ object GraftViews {
     * edges (id, label, outV, inV), facts (live latest-wins facts),
     * history (all facts ≤ the snapshot's tx), vertex_props/edge_props
     * (long-form typed property facts). */
-  def register(snap: Snapshot, prefix: String = "graft"): Seq[String] = {
-    val views: Seq[(String, DataFrame)] = Seq(
+  /** The one list of served relations — both registrars consume it, so
+    * the local and remote (global_temp) surfaces cannot diverge. */
+  private def viewDefs(snap: Snapshot, prefix: String): Seq[(String, DataFrame)] =
+    Seq(
       s"${prefix}_vertices" -> snap.vertices,
       s"${prefix}_vertex_ids" -> snap.vertexIds,
       s"${prefix}_edges" -> snap.edges,
@@ -45,6 +47,9 @@ object GraftViews {
       s"${prefix}_history" -> snap.history,
       s"${prefix}_vertex_props" -> snap.propFacts(A.Vertex),
       s"${prefix}_edge_props" -> snap.propFacts(A.Edge))
+
+  def register(snap: Snapshot, prefix: String = "graft"): Seq[String] = {
+    val views = viewDefs(snap, prefix)
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     views.map(_._1)
   }
@@ -65,14 +70,7 @@ object GraftViews {
     * database and are the cross-session serving surface; they are
     * still definitions (re-planned per query), not copies. */
   def registerGlobal(snap: Snapshot, prefix: String = "graft"): Seq[String] = {
-    val views: Seq[(String, DataFrame)] = Seq(
-      s"${prefix}_vertices" -> snap.vertices,
-      s"${prefix}_vertex_ids" -> snap.vertexIds,
-      s"${prefix}_edges" -> snap.edges,
-      s"${prefix}_facts" -> snap.currentFacts,
-      s"${prefix}_history" -> snap.history,
-      s"${prefix}_vertex_props" -> snap.propFacts(A.Vertex),
-      s"${prefix}_edge_props" -> snap.propFacts(A.Edge))
+    val views = viewDefs(snap, prefix)
     views.foreach { case (name, df) => df.createOrReplaceGlobalTempView(name) }
     views.map { case (name, _) => s"global_temp.$name" }
   }

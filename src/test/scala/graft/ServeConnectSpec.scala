@@ -14,7 +14,12 @@ import graft.snapshot.Snapshot
   * the right scope (plain temp views would be invisible remotely). */
 class ServeConnectSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
-  private val port = 15212
+  // probe a free ephemeral port — a fixed one collides with whatever else
+  // the host runs (or a leaked service from an aborted test JVM)
+  private val port = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
 
   test("thin client queries the published graph over gRPC") {
     val g = new GraftGraph(spark)

@@ -11,6 +11,12 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# ORACLE_MEMLIMIT=64GB — cap DuckDB below its 80%-of-RAM default when the
+# scaled-data replay must coexist with anything else (the unbounded default
+# got the whole process OOM-killed at sf1 next to a 48g Spark driver)
+if os.environ.get("ORACLE_MEMLIMIT"):
+    con.execute(f"SET memory_limit='{os.environ['ORACLE_MEMLIMIT']}'")
+    con.execute(f"SET temp_directory='{outdir}/duckdb_spill'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sfdir}/{t}.parquet"
