@@ -124,6 +124,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ids == Set(0L, 2L)) // 1 and 3 deduped against 0's hash
   }
 
+  test("semantic decontamination is streaming-compatible: stateless projection, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the operator is a pure projection (eval rides as a plan literal, no
+    // shuffle/agg — plan-asserted in PipelineSpec), so it must compose with
+    // readStream unmodified: the ingest-time contamination filter shape
+    val evalE = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val source = MemoryStream[(Long, Seq[Float])]
+    source.addData((1L, Seq(0.99f, 0.1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+    val q = graft.pipeline.VectorOps.decontaminateSemantic(
+        source.toDF().toDF("vec_id", "embedding"), evalE, 0.9)
+      .writeStream.format("memory").queryName("semdecon_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("semdecon_sink").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batched = graft.pipeline.VectorOps.decontaminateSemantic(batch, evalE, 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed == batched && streamed.exists(_._3) && streamed.exists(!_._3))
+  }
+
   test("streaming near-dup pairs: minhash bands match batch LSH; watermark bounds the pair horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
