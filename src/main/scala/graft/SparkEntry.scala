@@ -958,6 +958,13 @@ object SparkEntry {
           .where(col("split") === "train").select(col("doc_id")), "doc_id")
       packInvariants(TextOps.packSequences(trainDocs, budgetTokens = 512), 512)
     },
+    "curation_pipeline_sem" -> ((s, d) =>
+      // the SEMANTIC-guard composition: clean → embedding-space
+      // decontamination (max cosine vs the eval docs' embeddings, the
+      // paraphrase leakage the 13-gram chain misses) → domainMix →
+      // hash split — the twin replays clean in the shared cd CTE and
+      // the semantic stage as the decontaminate_semantic cross join
+      TextOps.curationPipelineSem(docs(s, d), emb(s, d))),
 
     // ---- LLM-pipeline: similarity search ----
     "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),
@@ -1308,12 +1315,17 @@ object SparkEntry {
     * ENTIRE corpus, a degenerate pipeline). Ends at `sp` (doc_id, lang,
     * source, rk, n) and `ct` (doc_id, t = token list). */
   private val curationGram13 = (0 until 13).map(o => s"t[i+$o]").mkString(" || ' ' || ")
-  private val curationChainCte =
+  // clean stage (train side, exact-dedup + lang/length gate) shared by the
+  // n-gram and the semantic pipeline twins — one source, no drift
+  private val cleanCdCte =
     s"""cbase AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),
       |cln AS (SELECT min(doc_id) AS doc_id FROM cbase
       |  WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
       |  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
-      |cd AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d JOIN cln USING (doc_id)),
+      |cd AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d JOIN cln USING (doc_id))""".stripMargin
+
+  private val curationChainCte =
+    s"""$cleanCdCte,
       |ct AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM cd),
       |csh AS (SELECT doc_id, CASE WHEN len(t) >= 13
       |  THEN list_distinct([$curationGram13 for i in range(1, len(t) - 11)])
@@ -2331,6 +2343,30 @@ object SparkEntry {
          |  CAST(0 AS BIGINT) AS overfull_bins,
          |  TRUE AS bins_within_bound
          |FROM pt""".stripMargin,
+
+    // the semantic-guard pipeline twin: the shared clean `cd` CTE, then
+    // the decontaminate_semantic cross join keeping strict < threshold,
+    // then domain_mix's md5 window and split_assign's integer bucket
+    "curation_pipeline_sem" ->
+      s"""WITH $cleanCdCte,
+         |ev AS (SELECT embedding::DOUBLE[] AS x FROM embeddings WHERE vec_id % 25 = 0),
+         |sem AS (SELECT t.vec_id AS doc_id
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+         |        WHERE vec_id % 25 <> 0) t CROSS JOIN ev
+         |  GROUP BY t.vec_id
+         |  HAVING max(list_cosine_similarity(t.x, ev.x)) < 0.35),
+         |dc AS (SELECT cd.doc_id, cd.lang, cd.source FROM cd JOIN sem USING (doc_id)),
+         |dm AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM dc)
+         |  WHERE rk <= 50),
+         |kept AS (SELECT dc.doc_id, dc.lang, dc.source,
+         |    CAST((((dc.doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
+         |  FROM dc JOIN dm USING (doc_id))
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM kept""".stripMargin,
 
     "event_drift" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c

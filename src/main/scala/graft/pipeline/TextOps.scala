@@ -1234,6 +1234,40 @@ object TextOps {
   }
 
   /**
+   * The SEMANTIC-guard pipeline: clean → embedding-space decontamination
+   * ([[VectorOps.decontaminateSemantic]] against the eval docs'
+   * embeddings, id-aligned vec_id == doc_id) → domain quotas → hash
+   * split — the composition that catches paraphrased eval leakage the
+   * 13-gram chain in [[curationPipeline]] cannot. Same one-lazy-plan
+   * discipline: stage relations feed the next stage, the only
+   * materializations are the executor-side barriers before the
+   * multi-referenced domainMix/split stages. The semantic stage adds
+   * ZERO shuffle of its own (projection against a broadcast-literal eval
+   * set), so the composition's shuffle census is exactly the n-gram
+   * pipeline's minus the eval-gram join.
+   */
+  def curationPipelineSem(allDocs: DataFrame, embeddings: DataFrame,
+                          langs: Seq[String] = Seq("en", "de"),
+                          minChars: Long = 100L, maxChars: Long = 2000L,
+                          evalMod: Int = 25, simThreshold: Double = 0.35,
+                          quota: Int = 50): DataFrame = {
+    val train = allDocs.where(col("doc_id") % evalMod =!= 0)
+    val cleaned = allDocs.join(
+      cleanCorpus(train, langs, minChars, maxChars), "doc_id")
+    val evalEmb = embeddings.where(col("vec_id") % evalMod === 0)
+    val uncontaminated = VectorOps.decontaminateSemantic(
+        embeddings.where(col("vec_id") % evalMod =!= 0), evalEmb, simThreshold)
+      .where(!col("contaminated"))
+      .select(col("vec_id").as("doc_id"))
+    val decon = cleaned.join(uncontaminated, "doc_id").localCheckpoint(true)
+    val kept = decon.join(
+      domainMix(decon, quota).select(col("doc_id")), "doc_id")
+      .localCheckpoint(true)
+    splitAssign(kept, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"), col("split"))
+  }
+
+  /**
    * BM25 relevance of every document against a fixed query-term set —
    * the retrieval-quality scorer a curation pipeline runs to mine
    * topic-focused subsets. Robertson idf
