@@ -1157,6 +1157,14 @@ object SparkEntry {
       // partition-mapped pass; oracle re-derives each field from the
       // doc_id arithmetic — equality proves the byte-level synth+parse
       pipeline.MediaSynth.mediaMetaQuery(s, d)),
+    "multimodal_dedup" -> ((s, d) =>
+      // exact media dedup by content digest over the synthesized
+      // binary column (WAV payloads genuinely collide: bytes depend on
+      // d mod 2/3/10 only). The twin keys each item by the GENERATIVE
+      // parameters instead of bytes, so Spark must recover the same
+      // equivalence classes from the raw payload alone
+      pipeline.MultimodalOps.dedupExactMedia(
+        pipeline.MediaSynth.synthesize(docs(s, d).select(col("doc_id"))))),
     "vocab_sketch" -> ((s, d) =>
       // rows-only: HLL++ register layout is engine-specific (accuracy
       // vs the exact count is gated in PipelineSpec instead)
@@ -2759,6 +2767,27 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 3 THEN CAST(100 * (doc_id % 10 + 1) AS BIGINT)
         |       WHEN doc_id % 5 = 4 THEN CAST(500 * (doc_id % 8 + 1) AS BIGINT) END AS duration_ms
         |FROM documents""".stripMargin,
+
+    // content-equality classes re-derived from the GENERATIVE params
+    // (bytes are a pure function of them: images/mp4 of d%5,d%640,d%360
+    // [,d%8]; wav of d%2,d%3,d%10) — independent of the digest the
+    // Spark side groups on, so a digest bug cannot self-confirm
+    "multimodal_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 5 = 3 THEN 'audio'
+        |         WHEN doc_id % 5 = 4 THEN 'video' ELSE 'image' END AS kind,
+        |    CASE WHEN doc_id % 5 = 3
+        |           THEN 'a:' || (doc_id % 2) || ':' || (doc_id % 3) || ':' || (doc_id % 10)
+        |         WHEN doc_id % 5 = 4
+        |           THEN 'v:' || (doc_id % 640) || ':' || (doc_id % 360) || ':' || (doc_id % 8)
+        |         ELSE 'i' || (doc_id % 5) || ':' || (doc_id % 640) || ':' || (doc_id % 360)
+        |    END AS k
+        |  FROM documents),
+        |g AS (SELECT k, min(media_id) AS rep, count(*) AS n_copies FROM m GROUP BY k)
+        |SELECT CAST(m.media_id AS BIGINT) AS media_id, m.kind,
+        |  CAST(g.rep AS BIGINT) AS rep, CAST(g.n_copies AS BIGINT) AS n_copies,
+        |  m.media_id = g.rep AS keep
+        |FROM m JOIN g USING (k)""".stripMargin,
 
     "split_assign" ->
       """SELECT doc_id, bucket,

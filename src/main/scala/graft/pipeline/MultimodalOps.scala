@@ -314,6 +314,33 @@ object MultimodalOps {
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))
 
+  /**
+   * Exact multimodal dedup — the universal FIRST pass of any multimodal
+   * curation pipeline (identical payload bytes recur across sources and
+   * URLs long before any perceptual notion of similarity matters): key
+   * every item by a content digest, representative = min media_id per
+   * digest, keep = (media_id == rep).
+   *
+   * Scale shape: the digest is computed in the scan projection and the
+   * payload column is DROPPED before any exchange — only (media_id,
+   * kind, 16-byte digest) ever shuffles. One hash aggregation keyed by
+   * digest with map-side partials (group state is (min, count) however
+   * many copies exist), then the per-item verdict joins the slim keyed
+   * relation back on digest — both sides hash-partition on the same
+   * key, so the join reuses the aggregation's partitioning. Returns
+   * (media_id, kind, rep, n_copies, keep).
+   */
+  def dedupExactMedia(media: DataFrame): DataFrame = {
+    val keyed = media.select(col("media_id").cast("long"), col("kind"),
+      md5(col("content")).as("digest"))
+    val groups = keyed.groupBy(col("digest"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n_copies"))
+    keyed.join(groups, "digest")
+      .select(col("media_id"), col("kind"), col("rep").cast("long"),
+        col("n_copies").cast("long"),
+        (col("media_id") === col("rep")).as("keep"))
+  }
+
   /** Batch-shape audit: rows per partition — the knob that decides decoder
     * memory footprint at 100 TB (pair with repartition/maxPartitionBytes). */
   def partitionHistogram(media: DataFrame): DataFrame = {

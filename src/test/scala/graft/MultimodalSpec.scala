@@ -220,4 +220,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(5L) == (("mp4/isom", None, None, None)))
     assert(m(6L) == (("mp4/isom", None, Some(320), Some(240)))) // duration None, track real
   }
+
+  test("dedupExactMedia: digest groups match byte equality, rep = min id") {
+    val rows = Seq(
+      Row(10L, "image", Array[Byte](1, 2, 3), Row(null, null, null, null)),
+      Row(11L, "image", Array[Byte](1, 2, 3), Row(null, null, null, null)), // dup of 10
+      Row(12L, "image", Array[Byte](1, 2, 4), Row(null, null, null, null)), // near miss: distinct
+      Row(13L, "audio", Array[Byte](1, 2, 3), Row(null, null, null, null)), // same bytes, 3rd copy
+      Row(14L, "audio", Array[Byte](), Row(null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), MultimodalOps.mediaSchema)
+    val out = MultimodalOps.dedupExactMedia(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("rep"), r.getAs[Long]("n_copies"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(10L) == ((10L, 3L, true)))   // group {10,11,13} across kinds
+    assert(out(11L) == ((10L, 3L, false)))
+    assert(out(13L) == ((10L, 3L, false)))
+    assert(out(12L) == ((12L, 1L, true)))   // one differing byte -> own group
+    assert(out(14L) == ((14L, 1L, true)))   // empty payload is its own class
+    // synthesized corpus: wav payloads collide (bytes depend on d mod 2/3/10),
+    // images/videos below the lcm never do
+    val ids = spark.range(0, 500).toDF("doc_id")
+    val synth = MultimodalOps.dedupExactMedia(graft.pipeline.MediaSynth.synthesize(ids))
+    val byKind = synth.groupBy(col("kind"))
+      .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("dups")).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("dups")).toMap
+    assert(byKind("audio") > 0L && byKind("image") == 0L && byKind("video") == 0L)
+    // every group internally byte-identical: recompute via full-byte grouping
+    val expect = graft.pipeline.MediaSynth.synthesize(ids)
+      .groupBy(base64(col("content"))).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head().getLong(0)
+    val got = synth.where(col("keep"))
+      .agg(sum(col("n_copies") * col("n_copies"))).head().getLong(0)
+    assert(got == expect)
+  }
 }
