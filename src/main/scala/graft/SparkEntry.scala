@@ -1166,8 +1166,10 @@ object SparkEntry {
       pipeline.MultimodalOps.dedupExactMedia(
         pipeline.MediaSynth.synthesize(docs(s, d).select(col("doc_id"))))),
     "vocab_sketch" -> ((s, d) =>
-      // rows-only: HLL++ register layout is engine-specific (accuracy
-      // vs the exact count is gated in PipelineSpec instead)
+      // FULL oracle since r10: the portable md5 HLL (graft_hll) — the
+      // twin replays register indexes/ranks from md5 hex and repeats
+      // the one shared estimate expression (was rows-only under HLL++,
+      // whose register layout is engine-private)
       TextOps.vocabSketch(docs(s, d))),
     "profile_documents" -> ((s, d) =>
       // one-pass column profiler (exact distincts for the oracle; the
@@ -2878,6 +2880,42 @@ object SparkEntry {
         |FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
         |      FROM documents)
         |GROUP BY lang""".stripMargin,
+
+    // the portable-HLL register replay: h = md5 hex; register index =
+    // first 3 hex chars (top 12 bits), tail = next 13 (remaining 52);
+    // rank = 53 − bitlength(tail) (53 when 0) = the aggregate's
+    // nlz64(tail) − p + 1; Z·2^53 summed as exact HUGEINT including the
+    // 2^53-per-empty-register term; the estimate repeats the
+    // aggregate's double sequence verbatim (left-assoc), linear
+    // counting below 2.5·m with zero registers present
+    "vocab_sketch" ->
+      """WITH ex AS (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |            FROM documents),
+        |tot AS (SELECT lang, count(*) AS total_tokens FROM ex GROUP BY lang),
+        |hh AS (SELECT DISTINCT lang, md5(tok) AS h FROM ex),
+        |reg AS (SELECT lang,
+        |    (strpos('0123456789abcdef', substr(h,1,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(h,2,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(h,3,1))-1) AS idx,
+        |    list_sum(list_transform(range(13), i ->
+        |      (strpos('0123456789abcdef', substr(h, (4+i)::INT, 1))-1)::BIGINT << (4*(12-i))::INT)) AS tail
+        |  FROM hh),
+        |rk AS (SELECT lang, idx,
+        |    max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(format('{:b}', tail::BIGINT)) END) AS mj
+        |  FROM reg GROUP BY lang, idx),
+        |agg AS (SELECT lang, count(*) AS nonzero, sum(mj) AS rank_sum,
+        |    sum(CAST(1::BIGINT << (53 - mj) AS HUGEINT))
+        |      + CAST(4096 - count(*) AS HUGEINT) * CAST(1::BIGINT << 53 AS HUGEINT) AS s
+        |  FROM rk GROUP BY lang)
+        |SELECT t.lang, CAST(t.total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(a.nonzero AS BIGINT) AS nonzero_registers,
+        |  CAST(a.rank_sum AS BIGINT) AS register_sum,
+        |  round(CASE WHEN 4096 - a.nonzero > 0 AND
+        |      0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE <= 2.5 * 4096.0
+        |    THEN 4096.0 * ln(4096.0 / (4096 - a.nonzero))
+        |    ELSE 0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE
+        |  END, 4) AS est_distinct
+        |FROM tot t JOIN agg a USING (lang)""".stripMargin,
 
     "unigram_logprob" ->
       """WITH ex AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok

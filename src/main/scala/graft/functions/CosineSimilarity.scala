@@ -154,6 +154,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FreqSketchAgg(children(0), cap).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_hll(item, p) needs a literal p")
+        val p = children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_hll: p must be integral, got $other")
+        }
+        HllSketchAgg(children(0), p).toAggregateExpression()
+      }))
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // own runtime-filter injection but leaves them OUT of the function
     // registry; exposing them makes the two-phase decontamination

@@ -785,17 +785,27 @@ object TextOps {
       .agg(count(lit(1)).as("total_tokens"),
         count_distinct(col("tok")).as("distinct_tokens"))
 
-  /** Sketch twin of [[vocabStats]]: HyperLogLog++ distinct-token
-    * estimate. Constant memory per group and a mergeable sketch vs the
-    * exact form's (lang, token) shuffle — at 100 TB the exact distinct
-    * is the bottleneck, the sketch is not. rsd 0.01 ⇒ ~1% typical error
-    * (gated vs exact in PipelineSpec; not SQL-oracled — HLL internals
-    * are engine-specific). */
-  def vocabSketch(docs: DataFrame, rsd: Double = 0.01): DataFrame =
+  /** Sketch twin of [[vocabStats]]: distinct-token estimate via the
+    * engine-PORTABLE md5 HyperLogLog (functions/HllSketchAgg —
+    * `graft_hll`). Constant 2^p bytes per group and a mergeable sketch
+    * vs the exact form's (lang, token) shuffle — at 100 TB the exact
+    * distinct is the bottleneck, the sketch is not. m = 4096 ⇒ ~1.6%
+    * standard error in the HLL regime; below 2.5·m the linear-counting
+    * branch is far tighter. Unlike `approx_count_distinct` (HLL++,
+    * engine-private register layout ⇒ rows-only forever), this sketch's
+    * register state is replayable from md5 hex in ANY engine, so the
+    * query carries a FULL oracle: (nonzero_registers, register_sum)
+    * pin the exact integer state, est_distinct the shared final
+    * expression. */
+  def vocabSketch(docs: DataFrame, p: Int = 12): DataFrame =
     docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("total_tokens"),
-        approx_count_distinct(col("tok"), rsd).as("distinct_tokens_est"))
+        call_function("graft_hll", col("tok"), lit(p)).as("h"))
+      .select(col("lang"), col("total_tokens"),
+        col("h.nonzero").as("nonzero_registers"),
+        col("h.rank_sum").as("register_sum"),
+        round(col("h.est"), 4).as("est_distinct"))
 
   /**
    * Unigram language-model score per document — the perplexity-style
