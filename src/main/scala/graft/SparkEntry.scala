@@ -866,6 +866,12 @@ object SparkEntry {
       // rows-only — summary contents depend on partial-merge order — with
       // the MG error-bound gate in PipelineSpec
       TextOps.heavyHittersSketch(docs(s, d), 10)),
+    "cms_heavy_hitters" -> ((s, d) =>
+      // Count-Min estimates for the exact top-20: counters are SUMS
+      // (order-independent, unlike MG), so the full d×w state and the
+      // min-over-rows probe replay exactly in the twin — the portable-
+      // sketch doctrine's frequency member beside graft_hll and Bloom
+      TextOps.cmsHeavyHitters(docs(s, d))),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -2142,6 +2148,39 @@ object SparkEntry {
         |FROM documents
         |WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    // the Count-Min replay: cell (i, c) sums multiplicities of tokens
+    // whose i-th md5 word (hex chars [8i, 8i+8) as a 32-bit int) ≡ c
+    // (mod 1024); probe = min counter over a term's 4 cells — all exact
+    // integers, order-independent on both engines
+    "cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |hashed AS (SELECT tok, md5(tok) AS h FROM toks),
+        |cells AS (SELECT r, c, count(*) AS n FROM (
+        |    SELECT unnest(range(4)) AS r,
+        |      unnest(list_transform(range(4), i ->
+        |        list_sum(list_transform(range(8), j ->
+        |          (strpos('0123456789abcdef', substr(h, (i*8+j+1)::INT, 1))-1)::BIGINT
+        |            << (4*(7-j))::INT)) % 1024)) AS c
+        |    FROM hashed)
+        |  GROUP BY r, c),
+        |top AS (SELECT tok, count(*) AS true_count,
+        |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        |  FROM toks GROUP BY tok ORDER BY 2 DESC, 1 LIMIT 20),
+        |probes AS (SELECT t.tok, t.true_count, t.rk,
+        |    unnest(range(4)) AS r,
+        |    unnest(list_transform(range(4), i ->
+        |      list_sum(list_transform(range(8), j ->
+        |        (strpos('0123456789abcdef', substr(md5(t.tok), (i*8+j+1)::INT, 1))-1)::BIGINT
+        |          << (4*(7-j))::INT)) % 1024)) AS c
+        |  FROM top t)
+        |SELECT p.tok, CAST(p.true_count AS BIGINT) AS true_count,
+        |  CAST(min(cl.n) AS BIGINT) AS est, CAST(p.rk AS BIGINT) AS rk
+        |FROM probes p JOIN cells cl ON cl.r = p.r AND cl.c = p.c
+        |GROUP BY p.tok, p.true_count, p.rk""".stripMargin,
 
     "heavy_hitters" ->
       """WITH toks AS (

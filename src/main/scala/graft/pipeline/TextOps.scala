@@ -1452,6 +1452,59 @@ object TextOps {
   }
 
   /**
+   * Count-Min frequency estimates — the third portable sketch beside
+   * the md5 HLL (distinct counts) and the Bloom prefilter (membership):
+   * a d×w counter matrix where cell (i, c) sums the multiplicity of
+   * every token whose i-th md5 word ≡ c (mod w). Counters are SUMS, so
+   * unlike Misra–Gries ([[heavyHittersSketch]], whose summary depends
+   * on partial-merge order and is rows-only forever) the state is
+   * independent of row order, partitioning, and merge shape — exact
+   * integers, full cross-engine oracle.
+   *
+   * Expressed relationally on purpose: exploding d (row, col) cells per
+   * token feeds a hash aggregation whose map-side partials collapse to
+   * ≤ d·w rows per partition (4096 cells at the defaults) — the shuffle
+   * is sketch-sized, not corpus-sized, which is the same property a
+   * native buffer would buy at 100 TB, without leaving whole-stage
+   * codegen. The probe joins the top-`k` exact terms against their d
+   * cells and takes the min counter: est ≥ true always (counters only
+   * ever over-count), and est − true ≤ εn with ε = e∕w at the classic
+   * δ = e^−d confidence. Returns (tok, true_count, est, rk).
+   *
+   * Hash contract (mirrored in the twin): the i-th of 4 md5 words is
+   * hex chars [8i, 8i+8) of md5(tok) as a 32-bit integer, col = word
+   * mod w — one md5 per token, d sub-hashes from disjoint digest bits.
+   */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20, w: Int = 1024): DataFrame = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
+    import org.apache.spark.sql.expressions.Window
+    val cellsOf = // d=4 (row, col) cells per token from one md5
+      s"transform(sequence(0, 3), i -> struct(i AS r, CAST(conv(substring(md5(tok), i*8+1, 8), 16, 10) AS BIGINT) % $w AS c))"
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = toks.select(explode(expr(cellsOf)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+    // distributed TakeOrdered for the top-k (total order: ties break on
+    // tok), THEN rank — the single-partition window sees only k rows
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("tok")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("true_count").desc, col("tok"))))
+    val probes = top.select(col("tok"), col("true_count"), col("rk"),
+      explode(expr(cellsOf)).as("rc"))
+    val out = probes
+      .join(cells, probes("rc.r") === cells("r") && probes("rc.c") === cells("c"))
+      .groupBy(col("tok"), col("true_count"), col("rk"))
+      .agg(min(col("n")).as("est"))
+      .select(col("tok"), col("true_count"), col("est"),
+        col("rk").cast("long").as("rk"))
+    val res = out.localCheckpoint(true)
+    toks.unpersist(false)
+    res
+  }
+
+  /**
    * Incremental corpus dedup — the daily-ingest shape: dedup the NEW
    * batch within itself (min doc_id per normalized text), then drop
    * every normalized text the HISTORICAL corpus already contains.

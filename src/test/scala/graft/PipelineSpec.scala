@@ -723,6 +723,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(sk == exact)
   }
 
+  test("cmsHeavyHitters: est >= true, CMS error bound, order independence") {
+    import spark.implicits._
+    // 20k distinct rare tokens + 5 planted heavy hitters → real column
+    // collisions at w=1024 (≈20 rare tokens per column), so the probe
+    // must actually take the min over rows, not read a clean counter
+    val heavy = Seq("alpha" -> 400, "beta" -> 300, "gamma" -> 200,
+      "delta" -> 100, "epsilon" -> 50)
+    val text = (heavy.flatMap { case (t, n) => Seq.fill(n)(t) } ++
+      (0 until 20000).map(i => s"r$i")).mkString(" ")
+    val d = Seq((0L, text, "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.cmsHeavyHitters(d, k = 5).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("true_count"), r.getAs[Long]("est"), r.getAs[Long]("rk"))).toMap
+    val n = heavy.map(_._2).sum + 20000L
+    heavy.zipWithIndex.foreach { case ((t, c), i) =>
+      val (tc, est, rk) = out(t)
+      assert(tc == c && rk == i + 1)
+      assert(est >= tc, s"$t: CMS must never under-count")
+      // far looser than the e/w bound at delta = e^-4 — a deterministic
+      // sanity net, not the probabilistic guarantee
+      assert(est - tc <= n / 64, s"$t: est $est vs true $tc")
+    }
+    // counters are sums → bit-identical under re-partitioning
+    val a = TextOps.cmsHeavyHitters(d, k = 5).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val b = TextOps.cmsHeavyHitters(
+        spark.createDataFrame(d.rdd.repartition(16), d.schema), k = 5)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(a == b)
+  }
+
   test("graft_topfreq: MG error bound under capacity pressure; nulls skipped") {
     import spark.implicits._
     // zipf-ish: token t_i appears (40 - i) times, i = 0..39, n = 1020
