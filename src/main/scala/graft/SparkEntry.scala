@@ -1187,10 +1187,11 @@ object SparkEntry {
       // shuffle (tf), broadcast df, oracle recomputes the closed form
       TextOps.bm25Scores(docs(s, d), Seq("spark", "join", "window"))),
     "pack_sequences" -> ((s, d) =>
-      // rows-only: bin membership is partition-local greedy state; the
-      // BFD invariants (coverage, budget, ≤1 half-empty bin per
-      // partition) are gated in PipelineSpec and oracle-checked as
-      // aggregates by pack_invariants below
+      // FULL oracle since r10 (was rows-only): packing is a pure
+      // function of the doc set — value-keyed shards, (n desc, id)
+      // order, canonical (tightest-fit, lowest-index) choice — so the
+      // twin replays the BFD recurrence per shard in a recursive CTE
+      // and pins bin membership, not just the invariants
       TextOps.packSequences(docs(s, d), budgetTokens = 512)
         .select(col("bin_id"), col("n_docs"), col("total_tokens"))),
     "pack_invariants" -> ((s, d) =>
@@ -2732,6 +2733,46 @@ object SparkEntry {
     // BFD packing contract (pack_invariants): everything but the bound
     // booleans re-derived from the raw docs; the packing-dependent bound
     // is emitted as a provable TRUE (see the query's scaladoc).
+    // the BFD recurrence replayed per shard: items in (n desc, doc_id)
+    // order step through a recursive CTE whose state is the per-bin
+    // load list; the best-fit choice is the lexicographic min of
+    // [remaining, index] over bins with remaining ≥ max(n, 1) — exactly
+    // the aggregate's canonical (tightest, lowest-index) rule. Depth =
+    // docs per shard; sf0.01-gate class (the sf1 replay carries
+    // len(asg)≈6k list states — budget accordingly)
+    "pack_sequences" ->
+      """WITH RECURSIVE
+        |t0 AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n FROM documents),
+        |it AS (SELECT doc_id % 8 AS shard, doc_id, n,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY n DESC, doc_id) AS pos
+        |       FROM t0),
+        |cnt AS (SELECT shard, count(*) AS m FROM it GROUP BY shard),
+        |st AS (
+        |  SELECT shard, 0::BIGINT AS step, []::BIGINT[] AS loads,
+        |         []::STRUCT(d BIGINT, b INT)[] AS asg
+        |  FROM cnt
+        |  UNION ALL
+        |  SELECT s.shard, s.step + 1,
+        |    CASE WHEN x.best IS NULL THEN list_append(s.loads, i.n)
+        |         ELSE list_transform(range(len(s.loads)), j ->
+        |                CASE WHEN j = x.best THEN s.loads[(j+1)::INT] + i.n
+        |                     ELSE s.loads[(j+1)::INT] END)
+        |    END,
+        |    list_append(s.asg, {d: i.doc_id, b: coalesce(x.best, len(s.loads))::INT})
+        |  FROM st s
+        |  JOIN it i ON i.shard = s.shard AND i.pos = s.step + 1
+        |  CROSS JOIN LATERAL (SELECT list_sort(list_filter(
+        |      list_transform(range(len(s.loads)), j -> [512 - s.loads[(j+1)::INT], j]),
+        |      p -> p[1] >= greatest(i.n, 1)))[1][2] AS best) x
+        |),
+        |fin AS (SELECT s.shard, s.asg FROM st s JOIN cnt c ON s.shard = c.shard AND s.step = c.m),
+        |mem AS (SELECT shard, a.d AS doc_id, a.b AS b
+        |        FROM (SELECT shard, unnest(asg) AS a FROM fin))
+        |SELECT shard || '-' || b AS bin_id, CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM mem JOIN it USING (shard, doc_id)
+        |GROUP BY 1""".stripMargin,
+
     "pack_invariants" ->
       """WITH toks AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n FROM documents)
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -1348,21 +1348,27 @@ object TextOps {
    * Greedy sequence packing: group documents into bins of at most
    * `budgetTokens` tokens — the batching step that turns a filtered
    * corpus into fixed-budget training sequences with minimal padding.
-   * Best-fit-decreasing WITHIN each partition (genuine per-partition
-   * imperative logic — the documented legitimate mapPartitions case):
-   * no global coordination, no shuffle beyond the deterministic
-   * doc_id-keyed spread, bins never span partitions so the result
-   * streams out partition-parallel at any scale. The open-bin set is a
-   * TreeMap keyed by remaining capacity (tightest fit wins), so packing
-   * is O(n log bins) per partition, not the O(n · bins) of a linear
-   * first-fit scan. Documents larger than the budget get a singleton
-   * bin (flagged by total_tokens > budgetTokens) rather than being
-   * dropped silently.
+   * Best-fit-decreasing WITHIN each shard (genuine per-group imperative
+   * logic — the documented legitimate non-relational case): no global
+   * coordination, one deterministic doc_id-keyed shuffle, bins never
+   * span shards so the result streams out shard-parallel at any scale.
+   * Documents larger than the budget get a singleton bin (flagged by
+   * total_tokens > budgetTokens) rather than being dropped silently.
    *
-   * BFD invariant (asserted in PipelineSpec): within a partition at
-   * most ONE bin is ≤ half full — a new bin opens only when an item
-   * fits in no open bin, so every earlier bin is > budget − item.
-   * bin_id is "<partition>-<idx>": stable for a fixed spread width.
+   * The packing is a PURE FUNCTION of the doc set (r10, was rows-only):
+   * shard = doc_id mod `shards` BY VALUE (groupByKey, not hash
+   * placement), items sorted (n_tokens desc, doc_id), and the best-fit
+   * choice canonicalized to (tightest remaining, lowest bin index) —
+   * every choice is replayable, so the DuckDB twin re-runs the exact
+   * BFD recurrence and the oracle pins bin membership, not just
+   * invariants. The linear best-fit scan is O(items · bins) per shard;
+   * shards bound both (grow `shards` with the corpus — bins per shard
+   * stay ~(corpus tokens)/(shards · budget)).
+   *
+   * BFD invariant (asserted in PipelineSpec): within a shard at most
+   * ONE bin is ≤ half full — a new bin opens only when an item fits in
+   * no open bin, so every earlier bin is > budget − item. bin_id is
+   * "<shard>-<idx>": stable for a fixed shard width.
    */
   def packSequences(docs: DataFrame, budgetTokens: Int,
                     shards: Int = 8): DataFrame = {
@@ -1370,37 +1376,34 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(col("doc_id").cast("long"),
+      .select(pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("doc_id").cast("long"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      // deterministic spread: the same doc lands in the same shard no
-      // matter how the input was partitioned
-      .repartition(shards, pmod(col("doc_id"), lit(shards)))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, rows) =>
         import scala.collection.mutable.ArrayBuffer
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val items = it.toArray.sortBy { case (id, n) => (-n, id) }
+        val items = rows.map { case (_, id, n) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
         val binDocs = ArrayBuffer.empty[ArrayBuffer[Long]]
         val binLoad = ArrayBuffer.empty[Long]
-        // remaining capacity → bin indices with exactly that much room
-        val byRemaining = new java.util.TreeMap[Long, ArrayBuffer[Int]]()
-        def index(i: Int, remaining: Long): Unit = if (remaining > 0)
-          byRemaining.computeIfAbsent(remaining, _ => ArrayBuffer.empty) += i
         items.foreach { case (id, n) =>
-          val fit = byRemaining.ceilingEntry(math.max(n, 1L))
-          if (fit != null) {
-            val idxs = fit.getValue
-            val i = idxs.remove(idxs.length - 1)
-            if (idxs.isEmpty) byRemaining.remove(fit.getKey)
-            binDocs(i) += id; binLoad(i) += n
-            index(i, budgetTokens - binLoad(i))
-          } else {
-            binDocs += ArrayBuffer(id); binLoad += n
-            index(binDocs.length - 1, budgetTokens - n)
+          val need = math.max(n, 1L)
+          // canonical best fit: smallest remaining ≥ need, ties → lowest
+          // bin index (strict < keeps the first-found index)
+          var best = -1
+          var bestRem = Long.MaxValue
+          var i = 0
+          while (i < binLoad.length) {
+            val rem = budgetTokens - binLoad(i)
+            if (rem >= need && rem < bestRem) { best = i; bestRem = rem }
+            i += 1
           }
+          if (best >= 0) { binDocs(best) += id; binLoad(best) += n }
+          else { binDocs += ArrayBuffer(id); binLoad += n }
         }
         binDocs.indices.iterator.map { i =>
-          PackedBin(s"$pid-$i", binDocs(i).toArray.sorted,
+          PackedBin(s"$shard-$i", binDocs(i).toArray.sorted,
             binDocs(i).length, binLoad(i))
         }
       }
