@@ -1222,6 +1222,17 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n").cast("long").as("n"))
     },
+    "windowed_distinct" -> { (s, d) =>
+      // per-(hour, type) distinct-user HLL — 2^12 bytes of state per
+      // group on a stream vs one row per user for exact distinct; the
+      // twin replays the md5 registers and the shared estimate
+      EventStream.windowedDistinctUsers(
+          graft.projection.EventsReplay.rawEvents(s, d))
+        .select(
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("nonzero_registers"),
+          col("register_sum"), col("est_users"))
+    },
 
     // day-over-day event-type KL drift — the data-monitoring signal a
     // feed pipeline alerts on; everything past the (day,type) count is
@@ -3024,6 +3035,39 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the vocab_sketch HLL replay keyed by (hour window, event_type)
+    // over user_id rendered as a decimal string — same register
+    // arithmetic, same shared estimate expression
+    "windowed_distinct" ->
+      """WITH ev AS (SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |         event_type, user_id::VARCHAR AS u
+        |  FROM events),
+        |tot AS (SELECT window_start, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+        |hh AS (SELECT DISTINCT window_start, event_type, md5(u) AS h FROM ev),
+        |reg AS (SELECT window_start, event_type,
+        |    (strpos('0123456789abcdef', substr(h,1,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(h,2,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(h,3,1))-1) AS idx,
+        |    list_sum(list_transform(range(13), i ->
+        |      (strpos('0123456789abcdef', substr(h, (4+i)::INT, 1))-1)::BIGINT << (4*(12-i))::INT)) AS tail
+        |  FROM hh),
+        |rk AS (SELECT window_start, event_type, idx,
+        |    max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(format('{:b}', tail::BIGINT)) END) AS mj
+        |  FROM reg GROUP BY 1, 2, 3),
+        |agg AS (SELECT window_start, event_type, count(*) AS nonzero, sum(mj) AS rank_sum,
+        |    sum(CAST(1::BIGINT << (53 - mj) AS HUGEINT))
+        |      + CAST(4096 - count(*) AS HUGEINT) * CAST(1::BIGINT << 53 AS HUGEINT) AS s
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT t.window_start, t.event_type, CAST(t.n AS BIGINT) AS n,
+        |  CAST(a.nonzero AS BIGINT) AS nonzero_registers,
+        |  CAST(a.rank_sum AS BIGINT) AS register_sum,
+        |  round(CASE WHEN 4096 - a.nonzero > 0 AND
+        |      0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE <= 2.5 * 4096.0
+        |    THEN 4096.0 * ln(4096.0 / (4096 - a.nonzero))
+        |    ELSE 0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE
+        |  END, 4) AS est_users
+        |FROM tot t JOIN agg a USING (window_start, event_type)""".stripMargin,
 
     "funnel_first" ->
       """WITH t AS (SELECT event_id AS trigger_id, user_id, ts AS t_ts

@@ -128,6 +128,33 @@ object EventStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Watermarked tumbling-window DISTINCT-USER estimates per event type
+    * via the portable md5 HLL (`graft_hll`, functions/HllSketchAgg) —
+    * the canonical streaming-sketch job. Exact streaming distinct keeps
+    * one state row per (window, type, user) — audience-sized state the
+    * watermark cannot bound below the window's true cardinality; the
+    * HLL keeps 2^p bytes per (window, type) REGARDLESS of audience, and
+    * its register merge (elementwise max) is exactly the commutative
+    * partial-fold streaming aggregation state updates need, so every
+    * micro-batch merges into standing state without order sensitivity.
+    * The SAME transform runs on batch (oracle-checked as
+    * `windowed_distinct` — the twin replays registers from md5 hex) and
+    * on a stream (parity in EventStreamSpec). Requires the graft
+    * session extension. */
+  def windowedDistinctUsers(events: DataFrame, window: String = "1 hour",
+                            watermark: String = "2 hours", p: Int = 12): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_hll", col("user_id").cast("string"), lit(p)).as("h"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n").cast("long").as("n"),
+        col("h.nonzero").as("nonzero_registers"),
+        col("h.rank_sum").as("register_sum"),
+        round(col("h.est"), 4).as("est_users"))
+
   /** Gap-based session windows per user: a session extends while the next
     * event arrives within `gap` of the last one (INCLUSIVE — an event at
     * exactly last-ts + gap merges, verified in EventStreamSpec);

@@ -101,6 +101,46 @@ class EventStreamSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L)))
   }
 
+  test("windowed distinct-user HLL: stream == batch, exact in the linear regime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two windows; window 0 has users {1, 2, 3} across 4 events (one
+    // repeat), window 1 has {1}; the 9:00 event advances the watermark
+    val data = Seq(
+      Event(0L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      Event(1L, ts("2024-01-01 00:20:00"), 2L, "click", 1.0),
+      Event(2L, ts("2024-01-01 00:30:00"), 3L, "click", 1.0),
+      Event(3L, ts("2024-01-01 00:40:00"), 1L, "click", 1.0),
+      Event(4L, ts("2024-01-01 01:10:00"), 1L, "view", 1.0),
+      Event(5L, ts("2024-01-01 09:00:00"), 9L, "click", 1.0))
+    val source = MemoryStream[Event]
+    // two batches so standing HLL state genuinely MERGES across
+    // micro-batches (registers from batch 1 max-folded with batch 2)
+    source.addData(data.take(2): _*)
+    val q = EventStream.windowedDistinctUsers(source.toDF())
+      .writeStream.format("memory").queryName("wd_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      source.addData(data.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("win_start").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nonzero_registers"),
+          r.getAs[Long]("register_sum"), r.getAs[Double]("est_users"))
+    val streamed = spark.table("wd_sink").collect().map(key).toMap
+    val batch = EventStream.windowedDistinctUsers(data.toDF()).collect().map(key).toMap
+    // every finalized window matches batch BIT-FOR-BIT (register merge
+    // commutes across the micro-batch split)
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"window $k") }
+    assert(streamed.contains(("2024-01-01 00:00:00.0", "click")))
+    val (n0, nz0, _, est0) = batch(("2024-01-01 00:00:00.0", "click"))
+    assert(n0 == 4L && nz0 == 3L) // 3 distinct users → 3 registers
+    // linear-counting regime: ln-based estimate lands within 1% of 3
+    assert(math.abs(est0 - 3.0) < 0.03)
+  }
+
   test("streaming dedup drops content duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
