@@ -1483,15 +1483,18 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val cellsOf = // d=4 (row, col) cells per token from one md5
       s"transform(sequence(0, 3), i -> struct(i AS r, CAST(conv(substring(md5(tok), i*8+1, 8), 16, 10) AS BIGINT) % $w AS c))"
-    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    // ONE token-scale shuffle (the count agg) feeds both the matrix and
+    // the top-k; md5 runs once per DISTINCT token (vocabulary-sized),
+    // not per occurrence — cell counters sum the multiplicities
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = toks.select(explode(expr(cellsOf)).as("rc"))
+    val cells = counts.select(col("true_count"), explode(expr(cellsOf)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("true_count")).as("n"))
     // distributed TakeOrdered for the top-k (total order: ties break on
     // tok), THEN rank — the single-partition window sees only k rows
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
-      .orderBy(col("true_count").desc, col("tok")).limit(k)
+    val top = counts.orderBy(col("true_count").desc, col("tok")).limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("true_count").desc, col("tok"))))
     val probes = top.select(col("tok"), col("true_count"), col("rk"),
@@ -1503,7 +1506,7 @@ object TextOps {
       .select(col("tok"), col("true_count"), col("est"),
         col("rk").cast("long").as("rk"))
     val res = out.localCheckpoint(true)
-    toks.unpersist(false)
+    counts.unpersist(false)
     res
   }
 
