@@ -342,6 +342,13 @@ object SparkEntry {
       // oracle unrolls the same peels as sequential CTE steps
       graft.gx.GraphXTraversal.kCoreDF(s, TpchGraph.snapshot(s, d))),
 
+    "communities_lpa" -> ((s, d) =>
+      // 4 synchronous label-propagation rounds over the pair graph with
+      // the deterministic (count desc, label asc) tie-break — GraphX's
+      // built-in LPA is map-iteration-order nondeterministic, this one
+      // is a pure function; the twin unrolls the same rounds
+      graft.gx.GraphXTraversal.communitiesLpaDF(s, TpchGraph.snapshot(s, d))),
+
     "assortativity" -> ((s, d) =>
       // Newman degree-mixing coefficient over the pair graph; every
       // aggregate stays an exact integer until the single final
@@ -1581,6 +1588,34 @@ object SparkEntry {
        |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
   }
 
+  /** Sync-LPA twin: rounds unrolled like kcoreSql — round r counts
+    * neighbor labels over the undirected edge list against l_{r-1} and
+    * picks per vertex by (count desc, label asc). Same pair-graph e0
+    * derivation (5000000 + l_partkey ids). */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (
+         |  SELECT e.x AS v, l.lbl, count(*) AS c
+         |  FROM ed e JOIN l${r - 1} l ON l.v = e.y GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+         |    FROM n$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bulk AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+       |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+       |  FROM bulk x JOIN bulk y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |ed AS MATERIALIZED (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT x AS v, x AS lbl FROM ed),
+       |$steps
+       |SELECT CAST(v AS BIGINT) AS part_id, CAST(lbl AS BIGINT) AS community
+       |FROM l$rounds""".stripMargin
+  }
+
   /** MMR greedy re-rank twin: the shortlist is the exact-rank CTE, the
     * pairwise-sim table is rounded to 4 BEFORE the objective (both
     * engines then pick from identical numbers), and each greedy step is
@@ -1853,6 +1888,7 @@ object SparkEntry {
     // per-vertex wedge closure: each triangle (x < y < z) credits all
     // three corners; degrees from canonical pair endpoints
     "kcore" -> kcoreSql(12, 12),
+    "communities_lpa" -> lpaSql(4),
 
     // integer-exact Pearson of endpoint degrees over the symmetrized
     // pair edge list; HUGEINT widening mirrors the BigInt combination

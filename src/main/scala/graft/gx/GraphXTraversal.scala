@@ -316,6 +316,52 @@ object GraphXTraversal {
     out
   }
 
+  /** Community detection via SYNCHRONOUS label propagation with a
+    * deterministic tie-break over the same co-occurrence pair graph:
+    * labels start as vertex ids; each round every vertex adopts the
+    * most frequent label among its NEIGHBORS, ties broken by the
+    * smallest label. GraphX's own `LabelPropagation` breaks ties by
+    * hash-map iteration order — nondeterministic across runs — so this
+    * is a custom aggregateMessages loop whose every choice is a pure
+    * function of the graph; the FIXED round count (sync LPA can
+    * oscillate on bipartite structure, so "after exactly `rounds`
+    * updates" IS the contract) lets the DuckDB twin unroll the same
+    * rounds as (neighbor-label count → row_number pick) CTE steps.
+    * Returns (part_id, community).
+    *
+    * Plan shape per round: one message aggregation whose per-vertex
+    * state is the neighbor-label histogram (bounded by degree), merged
+    * commutatively — map-side combined like any degree-bounded
+    * aggregation; the vertex join is vertex-sized. Rounds are a graph
+    * property, not a data-volume one. */
+  def communitiesLpaDF(spark: SparkSession, snap: Snapshot, rounds: Int = 4,
+                       minQty: Double = 30.0): DataFrame = {
+    import spark.implicits._
+    require(rounds > 0, "rounds must be positive")
+    val g = pairGraph(snap, minQty)
+    var lg: Graph[Long, Unit] = g.mapVertices((id, _) => id.toLong).cache()
+    (1 to rounds).foreach { _ =>
+      val msgs = lg.aggregateMessages[Map[Long, Int]](
+        ctx => {
+          ctx.sendToDst(Map(ctx.srcAttr -> 1))
+          ctx.sendToSrc(Map(ctx.dstAttr -> 1))
+        },
+        (a, b) => (a.keySet ++ b.keySet).iterator
+          .map(l => l -> (a.getOrElse(l, 0) + b.getOrElse(l, 0))).toMap)
+      val next = lg.outerJoinVertices(msgs) { (_, old, m) =>
+        m.map(_.minBy { case (l, c) => (-c, l) }._1).getOrElse(old)
+      }.cache()
+      next.vertices.count() // materialize before releasing the prior round
+      lg.unpersist(blocking = false)
+      lg = next
+    }
+    val out = spark.createDataFrame(lg.vertices.map { case (v, l) => (v, l) })
+      .toDF("part_id", "community")
+      .localCheckpoint(true)
+    lg.unpersist(blocking = false)
+    out
+  }
+
   /** k-core membership after `rounds` peels over the same co-occurrence
     * pair graph: each round drops vertices whose degree in the CURRENT
     * induced subgraph is < k, then re-induces. A round that removes

@@ -223,6 +223,38 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
       s"assortativity $r != recount $want")
   }
 
+  test("sync LPA communities: match a driver-side reference replay of the rounds") {
+    import org.apache.spark.sql.functions.col
+    val snap = TpchGraph.snapshot(spark, dir)
+    val rounds = 4
+    val got = graft.gx.GraphXTraversal.communitiesLpaDF(spark, snap, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: collect the pair edges, replay the same
+    // synchronous rounds with the (count desc, label asc) pick
+    val bulkIds = snap.prop("quantity", graft.model.PropType.PDouble, graft.model.A.Edge)
+      .where(col("v") >= 30.0).select(col("e").as("id"))
+    val bulk = snap.edges.where(col("label") === "contains").join(bulkIds, "id")
+    val l = bulk.select(col("outV").as("o"), col("inV").as("a"))
+    val rr = bulk.select(col("outV").as("o"), col("inV").as("b"))
+    val es = l.join(rr, "o").where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val nbrs = (es.map(e => e._1 -> e._2) ++ es.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (v, o) => v -> o.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keysIterator.map(v => v -> v).toMap
+    (1 to rounds).foreach { _ =>
+      lbl = nbrs.map { case (v, ns) =>
+        v -> ns.map(lbl).groupBy(identity).toSeq
+          .map { case (lab, o) => (lab, o.length) }
+          .minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    assert(got.keySet == lbl.keySet)
+    assert(got == lbl, "GraphX LPA diverged from the reference replay")
+    // non-degenerate at this data: propagation actually merged labels
+    assert(got.values.toSet.size < got.size)
+  }
+
   test("k-core: peels converge to the fixpoint; every survivor keeps degree >= k") {
     import org.apache.spark.sql.functions.col
     val snap = TpchGraph.snapshot(spark, dir)
