@@ -349,6 +349,13 @@ object SparkEntry {
       // is a pure function; the twin unrolls the same rounds
       graft.gx.GraphXTraversal.communitiesLpaDF(s, TpchGraph.snapshot(s, d))),
 
+    "community_modularity" -> ((s, d) =>
+      // Newman Q of the LPA labeling: exact integer numerator
+      // Σ(4·m·in_c − deg_c²), ONE final division by 4m² (the
+      // assortativity doctrine) — the twin replays the LPA rounds then
+      // the same integer chain
+      graft.gx.GraphXTraversal.modularityDF(s, TpchGraph.snapshot(s, d))),
+
     "assortativity" -> ((s, d) =>
       // Newman degree-mixing coefficient over the pair graph; every
       // aggregate stays an exact integer until the single final
@@ -1592,7 +1599,7 @@ object SparkEntry {
     * neighbor labels over the undirected edge list against l_{r-1} and
     * picks per vertex by (count desc, label asc). Same pair-graph e0
     * derivation (5000000 + l_partkey ids). */
-  private def lpaSql(rounds: Int): String = {
+  private def lpaCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""n$r AS MATERIALIZED (
          |  SELECT e.x AS v, l.lbl, count(*) AS c
@@ -1602,7 +1609,7 @@ object SparkEntry {
          |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
          |    FROM n$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH bulk AS (
+    s"""bulk AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
        |), e0 AS MATERIALIZED (
        |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
@@ -1611,10 +1618,13 @@ object SparkEntry {
        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
        |ed AS MATERIALIZED (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
        |l0 AS MATERIALIZED (SELECT DISTINCT x AS v, x AS lbl FROM ed),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def lpaSql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)}
        |SELECT CAST(v AS BIGINT) AS part_id, CAST(lbl AS BIGINT) AS community
        |FROM l$rounds""".stripMargin
-  }
 
   /** MMR greedy re-rank twin: the shortlist is the exact-rank CTE, the
     * pairwise-sim table is rounded to 4 BEFORE the objective (both
@@ -1889,6 +1899,23 @@ object SparkEntry {
     // three corners; degrees from canonical pair endpoints
     "kcore" -> kcoreSql(12, 12),
     "communities_lpa" -> lpaSql(4),
+    // the LPA chain + the exact-integer modularity numerator; HUGEINT
+    // sums, one double division, round(6) — matches the Scala sequence
+    "community_modularity" ->
+      s"""WITH ${lpaCtes(4)},
+         |lab AS (SELECT v, lbl FROM l4),
+         |e2 AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb
+         |  FROM e0 JOIN lab la ON la.v = e0.a JOIN lab lb ON lb.v = e0.b),
+         |mm AS (SELECT count(*) AS m FROM e2),
+         |inc AS (SELECT ca AS c, count(*) AS ic FROM e2 WHERE ca = cb GROUP BY 1),
+         |degc AS (SELECT c, count(*) AS dc FROM (
+         |    SELECT ca AS c FROM e2 UNION ALL SELECT cb FROM e2) GROUP BY 1),
+         |num AS (SELECT sum(CAST(4 * mm.m * coalesce(i.ic, 0) - d.dc * d.dc AS HUGEINT)) AS n
+         |  FROM degc d LEFT JOIN inc i ON i.c = d.c CROSS JOIN mm)
+         |SELECT CAST(mm.m AS BIGINT) AS n_edges,
+         |  CAST((SELECT count(DISTINCT lbl) FROM lab) AS BIGINT) AS n_communities,
+         |  round(num.n::DOUBLE / (4.0 * mm.m * mm.m), 6) AS modularity
+         |FROM mm CROSS JOIN num""".stripMargin,
 
     // integer-exact Pearson of endpoint degrees over the symmetrized
     // pair edge list; HUGEINT widening mirrors the BigInt combination

@@ -362,6 +362,43 @@ object GraphXTraversal {
     out
   }
 
+  /** Newman modularity of the [[communitiesLpaDF]] labeling — the "did
+    * LPA find real structure" number: Q = Σ_c [in_c∕m − (deg_c∕2m)²]
+    * over communities, computed as ONE exact integer numerator
+    * N = Σ_c (4·m·in_c − deg_c²) and a single final division N∕(4m²) —
+    * the assortativity doctrine, so the DuckDB twin (which replays the
+    * LPA rounds first) lands bit-for-bit before round(6). Everything
+    * past the labeling is community-dimension-sized: two vertex-keyed
+    * label joins on the edge list, then counts. Returns (n_edges,
+    * n_communities, modularity). */
+  def modularityDF(spark: SparkSession, snap: Snapshot, rounds: Int = 4,
+                   minQty: Double = 30.0): DataFrame = {
+    import spark.implicits._
+    val labels = communitiesLpaDF(spark, snap, rounds, minQty)
+    val g = pairGraph(snap, minQty)
+    val edges = spark.createDataFrame(
+      g.edges.map(e => (e.srcId, e.dstId))).toDF("a", "b")
+    val e2 = edges
+      .join(labels.select(col("part_id").as("a"), col("community").as("ca")), "a")
+      .join(labels.select(col("part_id").as("b"), col("community").as("cb")), "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e2.count()
+    val inC = e2.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("in_c"))
+    val degC = e2.select(col("ca").as("c")).unionAll(e2.select(col("cb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
+    val num = degC.join(inC, Seq("c"), "left_outer")
+      .select((lit(4L * m) * coalesce(col("in_c"), lit(0L)) -
+        col("deg_c") * col("deg_c")).as("t"))
+      .agg(sum(col("t"))).head().getLong(0)
+    val nComms = labels.select(col("community")).distinct().count()
+    e2.unpersist(false)
+    // the one shared double sequence: N / (4.0 · m · m), round(6)
+    val q = num.toDouble / (4.0 * m * m)
+    Seq((m, nComms, BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_edges", "n_communities", "modularity")
+  }
+
   /** k-core membership after `rounds` peels over the same co-occurrence
     * pair graph: each round drops vertices whose degree in the CURRENT
     * induced subgraph is < k, then re-induces. A round that removes

@@ -253,6 +253,24 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(got == lbl, "GraphX LPA diverged from the reference replay")
     // non-degenerate at this data: propagation actually merged labels
     assert(got.values.toSet.size < got.size)
+    // modularity: driver-side recount with the same exact-integer chain
+    val row = graft.gx.GraphXTraversal.modularityDF(spark, snap, rounds).head()
+    assert(row.getLong(0) == es.length.toLong)
+    assert(row.getLong(1) == lbl.values.toSet.size.toLong)
+    val m = es.length.toLong
+    val inC = es.count(e => lbl(e._1) == lbl(e._2)).toLong
+    val degC = es.flatMap(e => Seq(lbl(e._1), lbl(e._2)))
+      .groupBy(identity).map { case (c, o) => c -> o.length.toLong }
+    val inByC = es.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).map { case (c, o) => c -> o.length.toLong }
+    assert(inByC.values.sum == inC)
+    val num = degC.map { case (c, dc) =>
+      4L * m * inByC.getOrElse(c, 0L) - dc * dc }.sum
+    val want = BigDecimal(num.toDouble / (4.0 * m * m))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(2) == want, s"modularity ${row.getDouble(2)} != $want")
+    // Q is a proper fraction of a real labeling
+    assert(row.getDouble(2) > -1.0 && row.getDouble(2) < 1.0)
   }
 
   test("k-core: peels converge to the fixpoint; every survivor keeps degree >= k") {
