@@ -334,8 +334,32 @@ object GraphXTraversal {
     * commutatively — map-side combined like any degree-bounded
     * aggregation; the vertex join is vertex-sized. Rounds are a graph
     * property, not a data-volume one. */
+  /** Memoized LPA labelings: the result is a materialized
+    * (localCheckpoint) vertex-sized DataFrame, so the LRU holds plain
+    * references — eviction needs no unpersist, the ContextCleaner
+    * reclaims dropped checkpoint blocks. [[modularityDF]] shares the
+    * labeling instead of re-running the rounds. */
+  private val lpaCache =
+    new java.util.LinkedHashMap[(Snapshot, Int, Double), DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Snapshot, Int, Double), DataFrame]): Boolean =
+        size() > MaxCachedGraphs
+    }
+
   def communitiesLpaDF(spark: SparkSession, snap: Snapshot, rounds: Int = 4,
-                       minQty: Double = 30.0): DataFrame = {
+                       minQty: Double = 30.0): DataFrame = lpaCache.synchronized {
+    val hit = lpaCache.get((snap, rounds, minQty))
+    if (hit != null) hit
+    else {
+      val built = buildLpa(spark, snap, rounds, minQty)
+      lpaCache.put((snap, rounds, minQty), built)
+      built
+    }
+  }
+
+  private def buildLpa(spark: SparkSession, snap: Snapshot, rounds: Int,
+                       minQty: Double): DataFrame = {
     import spark.implicits._
     require(rounds > 0, "rounds must be positive")
     val g = pairGraph(snap, minQty)
