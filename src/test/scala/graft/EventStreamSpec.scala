@@ -370,6 +370,34 @@ class EventStreamSpec extends AnyFunSuite {
       val pairs = spark.table("rocks_neardup_sink")
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs == Set((0L, 1L)))
+
+      // windowed distinct-user HLL: the 4 KB register buffers round-trip
+      // through RocksDB state BETWEEN micro-batches and still merge
+      // bit-identically with the batch run
+      val src3 = MemoryStream[Event]
+      val wdData = Seq(
+        Event(0L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+        Event(1L, ts("2024-01-01 00:20:00"), 2L, "click", 1.0),
+        Event(2L, ts("2024-01-01 00:30:00"), 3L, "click", 1.0),
+        Event(3L, ts("2024-01-01 09:00:00"), 9L, "click", 1.0))
+      val q3 = EventStream.windowedDistinctUsers(src3.toDF())
+        .writeStream.format("memory").queryName("rocks_wd_sink")
+        .option("checkpointLocation", s"$chkRoot/wd")
+        .outputMode("append").start()
+      try {
+        src3.addData(wdData.take(2): _*)
+        q3.processAllAvailable()
+        src3.addData(wdData.drop(2): _*)
+        q3.processAllAvailable()
+      } finally q3.stop()
+      def wdKey(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("win_start").toString, r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("nonzero_registers"),
+            r.getAs[Long]("register_sum"), r.getAs[Double]("est_users"))
+      val wdStreamed = spark.table("rocks_wd_sink").collect().map(wdKey).toMap
+      val wdBatch = EventStream.windowedDistinctUsers(wdData.toDF()).collect().map(wdKey).toMap
+      wdStreamed.foreach { case (k, v) => assert(wdBatch(k) == v, s"window $k") }
+      assert(wdStreamed.contains(("2024-01-01 00:00:00.0", "click")))
     }
     // the provider restore worked
     assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
