@@ -880,6 +880,25 @@ object SparkEntry {
       // rows-only — summary contents depend on partial-merge order — with
       // the MG error-bound gate in PipelineSpec
       TextOps.heavyHittersSketch(docs(s, d), 10)),
+    "hash_embed" -> ((s, d) =>
+      // feature-hashing embeddings: exact signed-count cells, md5-keyed
+      // — the model-free text→vector bridge; exploded to (doc_id, j, v)
+      // scalar rows (the compare contract takes scalar columns), which
+      // also pins the dense assembly including the zero cells
+      TextOps.hashEmbed(docs(s, d))
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("j", "v")))
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("v"))),
+    "text_ann_hashed" -> { (s, d) =>
+      // similarity search over TEXT with no external model: hashEmbed →
+      // brute-force cosine top-5 (zero vectors filtered on both sides —
+      // cosine is undefined there)
+      val e = TextOps.hashEmbed(docs(s, d))
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(vec, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .where(expr("exists(embedding, x -> x != 0D)"))
+        .localCheckpoint(true)
+      VectorOps.bruteForceTopK(e, e.where(col("vec_id") < 5), 5)
+    },
     "cms_heavy_hitters" -> ((s, d) =>
       // Count-Min estimates for the exact top-20: counters are SUMS
       // (order-independent, unlike MG), so the full d×w state and the
@@ -2223,6 +2242,57 @@ object SparkEntry {
         |FROM documents
         |WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    // the hashing-trick replay: cell index/sign from md5 words 1/2 of
+    // each distinct (doc, token); dense assembly via a (doc × dim) grid
+    // left-joined to the sparse cells — all exact integers
+    "hash_embed" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |h AS (SELECT doc_id, md5(tok) AS h, cnt FROM cnt),
+         |cell AS (SELECT doc_id,
+         |    list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 64 AS j,
+         |    CASE WHEN list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+9)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 2 = 0
+         |      THEN cnt ELSE -cnt END AS v
+         |  FROM h),
+         |agg AS (SELECT doc_id, j, sum(v) AS v FROM cell GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, g.range AS j
+         |  FROM (SELECT DISTINCT doc_id FROM cnt) d CROSS JOIN range(64) g),
+         |rows0 AS (SELECT grid.doc_id, grid.j, coalesce(a.v, 0) AS v
+         |  FROM grid LEFT JOIN agg a ON a.doc_id = grid.doc_id AND a.j = grid.j)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS j,
+         |  CAST(v AS BIGINT) AS v
+         |FROM rows0""".stripMargin,
+
+    // ann_topk's contract over the hashEmbed vectors: shared hv CTE
+    // (the hash_embed relation cast to DOUBLE), zero vectors filtered,
+    // cosine + (sim desc, nb) rank
+    "text_ann_hashed" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |h AS (SELECT doc_id, md5(tok) AS h, cnt FROM cnt),
+         |cell AS (SELECT doc_id,
+         |    list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 64 AS j,
+         |    CASE WHEN list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+9)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 2 = 0
+         |      THEN cnt ELSE -cnt END AS v
+         |  FROM h),
+         |agg AS (SELECT doc_id, j, sum(v) AS v FROM cell GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, g.range AS j
+         |  FROM (SELECT DISTINCT doc_id FROM cnt) d CROSS JOIN range(64) g),
+         |rows0 AS (SELECT grid.doc_id, grid.j, coalesce(a.v, 0) AS v
+         |  FROM grid LEFT JOIN agg a ON a.doc_id = grid.doc_id AND a.j = grid.j),
+         |hv AS (SELECT doc_id, list(v::DOUBLE ORDER BY j) AS x FROM rows0 GROUP BY doc_id
+         |       HAVING max(abs(v)) > 0),
+         |q AS (SELECT doc_id AS qid, x AS qx FROM hv WHERE doc_id < 5),
+         |s AS (SELECT qid, hv.doc_id AS nb, list_cosine_similarity(qx, x) AS sim
+         |      FROM q, hv WHERE hv.doc_id <> qid),
+         |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM s)
+         |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
+         |FROM r WHERE rn <= 5""".stripMargin,
 
     // the Count-Min replay: cell (i, c) sums multiplicities of tokens
     // whose i-th md5 word (hex chars [8i, 8i+8) as a 32-bit int) ≡ c

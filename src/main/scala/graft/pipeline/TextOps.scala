@@ -1511,6 +1511,39 @@ object TextOps {
   }
 
   /**
+   * Feature-hashing document embeddings (the hashing trick: Weinberger
+   * et al., ICML'09) — a `dim`-cell signed bag-of-words vector with NO
+   * trained model: cell = first md5 word of the token mod dim, sign =
+   * parity of the second word, value = Σ signed token counts. This is
+   * the bridge from the text family to the vector family — hashEmbed →
+   * brute-force/LSH/IVF turns ANY text corpus into a similarity-search
+   * corpus without external embeddings (and with cosine equal to the
+   * sign-hashed BoW kernel in expectation).
+   *
+   * Fully exact-integer (cells are sums of signed counts, md5 both
+   * engines share), so the oracle pins every component. Scale shape:
+   * the (doc, token) count aggregation is the one corpus-wide shuffle
+   * (the tf backbone every text op shares); the cell fold is
+   * (doc, ≤dim) sized and the final assembly is one map-per-doc
+   * aggregation. Returns (doc_id, vec: array<long> of length dim).
+   */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val counts = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val cells = counts.select(col("doc_id"),
+      expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $dim").as("j"),
+      (expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 1L ELSE -1L END")
+        * col("cnt")).as("v"))
+      .groupBy(col("doc_id"), col("j")).agg(sum(col("v")).as("v"))
+    cells.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(CAST(0 AS BIGINT), CAST(${dim - 1} AS BIGINT)), j -> coalesce(m[j], 0L))")
+          .as("vec"))
+  }
+
+  /**
    * Incremental corpus dedup — the daily-ingest shape: dedup the NEW
    * batch within itself (min doc_id per normalized text), then drop
    * every normalized text the HISTORICAL corpus already contains.

@@ -723,6 +723,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(sk == exact)
   }
 
+  test("hashEmbed: hand-pinned cells, kernel properties, order independence") {
+    import spark.implicits._
+    // md5('spark') word1 % 8 = 2 (sign +), md5('join') word1 % 8 = 5
+    // (sign −) — values verified against a Python md5 reference
+    val d = Seq((1L, "spark spark spark join join")).toDF("doc_id", "text")
+    val v = TextOps.hashEmbed(d, dim = 8).head().getSeq[Long](1)
+    assert(v == Seq(0L, 0L, 3L, 0L, 0L, -2L, 0L, 0L))
+    // kernel sanity on real docs: a doc is its own nearest neighbor
+    // (cosine 1 on identical text), and the vectors are integer-exact
+    // under re-partitioning
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextOps.hashEmbed(real, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = TextOps.hashEmbed(real.repartition(16), 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    assert(a.values.forall(_.length == 64))
+    // token-count mass is conserved up to sign: Σ|cells| ≤ Σ counts,
+    // equality when no two tokens share a cell with opposite signs
+    val toks = real.select(col("doc_id"),
+        explode(graft.pipeline.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, vec) =>
+      assert(vec.map(math.abs).sum <= toks(id), s"doc $id mass")
+    }
+  }
+
   test("cmsHeavyHitters: est >= true, CMS error bound, order independence") {
     import spark.implicits._
     // 20k distinct rare tokens + 5 planted heavy hitters → real column
