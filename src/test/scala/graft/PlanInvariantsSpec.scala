@@ -48,7 +48,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "event_drift",
       // the MMR shortlist is the ann_topk brute-force shape (tiny query
       // broadcast); the greedy itself is bounded driver math
-      "mmr_rerank")
+      "mmr_rerank",
+      // ann_topk's exact-scoring shape over the hashEmbed vectors (5
+      // broadcast query vectors against the corpus)
+      "text_ann_hashed")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
