@@ -880,6 +880,12 @@ object SparkEntry {
       // rows-only — summary contents depend on partial-merge order — with
       // the MG error-bound gate in PipelineSpec
       TextOps.heavyHittersSketch(docs(s, d), 10)),
+    "dup_spans" -> ((s, d) =>
+      // exact duplicated-substring spans (Lee et al. ACL'22): maximal
+      // runs of corpus-repeated 13-grams — substring-level dedup signal
+      // inside otherwise-distinct docs; the twin replays gram flags and
+      // the same gaps-and-islands merge
+      TextOps.dupSpans(docs(s, d))),
     "hash_embed" -> ((s, d) =>
       // feature-hashing embeddings: exact signed-count cells, md5-keyed
       // — the model-free text→vector bridge; exploded to (doc_id, j, v)
@@ -2242,6 +2248,26 @@ object SparkEntry {
         |FROM documents
         |WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    // positional 13-gram md5s → corpus-repeated grams → per-doc
+    // gaps-and-islands merge of flagged positions into maximal spans
+    "dup_spans" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(range(1, len(t) - 11)) AS pos,
+        |    unnest([md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t) - 11)]) AS g
+        |  FROM t WHERE len(t) >= 13),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        |fl AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM fl)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) + 12 AS BIGINT) AS end_pos,
+        |  CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
 
     // the hashing-trick replay: cell index/sign from md5 words 1/2 of
     // each distinct (doc, token); dense assembly via a (doc × dim) grid

@@ -1139,6 +1139,58 @@ object TextOps {
   }
 
   /**
+   * Exact duplicated-substring spans (Lee et al., "Deduplicating
+   * Training Data Makes Language Models Better", ACL'22): per document,
+   * the MAXIMAL token runs in which every n-gram occurs more than once
+   * in the corpus — the substring-level dedup signal that catches
+   * boilerplate repeated INSIDE otherwise-distinct documents, which
+   * document-level (exact/minhash) and fixed-chunk dedup both miss.
+   * Exact for every duplicated run of ≥ n tokens (the n-gram relational
+   * form of the paper's suffix-array pass; runs shorter than n are out
+   * of contract by construction). Returns (doc_id, start_pos, end_pos,
+   * span_tokens, n_grams), positions 1-based token indexes.
+   *
+   * Scale shape: positional n-gram hashes are a map-only explode off
+   * the staged token arrays (the winnowing discipline); the repeated-
+   * gram set is one gram-keyed count with map-side partials, kept small
+   * by the `> 1` filter; flagging is a gram-keyed join (AQE broadcasts
+   * when the dup set is small); the gaps-and-islands window partitions
+   * per document over FLAGGED positions only — bounded by document
+   * length, never corpus-wide. Gram identity is md5 of the joined
+   * tokens: both engines share the hash, so the oracle is exact
+   * irrespective of the (negligible) collision probability.
+   */
+  def dupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n).persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (n - 1)), i =>
+          md5(concat_ws(" ", (0 until n).map(o => element_at(col("t"), i + o)): _*))))
+          .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("g"))
+    val flagged = grams.join(dup, "g").select(col("doc_id"), col("pos"))
+    val out = flagged
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("lastg"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("start_pos"),
+        (col("lastg") + (n - 1)).as("end_pos"),
+        (col("lastg") + (n - 1) - col("start_pos") + 1).as("span_tokens"),
+        col("n_grams"))
+    val res = out.localCheckpoint(true)
+    Seq(toks, grams).foreach(_.unpersist(false))
+    res
+  }
+
+  /**
    * Cross-source duplication matrix — which sources copy from which:
    * the near-dup pair relation ([[dedupMinHashLsh]]) joined to each
    * side's source and folded to (source_x ≤ source_y, n_pairs). The

@@ -723,6 +723,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(sk == exact)
   }
 
+  test("dupSpans: maximal repeated runs, hand-built boilerplate case") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token boilerplate block at different
+    // offsets inside otherwise-distinct text; doc 3 is clean
+    val boiler = "terms of service apply to all users here"
+    val d = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two $boiler three four five six"),
+      (3L, "entirely unrelated content with no repeats at all zero"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupSpans(d, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the shared run is exactly the 8 boilerplate tokens: every 5-gram
+    // inside it repeats, nothing outside does. doc 1: tokens 4..11;
+    // doc 2: tokens 3..10
+    assert(out(1L) == ((4L, 11L, 8L)))
+    assert(out(2L) == ((3L, 10L, 8L)))
+    assert(!out.contains(3L))
+    // within-doc repetition counts too: the same 6 tokens twice in one doc
+    val rep = Seq((9L, "a b c d e f x y z a b c d e f")).toDF("doc_id", "text")
+    val r2 = TextOps.dupSpans(rep, n = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(r2 == Set((1L, 6L, 6L), (10L, 15L, 6L)))
+  }
+
   test("hashEmbed: hand-pinned cells, kernel properties, order independence") {
     import spark.implicits._
     // md5('spark') word1 % 8 = 2 (sign +), md5('join') word1 % 8 = 5
