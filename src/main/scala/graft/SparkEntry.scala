@@ -886,6 +886,11 @@ object SparkEntry {
       // inside otherwise-distinct docs; the twin replays gram flags and
       // the same gaps-and-islands merge
       TextOps.dupSpans(docs(s, d))),
+    "dedup_substrings" -> ((s, d) =>
+      // the dup_spans INTERVENTION: excise flagged spans, rebuild the
+      // cleaned token stream; clean docs pass through intact — the twin
+      // replays spans, coverage, and the ordered reassembly
+      TextOps.removeDupSpans(docs(s, d))),
     "hash_embed" -> ((s, d) =>
       // feature-hashing embeddings: exact signed-count cells, md5-keyed
       // — the model-free text→vector bridge; exploded to (doc_id, j, v)
@@ -2268,6 +2273,35 @@ object SparkEntry {
         |  CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens,
         |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // dup_spans coverage excision + ordered string_agg reassembly;
+    // clean/short docs keep their full token stream, empty docs emit ''
+    "dedup_substrings" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(range(1, len(t) - 11)) AS pos,
+        |    unnest([md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t) - 11)]) AS g
+        |  FROM t WHERE len(t) >= 13),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        |fl AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM fl),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e FROM isl GROUP BY doc_id, grp),
+        |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+        |tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok FROM t),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |  ANTI JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos),
+        |asm AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(tt.n_tokens, 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d
+        |LEFT JOIN asm a ON a.doc_id = d.doc_id
+        |LEFT JOIN tot tt ON tt.doc_id = d.doc_id""".stripMargin,
 
     // the hashing-trick replay: cell index/sign from md5 words 1/2 of
     // each distinct (doc, token); dense assembly via a (doc × dim) grid

@@ -1191,6 +1191,44 @@ object TextOps {
   }
 
   /**
+   * The [[dupSpans]] INTERVENTION: excise every duplicated span and
+   * rebuild the cleaned text — what the pipeline actually ships after
+   * the Lee et al. signal fires. Documents with no flagged spans (or
+   * too few tokens to carry an n-gram) pass through with their token
+   * stream intact; a fully-boilerplate document comes out empty rather
+   * than dropped, so the caller decides the empty-doc policy.
+   *
+   * Shape: span ranges explode to covered positions (span-bounded, not
+   * corpus-bounded), an anti-join keeps uncovered tokens, and per-doc
+   * reassembly sorts the surviving (pos, token) pairs INSIDE the
+   * aggregate (sort_array over collect_list — collect_list order is
+   * partition-dependent, the sort restores determinism). Returns
+   * (doc_id, clean_text, n_kept, n_removed).
+   */
+  def removeDupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    val spans = dupSpans(docs, n)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("start_pos"), col("end_pos"))).as("pos"))
+    val pos = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .join(pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
+  /**
    * Cross-source duplication matrix — which sources copy from which:
    * the near-dup pair relation ([[dedupMinHashLsh]]) joined to each
    * side's source and folded to (source_x ≤ source_y, n_pairs). The

@@ -748,6 +748,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2 == Set((1L, 6L, 6L), (10L, 15L, 6L)))
   }
 
+  test("removeDupSpans: excises the boilerplate, keeps clean docs intact") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users here"
+    val d = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two $boiler three four five six"),
+      (3L, "entirely unrelated content with no repeats at all zero"))
+      .toDF("doc_id", "text")
+    val out = TextOps.removeDupSpans(d, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha beta gamma delta epsilon", 5L, 8L)))
+    assert(out(2L) == (("one two three four five six", 6L, 8L)))
+    // clean doc passes through with its normalized token stream
+    assert(out(3L)._3 == 0L && out(3L)._1.startsWith("entirely unrelated"))
+    // reassembly order survives aggressive partitioning
+    val shuffled = TextOps.removeDupSpans(
+      spark.createDataFrame(d.rdd.repartition(7), d.schema), n = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(shuffled(1L) == "alpha beta gamma delta epsilon")
+  }
+
   test("hashEmbed: hand-pinned cells, kernel properties, order independence") {
     import spark.implicits._
     // md5('spark') word1 % 8 = 2 (sign +), md5('join') word1 % 8 = 5
