@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.GraftGraph
 import graft.model.{A, PropType}
-import graft.pipeline.{TextOps, VectorOps}
+import graft.pipeline.{SketchOps, TextOps, VectorOps}
 import graft.projection.{EventsReplay, TpchGraph}
 import graft.snapshot.Snapshot
 import graft.streaming.EventStream
@@ -916,6 +916,32 @@ object SparkEntry {
       // min-over-rows probe replay exactly in the twin — the portable-
       // sketch doctrine's frequency member beside graft_hll and Bloom
       TextOps.cmsHeavyHitters(docs(s, d))),
+    "gram_novelty" -> ((s, d) =>
+      // per-doc staleness: distinct 3-grams first seen in an earlier doc
+      // — the scalar ranking twin of dup_spans (gram-keyed attribution,
+      // integer counts; the one float is a ratio of those integers)
+      TextOps.gramNovelty(docs(s, d))),
+    "heaps_law" -> ((s, d) =>
+      // vocabulary-growth checkpoints (Heaps' law): first-occurrence
+      // rank per token + broadcast range-join against 10 cutoffs —
+      // cumulative distinct WITHOUT per-prefix rescans
+      TextOps.heapsLaw(docs(s, d))),
+    "dsir_weights" -> ((s, d) =>
+      // DSIR importance weights toward the 'en' slice: hashed-bigram
+      // profiles, integer floor-log2 ratios (bin-length — no libm log
+      // crosses the engine boundary), doc score = Σ count·λ
+      TextOps.dsirWeights(docs(s, d))),
+    "tokenizer_fertility" -> ((s, d) =>
+      // bytes/chars per BPE-ish token by language — the tokenizer-cost
+      // audit; one lang-keyed aggregation
+      TextOps.tokenizerFertility(docs(s, d))),
+    "bottomk_quantiles" -> ((s, d) =>
+      // deterministic KMV bottom-k sample (md5 order on o_orderkey) →
+      // exact nearest-rank quantiles over the sample: the oracle-able,
+      // mergeable alternative to approx_percentile's merge-order state
+      SketchOps.bottomKQuantiles(
+        s.read.parquet(s"$d/orders.parquet"),
+        col("o_orderkey"), col("o_totalprice"))),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -2231,6 +2257,96 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // first-occurrence attribution per distinct 3-gram: min doc_id over
+    // the corpus, then a per-doc stale count — all integers; novelty is
+    // the ratio of those integers (1.0 for gram-less docs)
+    "gram_novelty" ->
+      s"""WITH $shingleCte,
+         |dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |fst AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g),
+         |pd AS (SELECT dg.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN f.first_doc < dg.doc_id THEN 1 ELSE 0 END) AS n_stale
+         |  FROM dg JOIN fst f USING (g) GROUP BY dg.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(pd.n_stale, 0) AS BIGINT) AS n_stale,
+         |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 1.0
+         |       ELSE round(1.0 - coalesce(pd.n_stale, 0)::DOUBLE / pd.n_grams, 4)
+         |  END AS novelty
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // prefix membership is integer-exact (rk <= (i*N)//10); distinct
+    // vocab per checkpoint via first-occurrence rank, never a rescan
+    "heaps_law" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |rk AS (SELECT doc_id, t, row_number() OVER (ORDER BY doc_id) AS rk FROM toks),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |cps AS (SELECT (g.range*100)//10 AS pct, (g.range*n.nd)//10 AS cutoff
+        |  FROM range(1, 11) g, n),
+        |tot AS (SELECT c.pct, count(*) AS n_docs, sum(len(r.t)) AS total_tokens
+        |  FROM rk r JOIN cps c ON r.rk <= c.cutoff GROUP BY c.pct),
+        |fr AS (SELECT tok, min(rk) AS fr
+        |  FROM (SELECT rk, unnest(t) AS tok FROM rk) GROUP BY tok),
+        |voc AS (SELECT c.pct, count(*) AS distinct_tokens
+        |  FROM fr JOIN cps c ON fr.fr <= c.cutoff GROUP BY c.pct)
+        |SELECT CAST(t.pct AS BIGINT) AS pct, CAST(t.n_docs AS BIGINT) AS n_docs,
+        |  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(v.distinct_tokens, 0) AS BIGINT) AS distinct_tokens
+        |FROM tot t LEFT JOIN voc v USING (pct)""".stripMargin,
+
+    // hashed-bigram importance replay: feature id from md5 word 1 (the
+    // hash_embed hex decode), λ = bin-length(t+1) − bin-length(r+1) —
+    // integer floor-log2, no libm log on either side
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |big AS (SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
+        |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+        |    ELSE [] END) AS g FROM toks),
+        |hx AS (SELECT doc_id, lang, md5(g) AS h FROM big),
+        |occ AS (SELECT doc_id, lang,
+        |    list_sum(list_transform(range(8), j ->
+        |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 4096 AS f
+        |  FROM hx),
+        |lam AS (SELECT f,
+        |    length(bin((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)::BIGINT))
+        |      - length(bin((count(*) + 1)::BIGINT)) AS lam
+        |  FROM occ GROUP BY f),
+        |pdf AS (SELECT doc_id, f, count(*) AS cnt FROM occ GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, sum(cnt) AS n_feat, sum(cnt*lam) AS score
+        |  FROM pdf JOIN lam USING (f) GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(sc.n_feat, 0) AS BIGINT) AS n_feat,
+        |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    // strlen = UTF-8 bytes (Spark's octet_length); the two ratios are
+    // double divisions of exact integer totals
+    "tokenizer_fertility" ->
+      """WITH s AS (SELECT lang, count(*) AS n_docs,
+        |    sum(strlen(text)) AS total_bytes, sum(length(text)) AS total_chars,
+        |    sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_ws,
+        |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS n_bpe
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(n_ws AS BIGINT) AS n_ws, CAST(n_bpe AS BIGINT) AS n_bpe,
+        |  round(total_bytes::DOUBLE / n_bpe, 4) AS bytes_per_bpe,
+        |  round(total_chars::DOUBLE / n_bpe, 4) AS chars_per_bpe
+        |FROM s""".stripMargin,
+
+    // the KMV bottom-k sample is a pure function of md5(o_orderkey), so
+    // the sample AND its order statistics replay bit-for-bit
+    "bottomk_quantiles" ->
+      """WITH smp AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h,
+        |    o_totalprice::DOUBLE AS v
+        |  FROM orders ORDER BY h LIMIT 1024),
+        |rkd AS (SELECT v, h, row_number() OVER (ORDER BY v, h) AS rk,
+        |    count(*) OVER () AS n FROM smp)
+        |SELECT CAST(p.pct AS BIGINT) AS pct, r.v AS val
+        |FROM rkd r JOIN (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) p(pct)
+        |  ON r.rk = 1 + (p.pct*(r.n-1))//100""".stripMargin,
 
     "quality_scores" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

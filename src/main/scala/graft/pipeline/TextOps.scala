@@ -1797,4 +1797,211 @@ object TextOps {
     toks.unpersist(false)
     res
   }
+
+  /** Word n-grams WITH multiplicity from a token-array attribute (the
+    * non-distinct sibling of [[shinglesFromTokens]] — importance
+    * weighting needs occurrence counts, not set membership). Same
+    * staging rule: `t` must be a materialized column. */
+  def ngramsFromTokens(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * N-gram novelty per document: of the doc's distinct word `n`-gram
+   * shingles, how many first appeared in an EARLIER document (smaller
+   * doc_id)? A doc whose grams are mostly "stale" is boilerplate-heavy
+   * even when document-level dedup (exact/minhash/simhash) passes it —
+   * the per-doc scalar twin of [[dupSpans]]' span extraction, and the
+   * ranking signal RefinedWeb-style pipelines deprioritize on.
+   *
+   * Returns (doc_id, n_grams, n_stale, novelty) with novelty =
+   * round(1 − n_stale/n_grams, 4) (1.0 for gram-less docs — nothing
+   * proven stale). All counts are integers; the one float is a ratio
+   * of those integers, formed identically by any engine.
+   *
+   * Scale shape: explode is map-only off the staged token arrays; the
+   * first-occurrence attribution is ONE gram-keyed aggregation and one
+   * gram-keyed equi-join (never all-pairs), then a doc-keyed count —
+   * the dup_spans backbone. At 100 TB the gram relation is the corpus
+   * token count × n; both shuffles hash-partition on keys with
+   * cardinality ≥ vocabulary, so no skew hot-spots beyond stopword
+   * grams, which the distinct-per-doc projection already caps at one
+   * row per (doc, gram).
+   */
+  def gramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dg = toks.select(col("doc_id"),
+      explode(shinglesFromTokens(col("t"), n)).as("g"))
+    val first = dg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = dg.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_stale"))
+    val out = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("n_stale"), lit(0L)).cast("long").as("n_stale"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - col("n_stale").cast("double") / col("n_grams"), 4)))
+    val res = out.localCheckpoint(true)
+    toks.unpersist(false)
+    res
+  }
+
+  /**
+   * Heaps'-law vocabulary-growth audit: at each corpus prefix (first
+   * i/`steps` of the documents in doc_id order), the running token
+   * total and the distinct-token vocabulary size. The V(n) ≈ K·n^β
+   * curve this samples is the standard check that a corpus keeps
+   * contributing new vocabulary (a flattening curve means the tail is
+   * re-treading the head — scrape loops, template farms).
+   *
+   * Returns (pct, n_docs, total_tokens, distinct_tokens), all exact
+   * integers. The prefix membership contract is integer-exact: doc
+   * rank r (1-based, by doc_id) is inside checkpoint i iff
+   * r ≤ (i·N)/steps with integer division.
+   *
+   * Scale shape: cumulative-distinct is NOT computed per prefix —
+   * each token contributes its FIRST-occurrence rank (one token-keyed
+   * aggregation), and a checkpoint then counts tokens with
+   * first_rank ≤ cutoff via a broadcast range-join against the
+   * `steps`-row checkpoint table (each token row duplicated ≤ steps
+   * times, then collapsed map-side). The doc-rank window is a global
+   * sort over doc-count-sized rows; at 100 TB replace with the
+   * pre-sorted doc_id order (ranks = row position) or zipWithIndex on
+   * a sorted scan — the token-side plan is unchanged.
+   */
+  def heapsLaw(docs: DataFrame, steps: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(steps > 0, "steps must be positive")
+    val ranked = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = ranked.count()
+    val cps = (1 to steps)
+      .map(i => (i * 100L / steps, i * nDocs / steps))
+      .toDF("pct", "cutoff")
+    val totals = ranked
+      .select(col("rk"), size(col("t")).cast("long").as("n_tok"))
+      .join(broadcast(cps), col("rk") <= col("cutoff"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+    val firstRank = ranked
+      .select(col("rk"), explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("rk")).as("fr"))
+    val vocab = firstRank
+      .join(broadcast(cps), col("fr") <= col("cutoff"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("distinct_tokens"))
+    val out = totals.join(vocab, Seq("pct"), "left")
+      .select(col("pct").cast("long").as("pct"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).cast("long").as("distinct_tokens"))
+    val res = out.localCheckpoint(true)
+    ranked.unpersist(false)
+    res
+  }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every doc
+   * by how much its hashed-bigram profile looks like a TARGET slice
+   * of the corpus (here: `targetLang` docs) versus the raw pool.
+   *
+   * Exactness contract: the per-feature log-ratio is quantized to the
+   * INTEGER floor-log2 — λ_f = bitlen(t_f+1) − bitlen(r_f+1) where
+   * bitlen(n) = length(bin(n)) — so a doc's score Σ count_{d,f}·λ_f
+   * is a sum of integers: order-independent and bit-portable (both
+   * Spark and DuckDB ship `bin`). No `ln` crosses the engine boundary
+   * (the §23/§28 float doctrine; libm log differs in the last ulp
+   * between engines, and round-to-grid flips at grid edges).
+   *
+   * Feature = first 32-bit md5 word of the word-bigram, mod `dim` —
+   * the same portable-hash staging as [[portableHashPairs]].
+   *
+   * Returns (doc_id, n_feat, score): bigram occurrence count and the
+   * integer importance score (higher = more target-like). Docs with
+   * <2 tokens score 0 on 0 features.
+   *
+   * Scale shape: one feature-keyed aggregation builds both
+   * distributions in a single pass (count + conditional count — no
+   * second corpus scan for the target side), one (doc, feature)
+   * aggregation with map-side combine, one dim-bounded equi-join
+   * (λ table has ≤ dim rows → broadcast), one doc-keyed sum.
+   */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  dim: Int = 4096): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(dim > 0, "dim must be positive")
+    def bitlen(c: Column): Column = length(bin(c))
+    val toks = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = toks
+      .select(col("doc_id"), col("lang"),
+        explode(ngramsFromTokens(col("t"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % dim).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lam = occ.groupBy(col("f"))
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t"))
+      .select(col("f"),
+        (bitlen(col("t") + 1) - bitlen(col("r") + 1)).cast("long").as("lam"))
+    val perDocFeat = occ.groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = perDocFeat.join(broadcast(lam), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_feat"),
+        sum(col("cnt") * col("lam")).cast("long").as("score"))
+    val out = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("score"), lit(0L)).as("score"))
+    val res = out.localCheckpoint(true)
+    occ.unpersist(false); toks.unpersist(false)
+    res
+  }
+
+  /**
+   * Tokenizer-fertility audit per language: bytes and characters per
+   * BPE-ish token — the number that decides how expensive a language
+   * is to train on under a given tokenizer (CJK text runs fewer,
+   * fatter tokens; the bytes/token ratio is the standard "fertility"
+   * diagnostic). Whitespace tokens reported alongside as the naive
+   * baseline.
+   *
+   * Returns (lang, n_docs, total_bytes, total_chars, n_ws, n_bpe,
+   * bytes_per_bpe, chars_per_bpe) — the totals exact integers, the
+   * two ratios formed from them (round 4). One lang-keyed aggregation
+   * with map-side combine; tokenization never leaves the scan
+   * projection.
+   */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        expr("octet_length(text)").cast("long").as("b"),
+        length(col("text")).cast("long").as("c"),
+        nTokens(col("text")).cast("long").as("ws"),
+        size(bpeTokens(col("text"))).cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("b")).as("total_bytes"),
+        sum(col("c")).as("total_chars"),
+        sum(col("ws")).as("n_ws"),
+        sum(col("bpe")).as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("total_bytes"),
+        col("total_chars"), col("n_ws"), col("n_bpe"),
+        round(col("total_bytes").cast("double") / col("n_bpe"), 4).as("bytes_per_bpe"),
+        round(col("total_chars").cast("double") / col("n_bpe"), 4).as("chars_per_bpe"))
 }

@@ -1415,4 +1415,89 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(11L) == ((1L, false, "train"))) // healed: inherits cluster 1's split
     assert(r(99L)._3 == perDoc(99L))         // singleton == plain splitAssign
   }
+
+  test("gramNovelty: repeats of an earlier doc are fully stale; originals fully novel") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),          // 2 grams, first occurrence
+      (1L, "alpha beta gamma delta"),          // same grams -> all stale
+      (2L, "epsilon zeta eta theta iota"),     // 3 fresh grams
+      (3L, "hi")                               // gram-less
+    ).toDF("doc_id", "text")
+    val r = TextOps.gramNovelty(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_stale"),
+          x.getAs[Double]("novelty")))).toMap
+    assert(r(0L) == ((2L, 0L, 1.0)))
+    assert(r(1L) == ((2L, 2L, 0.0)))
+    assert(r(2L) == ((3L, 0L, 1.0)))
+    assert(r(3L) == ((0L, 0L, 1.0)))
+  }
+
+  test("heapsLaw: final checkpoint equals corpus totals; growth is monotone") {
+    val d = Seq(
+      (0L, "a b c"), (1L, "a b d"), (2L, "e f"), (3L, "a"), (4L, "g h i j")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.heapsLaw(d).collect()
+      .map(x => (x.getAs[Long]("pct"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("total_tokens"), x.getAs[Long]("distinct_tokens")))
+      .sortBy(_._1)
+    val last = rows.last
+    assert(last == ((100L, 5L, 13L, 10L)))
+    // prefix counts never decrease
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4 })
+    // 40% checkpoint = first 2 docs: 6 tokens, vocab {a,b,c,d}
+    assert(rows.find(_._1 == 40L).get == ((40L, 2L, 6L, 4L)))
+  }
+
+  test("dsirWeights: target-heavy docs outscore off-target; scores are integers of bigram mass") {
+    val d = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "der hund lief durch den park", "de"), // de-only: t=0, λ=-1
+      (4L, "x", "en")                             // <2 tokens -> 0 features
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.dsirWeights(d, "en").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_feat"), x.getAs[Long]("score")))).toMap
+    assert(r(4L) == ((0L, 0L)))
+    // target-pure bigrams (t = r -> λ = 0) outscore the off-target ones
+    // (t = 0 -> λ = 1 - bitlen(r+1) = -1 at r = 1: score -5)
+    assert(r(0L)._2 == 0L && r(2L)._2 == -5L)
+    // identical text = identical profile
+    assert(r(0L) == r(1L))
+    assert(r(0L)._1 == 5L) // 6 tokens -> 5 bigram occurrences
+  }
+
+  test("tokenizerFertility: exact totals and ratios on a hand corpus") {
+    val d = Seq(
+      (0L, "Hello, world!", "en"),   // bpe: [Hello][,][world][!] = 4; ws 2
+      (1L, "abc 123", "en")          // bpe: [abc][123] = 2; ws 2
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.tokenizerFertility(d).head()
+    assert(r.getAs[Long]("n_docs") == 2)
+    assert(r.getAs[Long]("total_bytes") == 20) // ASCII: bytes == chars
+    assert(r.getAs[Long]("total_chars") == 20)
+    assert(r.getAs[Long]("n_ws") == 4 && r.getAs[Long]("n_bpe") == 6)
+    assert(r.getAs[Double]("bytes_per_bpe") == 3.3333) // round(20/6, 4)
+  }
+
+  test("bottomKQuantiles: k >= N degrades to exact quantiles; bottom-k sets merge") {
+    import graft.pipeline.SketchOps
+    val n = 200
+    val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val q = SketchOps.bottomKQuantiles(df, col("k"), col("v"), k = 1024)
+      .collect().map(x => x.getAs[Long]("pct") -> x.getAs[Double]("val")).toMap
+    // nearest-rank-lower over the full population: rk = 1 + (pct*(n-1))/100
+    (10 to 90 by 10).foreach { p =>
+      assert(q(p.toLong) == (1 + (p * (n - 1)) / 100).toDouble, s"pct $p")
+    }
+    // mergeability: sample(k) over the union == re-truncated union of halves
+    val (a, b) = (df.where(col("k") <= 100), df.where(col("k") > 100))
+    def sample(d: org.apache.spark.sql.DataFrame) = d
+      .select(md5(col("k").cast("string")).as("h"), col("v"))
+      .orderBy("h").limit(16).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val merged = (sample(a) ++ sample(b)).sortBy(_._1).take(16).toSeq
+    assert(merged == sample(df).toSeq)
+  }
 }

@@ -51,7 +51,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "mmr_rerank",
       // ann_topk's exact-scoring shape over the hashEmbed vectors (5
       // broadcast query vectors against the corpus)
-      "text_ann_hashed")
+      "text_ann_hashed",
+      // broadcast range-join of per-token first-occurrence ranks against
+      // the 10-row checkpoint table (each row duplicated ≤ steps times)
+      "heaps_law",
+      // the 9-row percentile table joined on the computed rank equality
+      // over the k-row (≤1024) sample — both sides bounded constants
+      "bottomk_quantiles")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
