@@ -942,6 +942,20 @@ object SparkEntry {
       SketchOps.bottomKQuantiles(
         s.read.parquet(s"$d/orders.parquet"),
         col("o_orderkey"), col("o_totalprice"))),
+    "lang_length_quantiles" -> ((s, d) =>
+      // the group-wise sketch: independent per-lang bottom-k samples,
+      // same exact nearest-rank contract within each group
+      SketchOps.groupBottomKQuantiles(
+        docs(s, d), col("lang"), col("doc_id"), col("n_chars"))),
+    "quota_apportion" -> ((s, d) =>
+      // Hamilton largest-remainder quotas: Σ quota = budget exactly,
+      // leftover seats by (remainder desc, source) — integer window math
+      // over the #sources dimension
+      TextOps.quotaApportion(docs(s, d), 1000L)),
+    "quality_tiers" -> ((s, d) =>
+      // CCNet-style head/middle/tail by within-lang LM plausibility —
+      // integer bitlen-logprob score, integer-exact tertile cuts
+      TextOps.qualityTiers(docs(s, d))),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -2335,6 +2349,55 @@ object SparkEntry {
         |  round(total_bytes::DOUBLE / n_bpe, 4) AS bytes_per_bpe,
         |  round(total_chars::DOUBLE / n_bpe, 4) AS chars_per_bpe
         |FROM s""".stripMargin,
+
+    // per-source seat allocation: base = (B·n)÷N, leftover seats by
+    // (remainder desc, source) — every term an integer
+    "quota_apportion" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT c.*, sum(n_docs) OVER () AS n FROM c),
+        |b AS (SELECT source, n_docs, (1000*n_docs)//n AS base,
+        |    1000 - sum((1000*n_docs)//n) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY (1000*n_docs)%n DESC, source) AS rk
+        |  FROM t)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM b""".stripMargin,
+
+    // bitlen-logprob surrogate (sum of integer floor-log2 token-count
+    // masses), rational average via one double division, integer-exact
+    // tertile cuts within lang
+    "quality_tiers" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |ct AS (SELECT tok, length(bin(count(*)::BIGINT)) AS bl FROM tk GROUP BY tok),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens, sum(bl) AS sum_bl
+        |  FROM tk JOIN ct USING (tok) GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, d.lang,
+        |    coalesce(pd.n_tokens, 0) AS n_tokens, coalesce(pd.sum_bl, 0) AS sum_bl,
+        |    CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+        |         ELSE coalesce(pd.sum_bl, 0)::DOUBLE / pd.n_tokens END AS avg_bl
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |rkd AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_bl DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM sc)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(sum_bl AS BIGINT) AS sum_bl,
+        |  CASE WHEN rk*3 <= n THEN 'head'
+        |       WHEN rk*3 <= n*2 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM rkd""".stripMargin,
+
+    // independent per-lang KMV samples; same rank contract inside each
+    "lang_length_quantiles" ->
+      """WITH b AS (SELECT lang AS grp, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    n_chars::DOUBLE AS v FROM documents),
+        |s AS (SELECT * FROM (SELECT grp, h, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS hrk FROM b)
+        |  WHERE hrk <= 256),
+        |r AS (SELECT grp, v, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rk,
+        |    count(*) OVER (PARTITION BY grp) AS n FROM s)
+        |SELECT r.grp AS "group", CAST(p.pct AS BIGINT) AS pct, r.v AS val,
+        |  CAST(r.n AS BIGINT) AS n_sample
+        |FROM r JOIN (VALUES (25),(50),(75)) p(pct)
+        |  ON r.rk = 1 + (p.pct*(r.n-1))//100""".stripMargin,
 
     // the KMV bottom-k sample is a pure function of md5(o_orderkey), so
     // the sample AND its order statistics replay bit-for-bit

@@ -58,4 +58,46 @@ object SketchOps {
         col("rk") === lit(1) + expr("pct * (n - 1) div 100"))
       .select(col("pct").cast("long").as("pct"), col("v").as("val"))
   }
+
+  /**
+   * Group-wise [[bottomKQuantiles]]: an independent deterministic
+   * bottom-k sample PER GROUP (hash rank within the group partition),
+   * then the same exact nearest-rank quantile contract over each
+   * group's sample. The per-group samples stay mergeable the same way
+   * — union, re-truncate within group.
+   *
+   * Scale shape: both passes are group-partitioned windows — the
+   * sample rank sorts each group's rows by hash inside its hash
+   * partition (no global sort, no driver merge), and the quantile
+   * rank then runs over ≤ k rows per group. With G groups the state
+   * after sampling is G·k rows. For few, huge groups the window sort
+   * is the cost — at 100 TB pre-aggregate with a per-partition k-heap
+   * (the TakeOrdered shape, grouped) before the window; the contract
+   * is unchanged.
+   *
+   * Returns (group, pct, val, n_sample).
+   */
+  def groupBottomKQuantiles(df: DataFrame, group: Column, key: Column,
+                            value: Column, k: Int = 256,
+                            pcts: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(pcts.forall(p => p >= 0 && p <= 100), "pcts must be in [0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(group.as("grp"),
+      md5(key.cast("string")).as("h"), value.cast("double").as("v"))
+    val sample = base
+      .withColumn("hrk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("hrk") <= k)
+    val ranked = sample
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    ranked
+      .join(broadcast(pcts.toDF("pct")),
+        col("rk") === lit(1) + expr("pct * (n - 1) div 100"))
+      .select(col("grp").as("group"), col("pct").cast("long").as("pct"),
+        col("v").as("val"), col("n").cast("long").as("n_sample"))
+  }
 }

@@ -2004,4 +2004,96 @@ object TextOps {
         col("total_chars"), col("n_ws"), col("n_bpe"),
         round(col("total_bytes").cast("double") / col("n_bpe"), 4).as("bytes_per_bpe"),
         round(col("total_chars").cast("double") / col("n_bpe"), 4).as("chars_per_bpe"))
+
+  /**
+   * Largest-remainder (Hamilton) apportionment of an integer sampling
+   * budget across sources: each source gets ⌊B·n_s∕N⌋ docs, and the
+   * leftover seats go to the largest remainders (B·n_s mod N, ties by
+   * source name) — the standard way to turn fractional mixture weights
+   * into an integer per-source quota that sums EXACTLY to the budget
+   * (naive rounding over- or under-shoots; [[mixtureWeights]] gives
+   * the fractions, this gives the draw counts).
+   *
+   * Returns (source, n_docs, quota) with Σ quota = budget, all
+   * integers. One source-keyed count, then window math over the
+   * #sources-row table — driver-free and exact at any corpus size
+   * (the source dimension, not the corpus, is what's windowed).
+   */
+  def quotaApportion(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("base", expr(s"$budget * n_docs div n"))
+      .withColumn("rem", expr(s"$budget * n_docs % n"))
+      .withColumn("leftover",
+        lit(budget) - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+    counts.select(col("source"), col("n_docs").cast("long").as("n_docs"),
+      (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .cast("long").as("quota"))
+  }
+
+  /**
+   * CCNet-style quality tiers: rank documents within each language by
+   * a unigram-LM plausibility score and cut into head/middle/tail
+   * tertiles (CCNet buckets by Wikipedia-LM perplexity; the integer
+   * analog here scores by corpus-frequency mass so the contract stays
+   * engine-exact — see below).
+   *
+   * The score is the integer bitlen-logprob surrogate: Σ over the
+   * doc's tokens of bitlen(corpus count of that token), i.e. a
+   * floor-log2 quantization of Σ log c(w) — order-independent (a sum
+   * of integers) where avg(log p) would be summation-order float (the
+   * §28 doctrine; the [[unigramLogProb]] float form stays available
+   * for in-engine filtering). Per-token average compares as the exact
+   * rational sum_bl∕n_tokens via one double division of integers.
+   *
+   * Tier contract (integer-exact tertiles): rank within lang by
+   * (avg desc, doc_id), then head iff 3·rk ≤ n, middle iff 3·rk ≤ 2·n,
+   * else tail. Token-less docs score 0 on 0 tokens (avg 0 → tail end).
+   *
+   * Returns (doc_id, lang, n_tokens, sum_bl, tier).
+   *
+   * Scale shape: token-keyed count (map-side combine) joined back to
+   * the token instances (AQE broadcasts the count table while it
+   * fits; at 100 TB join the head vocabulary broadcast + tail
+   * backoff), one doc-keyed sum, one per-lang window over doc-sized
+   * rows (lang-partitioned sort, the splitStratified shape).
+   */
+  def qualityTiers(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = exploded.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("tok"), length(bin(col("c"))).cast("long").as("bl"))
+    val perDoc = exploded.join(counts, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bl")).as("sum_bl"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(col("sum_bl"), lit(0L)).cast("long").as("sum_bl"))
+      .withColumn("avg_bl",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("sum_bl").cast("double") / col("n_tokens")))
+    val w = Window.partitionBy(col("lang"))
+    val out = scored
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("avg_bl").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("sum_bl"),
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("tier"))
+    val res = out.localCheckpoint(true)
+    exploded.unpersist(false)
+    res
+  }
 }

@@ -1482,6 +1482,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("bytes_per_bpe") == 3.3333) // round(20/6, 4)
   }
 
+  test("quotaApportion: quotas sum exactly to the budget; largest remainders win the seats") {
+    val d = (0 until 7).map(i => (i.toLong, "t", Seq("a", "a", "a", "b", "b", "c", "c")(i)))
+      .toDF("doc_id", "text", "source")
+    // n = 7, B = 10: a 30/7=4 rem 2, b 20/7=2 rem 6, c 20/7=2 rem 6 ->
+    // base 8, 2 leftover seats -> b and c (larger remainder)
+    val r = TextOps.quotaApportion(d, 10L).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("quota")).toMap
+    assert(r == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    assert(r.values.sum == 10L)
+    // degenerate budgets still sum exactly
+    assert(TextOps.quotaApportion(d, 0L).collect().map(_.getAs[Long]("quota")).sum == 0L)
+    assert(TextOps.quotaApportion(d, 2L).collect().map(_.getAs[Long]("quota")).sum == 2L)
+  }
+
+  test("qualityTiers: frequent-token docs rank head; tertile cuts exact; token-less doc tails") {
+    val common = "the cat sat" // tokens appearing in many docs
+    val d = Seq(
+      (0L, s"$common $common $common", "en"),
+      (1L, s"$common xylophone", "en"),
+      (2L, "qqq zzz www", "en"),           // all rare -> lowest avg
+      (3L, "", "en"),                       // token-less
+      (4L, s"$common", "en"),
+      (5L, s"$common quartz", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.qualityTiers(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("tier")).toMap
+    // n = 6 -> head: rk 1-2, middle: rk 3-4, tail: rk 5-6
+    assert(r(0L) == "head")
+    assert(r(2L) == "tail" && r(3L) == "tail")
+    assert(r.values.count(_ == "head") == 2)
+    assert(r.values.count(_ == "middle") == 2)
+  }
+
+  test("groupBottomKQuantiles: per-group exact quantiles at k >= group size") {
+    import graft.pipeline.SketchOps
+    val d = ((1 to 99).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 9).map(i => ("b", (1000 + i).toLong, (i * 10).toDouble)))
+      .toDF("grp", "k", "v")
+    val r = SketchOps.groupBottomKQuantiles(d, col("grp"), col("k"), col("v"))
+      .collect().map(x => (x.getAs[String]("group"), x.getAs[Long]("pct")) ->
+        ((x.getAs[Double]("val"), x.getAs[Long]("n_sample")))).toMap
+    // group a: n=99, pct 50 -> rk 1+(50*98)/100 = 50 -> value 50
+    assert(r(("a", 50L)) == ((50.0, 99L)))
+    assert(r(("a", 25L)) == ((25.0, 99L)) && r(("a", 75L)) == ((74.0, 99L)))
+    // group b: n=9, pct 50 -> rk 5 -> 50.0
+    assert(r(("b", 50L)) == ((50.0, 9L)))
+  }
+
   test("bottomKQuantiles: k >= N degrades to exact quantiles; bottom-k sets merge") {
     import graft.pipeline.SketchOps
     val n = 200

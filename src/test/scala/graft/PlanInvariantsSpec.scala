@@ -57,7 +57,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "heaps_law",
       // the 9-row percentile table joined on the computed rank equality
       // over the k-row (≤1024) sample — both sides bounded constants
-      "bottomk_quantiles")
+      "bottomk_quantiles",
+      // the same percentile-table join, per-group (≤ G·k sample rows)
+      "lang_length_quantiles")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
