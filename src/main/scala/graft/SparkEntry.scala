@@ -1317,6 +1317,18 @@ object SparkEntry {
           col("event_type"), col("n"), col("nonzero_registers"),
           col("register_sum"), col("est_users"))
     },
+    "windowed_value_quantiles" -> { (s, d) =>
+      // per-(hour, type) value quantiles from the native KMV bottom-k
+      // sample (graft_bottomk) — O(k) state per group where exact
+      // quantiles hold every value and approx_percentile is merge-order
+      // state; the twin replays the md5 sample and the rank selection
+      EventStream.windowedValueQuantiles(
+          graft.projection.EventsReplay.rawEvents(s, d))
+        .select(
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("n_sample"),
+          col("p25"), col("p50"), col("p75"))
+    },
 
     // day-over-day event-type KL drift — the data-monitoring signal a
     // feed pipeline alerts on; everything past the (day,type) count is
@@ -3407,6 +3419,29 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the KMV bottom-32 by md5(event_id) per (hour, type), then the
+    // nearest-rank pick over the (v, h)-sorted sample — all integer
+    // selection over raw doubles
+    "windowed_value_quantiles" ->
+      """WITH ev AS (SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, md5(CAST(event_id AS VARCHAR)) AS h, value::DOUBLE AS v
+        |  FROM events),
+        |smp AS (SELECT * FROM (SELECT window_start, event_type, h, v,
+        |    row_number() OVER (PARTITION BY window_start, event_type ORDER BY h) AS hrk
+        |  FROM ev) WHERE hrk <= 32),
+        |tot AS (SELECT window_start, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, v,
+        |    row_number() OVER (PARTITION BY window_start, event_type ORDER BY v, h) AS rk,
+        |    count(*) OVER (PARTITION BY window_start, event_type) AS ns FROM smp),
+        |q AS (SELECT window_start, event_type, ns,
+        |    max(CASE WHEN rk = 1 + (25*(ns-1))//100 THEN v END) AS p25,
+        |    max(CASE WHEN rk = 1 + (50*(ns-1))//100 THEN v END) AS p50,
+        |    max(CASE WHEN rk = 1 + (75*(ns-1))//100 THEN v END) AS p75
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT q.window_start, q.event_type, CAST(t.n AS BIGINT) AS n,
+        |  CAST(q.ns AS BIGINT) AS n_sample, q.p25, q.p50, q.p75
+        |FROM q JOIN tot t USING (window_start, event_type)""".stripMargin,
 
     // the vocab_sketch HLL replay keyed by (hour window, event_type)
     // over user_id rendered as a decimal string — same register

@@ -155,6 +155,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FreqSketchAgg(children(0), cap).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(2).foldable,
+          "graft_bottomk(hash, value, k) needs a literal k")
+        val k = children(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_bottomk: k must be integral, got $other")
+        }
+        BottomKAgg(children(0), children(1), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
       (children: Seq[Expression]) => {

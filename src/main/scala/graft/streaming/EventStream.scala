@@ -128,6 +128,42 @@ object EventStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Watermarked tumbling-window VALUE QUANTILES per event type via the
+    * native KMV bottom-k sample (`graft_bottomk`, functions/BottomKAgg)
+    * — the streaming order-statistics job. Exact quantiles need every
+    * value in state; `approx_percentile`'s GK summary is merge-order-
+    * dependent (two runs legitimately disagree — unverifiable); the
+    * bottom-k sample is O(k) state per (window, type), its
+    * union-truncate merge is the commutative fold micro-batch updates
+    * need, and the kept set is a pure function of the data — so the
+    * SAME transform runs on batch (oracle-checked as
+    * `windowed_value_quantiles`, the twin replays the md5 sample and
+    * rank selection) and on a stream (parity in EventStreamSpec).
+    * Quantile contract: sample sorted by (v, h), nearest-rank-lower
+    * rk = 1 + (pct·(n_sample−1)) div 100 — all integer selection over
+    * raw data doubles. Requires the graft session extension. */
+  def windowedValueQuantiles(events: DataFrame, window: String = "1 hour",
+                             watermark: String = "2 hours",
+                             k: Int = 32): DataFrame = {
+    def pick(p: Int): org.apache.spark.sql.Column =
+      element_at(col("smp"), (lit(1) + expr(s"$p * (size(smp) - 1) div 100")).cast("int"))("v")
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_bottomk",
+          md5(col("event_id").cast("string")), col("value").cast("double"),
+          lit(k)).as("bk"))
+      // re-sort the hash-ordered sample by (v, h) for rank selection
+      .withColumn("smp", array_sort(transform(col("bk"),
+        x => struct(x("v").as("v"), x("h").as("h")))))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n").cast("long").as("n"),
+        size(col("smp")).cast("long").as("n_sample"),
+        pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"))
+  }
+
   /** Watermarked tumbling-window DISTINCT-USER estimates per event type
     * via the portable md5 HLL (`graft_hll`, functions/HllSketchAgg) —
     * the canonical streaming-sketch job. Exact streaming distinct keeps

@@ -141,6 +141,45 @@ class EventStreamSpec extends AnyFunSuite {
     assert(math.abs(est0 - 3.0) < 0.03)
   }
 
+  test("windowed value quantiles: stream == batch; small window exact; sample bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window 0: 5 values; window 1: 40 events (> k=32, sample truncates)
+    val w0 = (0 until 5).map(i =>
+      Event(i.toLong, ts(s"2024-01-01 00:1$i:00"), i.toLong, "click", (i + 1) * 10.0))
+    val w1 = (0 until 40).map(i =>
+      Event(100L + i, ts(s"2024-01-01 01:${10 + i % 45}:00"), i.toLong, "click", i.toDouble))
+    val late = Seq(Event(999L, ts("2024-01-01 09:00:00"), 9L, "click", 1.0))
+    val data = w0 ++ w1 ++ late
+    val source = MemoryStream[Event]
+    // split mid-window so the bottom-k state genuinely merges across
+    // micro-batches (union-truncate folded batch 1 with batch 2)
+    source.addData((w0.take(3) ++ w1.take(17)): _*)
+    val q = EventStream.windowedValueQuantiles(source.toDF(), k = 32)
+      .writeStream.format("memory").queryName("wq_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      source.addData((w0.drop(3) ++ w1.drop(17) ++ late): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("win_start").toString, r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_sample"), r.getAs[Double]("p25"),
+          r.getAs[Double]("p50"), r.getAs[Double]("p75")))
+    val streamed = spark.table("wq_sink").collect().map(key).toMap
+    val batch = EventStream.windowedValueQuantiles(data.toDF(), k = 32)
+      .collect().map(key).toMap
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"window $k") }
+    // k >= n: the sample IS the window -> exact quantiles of {10..50}:
+    // rk(25) = 1 + (25*4)/100 = 2 -> 20; rk(50) = 3 -> 30; rk(75) = 4 -> 40
+    val (n0, ns0, p25, p50, p75) = batch(("2024-01-01 00:00:00.0", "click"))
+    assert(n0 == 5L && ns0 == 5L && p25 == 20.0 && p50 == 30.0 && p75 == 40.0)
+    // k < n: sample truncated to exactly k
+    val (n1, ns1, _, _, _) = batch(("2024-01-01 01:00:00.0", "click"))
+    assert(n1 == 40L && ns1 == 32L)
+  }
+
   test("streaming dedup drops content duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -398,6 +437,34 @@ class EventStreamSpec extends AnyFunSuite {
       val wdBatch = EventStream.windowedDistinctUsers(wdData.toDF()).collect().map(wdKey).toMap
       wdStreamed.foreach { case (k, v) => assert(wdBatch(k) == v, s"window $k") }
       assert(wdStreamed.contains(("2024-01-01 00:00:00.0", "click")))
+
+      // windowed KMV value quantiles: the bottom-k buffers round-trip
+      // through RocksDB state between micro-batches; union-truncate
+      // merge still equals batch exactly
+      val src4 = MemoryStream[Event]
+      val wqData = (0 until 5).map(i =>
+        Event(i.toLong, ts(s"2024-01-01 00:1$i:00"), i.toLong, "click", (i + 1) * 10.0)) :+
+        Event(9L, ts("2024-01-01 09:00:00"), 9L, "click", 1.0)
+      val q4 = EventStream.windowedValueQuantiles(src4.toDF())
+        .writeStream.format("memory").queryName("rocks_wq_sink")
+        .option("checkpointLocation", s"$chkRoot/wq")
+        .outputMode("append").start()
+      try {
+        src4.addData(wqData.take(2): _*)
+        q4.processAllAvailable()
+        src4.addData(wqData.drop(2): _*)
+        q4.processAllAvailable()
+      } finally q4.stop()
+      def wqKey(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("win_start").toString, r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("n_sample"),
+            r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75")))
+      val wqStreamed = spark.table("rocks_wq_sink").collect().map(wqKey).toMap
+      val wqBatch = EventStream.windowedValueQuantiles(wqData.toDF())
+        .collect().map(wqKey).toMap
+      wqStreamed.foreach { case (k, v) => assert(wqBatch(k) == v, s"window $k") }
+      assert(wqStreamed(("2024-01-01 00:00:00.0", "click")) ==
+        ((5L, 5L, 20.0, 30.0, 40.0)))
     }
     // the provider restore worked
     assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
