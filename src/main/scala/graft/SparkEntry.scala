@@ -1148,6 +1148,25 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.mmrRerank(e, e.where(col("vec_id") === 0), k = 5, shortlist = 20)
     },
+    "hard_negatives" -> { (s, d) =>
+      // contrastive-mining shortlist: top-10 most-similar NON-duplicate
+      // neighbors (sim < the dedup_embedding threshold 0.45, so the
+      // excluded band is exactly what dedup would collapse)
+      val e = emb(s, d)
+      VectorOps.hardNegatives(e, e.where(col("vec_id") < 10), 10, 0.45)
+    },
+    "matryoshka_recall" -> { (s, d) =>
+      // dimension-adaptive retrieval audit: recall@10 of brute-force
+      // search over the FIRST 16 of 64 dims vs full-dim exact truth —
+      // the MRL question (how much ranking the prefix keeps) with the
+      // same driver-visible contract as rp_recall
+      val e = emb(s, d)
+      val pre = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      annRecall(
+        VectorOps.bruteForceTopK(pre, pre.where(col("vec_id") < 10), 10)
+          .select(col("q"), col("nb")),
+        VectorOps.bruteForceTopK(e, e.where(col("vec_id") < 10), 10))
+    },
     "rp_recall" -> { (s, d) =>
       // how much geometry the 4× reduction keeps, driver-visible the
       // same way as ann_ivf_recall: recall@10 of brute-force search in
@@ -3057,6 +3076,33 @@ object SparkEntry {
          |  FROM raw v, planes p)
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j,
          |  round(val, 4) AS v FROM proj""".stripMargin,
+    // ann_topk's scoring with the duplicate band excluded BEFORE ranking
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nb, list_cosine_similarity(qv, embedding::DOUBLE[]) AS sim
+        |      FROM q, embeddings WHERE vec_id <> qid),
+        |f AS (SELECT * FROM s WHERE sim < 0.45),
+        |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM f)
+        |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 10""".stripMargin,
+
+    // rp_recall's contract with the projection replaced by the plain
+    // 16-dim PREFIX slice (the matryoshka question)
+    "matryoshka_recall" ->
+      s"""WITH $rawEmbCte,
+         |projv AS (SELECT vec_id, x[1:16] AS y FROM raw),
+         |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
+         |$exactTopKCte,
+         |rqs AS (SELECT vec_id AS q, y AS qy FROM projv WHERE vec_id < 10),
+         |rp AS (SELECT q, nb FROM (
+         |    SELECT rqs.q, pv.vec_id AS nb, row_number() OVER (PARTITION BY rqs.q
+         |      ORDER BY list_cosine_similarity(rqs.qy, pv.y) DESC, pv.vec_id) AS rn
+         |    FROM rqs, projv pv WHERE pv.vec_id <> rqs.q) WHERE rn <= 10)
+         |SELECT CAST(rp.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM rp LEFT JOIN ex e ON rp.q = e.q AND rp.nb = e.nb
+         |GROUP BY rp.q""".stripMargin,
+
     "rp_recall" ->
       s"""WITH $rawEmbCte,
          |${planesCte(16)},

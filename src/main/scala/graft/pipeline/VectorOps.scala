@@ -98,6 +98,29 @@ object VectorOps {
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the top-k most-similar neighbors whose cosine stays BELOW
+    * `dupSim` — the near-miss band that actually teaches a model, with
+    * the near-duplicate "false negatives" excluded (a positive leaking
+    * into the negative set is the classic contrastive-training bug;
+    * `dupSim` should match the dedup threshold in force, so the
+    * exclusion is exactly "what dedup would have collapsed").
+    * Same two-phase shape as [[bruteForceTopK]]: the filter runs on the
+    * scored stream BEFORE the per-partition k-heaps, so the exchange
+    * still moves ≤ partitions×k rows per query. Returns (q, nb, sim)
+    * ranked (sim desc, nb). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    dupSim: Double = 0.95): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv")))
+    val scored = corpus.select(col("vec_id").as("nb"), dvec(col("embedding")).as("cv"))
+      .join(q, col("q") =!= col("nb"))
+      .select(col("q"), col("nb"),
+        cosineBest(corpus.sparkSession, col("qv"), col("cv")).as("sim"))
+      .where(col("sim") < dupSim)
+    groupedTopK(scored, "q", "nb", "sim", k)
+      .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Deterministic ±1 hyperplane matrix (md5-derived, see
     * [[graft.functions.Hyperplanes.matrix]]), embedded as a plan
     * literal — the per-(plane,dim) hashing happens ONCE at plan build,

@@ -1482,6 +1482,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("bytes_per_bpe") == 3.3333) // round(20/6, 4)
   }
 
+  test("hardNegatives: near-duplicates excluded from the shortlist, ranking preserved") {
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0.01f, 0f, 0f)),  // near-dup of 0 (cos ~ 1)
+      (2L, Seq(1f, 1f, 0f, 0f)),     // cos = .7071 — the hard negative
+      (3L, Seq(0f, 1f, 0f, 0f)),     // cos = 0
+      (4L, Seq(-1f, 0f, 0f, 0f))     // cos = -1
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.hardNegatives(e, e.where(col("vec_id") === 0), 2, 0.95)
+      .collect().map(x => (x.getAs[Long]("nb"), x.getAs[Double]("sim")))
+    assert(r.map(_._1).toSeq == Seq(2L, 3L)) // 1 excluded as a duplicate
+    assert(r.head._2 == 0.7071)
+  }
+
   test("quotaApportion: quotas sum exactly to the budget; largest remainders win the seats") {
     val d = (0 until 7).map(i => (i.toLong, "t", Seq("a", "a", "a", "b", "b", "c", "c")(i)))
       .toDF("doc_id", "text", "source")

@@ -31,6 +31,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // recall twins run the brute-force truth side (same tiny query
       // broadcast as ann_topk) next to the ANN path
       "ann_ivf_recall", "ann_ivfpq_recall",
+      // ann_topk's scoring broadcast with the duplicate band filtered
+      "hard_negatives",
+      // prefix-slice search + full-dim truth: two ann_topk-shaped
+      // broadcasts (the rp_recall shape)
+      "matryoshka_recall",
       // joins two single-row aggregates (bin stats × distinct-doc count)
       "pack_invariants",
       // the same single-row × single-row invariant join, downstream of
