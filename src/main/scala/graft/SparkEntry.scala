@@ -956,6 +956,17 @@ object SparkEntry {
       // CCNet-style head/middle/tail by within-lang LM plausibility —
       // integer bitlen-logprob score, integer-exact tertile cuts
       TextOps.qualityTiers(docs(s, d))),
+    "bpe_merges" -> ((s, d) =>
+      // distributed BPE merge LEARNING (Sennrich'16) over the word-
+      // frequency dictionary: one corpus token count, then 8 rounds of
+      // vocabulary-sized pair counts + map-only greedy merge folds —
+      // the driver sees one row per round
+      TextOps.bpeLearn(docs(s, d), 8)),
+    "bpe_encode" -> ((s, d) =>
+      // fertility under the learned segmentation: subwords/word by
+      // language via a broadcast join of the dictionary-sized final
+      // symbol table — integer sums, one final division
+      TextOps.bpeEncodeStats(docs(s, d), 8)),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -1700,6 +1711,61 @@ object SparkEntry {
     * neighbor labels over the undirected edge list against l_{r-1} and
     * picks per vertex by (count desc, label asc). Same pair-graph e0
     * derivation (5000000 + l_partkey ids). */
+  /** BPE training twin: unrolled per-round CTEs over the long-format
+    * symbol table s_r(word, pos, sym). Each round counts freq-weighted
+    * adjacent pairs, picks the argmax by (w desc, a, b), then applies
+    * the leftmost-greedy merge relationally: hit positions → islands of
+    * consecutive hits (only possible for runs when a = b) → keep even
+    * offsets within the island (the parity rule that equals the Spark
+    * side's left-to-right fold), drop each kept merge's second symbol,
+    * renumber. All weights are exact integers. */
+  private def bpeCtes(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s.sym AS a, t.sym AS b, CAST(sum(f.freq) AS BIGINT) AS w
+         |  FROM s$r s JOIN s$r t ON t.word = s.word AND t.pos = s.pos + 1
+         |  JOIN wf f ON f.word = s.word
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT a, b, w FROM p$r ORDER BY w DESC, a, b LIMIT 1),
+         |x$r AS (
+         |  -- LEFT JOIN ON TRUE: an exhausted round (empty m$r) must pass
+         |  -- the symbol table through unchanged, as the Spark loop does
+         |  SELECT s.word, s.pos, s.sym, m.a, m.b,
+         |    coalesce(s.sym = m.a AND
+         |      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = m.b,
+         |      FALSE) AS hit
+         |  FROM s$r s LEFT JOIN m$r m ON TRUE),
+         |y$r AS (
+         |  SELECT *, CASE WHEN hit THEN pos - row_number()
+         |    OVER (PARTITION BY word, hit ORDER BY pos) END AS isl
+         |  FROM x$r),
+         |z$r AS (
+         |  SELECT *, hit AND
+         |      (pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0 AS keep
+         |  FROM y$r),
+         |k$r AS (
+         |  SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+         |      FALSE) AS prev_keep
+         |  FROM z$r),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT word,
+         |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN keep THEN a || b ELSE sym END AS sym
+         |  FROM k$r WHERE NOT prev_keep)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents),
+       |wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, CAST(pos AS BIGINT) AS pos, substr(word, pos, 1) AS sym
+       |  FROM (SELECT word, unnest(generate_series(1, length(word))) AS pos
+       |        FROM wf)),
+       |$steps""".stripMargin
+  }
+
   private def lpaCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""n$r AS MATERIALIZED (
@@ -2393,6 +2459,29 @@ object SparkEntry {
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM b""".stripMargin,
+
+    // BPE merge learning replay: 8 unrolled rounds; each emits its
+    // argmax pair — the merge table is pure integer argmaxes, so both
+    // engines agree bit-for-bit
+    "bpe_merges" ->
+      s"""WITH ${bpeCtes(8)}
+         |${(0 until 8).map(r =>
+             s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS weight FROM m$r")
+             .mkString("\n UNION ALL ")}""".stripMargin,
+
+    // fertility under the learned segmentation: final symbol counts per
+    // word joined to per-lang word counts; integer sums, one division
+    "bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+         |seg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+         |  FROM s8 GROUP BY 1),
+         |lw AS (SELECT lang, word, count(*) AS cnt FROM (
+         |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |    FROM documents) GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords,
+         |  round(sum(cnt * n_sub)::DOUBLE / sum(cnt), 4) AS subwords_per_word
+         |FROM lw JOIN seg USING (word) GROUP BY 1""".stripMargin,
 
     // bitlen-logprob surrogate (sum of integer floor-log2 token-count
     // masses), rational average via one double division, integer-exact

@@ -2096,4 +2096,121 @@ object TextOps {
     exploded.unpersist(false)
     res
   }
+
+  /**
+   * Distributed BPE merge learning (Sennrich et al., "Neural Machine
+   * Translation of Rare Words with Subword Units", ACL'16) — the
+   * tokenizer-training step itself, run the way production BPE trainers
+   * run it: over the word-FREQUENCY dictionary, never the raw corpus.
+   *
+   * One corpus-wide token count builds `wf(word, freq)`; every learning
+   * iteration after that touches only the vocabulary table (≪ corpus —
+   * ~10⁶ rows at 100 TB where the corpus is 10¹¹ tokens). Per round:
+   * adjacent-symbol pairs explode from the per-word symbol arrays
+   * (map-only), one pair-keyed weighted count picks the argmax (ties by
+   * (weight desc, left asc, right asc) — deterministic), and the merge
+   * applies as a leftmost-greedy fold over each word's symbol array via
+   * the `aggregate` higher-order function — map-only, no shuffle. The
+   * driver sees exactly one row per round (the winning pair): bounded,
+   * like the k-means centroid pulls.
+   *
+   * Greedy-leftmost fold semantics: merge at position i iff the running
+   * last symbol equals `left` and the incoming symbol equals `right` —
+   * overlapping matches (only possible when left == right, i.e. runs of
+   * a repeated symbol) resolve to even offsets within the run, the
+   * standard BPE behavior. All weights are exact integers, so the
+   * DuckDB twin (unrolled per-round CTEs with the gaps-and-islands
+   * parity rule for runs) reproduces the merge table bit-for-bit.
+   *
+   * Returns `(rank, left, right, weight)` — the ordered merge list a
+   * tokenizer ships as its vocab artifact.
+   */
+  def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame =
+    bpeTrain(docs, numMerges)._1
+
+  /**
+   * Corpus fertility under the learned BPE segmentation: after
+   * [[bpeLearn]]'s `numMerges` rounds, each vocabulary word is split
+   * into its final subword symbols; joining that vocabulary-sized map
+   * back to per-language word counts (broadcast — it is dictionary-
+   * sized) gives subwords/word by language, the number that decides
+   * whether a tokenizer is adequate for a language slice. Integer sums,
+   * one final division (round 4).
+   */
+  def bpeEncodeStats(docs: DataFrame, numMerges: Int): DataFrame = {
+    val (_, finalSyms) = bpeTrain(docs, numMerges)
+    val segSizes = finalSyms
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    val langWords = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val res = langWords.join(broadcast(segSizes), "word")
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 4)
+          .as("subwords_per_word"))
+    finalSyms.unpersist(false)
+    res
+  }
+
+  /** Shared BPE training loop: returns (merge table, final per-word
+    * symbol arrays — left persisted; callers unpersist). */
+  private def bpeTrain(docs: DataFrame, numMerges: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    val wf = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // chars as initial symbols, via the same substring indexing the twin
+    // uses (tokens are [a-z0-9]+ — single-byte, so substr == char)
+    var syms = wf.select(col("word"), col("freq"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    syms.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val best = syms
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, w))
+        // leftmost-greedy merge fold — symbols are [a-z0-9]+ substrings,
+        // safe to inline as SQL literals
+        val next = syms.select(col("word"), col("freq"),
+          expr(s"aggregate(syms, cast(array() AS array<string>), (acc, x) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+            s"ELSE concat(acc, array(x)) END)").as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        syms.unpersist(false)
+        syms = next
+        r += 1
+      }
+    }
+    wf.unpersist(false)
+    import spark.implicits._
+    val mergeDf = merges.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "weight")
+      .select(col("merge_rank").cast("long"), col("lhs"), col("rhs"),
+        col("weight").cast("long"))
+    (mergeDf, syms)
+  }
 }

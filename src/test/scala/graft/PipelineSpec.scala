@@ -1562,4 +1562,50 @@ class PipelineSpec extends AnyFunSuite {
     val merged = (sample(a) ++ sample(b)).sortBy(_._1).take(16).toSeq
     assert(merged == sample(df).toSeq)
   }
+
+  test("bpeLearn: hand-checked merges, greedy run parity, early exhaustion") {
+    // corpus: aaaa ×2, ab ×3 → pairs r0: (a,a)=6 beats (a,b)=3
+    val d = Seq((0L, "aaaa ab ab"), (1L, "aaaa ab")).toDF("doc_id", "text")
+    val m = TextOps.bpeLearn(d, 8).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("weight")))
+    // r0: (a,a) w=6 (3 greedy pairs per aaaa × freq 2); aaaa → [aa,aa]
+    // r1: (a,b) w=3 beats (aa,aa) w=2; ab → [ab]
+    // r2: (aa,aa) w=2; aaaa → [aaaa]; then no pairs remain → stop at 3
+    assert(m.toSeq == Seq((0L, "a", "a", 6L), (1L, "a", "b", 3L),
+      (2L, "aa", "aa", 2L)))
+  }
+
+  test("bpeLearn: odd runs merge leftmost-greedy (floor(n/2) pairs)") {
+    // aaa: pair (a,a) appears at 2 positions but only ONE merge applies
+    val d = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val m = TextOps.bpeLearn(d, 2).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("weight")))
+    // r0: (a,a) w=2·1=2? No — greedy count per word: positions (1,2),(2,3)
+    // overlap; weighted pair count is the RAW adjacent count 2·freq=4,
+    // the Sennrich counting (merge application, not counting, is greedy)
+    assert(m(0) == ("a", "a", 4L))
+    // after merging: aaa → [aa, a]; r1 best = (aa, a) w=2
+    assert(m(1) == ("aa", "a", 2L))
+  }
+
+  test("bpeEncodeStats: fully-merged vocab yields 1 subword per word") {
+    val d = Seq((0L, "aaaa ab ab"), (1L, "aaaa ab")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val r = TextOps.bpeEncodeStats(d, 8).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_words") == 5L)
+    assert(row.getAs[Long]("n_subwords") == 5L)
+    assert(row.getAs[Double]("subwords_per_word") == 1.0)
+  }
+
+  test("bpeLearn is partition-invariant (integer weights, deterministic argmax)") {
+    val base = Seq((0L, "batch window spark order"), (1L, "batch batch spark"),
+      (2L, "window windows orders"), (3L, "spark sparks batch")).toDF("doc_id", "text")
+    val a = TextOps.bpeLearn(base, 6).collect().toSeq
+    val b = TextOps.bpeLearn(base.repartition(7), 6).collect().toSeq
+    assert(a == b)
+  }
 }
