@@ -967,6 +967,15 @@ object SparkEntry {
       // language via a broadcast join of the dictionary-sized final
       // symbol table — integer sums, one final division
       TextOps.bpeEncodeStats(docs(s, d), 8)),
+    "bpe_vocab" -> ((s, d) =>
+      // the learned tokenizer's vocabulary artifact: surviving subwords
+      // with corpus frequency — dictionary-sized end to end
+      TextOps.bpeVocab(docs(s, d), 8)),
+    "source_chi2" -> ((s, d) =>
+      // per-source χ² vs the pooled token distribution (slice-drift
+      // audit); unobserved cells fold into a closed-form term, every
+      // cell quantized to integer micros before the per-source sum
+      TextOps.sourceChi2(docs(s, d))),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -2468,6 +2477,49 @@ object SparkEntry {
          |${(0 until 8).map(r =>
              s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS weight FROM m$r")
              .mkString("\n UNION ALL ")}""".stripMargin,
+
+    // vocabulary artifact: final-symbol explode weighted by word freq
+    "bpe_vocab" ->
+      s"""WITH ${bpeCtes(8)},
+         |wsym AS (SELECT word, sym FROM s8)
+         |SELECT sym, CAST(sum(f.freq) AS BIGINT) AS freq,
+         |  CAST(count(DISTINCT w.word) AS BIGINT) AS n_words
+         |FROM wsym w JOIN wf f ON f.word = w.word
+         |GROUP BY sym""".stripMargin,
+
+    // per-source χ² GOF vs the pooled distribution: HUGEINT mirrors the
+    // DECIMAL(38) d = N·O − R·C; per-cell micros quantize before the sum
+    "source_chi2" ->
+      """WITH tf AS MATERIALIZED (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS o FROM (
+        |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |rt AS (SELECT source, sum(o) AS r FROM tf GROUP BY 1),
+        |ct AS (SELECT tok, sum(o) AS c FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM tf),
+        |cells AS (
+        |  SELECT tf.source, rt.r, ct.c, nn.n,
+        |    CAST(nn.n * tf.o - CAST(rt.r AS HUGEINT) * ct.c AS HUGEINT) AS d
+        |  FROM tf JOIN ct USING (tok) JOIN rt USING (source) CROSS JOIN nn),
+        |mic AS (
+        |  SELECT source, r, c, n,
+        |    CAST(floor((d::DOUBLE * d::DOUBLE) /
+        |      ((n::DOUBLE * r::DOUBLE) * c::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS micro
+        |  FROM cells),
+        |ps AS (
+        |  SELECT source, count(*) AS n_cells, sum(micro) AS obs_micro,
+        |    any_value(r) AS r, sum(c) AS sc, any_value(n) AS n
+        |  FROM mic GROUP BY source),
+        |fin AS (
+        |  SELECT source, r, n_cells,
+        |    obs_micro + CAST(floor((r::DOUBLE * (n::DOUBLE - sc::DOUBLE)) /
+        |      n::DOUBLE * 1e6 + 0.5) AS BIGINT) AS chi2_micro
+        |  FROM ps)
+        |SELECT source, CAST(r AS BIGINT) AS n_tokens,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(chi2_micro AS BIGINT) AS chi2_micro,
+        |  chi2_micro::DOUBLE / 1e6 AS chi2
+        |FROM fin""".stripMargin,
 
     // fertility under the learned segmentation: final symbol counts per
     // word joined to per-lang word counts; integer sums, one division

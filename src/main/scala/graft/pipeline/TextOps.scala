@@ -2156,6 +2156,89 @@ object TextOps {
     res
   }
 
+  /**
+   * The learned tokenizer's vocabulary artifact: every subword symbol
+   * surviving [[bpeLearn]]'s `numMerges` rounds, with its corpus
+   * frequency (Σ word-freq over occurrences in final segmentations) —
+   * what a tokenizer ships next to the merge table. Dictionary-sized
+   * end to end: explode of the final symbol arrays weighted by word
+   * frequency, one symbol-keyed sum.
+   */
+  def bpeVocab(docs: DataFrame, numMerges: Int): DataFrame = {
+    val (_, finalSyms) = bpeTrain(docs, numMerges)
+    val res = finalSyms
+      .select(col("word"), col("freq"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("freq")).cast("long").as("freq"),
+        countDistinct(col("word")).cast("long").as("n_words"))
+    val out = res.localCheckpoint(true)
+    finalSyms.unpersist(false)
+    out
+  }
+
+  /**
+   * Per-source χ² goodness-of-fit divergence against the pooled corpus
+   * token distribution — the slice-drift audit (is a crawl snapshot /
+   * vendor feed distributionally off?): χ²_s = Σ_t (O_st − E_st)²∕E_st
+   * with E_st = R_s·C_t∕N over the FULL pooled vocabulary. Unobserved
+   * cells fold into one closed-form term (Σ_{t∉s} E_st =
+   * R_s·(N − Σ_{t∈s} C_t)∕N), so only observed (source, token) cells are
+   * ever materialized.
+   *
+   * Exactness contract (§28 doctrine): every input to the per-cell
+   * double expression is an exact integer (N·O − R·C as DECIMAL — it
+   * squares past 2⁶³ at large corpora), the expression is the SAME
+   * op-sequence on both engines, and each cell quantizes to integer
+   * micros (⌊x·10⁶ + ½⌋) before the per-source sum — the sum is exact
+   * integer addition in any order. One corpus-wide (source, token)
+   * count; row totals broadcast (#sources rows); column totals are a
+   * vocabulary-sized re-aggregation of the same tf (no second corpus
+   * pass).
+   */
+  def sourceChi2(docs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rowTot = tf.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val colTot = tf.groupBy(col("tok")).agg(sum(col("o")).as("c"))
+    val nDf = tf.agg(sum(col("o")).cast("decimal(38,0)").as("n"))
+    val cells = tf
+      .join(colTot, "tok")
+      .join(broadcast(rowTot), "source")
+      .crossJoin(broadcast(nDf))
+      .select(col("source"), col("r"), col("c"),
+        (col("n") * col("o") - col("r").cast("decimal(38,0)") * col("c"))
+          .cast("decimal(38,0)").as("d"),
+        col("n"))
+      .select(col("source"), col("r"), col("c"),
+        floor((col("d").cast("double") * col("d").cast("double")) /
+          ((col("n").cast("double") * col("r").cast("double")) * col("c").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("micro"),
+        col("n"))
+    val perSource = cells
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("micro")).as("obs_micro"),
+        first(col("r")).as("r"), sum(col("c")).as("sc"),
+        first(col("n")).as("n"))
+    val res = perSource
+      .select(col("source"), col("r").cast("long").as("n_tokens"),
+        col("n_cells").cast("long"),
+        (col("obs_micro") +
+          floor((col("r").cast("double") *
+            (col("n").cast("double") - col("sc").cast("double"))) /
+            col("n").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("chi2_micro"))
+      .select(col("source"), col("n_tokens"), col("n_cells"),
+        col("chi2_micro"),
+        (col("chi2_micro").cast("double") / lit(1e6)).as("chi2"))
+    val out = res.localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
+
   /** Shared BPE training loop: returns (merge table, final per-word
     * symbol arrays — left persisted; callers unpersist). */
   private def bpeTrain(docs: DataFrame, numMerges: Int): (DataFrame, DataFrame) = {

@@ -1601,6 +1601,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[Double]("subwords_per_word") == 1.0)
   }
 
+  test("bpeVocab: repeated subwords count per occurrence; words distinct") {
+    // one merge on {aaaa×2, ab×3}: (a,a) wins → aaaa=[aa,aa], ab=[a,b]
+    val d = Seq((0L, "aaaa ab ab"), (1L, "aaaa ab")).toDF("doc_id", "text")
+    val v = TextOps.bpeVocab(d, 1).collect()
+      .map(r => r.getAs[String]("sym") ->
+        (r.getAs[Long]("freq"), r.getAs[Long]("n_words"))).toMap
+    assert(v("aa") == ((4L, 1L)))   // 2 occurrences/word × freq 2
+    assert(v("a") == ((3L, 1L)) && v("b") == ((3L, 1L)))
+    assert(v.size == 3)
+  }
+
+  test("sourceChi2: hand-checked 2-source contingency, unobserved mass included") {
+    // src A: a a b   src B: a c  → N=5, C(a)=3, C(b)=1, C(c)=1
+    val d = Seq((0L, "a a b", "A"), (1L, "a c", "B")).toDF("doc_id", "text", "source")
+    val r = TextOps.sourceChi2(d).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_cells"),
+          x.getAs[Long]("chi2_micro"))).toMap
+    // A: R=3. E(a)=3*3/5=1.8, E(b)=0.6, E(c)=0.6 (unobserved)
+    //   chi2 = (2-1.8)^2/1.8 + (1-0.6)^2/0.6 + 0.6 = 0.022222+0.266667+0.6
+    //   micros: 22222 + 266667 + 600000 = 888889
+    assert(r("A") == ((3L, 2L, 888889L)))
+    // B: R=2. E(a)=1.2, E(c)=0.4, E(b)=0.4 (unobserved)
+    //   (1-1.2)^2/1.2 + (1-0.4)^2/0.4 + 0.4 = 0.033333+0.9+0.4
+    //   micros: 33333 + 900000 + 400000 = 1333333
+    assert(r("B") == ((2L, 2L, 1333333L)))
+  }
+
+  test("sourceChi2 is partition-invariant (micros quantize before the sum)") {
+    val d = Seq((0L, "a a b c d e", "A"), (1L, "a c f g", "B"),
+      (2L, "b b d h", "A"), (3L, "e e e a", "C")).toDF("doc_id", "text", "source")
+    val a = TextOps.sourceChi2(d).collect().map(_.toString).sorted.toSeq
+    val b = TextOps.sourceChi2(d.repartition(7)).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("bpeLearn is partition-invariant (integer weights, deterministic argmax)") {
     val base = Seq((0L, "batch window spark order"), (1L, "batch batch spark"),
       (2L, "window windows orders"), (3L, "spark sparks batch")).toDF("doc_id", "text")

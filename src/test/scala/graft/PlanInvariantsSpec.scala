@@ -64,7 +64,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // over the k-row (≤1024) sample — both sides bounded constants
       "bottomk_quantiles",
       // the same percentile-table join, per-group (≤ G·k sample rows)
-      "lang_length_quantiles")
+      "lang_length_quantiles",
+      // 1-row grand-total N broadcast against the (source, token) cells
+      "source_chi2")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
