@@ -2254,10 +2254,13 @@ object TextOps {
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    syms.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
     var exhausted = false
+    // two-deep unpersist window: each round's argmax materializes the
+    // CURRENT symbol table, at which point the PREVIOUS one can go —
+    // no per-round count() barrier jobs
+    var prev: DataFrame = null
     while (r < numMerges && !exhausted) {
       val best = syms
         .where(size(col("syms")) >= 2)
@@ -2270,6 +2273,7 @@ object TextOps {
         .orderBy(col("w").desc, col("a"), col("b"))
         .limit(1)
         .collect()
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -2282,12 +2286,14 @@ object TextOps {
             s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
             s"ELSE concat(acc, array(x)) END)").as("syms"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        syms.unpersist(false)
+        prev = syms
         syms = next
         r += 1
       }
     }
+    // force the final table once, then release its parent
+    syms.count()
+    if (prev != null) prev.unpersist(false)
     wf.unpersist(false)
     import spark.implicits._
     val mergeDf = merges.toSeq
