@@ -976,6 +976,11 @@ object SparkEntry {
       // audit); unobserved cells fold into a closed-form term, every
       // cell quantized to integer micros before the per-source sum
       TextOps.sourceChi2(docs(s, d))),
+    "crosslingual_leakage" -> ((s, d) =>
+      // verbatim 5-gram sharing across language pairs (translation /
+      // copy-paste contamination invisible to per-language dedup);
+      // gram-keyed self-join, ≤ C(L,2) rows per gram
+      TextOps.crossLingualLeakage(docs(s, d), 5)),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -1107,6 +1112,17 @@ object SparkEntry {
       // ANN index across query batches, it does not retrain per query)
       VectorOps.ivfSearch(
         VectorOps.IvfCache.index(s, d), emb(s, d).where(col("vec_id") < 10), 10)
+    },
+    "ann_ivf_filtered" -> { (s, d) =>
+      // metadata-filtered vector search: neighbors restricted to 'en'
+      // documents (vec_id == doc_id) BEFORE exact scoring — the
+      // pre-filter semantics a selective predicate needs; same memoized
+      // index and probe plan as ann_ivf
+      VectorOps.ivfSearchFiltered(
+        VectorOps.IvfCache.index(s, d),
+        emb(s, d).where(col("vec_id") < 10),
+        docs(s, d).where(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")), 10)
     },
     "ann_ivf_opened" -> { (s, d) =>
       // search over the index REOPENED from its parquet persistence —
@@ -2478,6 +2494,21 @@ object SparkEntry {
              s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS weight FROM m$r")
              .mkString("\n UNION ALL ")}""".stripMargin,
 
+    // distinct 5-grams per (gram, lang), gram-keyed pair join; DuckDB
+    // 1-based INCLUSIVE list slice t[i:i+4] = the 5 tokens from i
+    "crosslingual_leakage" ->
+      """WITH toks AS (
+        |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT lang, md5(array_to_string(t[i:i+4], ' ')) AS g
+        |  FROM toks, unnest(range(1, len(t) - 3)) r(i)
+        |  WHERE len(t) >= 5)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM g a JOIN g b ON a.g = b.g AND a.lang < b.lang
+        |GROUP BY 1, 2""".stripMargin,
+
     // vocabulary artifact: final-symbol explode weighted by word freq
     "bpe_vocab" ->
       s"""WITH ${bpeCtes(8)},
@@ -3168,6 +3199,17 @@ object SparkEntry {
     // shortlist, and re-rank — full rows+schema+hash checks on what were
     // rows-only entries through round 7.
     "ann_ivf" -> ivfOracleSql("TRUE"),
+    // same chain; the neighbor side filters to 'en' docs before the rank
+    "ann_ivf_filtered" ->
+      s"""WITH ${ivfChainCte("TRUE")},
+         |scored AS (SELECT p.q, a.nb, list_cosine_similarity(p.qv, a.nbv) AS sim
+         |    FROM probe p JOIN asg a USING (cell)
+         |    JOIN documents dd ON dd.doc_id = a.nb AND dd.lang = 'en'
+         |    WHERE a.nb <> p.q),
+         |ivf AS (SELECT q, nb, sim FROM (
+         |    SELECT q, nb, sim, row_number() OVER (PARTITION BY q
+         |      ORDER BY sim DESC, nb) AS rn FROM scored) WHERE rn <= 10)
+         |$ivfSelect""".stripMargin,
     "ann_ivf_opened" -> ivfOracleSql("TRUE"), // parity with the built index
     "ann_ivf_appended" -> ivfOracleSql("vec_id % 7 <> 0"),
     "ann_pq" -> s"WITH $rawEmbCte,\n$pqChainCte,\n${pqRankCte(candJoin = false)}\n$pqSelect",

@@ -2157,6 +2157,38 @@ object TextOps {
   }
 
   /**
+   * Cross-lingual n-gram leakage audit: for every language pair, how
+   * many distinct word `n`-grams appear verbatim in BOTH slices —
+   * translation-memory contamination, cross-slice copy-paste, and
+   * shared template boilerplate all surface here, and none of them are
+   * visible to per-language dedup. Returns (lang_a, lang_b,
+   * n_shared_grams) with lang_a < lang_b.
+   *
+   * Scale shape: grams explode map-only off the staged token arrays and
+   * hash to md5 before the exchange (16-byte keys, not gram text); the
+   * per-(gram, lang) distinct and the gram-keyed self-join both key on
+   * gram with per-key cardinality ≤ #languages, so the pair explosion
+   * is bounded at C(L,2) rows per gram — never corpus-quadratic.
+   */
+  def crossLingualLeakage(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col("lang"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gl = toks
+      .select(col("lang"), explode(ngramsFromTokens(col("t"), n)).as("g"))
+      .select(col("lang"), md5(col("g")).as("g"))
+      .distinct()
+    val a = gl.select(col("g"), col("lang").as("lang_a"))
+    val b = gl.select(col("g"), col("lang").as("lang_b"))
+    val res = a.join(b, "g").where(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+    val out = res.localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
+
+  /**
    * The learned tokenizer's vocabulary artifact: every subword symbol
    * surviving [[bpeLearn]]'s `numMerges` rounds, with its corpus
    * frequency (Σ word-freq over occurrences in final segmentations) —

@@ -399,6 +399,22 @@ object VectorOps {
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Metadata-filtered IVF search: the candidate set restricts to
+    * `allowed` (a vec_id relation — e.g. docs matching a language or
+    * license predicate) BEFORE exact scoring — pre-filtering, the
+    * semantics a vector store needs when predicates are selective
+    * (post-filtering a top-k can return < k or miss matches entirely).
+    * The filter is an equi-join against the indexed table, so the probe
+    * plan is unchanged: broadcast centroid probe, cell equi-join, exact
+    * re-rank of surviving members only. */
+  def ivfSearchFiltered(index: IvfIndex, queries: DataFrame,
+                        allowed: DataFrame, topK: Int = 10,
+                        nProbe: Int = 10): DataFrame =
+    ivfSearch(
+      index.copy(indexed = index.indexed
+        .join(allowed.select(col("vec_id").as("nb")), "nb")),
+      queries, topK, nProbe)
+
   /** One-shot build + search (tests and ad-hoc use; long-lived deployments
     * hold the [[IvfIndex]] and call [[ivfSearch]] per query batch). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 10,

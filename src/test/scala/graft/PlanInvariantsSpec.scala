@@ -21,6 +21,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // each of these broadcasts a TINY query batch against the corpus
     // (exact-scoring search paths) — the corpus side is never shuffled
     val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_ivf_opened",
+      // ann_ivf's probe shape with the allowed-id equi-join added
+      "ann_ivf_filtered",
       // the appended-index search broadcasts the same k-row centroid
       // table as ann_ivf (the append assignment itself is a build step)
       "ann_ivf_appended", "ann_lsh",
