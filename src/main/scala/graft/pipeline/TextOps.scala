@@ -2165,23 +2165,31 @@ object TextOps {
    * n_shared_grams) with lang_a < lang_b.
    *
    * Scale shape: grams explode map-only off the staged token arrays and
-   * hash to md5 before the exchange (16-byte keys, not gram text); the
-   * per-(gram, lang) distinct and the gram-keyed self-join both key on
-   * gram with per-key cardinality ≤ #languages, so the pair explosion
-   * is bounded at C(L,2) rows per gram — never corpus-quadratic.
+   * hash to md5 before the exchange (16-byte keys, not gram text); ONE
+   * gram-keyed `collect_set(lang)` aggregation — whose map-side partials
+   * are bounded at #languages entries per gram — then a map-only pair
+   * expansion of each gram's sorted language set (≤ C(L,2) structs) and
+   * a tiny pair-keyed count. No gram self-join: an earlier version
+   * joined the (gram, lang) relation with itself and re-derived it on
+   * both sides, which measured 41× on 10× data; the single-aggregation
+   * form is corpus-linear.
    */
   def crossLingualLeakage(docs: DataFrame, n: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val toks = docs.select(col("lang"), tokens(col("text")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val gl = toks
+    val byGram = toks
       .select(col("lang"), explode(ngramsFromTokens(col("t"), n)).as("g"))
       .select(col("lang"), md5(col("g")).as("g"))
-      .distinct()
-    val a = gl.select(col("g"), col("lang").as("lang_a"))
-    val b = gl.select(col("g"), col("lang").as("lang_b"))
-    val res = a.join(b, "g").where(col("lang_a") < col("lang_b"))
-      .groupBy(col("lang_a"), col("lang_b"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("lang"))).as("ls"))
+      .where(size(col("ls")) >= 2)
+    val pairs = byGram.select(explode(expr(
+      "flatten(transform(ls, (x, i) -> " +
+        "transform(slice(ls, i + 2, size(ls)), y -> struct(x AS a, y AS b))))"))
+      .as("p"))
+    val res = pairs
+      .groupBy(col("p.a").as("lang_a"), col("p.b").as("lang_b"))
       .agg(count(lit(1)).cast("long").as("n_shared_grams"))
     val out = res.localCheckpoint(true)
     toks.unpersist(false)
