@@ -981,6 +981,11 @@ object SparkEntry {
       // copy-paste contamination invisible to per-language dedup);
       // gram-keyed self-join, ≤ C(L,2) rows per gram
       TextOps.crossLingualLeakage(docs(s, d), 5)),
+    "source_embedding_drift" -> ((s, d) =>
+      // per-source centroid vs corpus centroid cosine — the embedding-
+      // space slice-drift twin of source_chi2; quantized integer sums,
+      // DECIMAL cross-products, one final double expression
+      VectorOps.sourceEmbeddingDrift(emb(s, d), docs(s, d))),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -2493,6 +2498,29 @@ object SparkEntry {
          |${(0 until 8).map(r =>
              s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS weight FROM m$r")
              .mkString("\n UNION ALL ")}""".stripMargin,
+
+    // centroid-cosine drift: the n·scale denominators cancel, so the
+    // cosine runs on HUGEINT sums of quantized inputs up to one final
+    // double expression (the assortativity pattern in embedding space)
+    "source_embedding_drift" ->
+      s"""WITH $rawEmbCte,
+         |q AS (
+         |  SELECT d.source, i, CAST(floor(xx * 10000 + 0.5) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, unnest(x) AS xx, unnest(range(len(x))) AS i
+         |        FROM raw) r
+         |  JOIN documents d ON d.doc_id = r.vec_id),
+         |pd AS (SELECT source, i, CAST(sum(xq) AS HUGEINT) AS s1,
+         |    count(*) AS n FROM q GROUP BY 1, 2),
+         |g AS (SELECT i, CAST(sum(s1) AS HUGEINT) AS g1 FROM pd GROUP BY i),
+         |bb AS (SELECT sum(g1 * g1) AS bb FROM g),
+         |ps AS (
+         |  SELECT source, sum(s1 * g1) AS dd, sum(s1 * s1) AS aa,
+         |    CAST(max(n) AS BIGINT) AS n_vecs
+         |  FROM pd JOIN g USING (i) GROUP BY source)
+         |SELECT source, n_vecs,
+         |  round(dd::DOUBLE / (sqrt(aa::DOUBLE) * sqrt(bb.bb::DOUBLE)), 6)
+         |    AS cos_to_global
+         |FROM ps CROSS JOIN bb""".stripMargin,
 
     // distinct 5-grams per (gram, lang), gram-keyed pair join; DuckDB
     // 1-based INCLUSIVE list slice t[i:i+4] = the 5 tokens from i

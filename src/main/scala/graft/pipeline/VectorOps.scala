@@ -1079,6 +1079,52 @@ object VectorOps {
    * default scale (|x| ≤ 1 ⇒ xq² ≤ 10⁸). Constant-variance dimensions
    * pass through centered (σ = 0 ⇒ z = x − μ, not NaN).
    */
+  /**
+   * Per-source embedding drift: cosine between each source's centroid
+   * and the corpus centroid — the embedding-space twin of the token
+   * χ² audit (a vendor feed whose VECTORS point elsewhere is drifted
+   * even when its token mix looks fine).
+   *
+   * Exactness (§28 doctrine, the assortativity pattern): inputs
+   * quantize to integers (×`scale`), per-(source, dim) Σxq is exact in
+   * any order, and the global per-dim sums re-aggregate from those. The
+   * cosine of the two rational centroids REDUCES to integer sums — the
+   * n·scale denominators cancel in the ratio — so
+   * cos = Σ s1ᵢ·g1ᵢ ∕ (√Σ s1ᵢ² · √Σ g1ᵢ²) runs in DECIMAL(38) (the
+   * cross-products pass 2⁶³ at large corpora) up to ONE final double
+   * expression, identical on both engines. No float ever folds over an
+   * engine-ordered list.
+   *
+   * Plan shape: one corpus posexplode → (source, dim)-keyed integer
+   * aggregation (map-side partials; shuffle = sources × dims rows) →
+   * dims-keyed equi-join of the two sum tables → #sources-row result.
+   */
+  def sourceEmbeddingDrift(emb: DataFrame, docs: DataFrame,
+                           scale: Long = 10000L): DataFrame = {
+    val s = scale.toDouble
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = emb
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("source"), posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
+      .select(col("source"), col("i").cast("long").as("i"),
+        floor(col("x") * s + lit(0.5d)).cast("long").as("xq"))
+    val perDim = q.groupBy(col("source"), col("i"))
+      .agg(sum(col("xq")).as("s1"), count(lit(1)).as("n"))
+    val glob = perDim.groupBy(col("i")).agg(sum(col("s1")).as("g1"))
+    val bb = glob.agg(sum(dec(col("g1")) * dec(col("g1"))).as("bb"))
+    val res = perDim.join(broadcast(glob), "i")
+      .groupBy(col("source"))
+      .agg(sum(dec(col("s1")) * dec(col("g1"))).as("dd"),
+        sum(dec(col("s1")) * dec(col("s1"))).as("aa"),
+        max(col("n")).cast("long").as("n_vecs"))
+      .crossJoin(broadcast(bb))
+      .select(col("source"), col("n_vecs"),
+        round(col("dd").cast("double") /
+          (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))), 6)
+          .as("cos_to_global"))
+    res
+  }
+
   def standardize(emb: DataFrame, scale: Long = 10000L): DataFrame = {
     require(scale > 0, "scale must be positive")
     val s = scale.toDouble

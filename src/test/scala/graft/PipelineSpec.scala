@@ -1625,6 +1625,25 @@ class PipelineSpec extends AnyFunSuite {
     idx.indexed.unpersist(false)
   }
 
+  test("sourceEmbeddingDrift: hand-checked centroid cosines; partition-invariant") {
+    import spark.implicits._
+    val e = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val d = Seq((0L, "A"), (1L, "A"), (2L, "B")).toDF("doc_id", "source")
+    def run(ee: org.apache.spark.sql.DataFrame) =
+      VectorOps.sourceEmbeddingDrift(ee, d).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_vecs"), r.getAs[Double]("cos_to_global"))).toMap
+    val r = run(e)
+    // s1_A=(20000,0), s1_B=(0,10000), g=(20000,10000)
+    // cos_A = 4e8/(2e4*sqrt(5e8)) = 2/sqrt(5); cos_B = 1/sqrt(5)
+    assert(r("A") == ((2L, BigDecimal(2 / math.sqrt(5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(r("B") == ((1L, BigDecimal(1 / math.sqrt(5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(run(e.repartition(7)) == r)
+  }
+
   test("crossLingualLeakage: shared grams counted once per lang pair") {
     // the 5-gram "a b c d e" is in en, fr and de; "x y z w v" only in en
     val d = Seq(

@@ -68,7 +68,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // the same percentile-table join, per-group (≤ G·k sample rows)
       "lang_length_quantiles",
       // 1-row grand-total N broadcast against the (source, token) cells
-      "source_chi2")
+      "source_chi2",
+      // 1-row global-norm broadcast against the #sources aggregate
+      "source_embedding_drift")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
