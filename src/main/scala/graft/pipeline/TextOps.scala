@@ -2128,6 +2128,38 @@ object TextOps {
   def bpeLearn(docs: DataFrame, numMerges: Int): DataFrame =
     bpeTrain(docs, numMerges)._1
 
+  /** Memoized BPE training per (session, sf dir, rounds) — the
+    * deployment shape: a tokenizer is trained ONCE and its merge table /
+    * final segmentation serve every downstream query (merges artifact,
+    * vocabulary, fertility). Same LRU discipline as the IVF index and
+    * LPA labelings; eviction unpersists the symbol table. */
+  object BpeCache {
+    private val cache = new VectorOps.LruMemo[
+      (org.apache.spark.sql.SparkSession, String, Int), (DataFrame, DataFrame)](
+      2, t => t._2.unpersist(false))
+    def trained(spark: org.apache.spark.sql.SparkSession, dir: String,
+                numMerges: Int): (DataFrame, DataFrame) =
+      cache.getOrBuild((spark, dir, numMerges))(
+        bpeTrain(spark.read.parquet(s"$dir/documents.parquet"), numMerges))
+    private[graft] def cachedCount: Int = cache.size
+  }
+
+  /** [[bpeLearn]] against the memoized training (build billed once). */
+  def bpeMergesCached(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      numMerges: Int): DataFrame =
+    BpeCache.trained(spark, dir, numMerges)._1
+
+  /** [[bpeEncodeStats]] against the memoized training. */
+  def bpeEncodeStatsCached(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, numMerges: Int): DataFrame =
+    encodeStatsFrom(spark.read.parquet(s"$dir/documents.parquet"),
+      BpeCache.trained(spark, dir, numMerges)._2)
+
+  /** [[bpeVocab]] against the memoized training. */
+  def bpeVocabCached(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     numMerges: Int): DataFrame =
+    vocabFrom(BpeCache.trained(spark, dir, numMerges)._2)
+
   /**
    * Corpus fertility under the learned BPE segmentation: after
    * [[bpeLearn]]'s `numMerges` rounds, each vocabulary word is split
@@ -2139,21 +2171,25 @@ object TextOps {
    */
   def bpeEncodeStats(docs: DataFrame, numMerges: Int): DataFrame = {
     val (_, finalSyms) = bpeTrain(docs, numMerges)
+    val res = encodeStatsFrom(docs, finalSyms).localCheckpoint(true)
+    finalSyms.unpersist(false)
+    res
+  }
+
+  private def encodeStatsFrom(docs: DataFrame, finalSyms: DataFrame): DataFrame = {
     val segSizes = finalSyms
       .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
     val langWords = docs
       .select(col("lang"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-    val res = langWords.join(broadcast(segSizes), "word")
+    langWords.join(broadcast(segSizes), "word")
       .groupBy(col("lang"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_sub")).as("n_subwords"))
       .select(col("lang"), col("n_words"), col("n_subwords"),
         round(col("n_subwords").cast("double") / col("n_words"), 4)
           .as("subwords_per_word"))
-    finalSyms.unpersist(false)
-    res
   }
 
   /**
@@ -2206,15 +2242,17 @@ object TextOps {
    */
   def bpeVocab(docs: DataFrame, numMerges: Int): DataFrame = {
     val (_, finalSyms) = bpeTrain(docs, numMerges)
-    val res = finalSyms
+    val out = vocabFrom(finalSyms).localCheckpoint(true)
+    finalSyms.unpersist(false)
+    out
+  }
+
+  private def vocabFrom(finalSyms: DataFrame): DataFrame =
+    finalSyms
       .select(col("word"), col("freq"), explode(col("syms")).as("sym"))
       .groupBy(col("sym"))
       .agg(sum(col("freq")).cast("long").as("freq"),
         countDistinct(col("word")).cast("long").as("n_words"))
-    val out = res.localCheckpoint(true)
-    finalSyms.unpersist(false)
-    out
-  }
 
   /**
    * Per-source χ² goodness-of-fit divergence against the pooled corpus
