@@ -1108,8 +1108,11 @@ object VectorOps {
       .select(col("source"), posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
       .select(col("source"), col("i").cast("long").as("i"),
         floor(col("x") * s + lit(0.5d)).cast("long").as("xq"))
+    // sources × dims rows; persisted so the global re-aggregation and
+    // the norm branch reuse it instead of re-exploding the corpus
     val perDim = q.groupBy(col("source"), col("i"))
       .agg(sum(col("xq")).as("s1"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val glob = perDim.groupBy(col("i")).agg(sum(col("s1")).as("g1"))
     val bb = glob.agg(sum(dec(col("g1")) * dec(col("g1"))).as("bb"))
     val res = perDim.join(broadcast(glob), "i")
@@ -1122,7 +1125,9 @@ object VectorOps {
         round(col("dd").cast("double") /
           (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))), 6)
           .as("cos_to_global"))
-    res
+    val out = res.localCheckpoint(true)
+    perDim.unpersist(false)
+    out
   }
 
   def standardize(emb: DataFrame, scale: Long = 10000L): DataFrame = {
