@@ -972,6 +972,11 @@ object SparkEntry {
       // the learned tokenizer's vocabulary artifact: surviving subwords
       // with corpus frequency — dictionary-sized end to end
       TextOps.bpeVocabCached(s, d, 8)),
+    "bpe_doc_tokens" -> ((s, d) =>
+      // per-doc token counts under the LEARNED tokenizer — the
+      // context-budget number; broadcast join of the dictionary-sized
+      // segmentation, one doc-keyed sum
+      TextOps.bpeDocTokensCached(s, d, 8)),
     "source_chi2" -> ((s, d) =>
       // per-source χ² vs the pooled token distribution (slice-drift
       // audit); unobserved cells fold into a closed-form term, every
@@ -2499,6 +2504,20 @@ object SparkEntry {
          |${(0 until 8).map(r =>
              s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS weight FROM m$r")
              .mkString("\n UNION ALL ")}""".stripMargin,
+
+    // per-doc encode counts off the replayed final segmentation s8
+    "bpe_doc_tokens" ->
+      s"""WITH ${bpeCtes(8)},
+         |seg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+         |  FROM s8 GROUP BY 1),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN seg USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_words, 0) AS n_words,
+         |  coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // centroid-cosine drift: the n·scale denominators cancel, so the
     // cosine runs on HUGEINT sums of quantized inputs up to one final

@@ -2160,6 +2160,39 @@ object TextOps {
                      numMerges: Int): DataFrame =
     vocabFrom(BpeCache.trained(spark, dir, numMerges)._2)
 
+  /** Per-document token counts under the learned BPE segmentation —
+    * the number a context-length budget is planned against (vs the
+    * regex pre-tokenizer estimate in [[tokenCounts]]). Explode words,
+    * broadcast-join the dictionary-sized segmentation, one doc-keyed
+    * sum; word-less docs emit 0. */
+  def bpeDocTokensCached(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, numMerges: Int): DataFrame =
+    docTokensFrom(spark.read.parquet(s"$dir/documents.parquet"),
+      BpeCache.trained(spark, dir, numMerges)._2)
+
+  /** Uncached sibling of [[bpeDocTokensCached]] (tests / ad-hoc). */
+  def bpeDocTokens(docs: DataFrame, numMerges: Int): DataFrame = {
+    val (_, finalSyms) = bpeTrain(docs, numMerges)
+    val res = docTokensFrom(docs, finalSyms).localCheckpoint(true)
+    finalSyms.unpersist(false)
+    res
+  }
+
+  private def docTokensFrom(docs: DataFrame, finalSyms: DataFrame): DataFrame = {
+    val segSizes = finalSyms
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(segSizes), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_bpe_tokens"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /**
    * Corpus fertility under the learned BPE segmentation: after
    * [[bpeLearn]]'s `numMerges` rounds, each vocabulary word is split

@@ -1693,6 +1693,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bpeDocTokens: per-doc counts under a partially-merged vocabulary") {
+    // 1 merge on {aaaa×2, ab×3}: aaaa=[aa,aa] (2 tokens), ab=[a,b] (2)
+    val d = Seq((0L, "aaaa ab ab"), (1L, "aaaa ab")).toDF("doc_id", "text")
+    val r = TextOps.bpeDocTokens(d, 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(r(0L) == ((3L, 6L)) && r(1L) == ((2L, 4L)))
+  }
+
   test("bpeLearn is partition-invariant (integer weights, deterministic argmax)") {
     val base = Seq((0L, "batch window spark order"), (1L, "batch batch spark"),
       (2L, "window windows orders"), (3L, "spark sparks batch")).toDF("doc_id", "text")
