@@ -1280,6 +1280,15 @@ object SparkEntry {
         ds.where(col("doc_id") % 25 =!= 0),
         ds.where(col("doc_id") % 25 === 0), n = 3)
     },
+    "decontaminate_lsh" -> { (s, d) =>
+      // the NEAR-dup decontamination member: training docs surviving
+      // after dropping everything with shingle Jaccard ≥ 0.8 to any
+      // eval doc (banded LSH candidates, exact verify)
+      val ds = docs(s, d)
+      TextOps.decontaminateLsh(
+        ds.where(col("doc_id") % 25 =!= 0),
+        ds.where(col("doc_id") % 25 === 0), 0.8)
+    },
     "decontaminate_semantic" -> { (s, d) =>
       // the semantic complement of the n-gram check: flag training
       // vectors whose max cosine vs the eval embedding set (vec_id < 16)
@@ -2894,6 +2903,19 @@ object SparkEntry {
          |FROM sh b JOIN sh h ON b.doc_id >= 400 AND h.doc_id < 400
          |WHERE len(b.s) > 0 AND len(h.s) > 0
          |  AND len(list_intersect(b.s, h.s))::DOUBLE / len(list_distinct(list_concat(b.s, h.s))) >= 0.8""".stripMargin,
+
+    // survivors after the exact cross-set Jaccard drop (same exact-
+    // verify contract as dedup_incremental_lsh's quadratic twin)
+    "decontaminate_lsh" ->
+      s"""WITH $shingleCte,
+         |hit AS (SELECT DISTINCT b.doc_id
+         |  FROM sh b JOIN sh h ON b.doc_id % 25 <> 0 AND h.doc_id % 25 = 0
+         |  WHERE len(b.s) > 0 AND len(h.s) > 0
+         |    AND len(list_intersect(b.s, h.s))::DOUBLE /
+         |        len(list_distinct(list_concat(b.s, h.s))) >= 0.8)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
+         |FROM documents d
+         |WHERE d.doc_id % 25 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
 
     "chunk_dedup" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),

@@ -284,6 +284,25 @@ object TextOps {
     res
   }
 
+  /**
+   * NEAR-duplicate decontamination — the MinHash member of the
+   * decontamination family (exact n-gram [[decontaminate]], Bloom
+   * two-phase [[decontaminateBloom]], embedding
+   * [[decontaminateSemantic]]): drop every training doc whose exact
+   * shingle Jaccard to ANY eval doc ≥ `threshold`. Catches lightly
+   * edited eval copies that the exact n-gram test over-flags and the
+   * semantic test under-specifies. Candidates come from the banded LSH
+   * equi-join ([[dedupIncrementalLsh]] with the eval set as "history")
+   * — never train×eval.
+   */
+  def decontaminateLsh(docs: DataFrame, evalDocs: DataFrame,
+                       threshold: Double = 0.8): DataFrame = {
+    val hits = dedupIncrementalLsh(docs, evalDocs, threshold)
+      .select(col("doc_id")).distinct()
+    docs.join(hits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Production fuzzy dedup: collapse near-dup PAIRS into transitive
     * CLUSTERS and pick one representative per cluster — "a~b, b~c"
     * must keep one of {a,b,c}, not run two independent pair drops.

@@ -1693,6 +1693,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bpeLearn: equal-weight pairs break ties lexicographically") {
+    // both pairs have weight 1; (a,b) < (c,d) must win round 0
+    val d = Seq((0L, "ab cd")).toDF("doc_id", "text")
+    val m = TextOps.bpeLearn(d, 2).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs")))
+    assert(m(0) == ((0L, "a", "b")) && m(1) == ((1L, "c", "d")))
+  }
+
+  test("BpeCache: same (session, dir, rounds) returns the memoized pair") {
+    val t1 = TextOps.BpeCache.trained(spark, "/root/testdata/sf0.001", 8)
+    val t2 = TextOps.BpeCache.trained(spark, "/root/testdata/sf0.001", 8)
+    assert(t1._2 eq t2._2)   // identical cached DataFrame instance
+    assert(TextOps.BpeCache.cachedCount >= 1)
+  }
+
   test("bpeDocTokens: per-doc counts under a partially-merged vocabulary") {
     // 1 merge on {aaaa×2, ab×3}: aaaa=[aa,aa] (2 tokens), ab=[a,b] (2)
     val d = Seq((0L, "aaaa ab ab"), (1L, "aaaa ab")).toDF("doc_id", "text")
