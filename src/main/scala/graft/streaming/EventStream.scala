@@ -441,6 +441,49 @@ object EventStream {
       .dropDuplicatesWithinWatermark("a", "b")
   }
 
+  /** Ingest-time contamination guard — the STREAMING front of the
+    * decontamination family: each arriving document is flagged when any
+    * of its word n-gram shingles might belong to the eval set, via a
+    * Bloom filter built ONCE over the eval grams (order-independent
+    * bit-OR state — a pure function of the gram set) and probed as a
+    * STATELESS per-row expression. No watermark, no keyed state, no
+    * shuffle: the probe rides inside the ingest projection at any
+    * throughput, and the Bloom contract guarantees NO false negatives —
+    * every truly contaminated doc is flagged; the nightly exact pass
+    * ([[graft.pipeline.TextOps.decontaminate]]) clears the small
+    * false-positive sliver. At 100 TB the filter (~125 MB at 10
+    * bits/item) ships as a broadcast variable; here it is a plan
+    * literal — same plan shape.
+    *
+    * Returns the input columns + `flagged` (boolean) + `n_grams`. Works
+    * identically on a batch frame (the spec's parity gate) and a
+    * readStream source. */
+  def contaminationGuard(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                         expectedItems: Long = 100000L,
+                         numBits: Long = 800000L): DataFrame = {
+    import graft.pipeline.TextOps
+    val spark = evalDocs.sparkSession
+    require(graft.functions.GraftExtensions.loadedIn(spark),
+      "contaminationGuard needs the graft session extension (graft_bloom_agg)")
+    val bloomRow = evalDocs
+      .select(explode(TextOps.shinglesFromTokens(
+        TextOps.tokens(col("text")), n)).as("gram")).distinct()
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("gram")), lit(expectedItems), lit(numBits)).as("bf"))
+      .head()
+    val grams = TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n)
+    if (bloomRow.isNullAt(0))
+      docs.withColumn("flagged", lit(false))
+        .withColumn("n_grams", size(grams).cast("long"))
+    else {
+      val bf = lit(bloomRow.getAs[Array[Byte]]("bf"))
+      docs
+        .withColumn("flagged", exists(grams,
+          g => call_function("graft_might_contain", bf, xxhash64(g))))
+        .withColumn("n_grams", size(grams).cast("long"))
+    }
+  }
+
   /** Per-user latest state via explicit keyed state (the streaming
     * equivalent of the per-element version chain): each group folds its
     * new events in event_id order into (version count, last type, current

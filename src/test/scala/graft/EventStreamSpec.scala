@@ -363,6 +363,43 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == Set((0L, Some("BUILDING")), (1L, Some("MACHINERY")), (2L, None)))
   }
 
+  test("contaminationGuard: stream == batch; no false negatives vs exact decontamination") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // eval doc plants the 3-gram "alpha beta gamma"; doc 10 repeats it,
+    // doc 11 shares no gram, doc 12 is too short to shingle
+    val evalDocs = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "noise alpha beta gamma tail"),
+      (11L, "completely unrelated words here"),
+      (12L, "too short"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("flagged"), col("n_grams"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    // batch run
+    val batch = canon(EventStream.contaminationGuard(
+      incoming.toDF("doc_id", "text"), evalDocs))
+    // stream run, split across two micro-batches (stateless ⇒ trivially equal)
+    val source = MemoryStream[(Long, String)]
+    val q = EventStream.contaminationGuard(
+      source.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("guard_sink")
+      .outputMode("append").start()
+    try {
+      source.addData(incoming.take(1): _*); q.processAllAvailable()
+      source.addData(incoming.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = canon(spark.table("guard_sink"))
+    assert(streamed == batch)
+    // no false negatives: every doc the EXACT pass flags is flagged here
+    val exactHits = graft.pipeline.TextOps.decontaminate(
+      incoming.toDF("doc_id", "text"), evalDocs, n = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exactHits.subsetOf(streamed.filter(_._2).map(_._1)))
+    assert(exactHits == Set(10L))        // the planted leak is real
+    assert(!streamed.find(_._1 == 12L).get._2) // gram-less doc unflagged
+  }
+
   test("RocksDB state store: dedup and near-dup parity suites run green under the production provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
