@@ -1289,6 +1289,15 @@ object SparkEntry {
         ds.where(col("doc_id") % 25 =!= 0),
         ds.where(col("doc_id") % 25 === 0), 0.8)
     },
+    "eval_coverage" -> { (s, d) =>
+      // assembled-leakage audit: per eval doc, the fraction of its
+      // shingles exposed ANYWHERE in train — compromise the pairwise
+      // decontamination passes cannot see
+      val ds = docs(s, d)
+      TextOps.evalCoverage(
+        ds.where(col("doc_id") % 25 =!= 0),
+        ds.where(col("doc_id") % 25 === 0), 3)
+    },
     "decontaminate_semantic" -> { (s, d) =>
       // the semantic complement of the n-gram check: flag training
       // vectors whose max cosine vs the eval embedding set (vec_id < 16)
@@ -2903,6 +2912,24 @@ object SparkEntry {
          |FROM sh b JOIN sh h ON b.doc_id >= 400 AND h.doc_id < 400
          |WHERE len(b.s) > 0 AND len(h.s) > 0
          |  AND len(list_intersect(b.s, h.s))::DOUBLE / len(list_distinct(list_concat(b.s, h.s))) >= 0.8""".stripMargin,
+
+    // per-eval-doc shingle exposure: distinct train grams LEFT-joined
+    // onto each eval doc's shingles; integers up to one division
+    "eval_coverage" ->
+      s"""WITH $shingleCte,
+         |tg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0),
+         |eg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
+         |pd AS (
+         |  SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(count(tg.gram) AS BIGINT) AS n_covered
+         |  FROM eg LEFT JOIN tg USING (gram) GROUP BY eg.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  coalesce(pd.n_grams, 0) AS n_grams,
+         |  coalesce(pd.n_covered, 0) AS n_covered,
+         |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(pd.n_covered::DOUBLE / pd.n_grams, 4) END AS coverage
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |WHERE d.doc_id % 25 = 0""".stripMargin,
 
     // survivors after the exact cross-set Jaccard drop (same exact-
     // verify contract as dedup_incremental_lsh's quadratic twin)

@@ -285,6 +285,47 @@ object TextOps {
   }
 
   /**
+   * Decontamination-effectiveness audit: per EVAL doc, the fraction of
+   * its distinct word n-gram shingles that appear ANYWHERE in the
+   * training corpus. An eval doc with high coverage is compromised even
+   * when no single training doc matched it — assembled leakage across
+   * many train docs, which the pairwise passes ([[decontaminate]],
+   * [[decontaminateLsh]], [[decontaminateSemantic]]) cannot see.
+   *
+   * Scale shape: one distinct over the train gram relation (the
+   * decontaminate backbone), one gram-keyed LEFT join of the (small)
+   * eval grams against it, one eval-doc-keyed count. Integers up to a
+   * single division (round 4).
+   */
+  def evalCoverage(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val trainToks = train.select(tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val evalToks = evalDocs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trainGrams = trainToks
+      .select(explode(shinglesFromTokens(col("t"), n)).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    val evalGrams = evalToks
+      .select(col("doc_id"), explode(shinglesFromTokens(col("t"), n)).as("gram"))
+    val perDoc = evalGrams
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_covered"))
+    val res = evalDocs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_covered").cast("double") / col("n_grams"), 4)))
+    val out = res.localCheckpoint(true)
+    Seq(trainToks, evalToks).foreach(_.unpersist(false))
+    out
+  }
+
+  /**
    * NEAR-duplicate decontamination — the MinHash member of the
    * decontamination family (exact n-gram [[decontaminate]], Bloom
    * two-phase [[decontaminateBloom]], embedding

@@ -1644,6 +1644,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(e.repartition(7)) == r)
   }
 
+  test("evalCoverage: per-eval-doc shingle exposure incl. gram-less docs") {
+    val train = Seq((1L, "x a b c y"), (2L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c d"), (101L, "zz yy")).toDF("doc_id", "text")
+    val r = TextOps.evalCoverage(train, ev, 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_covered"),
+          x.getAs[Double]("coverage"))).toMap
+    // eval 100: grams {a b c, b c d}; train exposes only "a b c"
+    assert(r(100L) == ((2L, 1L, 0.5)))
+    assert(r(101L) == ((0L, 0L, 0.0))) // too short to shingle
+  }
+
   test("crossLingualLeakage: shared grams counted once per lang pair") {
     // the 5-gram "a b c d e" is in en, fr and de; "x y z w v" only in en
     val d = Seq(
