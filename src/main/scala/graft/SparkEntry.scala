@@ -992,6 +992,10 @@ object SparkEntry {
       // space slice-drift twin of source_chi2; quantized integer sums,
       // DECIMAL cross-products, one final double expression
       VectorOps.sourceEmbeddingDrift(emb(s, d), docs(s, d))),
+    "source_label_mix" -> ((s, d) =>
+      // topic-mix audit: (source, label) contingency of the labeled
+      // embedding set — what each feed contains, by cluster label
+      VectorOps.sourceLabelMix(emb(s, d), docs(s, d))),
     "dedup_incremental" -> { (s, d) =>
       // the daily-ingest shape: docs ≥ 400 are "today's batch", the rest
       // the accumulated corpus; survivors = batch reps with unseen text
@@ -2522,6 +2526,18 @@ object SparkEntry {
          |${(0 until 8).map(r =>
              s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS weight FROM m$r")
              .mkString("\n UNION ALL ")}""".stripMargin,
+
+    // (source, label) contingency with per-source shares
+    "source_label_mix" ->
+      """WITH j AS (
+        |  SELECT d.source, e.label
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |c AS (SELECT source, label, CAST(count(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2),
+        |t AS (SELECT source, sum(n) AS total FROM c GROUP BY 1)
+        |SELECT c.source, CAST(c.label AS BIGINT) AS label, c.n,
+        |  round(c.n::DOUBLE / t.total, 4) AS pct
+        |FROM c JOIN t USING (source)""".stripMargin,
 
     // per-doc encode counts off the replayed final segmentation s8
     "bpe_doc_tokens" ->

@@ -1130,6 +1130,24 @@ object VectorOps {
     out
   }
 
+  /** Topic-mix audit: the (source, label) contingency of the labeled
+    * embedding set — what each feed actually contains, by cluster/topic
+    * label. One (source, label)-keyed count plus a #sources-row total
+    * join; pct is integers up to one division (round 4). The per-source
+    * rows are the input to [[graft.pipeline.TextOps.quotaApportion]]-
+    * style re-balancing when a feed's topic mix is off. */
+  def sourceLabelMix(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val joined = emb.select(col("vec_id"), col("label"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    val counts = joined.groupBy(col("source"), col("label"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("total"))
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("label").cast("long").as("label"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("pct"))
+  }
+
   def standardize(emb: DataFrame, scale: Long = 10000L): DataFrame = {
     require(scale > 0, "scale must be positive")
     val s = scale.toDouble

@@ -1625,6 +1625,17 @@ class PipelineSpec extends AnyFunSuite {
     idx.indexed.unpersist(false)
   }
 
+  test("sourceLabelMix: per-source label shares sum to 1") {
+    import spark.implicits._
+    val e = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("vec_id", "label")
+    val d = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "B")).toDF("doc_id", "source")
+    val r = VectorOps.sourceLabelMix(e, d).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Long]("label")) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("pct"))).toMap
+    assert(r(("A", 0L)) == ((2L, 0.6667)) && r(("A", 1L)) == ((1L, 0.3333)))
+    assert(r(("B", 1L)) == ((1L, 1.0)))
+  }
+
   test("sourceEmbeddingDrift: hand-checked centroid cosines; partition-invariant") {
     import spark.implicits._
     val e = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
