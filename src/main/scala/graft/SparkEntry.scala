@@ -1302,6 +1302,10 @@ object SparkEntry {
         ds.where(col("doc_id") % 25 =!= 0),
         ds.where(col("doc_id") % 25 === 0), 3)
     },
+    "dup_ratio_by_source" -> ((s, d) =>
+      // which feed is internally duplicated: per-source drop share
+      // under cluster-collapse dedup (memoized pair graph → CC)
+      TextOps.dupRatioBySource(docs(s, d), 0.8)),
     "decontaminate_semantic" -> { (s, d) =>
       // the semantic complement of the n-gram check: flag training
       // vectors whose max cosine vs the eval embedding set (vec_id < 16)
@@ -1565,6 +1569,29 @@ object SparkEntry {
       |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
       |  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
       |  ELSE [] END AS s FROM toks)""".stripMargin
+
+  /** Recursive near-dup cluster closure shared by every oracle that
+    * replays [[graft.pipeline.TextOps.dedupClusters]]: exact all-pairs
+    * Jaccard (quadratic — sf0.01-gate class), CC closure, min-id
+    * representative. Ends with `asg(doc_id, cluster_id, keep)`. */
+  private val clusterClosureCtes: String =
+    s"""$shingleCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0
+       |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+       |clust AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
+       |asg AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       |               COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+       |        FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id)""".stripMargin
+
 
   // ---- replicated-ANN oracle CTEs ----------------------------------------
   // The pagerank_full pattern, applied to the ANN indexes: every stage of
@@ -2929,6 +2956,16 @@ object SparkEntry {
          |WHERE len(b.s) > 0 AND len(h.s) > 0
          |  AND len(list_intersect(b.s, h.s))::DOUBLE / len(list_distinct(list_concat(b.s, h.s))) >= 0.8""".stripMargin,
 
+    // per-source drop share under the replayed cluster closure
+    "dup_ratio_by_source" ->
+      s"""WITH RECURSIVE $clusterClosureCtes
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN a.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes,
+         |  round(sum(CASE WHEN a.keep THEN 0 ELSE 1 END)::DOUBLE / count(*), 4)
+         |    AS dup_ratio
+         |FROM asg a JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
+
     // per-eval-doc shingle exposure: distinct train grams LEFT-joined
     // onto each eval doc's shingles; integers up to one division
     "eval_coverage" ->
@@ -3620,22 +3657,7 @@ object SparkEntry {
     // split (quadratic exact-pair twin — sf0.01-gate class, like
     // dedup_clusters)
     "split_leakage_safe" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |pairs AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-         |reach AS (
-         |  SELECT x, y FROM edges
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         |clust AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
-         |asg AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         |               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
-         |               COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
-         |        FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id)
+      s"""WITH RECURSIVE $clusterClosureCtes
          |SELECT doc_id, cluster_id, keep,
          |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT *,

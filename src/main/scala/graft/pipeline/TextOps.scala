@@ -285,6 +285,24 @@ object TextOps {
   }
 
   /**
+   * Per-source duplication pressure: of each source's docs, how many
+   * would a cluster-collapse dedup ([[dedupClusters]]) drop — the audit
+   * that tells you WHICH feed is internally duplicated before you pay
+   * for its ingestion. Composition: the memoized LSH pair graph → CC
+   * clusters → per-source drop counts; integers up to one division.
+   */
+  def dupRatioBySource(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val clusters = dedupClusters(docs, threshold)
+    docs.select(col("doc_id"), col("source"))
+      .join(clusters.select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_dupes"))
+      .select(col("source"), col("n_docs"), col("n_dupes"),
+        round(col("n_dupes").cast("double") / col("n_docs"), 4).as("dup_ratio"))
+  }
+
+  /**
    * Decontamination-effectiveness audit: per EVAL doc, the fraction of
    * its distinct word n-gram shingles that appear ANYWHERE in the
    * training corpus. An eval doc with high coverage is compromised even

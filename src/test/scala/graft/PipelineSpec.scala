@@ -1655,6 +1655,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(e.repartition(7)) == r)
   }
 
+  test("dupRatioBySource: drop share follows cluster membership") {
+    // docs 0,1,2 are one near-dup cluster (keep 0); 3,4 singletons
+    val d = docs.withColumn("source",
+      when(col("doc_id") <= 2, "feedA").otherwise("feedB"))
+    val r = TextOps.dupRatioBySource(d, 0.5).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_dupes"),
+          x.getAs[Double]("dup_ratio"))).toMap
+    assert(r("feedA") == ((3L, 2L, 0.6667)))
+    assert(r("feedB") == ((2L, 0L, 0.0)))
+  }
+
   test("evalCoverage: per-eval-doc shingle exposure incl. gram-less docs") {
     val train = Seq((1L, "x a b c y"), (2L, "unrelated text entirely here"))
       .toDF("doc_id", "text")
