@@ -121,11 +121,15 @@ object Bench {
     val total = queryTotal + buildTotal
     val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
     // full per-query detail: first line of stdout (human/log record) and
-    // a sidecar file for mechanical regression diffing
+    // a sidecar file for mechanical regression diffing. Targeted runs
+    // (BENCH_ONLY / BENCH_BUILDS filters) must NOT clobber the sidecar —
+    // it records the last FULL suite (a 2-query probe once overwrote the
+    // 175-query closing record).
     println(full)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty && onlyBuilds.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
+      catch { case _: Throwable => () }
     // LAST line: compact sentinel the driver parses. Its tail buffer is
     // 2000 chars (BENCH_r09 "parsed": null — the 136-query map overflowed
     // it), so keep this line under ~1800: aggregates + builds + error
