@@ -34,6 +34,25 @@ object Bench {
       val s = xs.sorted; s(s.size / 2)
     }
 
+    // ---- phase -1: host-speed canary (VERDICT r10). A fixed CPU
+    // microbenchmark — xxhash64 over 10^7 sequential longs in ONE
+    // partition — whose runtime depends only on single-core speed, never
+    // on data or suite size. Fresh VMs vary ~2x on identical code
+    // (BASELINE host-noise protocol); emitting the canary as
+    // `host_factor` lets the driver normalize cross-round totals
+    // mechanically instead of via prose. One discarded warm-up rep
+    // (JIT + codegen), then a 3-rep median. ----
+    val hostFactor = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      def rep() = time {
+        spark.range(0L, 10000000L, 1L, 1)
+          .select(xxhash64(col("id")).as("h"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      rep()
+      median(Seq(rep(), rep(), rep()))
+    }
+
     // ---- phase 0: shared projection builds (billed once, separately).
     // A failed build lands in `errors` and the affected queries fail
     // individually — the bench must always print its JSON line. ----
@@ -119,7 +138,7 @@ object Bench {
     val queryTotal = timings.values.sum
     val buildTotal = builds.values.sum
     val total = queryTotal + buildTotal
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"host_factor":$hostFactor,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
     // full per-query detail: first line of stdout (human/log record) and
     // a sidecar file for mechanical regression diffing. Targeted runs
     // (BENCH_ONLY / BENCH_BUILDS filters) must NOT clobber the sidecar —
@@ -136,7 +155,7 @@ object Bench {
     // names + the slowest queries that fit, 3-decimal seconds.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_total":${r3(queryTotal)},"build_total":${r3(buildTotal)},"reps":$reps,"agg":"median","n_queries":${timings.size},"detail":"BENCH_DETAIL.json","builds":${
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_total":${r3(queryTotal)},"build_total":${r3(buildTotal)},"host_factor":${r3(hostFactor)},"reps":$reps,"agg":"median","n_queries":${timings.size},"detail":"BENCH_DETAIL.json","builds":${
       builds.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"errors":${
       errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{"""
     val tailBudget = 1800 - head.length - 60

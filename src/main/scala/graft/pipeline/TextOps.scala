@@ -353,6 +353,14 @@ object TextOps {
    * semantic test under-specifies. Candidates come from the banded LSH
    * equi-join ([[dedupIncrementalLsh]] with the eval set as "history")
    * — never train×eval.
+   *
+   * ORACLE_SKIP-at-scale note (ADVICE r10): the banded candidate stage
+   * has the standard LSH false-NEGATIVE probability (a truly ≥ threshold
+   * pair whose 32 band hashes all differ is missed), while the DuckDB
+   * twin is exact all-pairs Jaccard — at scaled data or other
+   * band/hash settings the two can diverge on such a pair. Same accepted
+   * class as [[dedupIncrementalLsh]]; the sf0.01 gate passes, and a
+   * scaled-gate miss here is the known estimator gap, not a regression.
    */
   def decontaminateLsh(docs: DataFrame, evalDocs: DataFrame,
                        threshold: Double = 0.8): DataFrame = {

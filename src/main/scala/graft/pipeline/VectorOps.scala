@@ -406,13 +406,16 @@ object VectorOps {
     * (post-filtering a top-k can return < k or miss matches entirely).
     * The filter is an equi-join against the indexed table, so the probe
     * plan is unchanged: broadcast centroid probe, cell equi-join, exact
-    * re-rank of surviving members only. */
+    * re-rank of surviving members only. `allowed` is deduplicated first
+    * (ADVICE r10): a predicate relation with repeated vec_ids must not
+    * multiply candidate rows — the join is a membership test, and
+    * duplicated candidates would repeat neighbors inside the top-k. */
   def ivfSearchFiltered(index: IvfIndex, queries: DataFrame,
                         allowed: DataFrame, topK: Int = 10,
                         nProbe: Int = 10): DataFrame =
     ivfSearch(
       index.copy(indexed = index.indexed
-        .join(allowed.select(col("vec_id").as("nb")), "nb")),
+        .join(allowed.select(col("vec_id").as("nb")).distinct(), "nb")),
       queries, topK, nProbe)
 
   /** One-shot build + search (tests and ad-hoc use; long-lived deployments

@@ -460,7 +460,7 @@ object EventStream {
     * readStream source. */
   def contaminationGuard(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
                          expectedItems: Long = 100000L,
-                         numBits: Long = 800000L): DataFrame = {
+                         numBits: Long = 1000000L): DataFrame = {
     import graft.pipeline.TextOps
     val spark = evalDocs.sparkSession
     require(graft.functions.GraftExtensions.loadedIn(spark),
