@@ -337,9 +337,9 @@ object SparkEntry {
       graft.gx.GraphXTraversal.clusteringCoeffDF(s, TpchGraph.snapshot(s, d))),
 
     "kcore" -> ((s, d) =>
-      // 12-core after 12 deterministic peels over the pair graph (the
-      // fixpoint at this data — convergence gated in the spec); the
-      // oracle unrolls the same peels as sequential CTE steps
+      // 12-core peeled to the FIXPOINT (nominal 12 rounds, hard cap 64)
+      // with an honest `converged` flag; the oracle unrolls the peels as
+      // sequential CTE steps plus one extra round to verify convergence
       graft.gx.GraphXTraversal.kCoreDF(s, TpchGraph.snapshot(s, d))),
 
     "communities_lpa" -> ((s, d) =>
@@ -1768,12 +1768,17 @@ object SparkEntry {
   /** k-core twin: the kCoreDF peel loop unrolled as sequential CTE
     * steps — round r computes degrees over e_{r-1}, keeps vertices with
     * degree ≥ k, and re-induces e_r. Same pair-graph derivation as the
-    * triangle/clustering twins (5000000 + l_partkey vertex ids). */
+    * triangle/clustering twins (5000000 + l_partkey vertex ids). One
+    * EXTRA round past the nominal depth computes the `converged` flag
+    * honestly (count(e_{rounds+1}) = count(e_rounds) — the edge set
+    * shrinks monotonically, so equal counts mean a no-op peel): if the
+    * operator ever needs more peels than the twin unrolls, the flag and
+    * the rows both diverge visibly instead of agreeing on a non-core. */
   private def kcoreSql(k: Int, rounds: Int): String = {
     // AS MATERIALIZED: each round references the previous one 3× — an
     // inlining planner would expand the chain 3^rounds-fold (DuckDB ran
     // out of file handles re-scanning the base table before the fix)
-    val steps = (1 to rounds).map { r =>
+    val steps = (1 to (rounds + 1)).map { r =>
       s"""d$r AS MATERIALIZED (SELECT v, count(*) AS c FROM (
          |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY v),
          |al$r AS MATERIALIZED (SELECT v FROM d$r WHERE c >= $k),
@@ -1788,7 +1793,9 @@ object SparkEntry {
        |  FROM bulk x JOIN bulk y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
        |$steps
-       |SELECT CAST(v AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |SELECT CAST(v AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS degree,
+       |  (SELECT count(*) FROM e${rounds + 1}) = (SELECT count(*) FROM e$rounds) AS converged
+       |FROM (
        |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
   }
 
@@ -2162,7 +2169,8 @@ object SparkEntry {
          |inc AS (SELECT ca AS c, count(*) AS ic FROM e2 WHERE ca = cb GROUP BY 1),
          |degc AS (SELECT c, count(*) AS dc FROM (
          |    SELECT ca AS c FROM e2 UNION ALL SELECT cb FROM e2) GROUP BY 1),
-         |num AS (SELECT sum(CAST(4 * mm.m * coalesce(i.ic, 0) - d.dc * d.dc AS HUGEINT)) AS n
+         |num AS (SELECT sum(CAST(4 AS HUGEINT) * mm.m * coalesce(i.ic, 0)
+         |    - CAST(d.dc AS HUGEINT) * d.dc) AS n
          |  FROM degc d LEFT JOIN inc i ON i.c = d.c CROSS JOIN mm)
          |SELECT CAST(mm.m AS BIGINT) AS n_edges,
          |  CAST((SELECT count(DISTINCT lbl) FROM lab) AS BIGINT) AS n_communities,

@@ -360,38 +360,56 @@ object GraphXTraversal {
 
   private def buildLpa(spark: SparkSession, snap: Snapshot, rounds: Int,
                        minQty: Double): DataFrame = {
-    import spark.implicits._
     require(rounds > 0, "rounds must be positive")
     val g = pairGraph(snap, minQty)
-    var lg: Graph[Long, Unit] = g.mapVertices((id, _) => id.toLong).cache()
-    (1 to rounds).foreach { _ =>
-      val msgs = lg.aggregateMessages[Map[Long, Int]](
-        ctx => {
-          ctx.sendToDst(Map(ctx.srcAttr -> 1))
-          ctx.sendToSrc(Map(ctx.dstAttr -> 1))
-        },
-        (a, b) => (a.keySet ++ b.keySet).iterator
-          .map(l => l -> (a.getOrElse(l, 0) + b.getOrElse(l, 0))).toMap)
-      val next = lg.outerJoinVertices(msgs) { (_, old, m) =>
-        m.map(_.minBy { case (l, c) => (-c, l) }._1).getOrElse(old)
-      }.cache()
-      next.vertices.count() // materialize before releasing the prior round
-      lg.unpersist(blocking = false)
-      lg = next
-    }
-    val out = spark.createDataFrame(lg.vertices.map { case (v, l) => (v, l) })
-      .toDF("part_id", "community")
+    val pairs = spark.createDataFrame(
+      g.edges.map(e => (e.srcId, e.dstId))).toDF("a", "b")
+    lpaRounds(pairs, rounds)
+      .select(col("v").as("part_id"), col("lbl").as("community"))
+  }
+
+  /** Synchronous LPA rounds over a canonical pair-edge frame (columns
+    * `a`, `b`, each undirected pair once): labels start as the vertex id
+    * and each round every vertex adopts its most frequent neighbor label,
+    * ties broken by the smallest label — exactly the (count desc, label
+    * asc) pick the DuckDB twin unrolls. The histogram merge is
+    * RELATIONAL (VERDICT r10 skew item — formerly an aggregateMessages
+    * `Map[Long,Int]` merge that accumulated a hub's whole neighbor-label
+    * histogram as one per-vertex heap object): each round is one
+    * (vertex, label) counting aggregation — map-side combined, so a
+    * planted hub with 10⁵ neighbors costs shuffled count ROWS, never a
+    * single-task map — plus a per-vertex `min_by` argmax, itself a
+    * partial-merge hash agg. Each round materializes eagerly
+    * (localCheckpoint), so the plan never stacks rounds-deep joins.
+    * Package-visible so the planted-hub spec can drive it on a synthetic
+    * edge frame. */
+  private[graft] def lpaRounds(pairs: DataFrame, rounds: Int): DataFrame = {
+    val ed = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint(true)
-    lg.unpersist(blocking = false)
-    out
+    var labels = ed.select(col("x").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val counts = ed.join(labels.select(col("v").as("y"), col("lbl")), "y")
+        .groupBy(col("x").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = counts.groupBy(col("v"))
+        .agg(min_by(col("lbl"),
+          struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
   }
 
   /** Newman modularity of the [[communitiesLpaDF]] labeling — the "did
     * LPA find real structure" number: Q = Σ_c [in_c∕m − (deg_c∕2m)²]
     * over communities, computed as ONE exact integer numerator
-    * N = Σ_c (4·m·in_c − deg_c²) and a single final division N∕(4m²) —
-    * the assortativity doctrine, so the DuckDB twin (which replays the
-    * LPA rounds first) lands bit-for-bit before round(6). Everything
+    * N = Σ_c (4·m·in_c − deg_c²) ([[modularityNumerator]], DECIMAL(38)
+    * so it cannot wrap at billions of edges) and a single final
+    * division N∕(4m²) — the assortativity doctrine, so the DuckDB twin
+    * (which replays the LPA rounds first, HUGEINT chain) lands
+    * bit-for-bit before round(6). Everything
     * past the labeling is community-dimension-sized: two vertex-keyed
     * label joins on the edge list, then counts. Returns (n_edges,
     * n_communities, modularity). */
@@ -411,26 +429,50 @@ object GraphXTraversal {
       .groupBy(col("ca").as("c")).agg(count(lit(1)).as("in_c"))
     val degC = e2.select(col("ca").as("c")).unionAll(e2.select(col("cb").as("c")))
       .groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
-    val num = degC.join(inC, Seq("c"), "left_outer")
-      .select((lit(4L * m) * coalesce(col("in_c"), lit(0L)) -
-        col("deg_c") * col("deg_c")).as("t"))
-      .agg(sum(col("t"))).head().getLong(0)
+    val num = modularityNumerator(m, degC.join(inC, Seq("c"), "left_outer"))
     val nComms = labels.select(col("community")).distinct().count()
     e2.unpersist(false)
     // the one shared double sequence: N / (4.0 · m · m), round(6)
-    val q = num.toDouble / (4.0 * m * m)
+    val q = num.doubleValue / (4.0 * m * m)
     Seq((m, nComms, BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("n_edges", "n_communities", "modularity")
   }
 
-  /** k-core membership after `rounds` peels over the same co-occurrence
-    * pair graph: each round drops vertices whose degree in the CURRENT
-    * induced subgraph is < k, then re-induces. A round that removes
-    * nothing is idempotent, so with enough rounds this is the true
-    * k-core fixpoint (convergence at the registered data is asserted in
-    * GraphXAnalyticsSpec); the FIXED round count keeps the contract
-    * deterministic and lets the DuckDB twin unroll the same peels.
-    * Returns the surviving (part_id, degree).
+  /** Exact integer modularity numerator Σ_c (4·m·in_c − deg_c²) over a
+    * per-community stats frame (columns `in_c` nullable long, `deg_c`
+    * long), carried in DECIMAL(38,0) end-to-end: the former Long chain
+    * silently wrapped once 4·m·in_c passed 2⁶³ — about 1.5e9 edges with
+    * a dominant community, squarely the 100 TB regime (VERDICT r10).
+    * Factors are cast to Decimal(20,0) (a Long always fits) so each
+    * product stays within Spark's 38-digit cap for any physical m; the
+    * DuckDB twin runs the same chain with HUGEINT factors. Package-
+    * visible so the overflow spec can inject synthetic counts past 2³¹
+    * without manufacturing a billion-edge graph. */
+  private[graft] def modularityNumerator(m: Long, stats: DataFrame): java.math.BigDecimal = {
+    val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
+    val row = stats
+      .select((lit(4L).cast(d20) * lit(m).cast(d20) *
+        coalesce(col("in_c"), lit(0L)).cast(d20) -
+        col("deg_c").cast(d20) * col("deg_c").cast(d20)).as("t"))
+      .agg(sum(col("t")).as("n")).head()
+    if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+  }
+
+  /** k-core of the same co-occurrence pair graph: each round drops
+    * vertices whose degree in the CURRENT induced subgraph is < k, then
+    * re-induces, looping until a round removes nothing — the TRUE k-core
+    * fixpoint, which is unique regardless of peel order, so the contract
+    * stays deterministic. `rounds` is the NOMINAL depth the DuckDB twin
+    * unrolls; when the data needs more peels (degeneracy grows with
+    * density — VERDICT r10: at 100× a 13th round could still peel), the
+    * loop continues to a hard cap of max(rounds, 64) instead of silently
+    * returning a non-core. The emitted `converged` column makes the
+    * contract checkable: TRUE iff the last executed peel removed nothing
+    * (the result IS the fixpoint); FALSE only if the cap was hit first.
+    * The twin computes the same flag honestly by unrolling one extra
+    * round and comparing edge counts — so a too-short twin unroll
+    * surfaces as a visible mismatch, never a silent agreement on a
+    * non-core. Returns the surviving (part_id, degree, converged).
     *
     * Plan shape per round: one degree aggregation (map-side combined)
     * + two semi-joins, each over a monotonically shrinking edge set;
@@ -443,17 +485,28 @@ object GraphXTraversal {
               rounds: Int = 12, minQty: Double = 30.0): DataFrame = {
     import spark.implicits._
     val g = pairGraph(snap, minQty)
-    def degrees(edges: org.apache.spark.sql.DataFrame) = edges
+    val pairs = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
+      .toDF("a", "b")
+    kCorePeel(pairs, k, rounds)
+      .select(col("v").as("part_id"), col("d").as("degree"), col("converged"))
+  }
+
+  /** The peel loop behind [[kCoreDF]], over a canonical pair-edge frame
+    * (columns `a`, `b`). Returns (v, d, converged). Package-visible so
+    * the fixpoint spec can drive synthetic graphs whose peeling depth
+    * exceeds the nominal round budget. */
+  private[graft] def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(edges: DataFrame) = edges
       .select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    var edges = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
-      .toDF("a", "b").localCheckpoint(true)
-    // early exit at the fixpoint: the edge set shrinks monotonically, so
-    // an unchanged COUNT means an unchanged SET — the remaining rounds
-    // are no-ops (the oracle's fixed unroll computes the same answer)
+    var edges = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    // the edge set shrinks monotonically, so an unchanged COUNT means an
+    // unchanged SET — the fixpoint; an empty set is trivially converged
     var prev = edges.count()
+    var converged = prev == 0L
+    val cap = math.max(rounds, 64)
     var r = 0
-    while (r < rounds && prev > 0) {
+    while (!converged && r < cap) {
       val alive = degrees(edges).where(col("d") >= k).select(col("v"))
       edges = edges
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
@@ -461,10 +514,11 @@ object GraphXTraversal {
         .select(col("a"), col("b"))
         .localCheckpoint(true)
       val n = edges.count()
-      r = if (n == prev) rounds else r + 1
+      converged = n == prev || n == 0L
       prev = n
+      r += 1
     }
-    degrees(edges).select(col("v").as("part_id"), col("d").as("degree"))
+    degrees(edges).withColumn("converged", lit(converged))
   }
 
   /**

@@ -302,4 +302,63 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
       .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, o) => v -> o.length.toLong }
     assert(recount == core, "kCoreDF degrees disagree with the driver recount")
   }
+
+  test("k-core peel loops to the fixpoint past the nominal rounds; converged flag is honest") {
+    import spark.implicits._
+    // 5-cycle with a 3-vertex pendant chain, k=2: the chain peels one
+    // vertex per round (8, then 7, then 6) — three peels plus the no-op
+    // confirmation, past a nominal rounds=1 — and the cycle IS the
+    // unique 2-core. The old fixed-round contract would have returned
+    // the half-peeled graph here.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (5L, 6L), (6L, 7L), (7L, 8L)).toDF("a", "b")
+    val out = graft.gx.GraphXTraversal.kCorePeel(pairs, k = 2, rounds = 1)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.forall(r => r.getLong(1) == 2L && r.getBoolean(2)))
+    // a pure path has NO 2-core: the fixpoint is empty, reached well
+    // past the nominal budget (two endpoints peel per round)
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(graft.gx.GraphXTraversal.kCorePeel(path, k = 2, rounds = 1).count() == 0L)
+  }
+
+  test("LPA planted hub: a 1e5-neighbor star propagates without per-vertex histogram maps") {
+    // star graph: hub 0 with 100k leaves. The former aggregateMessages
+    // merge built the hub's full neighbor-label histogram as ONE
+    // Map[Long,Int] on a single task; the relational rounds shuffle
+    // (vertex, label) count rows instead, so this runs in bounded task
+    // memory at any hub degree. Round semantics are pinned exactly:
+    //   r1: hub sees 100k distinct labels once each -> tie-break to the
+    //       smallest (1); every leaf sees only the hub (0) -> 0
+    //   r2: hub sees all leaves at 0 -> 0; leaves see the hub at 1 -> 1
+    val edges = spark.range(1L, 100001L)
+      .select(org.apache.spark.sql.functions.lit(0L).as("a"),
+        org.apache.spark.sql.functions.col("id").as("b"))
+    val labels = graft.gx.GraphXTraversal.lpaRounds(edges, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 100001)
+    assert(labels(0L) == 0L)
+    assert((1L to 100000L).forall(labels(_) == 1L))
+  }
+
+  test("modularity numerator: exact past Long — 4·m·in_c over 2^63 must not wrap") {
+    import spark.implicits._
+    // synthetic per-community stats for a graph with m = 3e9 edges
+    // (> 2^31) and one dominant community: 4·m·in_c = 2.4e19 > Long.Max,
+    // where the former Long chain silently wrapped per-row. Counts are
+    // injected, not materialized — the contract is the integer chain.
+    val m = 3000000000L
+    val stats = Seq(
+      (Option(2000000000L), 4500000000L),
+      (Option.empty[Long], 1500000000L)).toDF("in_c", "deg_c")
+    val got = BigInt(
+      graft.gx.GraphXTraversal.modularityNumerator(m, stats).toBigInteger)
+    val want =
+      (BigInt(4) * m * 2000000000L - BigInt(4500000000L) * 4500000000L) +
+        (BigInt(0) - BigInt(1500000000L) * 1500000000L)
+    // the dominant community's term alone exceeds Long range — the case
+    // under test is genuinely outside the old representation
+    assert(BigInt(4) * m * 2000000000L > BigInt(Long.MaxValue))
+    assert(got == want, s"numerator $got != $want")
+  }
 }
