@@ -1335,9 +1335,10 @@ object SparkEntry {
     "unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(docs(s, d))),
     "multimodal_meta" -> ((s, d) =>
       // binary-column round-trip: synthesize REAL container headers
-      // (PNG/GIF/BMP/WAV/MP4) from doc_id, parse them back in ONE
-      // partition-mapped pass; oracle re-derives each field from the
-      // doc_id arithmetic — equality proves the byte-level synth+parse
+      // (PNG/GIF/BMP/WAV/MP4/JPEG — the last exercising the SOF marker
+      // walk through skipped APP0+DQT segments) from doc_id, parse them
+      // back in ONE partition-mapped pass; oracle re-derives each field
+      // from the doc_id arithmetic — equality proves the byte round-trip
       pipeline.MediaSynth.mediaMetaQuery(s, d)),
     "multimodal_dedup" -> ((s, d) =>
       // exact media dedup by content digest over the synthesized
@@ -3622,29 +3623,29 @@ object SparkEntry {
     // only way both agree is if the byte round-trip is exact.
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
-        |       WHEN 3 THEN 'wav' ELSE 'mp4/isom' END AS format,
-        |  CASE WHEN doc_id % 5 IN (0,1,2,4) THEN CAST(doc_id % 640 + 16 AS INT) END AS width,
-        |  CASE WHEN doc_id % 5 IN (0,1,2,4) THEN CAST(doc_id % 360 + 9 AS INT) END AS height,
-        |  CASE WHEN doc_id % 5 = 3 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
-        |  CASE WHEN doc_id % 5 = 3 THEN CAST(8000 * (doc_id % 3 + 1) AS INT) END AS sample_rate,
-        |  CASE WHEN doc_id % 5 = 3 THEN CAST(100 * (doc_id % 10 + 1) AS BIGINT)
-        |       WHEN doc_id % 5 = 4 THEN CAST(500 * (doc_id % 8 + 1) AS BIGINT) END AS duration_ms
+        |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+        |       WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4/isom' ELSE 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 6 IN (0,1,2,4,5) THEN CAST(doc_id % 640 + 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 6 IN (0,1,2,4,5) THEN CAST(doc_id % 360 + 9 AS INT) END AS height,
+        |  CASE WHEN doc_id % 6 = 3 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 6 = 3 THEN CAST(8000 * (doc_id % 3 + 1) AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 6 = 3 THEN CAST(100 * (doc_id % 10 + 1) AS BIGINT)
+        |       WHEN doc_id % 6 = 4 THEN CAST(500 * (doc_id % 8 + 1) AS BIGINT) END AS duration_ms
         |FROM documents""".stripMargin,
 
     // content-equality classes re-derived from the GENERATIVE params
-    // (bytes are a pure function of them: images/mp4 of d%5,d%640,d%360
+    // (bytes are a pure function of them: images/mp4 of d%6,d%640,d%360
     // [,d%8]; wav of d%2,d%3,d%10) — independent of the digest the
     // Spark side groups on, so a digest bug cannot self-confirm
     "multimodal_dedup" ->
       """WITH m AS (SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 5 = 3 THEN 'audio'
-        |         WHEN doc_id % 5 = 4 THEN 'video' ELSE 'image' END AS kind,
-        |    CASE WHEN doc_id % 5 = 3
+        |    CASE WHEN doc_id % 6 = 3 THEN 'audio'
+        |         WHEN doc_id % 6 = 4 THEN 'video' ELSE 'image' END AS kind,
+        |    CASE WHEN doc_id % 6 = 3
         |           THEN 'a:' || (doc_id % 2) || ':' || (doc_id % 3) || ':' || (doc_id % 10)
-        |         WHEN doc_id % 5 = 4
+        |         WHEN doc_id % 6 = 4
         |           THEN 'v:' || (doc_id % 640) || ':' || (doc_id % 360) || ':' || (doc_id % 8)
-        |         ELSE 'i' || (doc_id % 5) || ':' || (doc_id % 640) || ':' || (doc_id % 360)
+        |         ELSE 'i' || (doc_id % 6) || ':' || (doc_id % 640) || ':' || (doc_id % 360)
         |    END AS k
         |  FROM documents),
         |g AS (SELECT k, min(media_id) AS rep, count(*) AS n_copies FROM m GROUP BY k)

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
  * headers, so the oracle equality proves the synth+parse composition.
  *
  * Derivation rules (d = doc_id), mirrored in the oracle SQL:
- *  - container: d % 5 → png | gif | bmp | wav | mp4/isom
+ *  - container: d % 6 → png | gif | bmp | wav | mp4/isom | jpeg
  *  - images + mp4: width = d % 640 + 16, height = d % 360 + 9
  *  - wav: channels = d % 2 + 1, rate = 8000 * (d % 3 + 1), 16-bit;
  *    duration_ms = 100 * (d % 10 + 1) (rates are multiples of 1000 so
@@ -52,6 +52,29 @@ object MediaSynth {
   private[pipeline] def bmp(w: Int, h: Int): Array[Byte] =
     "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24)
+
+  /** Minimal baseline JPEG (VERDICT r10: the oracle gate must exercise
+    * the hardest parser — the SOF marker walk, not just fixed-offset
+    * headers): SOI, then APP0/JFIF and a zeroed DQT the sniffer must
+    * SKIP by their declared lengths, then SOF0 carrying height/width
+    * big-endian at payload offsets +5/+7, then SOS (where a correct
+    * walk stops) and EOI. No entropy data — a metadata pass never reads
+    * past SOS. */
+  private[pipeline] def jpeg(w: Int, h: Int): Array[Byte] = {
+    val soi = Array[Byte](0xFF.toByte, 0xD8.toByte)
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++
+      "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++
+      Array[Byte](0, 0)
+    val dqt = Array[Byte](0xFF.toByte, 0xDB.toByte) ++ be16(67) ++
+      Array.fill[Byte](65)(0)
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)
+    val sos = Array[Byte](0xFF.toByte, 0xDA.toByte) ++ be16(12) ++
+      Array[Byte](3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0)
+    val eoi = Array[Byte](0xFF.toByte, 0xD9.toByte)
+    soi ++ app0 ++ dqt ++ sof0 ++ sos ++ eoi
+  }
 
   private[pipeline] def wav(channels: Int, rate: Int, bits: Int,
                             dataBytes: Long): Array[Byte] = {
@@ -88,7 +111,7 @@ object MediaSynth {
   private[pipeline] def render(d: Long): (String, Array[Byte]) = {
     val w = (d % 640).toInt + 16
     val h = (d % 360).toInt + 9
-    (d % 5) match {
+    (d % 6) match {
       case 0 => ("image", png(w, h))
       case 1 => ("image", gif(w, h))
       case 2 => ("image", bmp(w, h))
@@ -97,7 +120,8 @@ object MediaSynth {
         val rate = 8000 * ((d % 3).toInt + 1)
         val durMs = 100L * ((d % 10) + 1)
         ("audio", wav(channels, rate, 16, channels.toLong * 2 * rate * durMs / 1000))
-      case _ => ("video", mp4(w, h, 1000, 500L * ((d % 8) + 1)))
+      case 4 => ("video", mp4(w, h, 1000, 500L * ((d % 8) + 1)))
+      case _ => ("image", jpeg(w, h))
     }
   }
 

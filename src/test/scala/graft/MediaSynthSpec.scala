@@ -13,13 +13,14 @@ class MediaSynthSpec extends AnyFunSuite {
   private def expected(d: Long): (String, Option[Int], Option[Int],
       Option[Int], Option[Int], Option[Long]) = {
     val w = Some((d % 640).toInt + 16); val h = Some((d % 360).toInt + 9)
-    (d % 5) match {
+    (d % 6) match {
       case 0 => ("png", w, h, None, None, None)
       case 1 => ("gif", w, h, None, None, None)
       case 2 => ("bmp", w, h, None, None, None)
       case 3 => ("wav", None, None, Some((d % 2).toInt + 1),
         Some(8000 * ((d % 3).toInt + 1)), Some(100L * ((d % 10) + 1)))
-      case _ => ("mp4/isom", w, h, None, None, Some(500L * ((d % 8) + 1)))
+      case 4 => ("mp4/isom", w, h, None, None, Some(500L * ((d % 8) + 1)))
+      case _ => ("jpeg", w, h, None, None, None)
     }
   }
 
@@ -47,7 +48,7 @@ class MediaSynthSpec extends AnyFunSuite {
     val img = MultimodalOps.imageMeta(media.where(col("kind") === "image"))
       .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
     assert(img.nonEmpty && img.forall { case (d, f) =>
-      f == Seq("png", "gif", "bmp")((d % 5).toInt) })
+      f == Map(0 -> "png", 1 -> "gif", 2 -> "bmp", 5 -> "jpeg")((d % 6).toInt) })
     val aud = MultimodalOps.audioMeta(media.where(col("kind") === "audio")).collect()
     assert(aud.nonEmpty && aud.forall(_.getAs[String]("format") == "wav"))
     // bits_per_sample is synthesized as 16 everywhere — the one field the
