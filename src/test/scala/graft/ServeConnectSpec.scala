@@ -73,4 +73,60 @@ class ServeConnectSpec extends AnyFunSuite {
       GraftConnectServer.stop()
     }
   }
+
+  test("concurrent clients: a pinned asOf session stays isolated from head mutations") {
+    // the reference scopes checkpoints per THREAD (FluxGraph.java:37-41:
+    // setCheckpointTime is a ThreadLocal) — the wire analog is one
+    // client session reading a pinned asOf surface while another reads
+    // the moving head, with interleaved queries never bleeding between
+    // them. Connect gives each client an isolated server-side session;
+    // the pinned GLOBAL view is a definition fixed at registration.
+    val g = new GraftGraph(spark)
+    val a = g.addVertex(); val b = g.addVertex(); val c = g.addVertex()
+    g.addEdge(a, b, "knows")
+    val txPin = g.log.headTx
+    g.addEdge(a, c, "knows"); g.addEdge(b, c, "likes")
+    val head = Snapshot.head(g.log)
+    GraftViews.registerGlobal(head, "cc")
+    GraftViews.registerGlobalAsOf(head, txPin, "cc_past")
+
+    GraftConnectServer.start(spark, port)
+    val pinned = GraftConnectServer.client(port) // session reading the checkpoint
+    val live = GraftConnectServer.client(port)   // session reading the head
+    def edgeCount(s: org.apache.spark.sql.connect.SparkSession, view: String): Long =
+      s.sql(s"SELECT count(*) AS n FROM global_temp.${view}_edges").head().getLong(0)
+    try {
+      // interleaved sequential reads: both sessions answer from their
+      // own surface
+      assert(edgeCount(pinned, "cc_past") == 1L)
+      assert(edgeCount(live, "cc") == 3L)
+      assert(edgeCount(pinned, "cc_past") == 1L)
+
+      // mutate the head and republish it — the pinned surface must not
+      // move (its definition is fixed at txPin), the live one must
+      g.addEdge(c, a, "follows")
+      GraftViews.registerGlobal(Snapshot.head(g.log), "cc")
+      assert(edgeCount(live, "cc") == 4L)
+      assert(edgeCount(pinned, "cc_past") == 1L)
+
+      // genuinely concurrent: both sessions fire 8 queries in parallel;
+      // every answer must come from the right snapshot
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val ppin = Future { (1 to 8).map(_ => edgeCount(pinned, "cc_past")) }
+      val plive = Future { (1 to 8).map(_ => edgeCount(live, "cc")) }
+      assert(Await.result(ppin, 120.seconds).forall(_ == 1L))
+      assert(Await.result(plive, 120.seconds).forall(_ == 4L))
+
+      // and the pinned surface equals a local asOf recount — the wire
+      // adds isolation, not drift
+      val localPinned = Snapshot.head(g.log).asOfTxId(txPin).edges.count()
+      assert(localPinned == 1L)
+    } finally {
+      try pinned.close() catch { case _: Throwable => () }
+      try live.close() catch { case _: Throwable => () }
+      GraftConnectServer.stop()
+    }
+  }
 }
