@@ -381,20 +381,30 @@ object EventStream {
     * the join, and the pair is verified by SIGNATURE-estimated Jaccard —
     * the matching fraction of minhash components, an unbiased estimator
     * of the true Jaccard (σ ≈ √(j(1−j)/k), ~0.03 at k=128) — rather
-    * than exact shingle intersection: state then carries one fixed-width
-    * signature per row instead of unbounded shingle sets, the choice
-    * that keeps join state bounded at 100 TB stream scale. The carried
-    * signature is TRUNCATED to 16 bits per component (r10, VERDICT
-    * state-size item): equal full components stay equal truncated, and
-    * an unequal pair falsely matches w.p. 2⁻¹⁶ — a jac_est bias of
-    * (1−j)·2⁻¹⁶ ≈ 10⁻⁵, invisible at round(3) — while join state drops
-    * from ~1 KB to ~0.3 KB per band row (~90 → ~10 KB per in-horizon
-    * doc with 32 bands; the full-width components never enter state).
+    * than exact shingle intersection, which would carry unbounded
+    * shingle sets in state.
+    *
+    * State layout (VERDICT r10 state-size item): the band self-join
+    * carries ONLY (doc, ts, band, band-hash) per row — no signature —
+    * so its per-doc state is `bands` thin rows per side. The signature
+    * (TRUNCATED to 16 bits per component: equal full components stay
+    * equal truncated, an unequal pair falsely matches w.p. 2⁻¹⁶, a
+    * jac_est bias of (1−j)·2⁻¹⁶ ≈ 10⁻⁵, invisible at round(3)) is
+    * stored ONCE per doc in each of two attach joins that key candidate
+    * pairs back to their endpoints' signature rows — the "signature
+    * keyed by doc" layout: per in-horizon doc the total state is
+    * 2·bands thin band rows + 2 signature rows, instead of 2·bands
+    * signature-fat rows (~21 KB → ~3 KB at the defaults). Verification
+    * cost moves from state to compute: candidates are rare (that is
+    * LSH's whole premise), so the attach joins are small.
+    *
     * Pairs arriving further apart than the watermark are structurally
     * excluded by the time-range join condition (that bound is what lets
-    * Spark evict state). Emits one row per colliding band; the final
-    * `dropDuplicatesWithinWatermark` collapses them to one row per
-    * (a, b) pair.
+    * Spark evict state); the attach joins bound their ranges by the
+    * same horizon. `doc_id` is assumed unique within a horizon (re-sent
+    * ids would attach each of their signature rows). Emits one row per
+    * colliding band; the final `dropDuplicatesWithinWatermark`
+    * collapses them to one row per (a, b) pair.
     *
     * On a stream, `persist()` staging barriers are unavailable, so the
     * signature pipeline runs as nested column expressions — the
@@ -407,34 +417,54 @@ object EventStream {
     import graft.pipeline.TextOps
     val spark = docs.sparkSession
     val r = numHashes / bands
+    def sigFull = TextOps.signatureBest(spark, TextOps.hashPairs(
+      TextOps.shinglesFromTokens(TextOps.tokens(col("text")))), numHashes)
+    // thin banded key stream: band hashes from the FULL components, the
+    // components themselves never enter this join's state
     def banded(side: String): DataFrame =
       docs
         .select(col("doc_id").as(side), col(tsCol).as(s"ts_$side"),
-          TextOps.signatureBest(spark, TextOps.hashPairs(
-            TextOps.shinglesFromTokens(TextOps.tokens(col("text")))),
-            numHashes).as("sig_full"))
-        // band hashes from the FULL components; only the 16-bit
-        // truncation survives into join state (see the contract note)
+          sigFull.as("sig_full"))
         .select(col(side), col(s"ts_$side"),
-          transform(col("sig_full"),
-            h => (h.bitwiseAND(0xFFFFL) - 32768L).cast("smallint")).as(s"sig_$side"),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
               xxhash64(slice(col("sig_full"), b * r + 1, lit(r)), b).as("bh"))))
             .as("bb"))
-        .select(col(side), col(s"ts_$side"), col(s"sig_$side"),
+        .select(col(side), col(s"ts_$side"),
           col("bb.band").as(s"band_$side"), col("bb.bh").as(s"bh_$side"))
         .withWatermark(s"ts_$side", watermark)
-    val x = banded("a")
-    val y = banded("b")
+    // one truncated-signature row per doc — the per-doc signature store
+    def sigs(side: String): DataFrame =
+      docs
+        .select(col("doc_id").as(s"s$side"), col(tsCol).as(s"ts_s$side"),
+          transform(sigFull,
+            h => (h.bitwiseAND(0xFFFFL) - 32768L).cast("smallint")).as(s"sig_$side"))
+        .withWatermark(s"ts_s$side", watermark)
     val horizon = expr(s"INTERVAL $watermark")
-    val matched = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (p, q) => p === q), m => m))
-    x.join(y,
+    // 1. thin candidate join: any colliding band within the horizon.
+    //    ts_b is dropped so exactly ONE event-time column (ts_a) flows
+    //    into the downstream stateful operators; |ts_b − ts_a| ≤ horizon
+    //    lets the attach joins range on ts_a for BOTH endpoints.
+    val cand = banded("a").join(banded("b"),
         col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
           col("a") < col("b") &&
           col("ts_b") >= col("ts_a") - horizon &&
           col("ts_b") <= col("ts_a") + horizon)
+      .select(col("a"), col("b"), col("ts_a"))
+    // 2+3. attach each endpoint's signature row (stored once per doc)
+    val withSigs = cand
+      .join(sigs("a"),
+        col("a") === col("sa") &&
+          col("ts_sa") >= col("ts_a") - horizon &&
+          col("ts_sa") <= col("ts_a") + horizon)
+      .select(col("a"), col("b"), col("ts_a"), col("sig_a"))
+      .join(sigs("b"),
+        col("b") === col("sb") &&
+          col("ts_sb") >= col("ts_a") - horizon &&
+          col("ts_sb") <= col("ts_a") + horizon)
+    val matched = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (p, q) => p === q), m => m))
+    withSigs
       .withColumn("jac_est", matched.cast("double") / numHashes)
       .where(col("jac_est") >= threshold)
       .select(col("a"), col("b"), col("ts_a"), round(col("jac_est"), 3).as("jac_est"))
