@@ -1510,2458 +1510,20 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracle twins (same column names/types, same values) ----
-
-  private val vertexUnion =
-    """SELECT CAST(1000000 + r_regionkey AS BIGINT) AS id FROM region
-      |UNION ALL SELECT CAST(2000000 + n_nationkey AS BIGINT) FROM nation
-      |UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT) FROM customer
-      |UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT) FROM supplier
-      |UNION ALL SELECT CAST(5000000 + p_partkey AS BIGINT) FROM part
-      |UNION ALL SELECT CAST(6000000 + o_orderkey AS BIGINT) FROM orders""".stripMargin
-
-  private val latestEventSql = (t: String) =>
-    s"""SELECT user_id, event_type, value,
-       |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-       |FROM events WHERE ts <= TIMESTAMP '$t'""".stripMargin
-
-  /** The composed curation chain (clean → decontaminate → domainMix →
-    * splitStratified) as nested CTEs — each stage is its standalone
-    * oracle's SQL applied to the PREVIOUS stage's relation, replaying
-    * TextOps.curationPipeline end to end (13-gram decontamination, the
-    * production default — at sf1's eval-slice density 3-grams flag the
-    * ENTIRE corpus, a degenerate pipeline). Ends at `sp` (doc_id, lang,
-    * source, rk, n) and `ct` (doc_id, t = token list). */
-  private val curationGram13 = (0 until 13).map(o => s"t[i+$o]").mkString(" || ' ' || ")
-  // clean stage (train side, exact-dedup + lang/length gate) shared by the
-  // n-gram and the semantic pipeline twins — one source, no drift
-  private val cleanCdCte =
-    s"""cbase AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),
-      |cln AS (SELECT min(doc_id) AS doc_id FROM cbase
-      |  WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
-      |  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
-      |cd AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d JOIN cln USING (doc_id))""".stripMargin
-
-  private val curationChainCte =
-    s"""$cleanCdCte,
-      |ct AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM cd),
-      |csh AS (SELECT doc_id, CASE WHEN len(t) >= 13
-      |  THEN list_distinct([$curationGram13 for i in range(1, len(t) - 11)])
-      |  ELSE [] END AS s FROM ct),
-      |evt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-      |  FROM documents WHERE doc_id % 25 = 0),
-      |evg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 13
-      |  THEN list_distinct([$curationGram13 for i in range(1, len(t) - 11)])
-      |  ELSE [] END) AS gram FROM evt),
-      |hit AS (SELECT DISTINCT c.doc_id
-      |  FROM (SELECT doc_id, unnest(s) AS gram FROM csh) c JOIN evg USING (gram)),
-      |dec AS (SELECT cd.* FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
-      |dm AS (SELECT doc_id FROM (SELECT doc_id,
-      |    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-      |  FROM dec) WHERE rk <= 50),
-      |kept AS (SELECT dec.* FROM dec JOIN dm USING (doc_id)),
-      |sp AS (SELECT doc_id, lang, source,
-      |    row_number() OVER (PARTITION BY lang, source
-      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
-      |    count(*) OVER (PARTITION BY lang, source) AS n
-      |  FROM kept)""".stripMargin
-
-  private val shingleCte =
-    """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-      |  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
-      |  ELSE [] END AS s FROM toks)""".stripMargin
-
-  /** Recursive near-dup cluster closure shared by every oracle that
-    * replays [[graft.pipeline.TextOps.dedupClusters]]: exact all-pairs
-    * Jaccard (quadratic — sf0.01-gate class), CC closure, min-id
-    * representative. Ends with `asg(doc_id, cluster_id, keep)`. */
-  private val clusterClosureCtes: String =
-    s"""$shingleCte,
-       |pairs AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(a.s) > 0 AND len(b.s) > 0
-       |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-       |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-       |reach AS (
-       |  SELECT x, y FROM edges
-       |  UNION
-       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-       |clust AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
-       |asg AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       |               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
-       |               COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
-       |        FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id)""".stripMargin
-
-
-  // ---- replicated-ANN oracle CTEs ----------------------------------------
-  // The pagerank_full pattern, applied to the ANN indexes: every stage of
-  // the build is deterministic PUBLIC math (lowest-id init, the vec_id%5
-  // Lloyd sample, a fixed iteration count — VectorOps.ivfBuild/pqTrain),
-  // so DuckDB can re-derive the INDEX ITSELF with unrolled CTE steps and
-  // then replay the search over it. That upgrades the ann_ivf/ann_pq
-  // family from rows-only entries to full rows+schema+hash oracle rows:
-  // the twin checks cell assignments, code assignments, shortlists, and
-  // the final ranking — not just that 100 rows came back.
-
-  /** Exact zip-fold twins of VectorOps.l2sq / dot (sequential fold order
-    * matches Spark's `aggregate` HOF, so the doubles agree bit-for-bit). */
-  private def l2sqSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(len($a)), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
-
-  private val rawEmbCte = "raw AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)"
-
-  /** CTEs `vbase … c3` + full-corpus `asg` + query `probe`: ivfBuild's
-    * k-means (init = the 16 lowest base vec_ids, 3 Lloyd iterations on
-    * the vec_id%5 base sample, cosine argmax with ties → lowest cell)
-    * trained on `baseFilter` rows, then every corpus vector assigned and
-    * each query's 10 nearest cells probed (ivfSearch). `baseFilter` is
-    * TRUE for the plain index; the appended index trains on 6/7 of the
-    * corpus and assigns the rest to the frozen centroids (ivfAppend) —
-    * which is exactly "train on the base subset, assign everyone". */
-  private def ivfChainCte(baseFilter: String, kExpr: String = "16"): String = {
-    val lloyd = (1 to 3).map { it =>
-      s"""a$it AS (SELECT cell, x FROM (
-         |    SELECT c.cell, s.x, row_number() OVER (PARTITION BY s.vec_id
-         |      ORDER BY list_cosine_similarity(s.x, c.cv) DESC, c.cell) AS rn
-         |    FROM samp s, c${it - 1} c) WHERE rn = 1),
-         |m$it AS (SELECT cell, list(m ORDER BY i) AS mv FROM (
-         |    SELECT cell, i, avg(xx) AS m FROM (
-         |      SELECT cell, unnest(x) AS xx, unnest(range(len(x))) AS i FROM a$it)
-         |    GROUP BY cell, i) GROUP BY cell),
-         |c$it AS (SELECT c.cell, coalesce(m.mv, c.cv) AS cv
-         |    FROM c${it - 1} c LEFT JOIN m$it m USING (cell))""".stripMargin
-    }.mkString(",\n")
-    s"""$rawEmbCte,
-       |vbase AS (SELECT * FROM raw WHERE $baseFilter),
-       |samp AS (SELECT * FROM vbase WHERE vec_id % 5 = 0),
-       |kk AS (SELECT CAST($kExpr AS BIGINT) AS k FROM (SELECT count(*) AS n FROM vbase)),
-       |c0 AS (SELECT t.rn - 1 AS cell, t.x AS cv FROM (
-       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, x FROM vbase) t, kk
-       |    WHERE t.rn <= kk.k),
-       |$lloyd,
-       |asg AS (SELECT vec_id AS nb, x AS nbv, cell FROM (
-       |    SELECT r.vec_id, r.x, c.cell, row_number() OVER (PARTITION BY r.vec_id
-       |      ORDER BY list_cosine_similarity(r.x, c.cv) DESC, c.cell) AS rn
-       |    FROM raw r, c3 c) WHERE rn = 1),
-       |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
-       |probe AS (SELECT q, qv, cell FROM (
-       |    SELECT qs.q, qs.qv, c.cell, row_number() OVER (PARTITION BY qs.q
-       |      ORDER BY list_cosine_similarity(qs.qv, c.cv) DESC, c.cell) AS rn
-       |    FROM qs, c3 c) WHERE rn <= 10)""".stripMargin
-  }
-
-  /** `scored` + `ivf` = (q, nb, sim): exact re-rank of the probed cells'
-    * members, top-10 per query by (sim desc, nb). */
-  private val ivfRankCte =
-    """scored AS (SELECT p.q, a.nb, list_cosine_similarity(p.qv, a.nbv) AS sim
-      |    FROM probe p JOIN asg a USING (cell) WHERE a.nb <> p.q),
-      |ivf AS (SELECT q, nb, sim FROM (
-      |    SELECT q, nb, sim, row_number() OVER (PARTITION BY q
-      |      ORDER BY sim DESC, nb) AS rn FROM scored) WHERE rn <= 10)""".stripMargin
-
-  private val ivfSelect =
-    "SELECT CAST(q AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim FROM ivf"
-
-  private def ivfOracleSql(baseFilter: String): String =
-    s"WITH ${ivfChainCte(baseFilter)},\n$ivfRankCte\n$ivfSelect"
-
-  /** CTEs `vn … b3` (pqTrain: L2-normalize, split into 8×8 sub-vectors,
-    * per-subspace k-means — init = sub-vectors of the 16 lowest sampled
-    * vec_ids, 3 Lloyd iterations, L2² assignment with ties → lowest
-    * code) + `enc` (pqEncode over the full corpus) + the per-query ADC
-    * weight table `wtab` (w = dot(normalized query sub-vector, code
-    * centroid), computed driver-side in Spark with the same sequential
-    * fold). Requires `raw`. */
-  private val pqChainCte: String = {
-    val lloyd = (1 to 3).map { it =>
-      s"""pa$it AS (SELECT sub, code, sv FROM (
-         |    SELECT s.sub, s.vec_id, b.code, s.sv,
-         |      row_number() OVER (PARTITION BY s.sub, s.vec_id
-         |        ORDER BY ${l2sqSql("s.sv", "b.cv")} ASC, b.code) AS rn
-         |    FROM ssub s JOIN b${it - 1} b USING (sub)) WHERE rn = 1),
-         |pm$it AS (SELECT sub, code, list(mu ORDER BY i) AS mv FROM (
-         |    SELECT sub, code, i, avg(xx) AS mu FROM (
-         |      SELECT sub, code, unnest(sv) AS xx, unnest(range(len(sv))) AS i FROM pa$it)
-         |    GROUP BY sub, code, i) GROUP BY sub, code),
-         |b$it AS (SELECT b.sub, b.code, coalesce(m.mv, b.cv) AS cv
-         |    FROM b${it - 1} b LEFT JOIN pm$it m USING (sub, code))""".stripMargin
-    }.mkString(",\n")
-    s"""vn AS (SELECT vec_id, list_transform(x, e -> e / nrm) AS v FROM (
-       |    SELECT vec_id, x, sqrt(list_sum(list_transform(x, y -> y * y))) AS nrm FROM raw)),
-       |allsub AS (SELECT vec_id, CAST(t.j AS INT) AS sub, v[(t.j*8+1):(t.j*8+8)] AS sv
-       |    FROM vn, range(8) t(j)),
-       |ssub AS (SELECT * FROM allsub WHERE vec_id % 5 = 0),
-       |iinit AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM (
-       |    SELECT DISTINCT vec_id FROM ssub ORDER BY vec_id LIMIT 16)),
-       |b0 AS (SELECT s.sub, i.code, s.sv AS cv FROM ssub s JOIN iinit i USING (vec_id)),
-       |$lloyd,
-       |enc AS (SELECT vec_id, sub, code FROM (
-       |    SELECT a.vec_id, a.sub, b.code,
-       |      row_number() OVER (PARTITION BY a.vec_id, a.sub
-       |        ORDER BY ${l2sqSql("a.sv", "b.cv")} ASC, b.code) AS rn
-       |    FROM allsub a JOIN b3 b USING (sub)) WHERE rn = 1),
-       |qsub AS (SELECT vec_id AS qid, sub, sv FROM allsub WHERE vec_id < 10),
-       |wtab AS (SELECT q.qid, q.sub, b.code,
-       |    CAST(floor(${dotSql("q.sv", "b.cv")} * 1099511627776 + 0.5) AS BIGINT) AS w
-       |    FROM qsub q JOIN b3 b USING (sub))""".stripMargin
-  }
-
-  /** `adc … pq` = (qid, vec_id, cos, rank): ADC scores summed over the 8
-    * subspaces, 100-candidate shortlist by (adc desc, vec_id), exact
-    * cosine re-rank to rank ≤ 10 (pqTopK / ivfPqTopK). `candJoin`
-    * narrows the ADC scan to the IVF-probed cells' members (ivfPqTopK's
-    * semi-join) and needs `asg`/`probe` from [[ivfChainCte]]. */
-  private def pqRankCte(candJoin: Boolean): String = {
-    val cand = if (candJoin)
-      """cand AS (SELECT p.q AS qid, a.nb AS vec_id FROM asg a JOIN probe p USING (cell)),
-        |""".stripMargin else ""
-    val joins = if (candJoin)
-      """FROM enc e JOIN cand cd ON e.vec_id = cd.vec_id
-        |    JOIN wtab w ON cd.qid = w.qid AND e.sub = w.sub AND e.code = w.code""".stripMargin
-    else
-      "FROM enc e JOIN wtab w ON e.sub = w.sub AND e.code = w.code"
-    s"""${cand}adc AS (SELECT w.qid, e.vec_id, sum(w.w) AS adc
-       |    $joins
-       |    WHERE w.qid <> e.vec_id GROUP BY w.qid, e.vec_id),
-       |short AS (SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |      ORDER BY adc DESC, vec_id) AS rn FROM adc) WHERE rn <= 100),
-       |rer AS (SELECT s.qid, s.vec_id, list_cosine_similarity(q.x, c.x) AS cos
-       |    FROM short s JOIN raw c ON s.vec_id = c.vec_id
-       |    JOIN raw q ON s.qid = q.vec_id),
-       |pq AS (SELECT qid, vec_id, cos, rank FROM (
-       |    SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
-       |      ORDER BY cos DESC, vec_id) AS rank FROM rer) WHERE rank <= 10)""".stripMargin
-  }
-
-  private val pqSelect =
-    """SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
-      |  round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank FROM pq""".stripMargin
-
-  /** CTEs `raw`, `planes`, `sig`, `band` — the hyperplane-LSH chain
-    * (VectorOps.lshSignature + banding): the twin re-derives the exact
-    * ±1 plane matrix from md5 (graft.functions.Hyperplanes.matrix), the
-    * signature bits as sign-of-dot with the same sequential fold, and
-    * the band buckets as exact integer packing. */
-  /** The md5-derived ±1 plane matrix (Hyperplanes.matrix) as a CTE —
-    * shared by the LSH chain and the random-projection twins. */
-  private def planesCte(nPlanes: Int): String =
-    s"""planes AS (SELECT CAST(p.j AS INT) AS j, list(w ORDER BY i) AS pw FROM (
-       |    SELECT p.j, d.i,
-       |      CASE WHEN ((strpos('0123456789abcdef', substr(md5(p.j || '_' || d.i), 2, 1)) - 1) & 1) = 1
-       |           THEN 1.0 ELSE -1.0 END AS w
-       |    FROM range($nPlanes) p(j), range(64) d(i)) p(j, i, w) GROUP BY p.j)""".stripMargin
-
-  private def lshChainCte(nPlanes: Int, rowsPerBand: Int): String =
-    s"""$rawEmbCte,
-       |${planesCte(nPlanes)},
-       |sig AS (SELECT v.vec_id, p.j,
-       |    CASE WHEN list_sum(list_transform(range(len(v.x)), i -> v.x[i+1] * p.pw[i+1])) > 0
-       |         THEN 1 ELSE 0 END AS bit
-       |  FROM raw v, planes p),
-       |band AS (SELECT vec_id, CAST(j // $rowsPerBand AS INT) AS band,
-       |    sum(bit * (1 << CAST(j % $rowsPerBand AS INT))) AS bh
-       |  FROM sig GROUP BY vec_id, j // $rowsPerBand)""".stripMargin
-
-  /** k-core twin: the kCoreDF peel loop unrolled as sequential CTE
-    * steps — round r computes degrees over e_{r-1}, keeps vertices with
-    * degree ≥ k, and re-induces e_r. Same pair-graph derivation as the
-    * triangle/clustering twins (5000000 + l_partkey vertex ids). One
-    * EXTRA round past the nominal depth computes the `converged` flag
-    * honestly (count(e_{rounds+1}) = count(e_rounds) — the edge set
-    * shrinks monotonically, so equal counts mean a no-op peel): if the
-    * operator ever needs more peels than the twin unrolls, the flag and
-    * the rows both diverge visibly instead of agreeing on a non-core. */
-  private def kcoreSql(k: Int, rounds: Int): String = {
-    // AS MATERIALIZED: each round references the previous one 3× — an
-    // inlining planner would expand the chain 3^rounds-fold (DuckDB ran
-    // out of file handles re-scanning the base table before the fix)
-    val steps = (1 to (rounds + 1)).map { r =>
-      s"""d$r AS MATERIALIZED (SELECT v, count(*) AS c FROM (
-         |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY v),
-         |al$r AS MATERIALIZED (SELECT v FROM d$r WHERE c >= $k),
-         |e$r AS MATERIALIZED (SELECT x.a, x.b FROM e${r - 1} x
-         |    JOIN al$r p ON x.a = p.v JOIN al$r q ON x.b = q.v)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH bulk AS (
-       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
-       |), e0 AS MATERIALIZED (
-       |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
-       |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
-       |  FROM bulk x JOIN bulk y
-       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-       |$steps
-       |SELECT CAST(v AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS degree,
-       |  (SELECT count(*) FROM e${rounds + 1}) = (SELECT count(*) FROM e$rounds) AS converged
-       |FROM (
-       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
-  }
-
-  /** Sync-LPA twin: rounds unrolled like kcoreSql — round r counts
-    * neighbor labels over the undirected edge list against l_{r-1} and
-    * picks per vertex by (count desc, label asc). Same pair-graph e0
-    * derivation (5000000 + l_partkey ids). */
-  /** BPE training twin: unrolled per-round CTEs over the long-format
-    * symbol table s_r(word, pos, sym). Each round counts freq-weighted
-    * adjacent pairs, picks the argmax by (w desc, a, b), then applies
-    * the leftmost-greedy merge relationally: hit positions → islands of
-    * consecutive hits (only possible for runs when a = b) → keep even
-    * offsets within the island (the parity rule that equals the Spark
-    * side's left-to-right fold), drop each kept merge's second symbol,
-    * renumber. All weights are exact integers. */
-  private def bpeCtes(rounds: Int): String = {
-    val steps = (0 until rounds).map { r =>
-      s"""p$r AS MATERIALIZED (
-         |  SELECT s.sym AS a, t.sym AS b, CAST(sum(f.freq) AS BIGINT) AS w
-         |  FROM s$r s JOIN s$r t ON t.word = s.word AND t.pos = s.pos + 1
-         |  JOIN wf f ON f.word = s.word
-         |  GROUP BY 1, 2),
-         |m$r AS MATERIALIZED (
-         |  SELECT a, b, w FROM p$r ORDER BY w DESC, a, b LIMIT 1),
-         |x$r AS (
-         |  -- LEFT JOIN ON TRUE: an exhausted round (empty m$r) must pass
-         |  -- the symbol table through unchanged, as the Spark loop does
-         |  SELECT s.word, s.pos, s.sym, m.a, m.b,
-         |    coalesce(s.sym = m.a AND
-         |      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = m.b,
-         |      FALSE) AS hit
-         |  FROM s$r s LEFT JOIN m$r m ON TRUE),
-         |y$r AS (
-         |  SELECT *, CASE WHEN hit THEN pos - row_number()
-         |    OVER (PARTITION BY word, hit ORDER BY pos) END AS isl
-         |  FROM x$r),
-         |z$r AS (
-         |  SELECT *, hit AND
-         |      (pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0 AS keep
-         |  FROM y$r),
-         |k$r AS (
-         |  SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
-         |      FALSE) AS prev_keep
-         |  FROM z$r),
-         |s${r + 1} AS MATERIALIZED (
-         |  SELECT word,
-         |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
-         |    CASE WHEN keep THEN a || b ELSE sym END AS sym
-         |  FROM k$r WHERE NOT prev_keep)""".stripMargin
-    }.mkString(",\n")
-    s"""toks AS (
-       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-       |  FROM documents),
-       |wf AS MATERIALIZED (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
-       |s0 AS MATERIALIZED (
-       |  SELECT word, CAST(pos AS BIGINT) AS pos, substr(word, pos, 1) AS sym
-       |  FROM (SELECT word, unnest(generate_series(1, length(word))) AS pos
-       |        FROM wf)),
-       |$steps""".stripMargin
-  }
-
-  private def lpaCtes(rounds: Int): String = {
-    val steps = (1 to rounds).map { r =>
-      s"""n$r AS MATERIALIZED (
-         |  SELECT e.x AS v, l.lbl, count(*) AS c
-         |  FROM ed e JOIN l${r - 1} l ON l.v = e.y GROUP BY 1, 2),
-         |l$r AS MATERIALIZED (
-         |  SELECT v, lbl FROM (
-         |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
-         |    FROM n$r) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    s"""bulk AS (
-       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
-       |), e0 AS MATERIALIZED (
-       |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
-       |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
-       |  FROM bulk x JOIN bulk y
-       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-       |ed AS MATERIALIZED (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
-       |l0 AS MATERIALIZED (SELECT DISTINCT x AS v, x AS lbl FROM ed),
-       |$steps""".stripMargin
-  }
-
-  private def lpaSql(rounds: Int): String =
-    s"""WITH ${lpaCtes(rounds)}
-       |SELECT CAST(v AS BIGINT) AS part_id, CAST(lbl AS BIGINT) AS community
-       |FROM l$rounds""".stripMargin
-
-  /** MMR greedy re-rank twin: the shortlist is the exact-rank CTE, the
-    * pairwise-sim table is rounded to 4 BEFORE the objective (both
-    * engines then pick from identical numbers), and each greedy step is
-    * an unrolled pick CTE — the kcore pattern for iterative algorithms. */
-  private def mmrSql(k: Int, shortlist: Int, lambda: Double): String = {
-    val steps = (2 to k).map { t =>
-      s"""obj$t AS (
-         |  SELECT c.nb, round($lambda * c.simq - ${1 - lambda} * (
-         |      SELECT max(ps.s) FROM ps JOIN sel${t - 1} s ON ps.x = c.nb AND ps.y = s.nb), 5) AS score
-         |  FROM cand c WHERE c.nb NOT IN (SELECT nb FROM sel${t - 1})),
-         |pick$t AS (SELECT nb, score FROM obj$t ORDER BY score DESC, nb LIMIT 1),
-         |sel$t AS (SELECT nb FROM sel${t - 1} UNION ALL SELECT nb FROM pick$t)""".stripMargin
-    }.mkString(",\n")
-    val union = (1 to k).map(t =>
-      s"SELECT $t AS step, nb AS vec_id, score FROM pick$t").mkString("\nUNION ALL ")
-    s"""WITH $rawEmbCte,
-       |qv AS (SELECT x AS qx FROM raw WHERE vec_id = 0),
-       |cand AS (SELECT nb, simq FROM (
-       |    SELECT r.vec_id AS nb, round(list_cosine_similarity(qv.qx, r.x), 4) AS simq,
-       |      row_number() OVER (ORDER BY list_cosine_similarity(qv.qx, r.x) DESC, r.vec_id) AS rn
-       |    FROM raw r, qv WHERE r.vec_id <> 0) WHERE rn <= $shortlist),
-       |candv AS (SELECT c.nb, r.x FROM cand c JOIN raw r ON r.vec_id = c.nb),
-       |ps AS (SELECT a.nb AS x, b.nb AS y, round(list_cosine_similarity(a.x, b.x), 4) AS s
-       |       FROM candv a JOIN candv b ON a.nb <> b.nb),
-       |pick1 AS (SELECT nb, round($lambda * simq, 5) AS score
-       |          FROM cand ORDER BY round($lambda * simq, 5) DESC, nb LIMIT 1),
-       |sel1 AS (SELECT nb FROM pick1),
-       |$steps
-       |SELECT CAST(step AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id, score FROM (
-       |$union)""".stripMargin
-  }
-
-  /** Exact brute-force top-10 per query (`ex`) — the truth side of the
-    * recall twins; same shape the ann_topk oracle already proves. */
-  private val exactTopKCte =
-    """ex AS (SELECT q, nb FROM (
-      |    SELECT qs.q, r.vec_id AS nb, row_number() OVER (PARTITION BY qs.q
-      |      ORDER BY list_cosine_similarity(qs.qv, r.x) DESC, r.vec_id) AS rn
-      |    FROM qs, raw r WHERE r.vec_id <> qs.q) WHERE rn <= 10)""".stripMargin
-
-  private val edgeUnion =
-    """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-      |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
-      |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-      |SELECT CAST(10000000 + n_nationkey AS BIGINT) AS id, 'in_region' AS label,
-      |       CAST(2000000 + n_nationkey AS BIGINT) AS outV, CAST(1000000 + n_regionkey AS BIGINT) AS inV FROM nation
-      |UNION ALL SELECT CAST(11000000 + c_custkey AS BIGINT), 'in_nation',
-      |       CAST(3000000 + c_custkey AS BIGINT), CAST(2000000 + c_nationkey AS BIGINT) FROM customer
-      |UNION ALL SELECT CAST(12000000 + s_suppkey AS BIGINT), 'in_nation',
-      |       CAST(4000000 + s_suppkey AS BIGINT), CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
-      |UNION ALL SELECT CAST(13000000 + o_orderkey AS BIGINT), 'placed',
-      |       CAST(3000000 + o_custkey AS BIGINT), CAST(6000000 + o_orderkey AS BIGINT) FROM orders
-      |UNION ALL SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT), 'contains',
-      |       CAST(6000000 + l_orderkey AS BIGINT), CAST(5000000 + l_partkey AS BIGINT) FROM liseq
-      |UNION ALL SELECT CAST(8000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT), 'supplied_by',
-      |       CAST(5000000 + l_partkey AS BIGINT), CAST(4000000 + l_suppkey AS BIGINT) FROM liseq""".stripMargin
-
-  /** 10-iteration power-method PageRank over the full graph, unrolled as
-    * sequential CTE steps (standard SQL forbids aggregates in a recursive
-    * term): r_{i+1}(v) = 0.15 + 0.85·Σ_{(u,v)∈E} r_i(u)/outdeg(u), init
-    * r_0 = 1, then GraphX's final normalization rank·|V|/Σrank and the
-    * same (rank desc, vertex_id asc) top-30 cut as pageRankDF. */
-  private val pagerankFullSql: String = {
-    val steps = (1 to 10).map { i =>
-      s"""r$i AS (
-         |  SELECT v.id AS vertex_id, CAST(0.15 AS DOUBLE) + 0.85 * COALESCE(m.s, 0) AS "rank"
-         |  FROM verts v LEFT JOIN (
-         |    SELECT e.inV AS dst, sum(r."rank" / d.deg) AS s
-         |    FROM edges e JOIN r${i - 1} r ON r.vertex_id = e.outV
-         |                 JOIN deg d ON d.vertex_id = e.outV
-         |    GROUP BY e.inV) m ON m.dst = v.id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH edges AS ($edgeUnion),
-       |verts AS ($vertexUnion),
-       |deg AS (SELECT outV AS vertex_id, CAST(count(*) AS DOUBLE) AS deg
-       |        FROM edges GROUP BY outV),
-       |r0 AS (SELECT id AS vertex_id, CAST(1.0 AS DOUBLE) AS "rank" FROM verts),
-       |$steps,
-       |tot AS (SELECT count(*) AS nv, sum("rank") AS s FROM r10)
-       |SELECT vertex_id, round(sr, 4) AS "rank" FROM (
-       |  SELECT vertex_id, "rank" * nv / s AS sr FROM r10, tot
-       |  ORDER BY sr DESC, vertex_id ASC LIMIT 30)""".stripMargin
-  }
-
-  /** 10-iteration personalized power method from `src`, unrolled like
-    * [[pagerankFullSql]]: r_0 = 1{v=src},
-    * r_{i+1}(v) = 0.15·1{v=src} + 0.85·Σ_{(u,v)∈E} r_i(u)/outdeg(u),
-    * then GraphX's personalized normalization rank/Σrank (sum to 1, NOT
-    * the ·|V| of the global variant) and the same top-30 cut. */
-  private def pagerankPersonalSql(src: Long): String = {
-    val steps = (1 to 10).map { i =>
-      s"""r$i AS (
-         |  SELECT v.id AS vertex_id,
-         |    CASE WHEN v.id = $src THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
-         |      + 0.85 * COALESCE(m.s, 0) AS "rank"
-         |  FROM verts v LEFT JOIN (
-         |    SELECT e.inV AS dst, sum(r."rank" / d.deg) AS s
-         |    FROM edges e JOIN r${i - 1} r ON r.vertex_id = e.outV
-         |                 JOIN deg d ON d.vertex_id = e.outV
-         |    GROUP BY e.inV) m ON m.dst = v.id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH edges AS ($edgeUnion),
-       |verts AS ($vertexUnion),
-       |deg AS (SELECT outV AS vertex_id, CAST(count(*) AS DOUBLE) AS deg
-       |        FROM edges GROUP BY outV),
-       |r0 AS (SELECT id AS vertex_id,
-       |       CASE WHEN id = $src THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS "rank"
-       |       FROM verts),
-       |$steps,
-       |tot AS (SELECT sum("rank") AS s FROM r10)
-       |SELECT vertex_id, round(sr, 4) AS "rank" FROM (
-       |  SELECT vertex_id, "rank" / s AS sr FROM r10, tot
-       |  ORDER BY sr DESC, vertex_id ASC LIMIT 30)""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "pagerank_full" -> pagerankFullSql,
-    "pagerank_personal" -> pagerankPersonalSql(3000042L),
-    "scan_vertices" -> vertexUnion,
-
-    "scan_edges" -> edgeUnion,
-
-    "sql_serving" ->
-      s"""WITH edges AS ($edgeUnion)
-         |SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
-         |  CAST(count(DISTINCT outV) AS BIGINT) AS n_src
-         |FROM edges GROUP BY label""".stripMargin,
-
-    "out_edges_labeled" ->
-      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
-        |FROM orders WHERE o_custkey = 42""".stripMargin,
-
-    "degree_histogram" ->
-      s"""WITH edges AS ($edgeUnion)
-         |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
-         |FROM (SELECT outV, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY outV)
-         |GROUP BY deg""".stripMargin,
-
-    "lookup_vertex" ->
-      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id, c_name AS name,
-        |       c_acctbal AS acctbal, c_mktsegment AS mktsegment
-        |FROM customer WHERE c_custkey = 42""".stripMargin,
-
-    "lookup_edge" ->
-      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
-        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id,
-        |       'contains' AS label,
-        |       CAST(6000000 + l_orderkey AS BIGINT) AS outV,
-        |       CAST(5000000 + l_partkey AS BIGINT) AS inV,
-        |       l_quantity AS quantity
-        |FROM liseq
-        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem) AND seq = 1""".stripMargin,
-
-    "filter_by_prop" ->
-      "SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer WHERE c_mktsegment = 'BUILDING'",
-
-    "count_by_prop" ->
-      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'",
-
-    "edges_by_label" ->
-      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id,
-        |       CAST(3000000 + o_custkey AS BIGINT) AS outV,
-        |       CAST(6000000 + o_orderkey AS BIGINT) AS inV FROM orders""".stripMargin,
-
-    "edges_by_prop" ->
-      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
-        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id
-        |FROM liseq WHERE l_returnflag = 'R'""".stripMargin,
-
-    "both_edges" ->
-      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
-        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(8000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id, 'out' AS dir
-        |FROM liseq WHERE l_partkey = 42
-        |UNION ALL
-        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT), 'in'
-        |FROM liseq WHERE l_partkey = 42""".stripMargin,
-
-    "out_edges" ->
-      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
-        |FROM orders WHERE o_custkey = 42
-        |UNION ALL SELECT CAST(11000000 + c_custkey AS BIGINT), 'in_nation'
-        |FROM customer WHERE c_custkey = 42""".stripMargin,
-
-    "hop1_neighbors" ->
-      """SELECT CAST(3000000 + o_custkey AS BIGINT) AS src,
-        |       CAST(6000000 + o_orderkey AS BIGINT) AS dst FROM orders""".stripMargin,
-
-    "hop2_parts" ->
-      """SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS id
-        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE o_custkey = 42""".stripMargin,
-
-    "hop3_traversal" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_paths,
-        |       CAST(count(DISTINCT l2.l_suppkey) AS BIGINT) AS n_suppliers
-        |FROM orders o
-        |JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
-        |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey""".stripMargin,
-
-    "hop3_graphx" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_paths,
-        |       CAST(count(DISTINCT l2.l_suppkey) AS BIGINT) AS n_suppliers
-        |FROM orders o
-        |JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
-        |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey""".stripMargin,
-
-    "query_has_interval" ->
-      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer
-        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000 AND c_acctbal < 5000""".stripMargin,
-
-    "connected_components" ->
-      """SELECT CAST(2000000 + n_nationkey AS BIGINT) AS vertex_id,
-        |       CAST(2000000 + n_nationkey AS BIGINT) AS component FROM nation
-        |WHERE n_nationkey IN (SELECT c_nationkey FROM customer
-        |                      UNION SELECT s_nationkey FROM supplier)
-        |UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT),
-        |       CAST(2000000 + c_nationkey AS BIGINT) FROM customer
-        |UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
-        |       CAST(2000000 + s_nationkey AS BIGINT) FROM supplier""".stripMargin,
-
-    // closed-form PageRank on the in_nation/in_region star DAG (see
-    // GraphXTraversal.pageRankStarDF): sources 0.15, nation = 0.15 +
-    // 0.85·0.15·members, region = 0.15 + 0.85·Σ nation-ranks, then
-    // GraphX's final normalization rank·|V|/Σrank
-    "pagerank" ->
-      """WITH mem AS (
-        |  SELECT nk, count(*) AS m FROM (
-        |    SELECT c_nationkey AS nk FROM customer
-        |    UNION ALL SELECT s_nationkey AS nk FROM supplier) t GROUP BY nk
-        |), nrank AS (
-        |  SELECT n_nationkey, n_regionkey,
-        |         CAST(0.15 AS DOUBLE) + 0.85 * (0.15 * COALESCE(m, 0)) AS r
-        |  FROM nation LEFT JOIN mem ON nk = n_nationkey
-        |), rrank AS (
-        |  SELECT n_regionkey, CAST(0.15 AS DOUBLE) + 0.85 * sum(r) AS r
-        |  FROM nrank GROUP BY n_regionkey
-        |), rawrank AS (
-        |  SELECT CAST(3000000 + c_custkey AS BIGINT) AS vertex_id,
-        |         CAST(0.15 AS DOUBLE) AS r FROM customer
-        |  UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
-        |         CAST(0.15 AS DOUBLE) FROM supplier
-        |  UNION ALL SELECT CAST(2000000 + n_nationkey AS BIGINT), r FROM nrank
-        |  UNION ALL SELECT CAST(1000000 + n_regionkey AS BIGINT), r FROM rrank
-        |), tot AS (SELECT count(*) AS nv, sum(r) AS s FROM rawrank)
-        |SELECT vertex_id, round(r * nv / s, 4) AS "rank" FROM rawrank, tot""".stripMargin,
-
-    // relational triangle census of the bulk-quantity co-occurrence
-    // graph: e is the distinct a<b part-pair set, wedges close on a
-    // third join (see GraphXTraversal.triangleCensusDF)
-    "triangle_count" ->
-      """WITH bulk AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
-        |), e AS (
-        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM bulk x JOIN bulk y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
-        |SELECT
-        |  CAST((SELECT count(*) FROM (SELECT a AS v FROM e UNION SELECT b FROM e)) AS BIGINT) AS n_parts,
-        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_coedges,
-        |  CAST((SELECT count(*)
-        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles""".stripMargin,
-
-    // per-vertex wedge closure: each triangle (x < y < z) credits all
-    // three corners; degrees from canonical pair endpoints
-    "kcore" -> kcoreSql(12, 12),
-    "communities_lpa" -> lpaSql(4),
-    // the LPA chain + the exact-integer modularity numerator; HUGEINT
-    // sums, one double division, round(6) — matches the Scala sequence
-    "community_modularity" ->
-      s"""WITH ${lpaCtes(4)},
-         |lab AS (SELECT v, lbl FROM l4),
-         |e2 AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb
-         |  FROM e0 JOIN lab la ON la.v = e0.a JOIN lab lb ON lb.v = e0.b),
-         |mm AS (SELECT count(*) AS m FROM e2),
-         |inc AS (SELECT ca AS c, count(*) AS ic FROM e2 WHERE ca = cb GROUP BY 1),
-         |degc AS (SELECT c, count(*) AS dc FROM (
-         |    SELECT ca AS c FROM e2 UNION ALL SELECT cb FROM e2) GROUP BY 1),
-         |num AS (SELECT sum(CAST(4 AS HUGEINT) * mm.m * coalesce(i.ic, 0)
-         |    - CAST(d.dc AS HUGEINT) * d.dc) AS n
-         |  FROM degc d LEFT JOIN inc i ON i.c = d.c CROSS JOIN mm)
-         |SELECT CAST(mm.m AS BIGINT) AS n_edges,
-         |  CAST((SELECT count(DISTINCT lbl) FROM lab) AS BIGINT) AS n_communities,
-         |  round(num.n::DOUBLE / (4.0 * mm.m * mm.m), 6) AS modularity
-         |FROM mm CROSS JOIN num""".stripMargin,
-
-    // integer-exact Pearson of endpoint degrees over the symmetrized
-    // pair edge list; HUGEINT widening mirrors the BigInt combination
-    "assortativity" ->
-      """WITH bulk AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
-        |), e0 AS (
-        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM bulk x JOIN bulk y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        |deg AS (SELECT v, count(*) AS d FROM (
-        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
-        |xy AS (
-        |  SELECT da.d AS x, db.d AS y
-        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b
-        |  UNION ALL
-        |  SELECT db.d, da.d
-        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
-        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
-        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
-        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
-        |       ELSE round((n*sxy - sx*sy)::DOUBLE /
-        |         (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
-        |  END AS r
-        |FROM s""".stripMargin,
-
-    "retention_cohorts" ->
-      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
-        |            FROM events GROUP BY user_id),
-        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
-        |  CAST(day - cohort AS BIGINT) AS day_offset,
-        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
-        |FROM ud JOIN fd USING (user_id)
-        |GROUP BY fd.cohort, day - cohort""".stripMargin,
-
-    "clustering_coeff" ->
-      """WITH bulk AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
-        |), e AS (
-        |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
-        |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
-        |  FROM bulk x JOIN bulk y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        |tl AS (
-        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
-        |tri AS (
-        |  SELECT v, count(*) AS t FROM (
-        |    SELECT x AS v FROM tl UNION ALL SELECT y FROM tl UNION ALL SELECT z FROM tl)
-        |  GROUP BY v),
-        |deg AS (
-        |  SELECT v, count(*) AS d FROM (
-        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
-        |SELECT CAST(deg.v AS BIGINT) AS part_id, CAST(deg.d AS BIGINT) AS degree,
-        |  CAST(coalesce(tri.t, 0) AS BIGINT) AS triangles,
-        |  round(CASE WHEN deg.d < 2 THEN 0
-        |        ELSE 2.0 * coalesce(tri.t, 0) / (deg.d * (deg.d - 1)) END, 4) AS coeff
-        |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
-
-    // closed-form BFS levels on the placed/contains/supplied_by DAG
-    // (see GraphXTraversal.shortestPathsDF): landmark suppliers 0,
-    // their parts 1, orders containing those parts 2, customers 3
-    "shortest_paths" ->
-      """WITH lm AS (
-        |  -- a landmark is a DAG vertex only if some edge references it
-        |  SELECT CAST(4000000 + s_suppkey AS BIGINT) AS lid FROM supplier
-        |  WHERE s_suppkey BETWEEN 1 AND 3
-        |    AND s_suppkey IN (SELECT l_suppkey FROM lineitem)
-        |), d1 AS (
-        |  SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS v,
-        |         CAST(4000000 + l_suppkey AS BIGINT) AS lid
-        |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 3
-        |), d2 AS (
-        |  SELECT DISTINCT CAST(6000000 + l.l_orderkey AS BIGINT) AS v, d1.lid
-        |  FROM lineitem l JOIN d1 ON CAST(5000000 + l.l_partkey AS BIGINT) = d1.v
-        |), d3 AS (
-        |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS v, d2.lid
-        |  FROM orders o JOIN d2 ON CAST(6000000 + o.o_orderkey AS BIGINT) = d2.v
-        |)
-        |SELECT vertex_id, landmark_id, dist FROM (
-        |  SELECT lid AS vertex_id, lid AS landmark_id, CAST(0 AS INT) AS dist FROM lm
-        |  UNION ALL SELECT v, lid, CAST(1 AS INT) FROM d1
-        |  UNION ALL SELECT v, lid, CAST(2 AS INT) FROM d2
-        |  UNION ALL SELECT v, lid, CAST(3 AS INT) FROM d3)""".stripMargin,
-
-    "property_keys" ->
-      """SELECT key FROM (VALUES ('name'),('acctbal'),('mktsegment'),('size'),('brand'),
-        |('type'),('retailprice'),('orderstatus'),('totalprice'),('orderdate'),('orderpriority')) t(key)""".stripMargin,
-
-    "edge_property_keys" ->
-      """SELECT key FROM (VALUES ('quantity'),('extendedprice'),('discount'),
-        |('returnflag'),('shipdate')) t(key)""".stripMargin,
-
-    "edge_props" ->
-      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
-        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
-        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id, l_quantity AS quantity
-        |FROM liseq""".stripMargin,
-
-    "asof_values" ->
-      s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
-         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
-         |FROM (${latestEventSql("2024-01-15 00:00:00")}) WHERE rn = 1""".stripMargin,
-
-    // asOf Jan-15 re-derived from the FULL history — retention compaction
-    // (cutoff Jan-10) must leave every later checkpoint exact
-    "retained_state" ->
-      s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
-         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
-         |FROM (${latestEventSql("2024-01-15 00:00:00")}) WHERE rn = 1""".stripMargin,
-
-    // head state re-derived from the FULL event history — compaction
-    // must not change any live (last_type, value)
-    "compacted_state" ->
-      s"""SELECT CAST(7000000 + user_id AS BIGINT) AS id, event_type AS last_type,
-         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
-         |FROM (${latestEventSql("2099-01-01 00:00:00")}) WHERE rn = 1""".stripMargin,
-
-    "version_count" ->
-      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_versions
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    "version_chain" ->
-      """SELECT CAST(event_id + 1 AS BIGINT) AS tx,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS t_start,
-        |  lead(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) OVER (ORDER BY event_id) AS t_end
-        |FROM events WHERE user_id = 7""".stripMargin,
-
-    "version_intervals" ->
-      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS v_from,
-        |  lead(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) OVER (PARTITION BY user_id ORDER BY event_id) AS v_to
-        |FROM events""".stripMargin,
-
-    "neighbors_by_name" ->
-      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
-        |UNION ALL
-        |SELECT CAST(4000000 + s_suppkey AS BIGINT)
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin,
-
-    "asof_diff" ->
-      s"""WITH v1 AS (SELECT user_id, value FROM (${latestEventSql("2024-01-10 00:00:00")})
-         |            WHERE rn = 1 AND event_type <> 'error'),
-         |     v2 AS (SELECT user_id, value FROM (${latestEventSql("2024-01-20 00:00:00")})
-         |            WHERE rn = 1 AND event_type <> 'error')
-         |SELECT CAST(7000000 + v2.user_id AS BIGINT) AS id, v2.value AS value
-         |FROM v2 LEFT JOIN v1 ON v2.user_id = v1.user_id AND v2.value = v1.value
-         |WHERE v1.user_id IS NULL""".stripMargin,
-
-    "diff_workingset" ->
-      s"""WITH s1 AS (SELECT user_id, event_type, value
-         |            FROM (${latestEventSql("2024-01-20 00:00:00")}) WHERE rn = 1),
-         |     s2 AS (SELECT user_id, event_type, value
-         |            FROM (${latestEventSql("2024-01-10 00:00:00")}) WHERE rn = 1),
-         |     f1 AS (SELECT user_id, 'last$$type.string.vertex' AS attr,
-         |                   event_type AS v_str, CAST(NULL AS DOUBLE) AS v_dbl FROM s1
-         |            UNION ALL
-         |            SELECT user_id, 'value.double.vertex', NULL, value
-         |            FROM s1 WHERE event_type <> 'error'),
-         |     f2 AS (SELECT user_id, 'last$$type.string.vertex' AS attr,
-         |                   event_type AS v_str, CAST(NULL AS DOUBLE) AS v_dbl FROM s2
-         |            UNION ALL
-         |            SELECT user_id, 'value.double.vertex', NULL, value
-         |            FROM s2 WHERE event_type <> 'error')
-         |SELECT CAST(7000000 + f1.user_id AS BIGINT) AS id, f1.attr, f1.v_str, f1.v_dbl
-         |FROM f1 WHERE f1.user_id < 50 AND NOT EXISTS (
-         |  SELECT 1 FROM f2 WHERE f2.user_id = f1.user_id AND f2.attr = f1.attr
-         |    AND f2.v_str IS NOT DISTINCT FROM f1.v_str
-         |    AND f2.v_dbl IS NOT DISTINCT FROM f1.v_dbl)""".stripMargin,
-
-    "supplier_revenue" ->
-      """SELECT CAST(4000000 + l_suppkey AS BIGINT) AS supplier,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
-        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
-
-    "sql_views" ->
-      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
-
-    "time_ids" ->
-      """SELECT CAST(7000000 + user_id AS BIGINT) AS id,
-        |  CAST(max(event_id) + 1 AS BIGINT) AS time_id
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    "since_facts" ->
-      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
-        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
-        |  event_type <> 'error' AS added
-        |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
-
-    "version_next_values" ->
-      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
-        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
-        |  lead(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
-        |    OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
-        |FROM events""".stripMargin,
-
-    "time_aware_filter" ->
-      """SELECT CAST(event_id + 1 AS BIGINT) AS tx, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS at
-        |FROM events WHERE user_id = 7
-        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
-
-    "version_prev_values" ->
-      """SELECT CAST(7000000 + user_id AS BIGINT) AS id, CAST(event_id + 1 AS BIGINT) AS tx,
-        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
-        |  lag(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
-        |    OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
-        |FROM events""".stripMargin,
-
-    // scripted CRUD sessions → static oracles (deterministic id assignment)
-    "crud_timeline" ->
-      """SELECT 'jan' AS tag, CAST(3 AS BIGINT) AS n_vertices, CAST(3 AS BIGINT) AS n_edges
-        |UNION ALL SELECT 'feb', 3, 2
-        |UNION ALL SELECT 'mar', 0, 0""".stripMargin,
-
-    "crud_remove_property" ->
-      """SELECT 'jan' AS tag, 'age' AS key
-        |UNION ALL SELECT 'jan', 'name'
-        |UNION ALL SELECT 'feb', 'name'""".stripMargin,
-
-    "crud_version_pins" ->
-      """SELECT 'head' AS tag, true AS is_current, CAST(2 AS BIGINT) AS p
-        |UNION ALL SELECT 'prev', false, 1""".stripMargin,
-
-    "crud_intx" ->
-      // one batched tx (head_tx 0) holding 2 vertices + 1 edge; the
-      // rolled-back tx changes nothing
-      """SELECT 'batch' AS tag, CAST(0 AS BIGINT) AS head_tx, CAST(3 AS BIGINT) AS n_elements
-        |UNION ALL SELECT 'rollback', 0, 3""".stripMargin,
-
-    "key_index_registry" ->
-      """SELECT 'vertex' AS kind, 'name' AS key
-        |UNION ALL SELECT 'edge', 'weight'""".stripMargin,
-
-    "crud_is_deleted" ->
-      // crudGraph ids: vertices 1-4 (dave=4), edges 5-8; removeVertex(dave)
-      // cascades dave→alice (7) and carol→dave (8)
-      """SELECT CAST(4 AS BIGINT) AS id
-        |UNION ALL SELECT 7 UNION ALL SELECT 8""".stripMargin,
-
-    "element_version_diff" ->
-      "SELECT 'age.long.vertex' AS attr, CAST(31 AS BIGINT) AS v_long",
-
-    "persist_roundtrip" ->
-      "SELECT CAST(3 AS BIGINT) AS n_vertices, CAST(2 AS BIGINT) AS n_edges",
-
-    "read_formats" ->
-      """SELECT 'graphml' AS fmt, 'marko' AS src_name, 'knows' AS label, 'vadas' AS dst_name
-        |UNION ALL SELECT 'graphson', 'marko', 'knows', 'vadas'
-        |UNION ALL SELECT 'gml', 'marko', 'knows', 'vadas'""".stripMargin,
-
-    "mutations_crud" ->
-      """SELECT 'alice' AS src_name, 'knows' AS label, 'bob' AS dst_name
-        |UNION ALL SELECT 'bob', 'knows', 'carol'""".stripMargin,
-
-    "property_type_dance" ->
-      """SELECT 'x.string.vertex' AS attr, 's' AS vStr, CAST(NULL AS BIGINT) AS vLong, CAST(NULL AS DOUBLE) AS vDouble
-        |UNION ALL SELECT 'y.double.vertex', NULL, NULL, 2.5""".stripMargin,
-
-    "temporal_backdate" ->
-      """SELECT 'jan' AS tag, CAST(1 AS BIGINT) AS p
-        |UNION ALL SELECT 'feb', 2
-        |UNION ALL SELECT 'apr', 4""".stripMargin,
-
-    "text_stats" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
-        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-        |FROM documents""".stripMargin,
-
-    "token_counts" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
-        |FROM documents""".stripMargin,
-
-    "lang_stats" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang""".stripMargin,
-
-    // first-occurrence attribution per distinct 3-gram: min doc_id over
-    // the corpus, then a per-doc stale count — all integers; novelty is
-    // the ratio of those integers (1.0 for gram-less docs)
-    "gram_novelty" ->
-      s"""WITH $shingleCte,
-         |dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |fst AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g),
-         |pd AS (SELECT dg.doc_id, count(*) AS n_grams,
-         |    sum(CASE WHEN f.first_doc < dg.doc_id THEN 1 ELSE 0 END) AS n_stale
-         |  FROM dg JOIN fst f USING (g) GROUP BY dg.doc_id)
-         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
-         |  CAST(coalesce(pd.n_stale, 0) AS BIGINT) AS n_stale,
-         |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 1.0
-         |       ELSE round(1.0 - coalesce(pd.n_stale, 0)::DOUBLE / pd.n_grams, 4)
-         |  END AS novelty
-         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
-
-    // prefix membership is integer-exact (rk <= (i*N)//10); distinct
-    // vocab per checkpoint via first-occurrence rank, never a rescan
-    "heaps_law" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |rk AS (SELECT doc_id, t, row_number() OVER (ORDER BY doc_id) AS rk FROM toks),
-        |n AS (SELECT count(*) AS nd FROM documents),
-        |cps AS (SELECT (g.range*100)//10 AS pct, (g.range*n.nd)//10 AS cutoff
-        |  FROM range(1, 11) g, n),
-        |tot AS (SELECT c.pct, count(*) AS n_docs, sum(len(r.t)) AS total_tokens
-        |  FROM rk r JOIN cps c ON r.rk <= c.cutoff GROUP BY c.pct),
-        |fr AS (SELECT tok, min(rk) AS fr
-        |  FROM (SELECT rk, unnest(t) AS tok FROM rk) GROUP BY tok),
-        |voc AS (SELECT c.pct, count(*) AS distinct_tokens
-        |  FROM fr JOIN cps c ON fr.fr <= c.cutoff GROUP BY c.pct)
-        |SELECT CAST(t.pct AS BIGINT) AS pct, CAST(t.n_docs AS BIGINT) AS n_docs,
-        |  CAST(t.total_tokens AS BIGINT) AS total_tokens,
-        |  CAST(coalesce(v.distinct_tokens, 0) AS BIGINT) AS distinct_tokens
-        |FROM tot t LEFT JOIN voc v USING (pct)""".stripMargin,
-
-    // hashed-bigram importance replay: feature id from md5 word 1 (the
-    // hash_embed hex decode), λ = bin-length(t+1) − bin-length(r+1) —
-    // integer floor-log2, no libm log on either side
-    "dsir_weights" ->
-      """WITH toks AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |big AS (SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
-        |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
-        |    ELSE [] END) AS g FROM toks),
-        |hx AS (SELECT doc_id, lang, md5(g) AS h FROM big),
-        |occ AS (SELECT doc_id, lang,
-        |    list_sum(list_transform(range(8), j ->
-        |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 4096 AS f
-        |  FROM hx),
-        |lam AS (SELECT f,
-        |    length(bin((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)::BIGINT))
-        |      - length(bin((count(*) + 1)::BIGINT)) AS lam
-        |  FROM occ GROUP BY f),
-        |pdf AS (SELECT doc_id, f, count(*) AS cnt FROM occ GROUP BY 1, 2),
-        |sc AS (SELECT doc_id, sum(cnt) AS n_feat, sum(cnt*lam) AS score
-        |  FROM pdf JOIN lam USING (f) GROUP BY doc_id)
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-        |  CAST(coalesce(sc.n_feat, 0) AS BIGINT) AS n_feat,
-        |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score
-        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
-
-    // strlen = UTF-8 bytes (Spark's octet_length); the two ratios are
-    // double divisions of exact integer totals
-    "tokenizer_fertility" ->
-      """WITH s AS (SELECT lang, count(*) AS n_docs,
-        |    sum(strlen(text)) AS total_bytes, sum(length(text)) AS total_chars,
-        |    sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_ws,
-        |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS n_bpe
-        |  FROM documents GROUP BY lang)
-        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
-        |  CAST(total_bytes AS BIGINT) AS total_bytes,
-        |  CAST(total_chars AS BIGINT) AS total_chars,
-        |  CAST(n_ws AS BIGINT) AS n_ws, CAST(n_bpe AS BIGINT) AS n_bpe,
-        |  round(total_bytes::DOUBLE / n_bpe, 4) AS bytes_per_bpe,
-        |  round(total_chars::DOUBLE / n_bpe, 4) AS chars_per_bpe
-        |FROM s""".stripMargin,
-
-    // per-source seat allocation: base = (B·n)÷N, leftover seats by
-    // (remainder desc, source) — every term an integer
-    "quota_apportion" ->
-      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-        |t AS (SELECT c.*, sum(n_docs) OVER () AS n FROM c),
-        |b AS (SELECT source, n_docs, (1000*n_docs)//n AS base,
-        |    1000 - sum((1000*n_docs)//n) OVER () AS leftover,
-        |    row_number() OVER (ORDER BY (1000*n_docs)%n DESC, source) AS rk
-        |  FROM t)
-        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
-        |FROM b""".stripMargin,
-
-    // BPE merge learning replay: 8 unrolled rounds; each emits its
-    // argmax pair — the merge table is pure integer argmaxes, so both
-    // engines agree bit-for-bit
-    "bpe_merges" ->
-      s"""WITH ${bpeCtes(8)}
-         |${(0 until 8).map(r =>
-             s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, w AS weight FROM m$r")
-             .mkString("\n UNION ALL ")}""".stripMargin,
-
-    // (source, label) contingency with per-source shares
-    "source_label_mix" ->
-      """WITH j AS (
-        |  SELECT d.source, e.label
-        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-        |c AS (SELECT source, label, CAST(count(*) AS BIGINT) AS n
-        |  FROM j GROUP BY 1, 2),
-        |t AS (SELECT source, sum(n) AS total FROM c GROUP BY 1)
-        |SELECT c.source, CAST(c.label AS BIGINT) AS label, c.n,
-        |  round(c.n::DOUBLE / t.total, 4) AS pct
-        |FROM c JOIN t USING (source)""".stripMargin,
-
-    // per-doc encode counts off the replayed final segmentation s8
-    "bpe_doc_tokens" ->
-      s"""WITH ${bpeCtes(8)},
-         |seg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
-         |  FROM s8 GROUP BY 1),
-         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-         |  FROM documents),
-         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |    CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
-         |  FROM dw JOIN seg USING (word) GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(pd.n_words, 0) AS n_words,
-         |  coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens
-         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
-
-    // centroid-cosine drift: the n·scale denominators cancel, so the
-    // cosine runs on HUGEINT sums of quantized inputs up to one final
-    // double expression (the assortativity pattern in embedding space)
-    "source_embedding_drift" ->
-      s"""WITH $rawEmbCte,
-         |q AS (
-         |  SELECT d.source, i, CAST(floor(xx * 10000 + 0.5) AS BIGINT) AS xq
-         |  FROM (SELECT vec_id, unnest(x) AS xx, unnest(range(len(x))) AS i
-         |        FROM raw) r
-         |  JOIN documents d ON d.doc_id = r.vec_id),
-         |pd AS (SELECT source, i, CAST(sum(xq) AS HUGEINT) AS s1,
-         |    count(*) AS n FROM q GROUP BY 1, 2),
-         |g AS (SELECT i, CAST(sum(s1) AS HUGEINT) AS g1 FROM pd GROUP BY i),
-         |bb AS (SELECT sum(g1 * g1) AS bb FROM g),
-         |ps AS (
-         |  SELECT source, sum(s1 * g1) AS dd, sum(s1 * s1) AS aa,
-         |    CAST(max(n) AS BIGINT) AS n_vecs
-         |  FROM pd JOIN g USING (i) GROUP BY source)
-         |SELECT source, n_vecs,
-         |  round(dd::DOUBLE / (sqrt(aa::DOUBLE) * sqrt(bb.bb::DOUBLE)), 6)
-         |    AS cos_to_global
-         |FROM ps CROSS JOIN bb""".stripMargin,
-
-    // distinct 5-grams per (gram, lang), gram-keyed pair join; DuckDB
-    // 1-based INCLUSIVE list slice t[i:i+4] = the 5 tokens from i
-    "crosslingual_leakage" ->
-      """WITH toks AS (
-        |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT lang, md5(array_to_string(t[i:i+4], ' ')) AS g
-        |  FROM toks, unnest(range(1, len(t) - 3)) r(i)
-        |  WHERE len(t) >= 5)
-        |SELECT a.lang AS lang_a, b.lang AS lang_b,
-        |  CAST(count(*) AS BIGINT) AS n_shared_grams
-        |FROM g a JOIN g b ON a.g = b.g AND a.lang < b.lang
-        |GROUP BY 1, 2""".stripMargin,
-
-    // vocabulary artifact: final-symbol explode weighted by word freq
-    "bpe_vocab" ->
-      s"""WITH ${bpeCtes(8)},
-         |wsym AS (SELECT word, sym FROM s8)
-         |SELECT sym, CAST(sum(f.freq) AS BIGINT) AS freq,
-         |  CAST(count(DISTINCT w.word) AS BIGINT) AS n_words
-         |FROM wsym w JOIN wf f ON f.word = w.word
-         |GROUP BY sym""".stripMargin,
-
-    // per-source χ² GOF vs the pooled distribution: HUGEINT mirrors the
-    // DECIMAL(38) d = N·O − R·C; per-cell micros quantize before the sum
-    "source_chi2" ->
-      """WITH tf AS MATERIALIZED (
-        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS o FROM (
-        |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-        |    FROM documents) GROUP BY 1, 2),
-        |rt AS (SELECT source, sum(o) AS r FROM tf GROUP BY 1),
-        |ct AS (SELECT tok, sum(o) AS c FROM tf GROUP BY 1),
-        |nn AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM tf),
-        |cells AS (
-        |  SELECT tf.source, rt.r, ct.c, nn.n,
-        |    CAST(nn.n * tf.o - CAST(rt.r AS HUGEINT) * ct.c AS HUGEINT) AS d
-        |  FROM tf JOIN ct USING (tok) JOIN rt USING (source) CROSS JOIN nn),
-        |mic AS (
-        |  SELECT source, r, c, n,
-        |    CAST(floor((d::DOUBLE * d::DOUBLE) /
-        |      ((n::DOUBLE * r::DOUBLE) * c::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS micro
-        |  FROM cells),
-        |ps AS (
-        |  SELECT source, count(*) AS n_cells, sum(micro) AS obs_micro,
-        |    any_value(r) AS r, sum(c) AS sc, any_value(n) AS n
-        |  FROM mic GROUP BY source),
-        |fin AS (
-        |  SELECT source, r, n_cells,
-        |    obs_micro + CAST(floor((r::DOUBLE * (n::DOUBLE - sc::DOUBLE)) /
-        |      n::DOUBLE * 1e6 + 0.5) AS BIGINT) AS chi2_micro
-        |  FROM ps)
-        |SELECT source, CAST(r AS BIGINT) AS n_tokens,
-        |  CAST(n_cells AS BIGINT) AS n_cells,
-        |  CAST(chi2_micro AS BIGINT) AS chi2_micro,
-        |  chi2_micro::DOUBLE / 1e6 AS chi2
-        |FROM fin""".stripMargin,
-
-    // fertility under the learned segmentation: final symbol counts per
-    // word joined to per-lang word counts; integer sums, one division
-    "bpe_encode" ->
-      s"""WITH ${bpeCtes(8)},
-         |seg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
-         |  FROM s8 GROUP BY 1),
-         |lw AS (SELECT lang, word, count(*) AS cnt FROM (
-         |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-         |    FROM documents) GROUP BY 1, 2)
-         |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
-         |  CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords,
-         |  round(sum(cnt * n_sub)::DOUBLE / sum(cnt), 4) AS subwords_per_word
-         |FROM lw JOIN seg USING (word) GROUP BY 1""".stripMargin,
-
-    // bitlen-logprob surrogate (sum of integer floor-log2 token-count
-    // masses), rational average via one double division, integer-exact
-    // tertile cuts within lang
-    "quality_tiers" ->
-      """WITH tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
-        |ct AS (SELECT tok, length(bin(count(*)::BIGINT)) AS bl FROM tk GROUP BY tok),
-        |pd AS (SELECT doc_id, count(*) AS n_tokens, sum(bl) AS sum_bl
-        |  FROM tk JOIN ct USING (tok) GROUP BY doc_id),
-        |sc AS (SELECT d.doc_id, d.lang,
-        |    coalesce(pd.n_tokens, 0) AS n_tokens, coalesce(pd.sum_bl, 0) AS sum_bl,
-        |    CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
-        |         ELSE coalesce(pd.sum_bl, 0)::DOUBLE / pd.n_tokens END AS avg_bl
-        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
-        |rkd AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_bl DESC, doc_id) AS rk,
-        |    count(*) OVER (PARTITION BY lang) AS n FROM sc)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(sum_bl AS BIGINT) AS sum_bl,
-        |  CASE WHEN rk*3 <= n THEN 'head'
-        |       WHEN rk*3 <= n*2 THEN 'middle' ELSE 'tail' END AS tier
-        |FROM rkd""".stripMargin,
-
-    // independent per-lang KMV samples; same rank contract inside each
-    "lang_length_quantiles" ->
-      """WITH b AS (SELECT lang AS grp, md5(CAST(doc_id AS VARCHAR)) AS h,
-        |    n_chars::DOUBLE AS v FROM documents),
-        |s AS (SELECT * FROM (SELECT grp, h, v,
-        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS hrk FROM b)
-        |  WHERE hrk <= 256),
-        |r AS (SELECT grp, v, h,
-        |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rk,
-        |    count(*) OVER (PARTITION BY grp) AS n FROM s)
-        |SELECT r.grp AS "group", CAST(p.pct AS BIGINT) AS pct, r.v AS val,
-        |  CAST(r.n AS BIGINT) AS n_sample
-        |FROM r JOIN (VALUES (25),(50),(75)) p(pct)
-        |  ON r.rk = 1 + (p.pct*(r.n-1))//100""".stripMargin,
-
-    // the KMV bottom-k sample is a pure function of md5(o_orderkey), so
-    // the sample AND its order statistics replay bit-for-bit
-    "bottomk_quantiles" ->
-      """WITH smp AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h,
-        |    o_totalprice::DOUBLE AS v
-        |  FROM orders ORDER BY h LIMIT 1024),
-        |rkd AS (SELECT v, h, row_number() OVER (ORDER BY v, h) AS rk,
-        |    count(*) OVER () AS n FROM smp)
-        |SELECT CAST(p.pct AS BIGINT) AS pct, r.v AS val
-        |FROM rkd r JOIN (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) p(pct)
-        |  ON r.rk = 1 + (p.pct*(r.n-1))//100""".stripMargin,
-
-    "quality_scores" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-        |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio,
-        |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS upper_ratio,
-        |  round(length(text)::DOUBLE / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1), 4) AS chars_per_token
-        |FROM documents""".stripMargin,
-
-    "dedup_exact" ->
-      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
-        |FROM documents GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
-
-    "doc_fingerprint" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin,
-
-    "clean_corpus" ->
-      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
-        |FROM documents
-        |WHERE lang IN ('en', 'de') AND length(text) BETWEEN 100 AND 2000
-        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
-
-    // positional 13-gram md5s → corpus-repeated grams → per-doc
-    // gaps-and-islands merge of flagged positions into maximal spans
-    "dup_spans" ->
-      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |    unnest(range(1, len(t) - 11)) AS pos,
-        |    unnest([md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t) - 11)]) AS g
-        |  FROM t WHERE len(t) >= 13),
-        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
-        |fl AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
-        |isl AS (SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM fl)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(min(pos) AS BIGINT) AS start_pos,
-        |  CAST(max(pos) + 12 AS BIGINT) AS end_pos,
-        |  CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens,
-        |  CAST(count(*) AS BIGINT) AS n_grams
-        |FROM isl GROUP BY doc_id, grp""".stripMargin,
-
-    // dup_spans coverage excision + ordered string_agg reassembly;
-    // clean/short docs keep their full token stream, empty docs emit ''
-    "dedup_substrings" ->
-      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |    unnest(range(1, len(t) - 11)) AS pos,
-        |    unnest([md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t) - 11)]) AS g
-        |  FROM t WHERE len(t) >= 13),
-        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
-        |fl AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
-        |isl AS (SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM fl),
-        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e FROM isl GROUP BY doc_id, grp),
-        |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
-        |tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok FROM t),
-        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
-        |  ANTI JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos),
-        |asm AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-        |    count(*) AS n_kept FROM kept GROUP BY doc_id),
-        |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-        |  coalesce(a.clean_text, '') AS clean_text,
-        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-        |  CAST(coalesce(tt.n_tokens, 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
-        |FROM documents d
-        |LEFT JOIN asm a ON a.doc_id = d.doc_id
-        |LEFT JOIN tot tt ON tt.doc_id = d.doc_id""".stripMargin,
-
-    // the hashing-trick replay: cell index/sign from md5 words 1/2 of
-    // each distinct (doc, token); dense assembly via a (doc × dim) grid
-    // left-joined to the sparse cells — all exact integers
-    "hash_embed" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
-         |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
-         |h AS (SELECT doc_id, md5(tok) AS h, cnt FROM cnt),
-         |cell AS (SELECT doc_id,
-         |    list_sum(list_transform(range(8), j ->
-         |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 64 AS j,
-         |    CASE WHEN list_sum(list_transform(range(8), j ->
-         |      (strpos('0123456789abcdef', substr(h, (j+9)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 2 = 0
-         |      THEN cnt ELSE -cnt END AS v
-         |  FROM h),
-         |agg AS (SELECT doc_id, j, sum(v) AS v FROM cell GROUP BY 1, 2),
-         |grid AS (SELECT d.doc_id, g.range AS j
-         |  FROM (SELECT DISTINCT doc_id FROM cnt) d CROSS JOIN range(64) g),
-         |rows0 AS (SELECT grid.doc_id, grid.j, coalesce(a.v, 0) AS v
-         |  FROM grid LEFT JOIN agg a ON a.doc_id = grid.doc_id AND a.j = grid.j)
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS j,
-         |  CAST(v AS BIGINT) AS v
-         |FROM rows0""".stripMargin,
-
-    // ann_topk's contract over the hashEmbed vectors: shared hv CTE
-    // (the hash_embed relation cast to DOUBLE), zero vectors filtered,
-    // cosine + (sim desc, nb) rank
-    "text_ann_hashed" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
-         |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
-         |h AS (SELECT doc_id, md5(tok) AS h, cnt FROM cnt),
-         |cell AS (SELECT doc_id,
-         |    list_sum(list_transform(range(8), j ->
-         |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 64 AS j,
-         |    CASE WHEN list_sum(list_transform(range(8), j ->
-         |      (strpos('0123456789abcdef', substr(h, (j+9)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 2 = 0
-         |      THEN cnt ELSE -cnt END AS v
-         |  FROM h),
-         |agg AS (SELECT doc_id, j, sum(v) AS v FROM cell GROUP BY 1, 2),
-         |grid AS (SELECT d.doc_id, g.range AS j
-         |  FROM (SELECT DISTINCT doc_id FROM cnt) d CROSS JOIN range(64) g),
-         |rows0 AS (SELECT grid.doc_id, grid.j, coalesce(a.v, 0) AS v
-         |  FROM grid LEFT JOIN agg a ON a.doc_id = grid.doc_id AND a.j = grid.j),
-         |hv AS (SELECT doc_id, list(v::DOUBLE ORDER BY j) AS x FROM rows0 GROUP BY doc_id
-         |       HAVING max(abs(v)) > 0),
-         |q AS (SELECT doc_id AS qid, x AS qx FROM hv WHERE doc_id < 5),
-         |s AS (SELECT qid, hv.doc_id AS nb, list_cosine_similarity(qx, x) AS sim
-         |      FROM q, hv WHERE hv.doc_id <> qid),
-         |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM s)
-         |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
-         |FROM r WHERE rn <= 5""".stripMargin,
-
-    // the Count-Min replay: cell (i, c) sums multiplicities of tokens
-    // whose i-th md5 word (hex chars [8i, 8i+8) as a 32-bit int) ≡ c
-    // (mod 1024); probe = min counter over a term's 4 cells — all exact
-    // integers, order-independent on both engines
-    "cms_heavy_hitters" ->
-      """WITH toks AS (
-        |  SELECT unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |  FROM documents),
-        |hashed AS (SELECT tok, md5(tok) AS h FROM toks),
-        |cells AS (SELECT r, c, count(*) AS n FROM (
-        |    SELECT unnest(range(4)) AS r,
-        |      unnest(list_transform(range(4), i ->
-        |        list_sum(list_transform(range(8), j ->
-        |          (strpos('0123456789abcdef', substr(h, (i*8+j+1)::INT, 1))-1)::BIGINT
-        |            << (4*(7-j))::INT)) % 1024)) AS c
-        |    FROM hashed)
-        |  GROUP BY r, c),
-        |top AS (SELECT tok, count(*) AS true_count,
-        |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
-        |  FROM toks GROUP BY tok ORDER BY 2 DESC, 1 LIMIT 20),
-        |probes AS (SELECT t.tok, t.true_count, t.rk,
-        |    unnest(range(4)) AS r,
-        |    unnest(list_transform(range(4), i ->
-        |      list_sum(list_transform(range(8), j ->
-        |        (strpos('0123456789abcdef', substr(md5(t.tok), (i*8+j+1)::INT, 1))-1)::BIGINT
-        |          << (4*(7-j))::INT)) % 1024)) AS c
-        |  FROM top t)
-        |SELECT p.tok, CAST(p.true_count AS BIGINT) AS true_count,
-        |  CAST(min(cl.n) AS BIGINT) AS est, CAST(p.rk AS BIGINT) AS rk
-        |FROM probes p JOIN cells cl ON cl.r = p.r AND cl.c = p.c
-        |GROUP BY p.tok, p.true_count, p.rk""".stripMargin,
-
-    "heavy_hitters" ->
-      """WITH toks AS (
-        |  SELECT lang, unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |  FROM documents),
-        |freqs AS (SELECT lang, tok, count(*) AS freq FROM toks GROUP BY lang, tok),
-        |ranked AS (SELECT lang, tok, freq,
-        |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rk
-        |  FROM freqs)
-        |SELECT lang, tok, CAST(freq AS BIGINT) AS freq, CAST(rk AS BIGINT) AS rk
-        |FROM ranked WHERE rk <= 10""".stripMargin,
-
-    "dedup_incremental" ->
-      """WITH batch AS (
-        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |    min(doc_id) AS doc_id, count(*) AS batch_dups
-        |  FROM documents WHERE doc_id >= 400 GROUP BY 1)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(batch_dups AS BIGINT) AS batch_dups
-        |FROM batch
-        |WHERE norm NOT IN (
-        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-        |  FROM documents WHERE doc_id < 400)""".stripMargin,
-
-    // exact all-pairs edit twin (quadratic — ORACLE_SKIP at scaled data
-    // like dedup_minhash); the length-difference prefilter is a lower
-    // bound on levenshtein, cutting the DP work without changing the set
-    // r10: the twin replays the PORTABLE banded candidate stage (md5
-    // KM family, 128 hashes / 32 bands) bit-for-bit, then applies the
-    // same integer edit predicate — both engines share the exact
-    // candidate relation, so the shingle-vs-edit metric mismatch can no
-    // longer diverge on pairs the bands miss (the contract IS
-    // "candidates ∩ edit-predicate"; ADVICE r9 closed).
-    "dedup_edit" ->
-      s"""WITH $shingleCte,
-        |hx AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
-        |hp AS (SELECT doc_id,
-        |    list_sum([(strpos('0123456789abcdef', substr(md5(g), k, 1)) - 1)
-        |              * (1::BIGINT << (4*(8-k))) for k in range(1, 9)]) AS h1,
-        |    list_sum([(strpos('0123456789abcdef', substr(md5(g), k + 8, 1)) - 1)
-        |              * (1::BIGINT << (4*(8-k))) for k in range(1, 9)]) AS h2
-        |  FROM hx),
-        |sig AS (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS mh
-        |  FROM hp, range(128) r(i) GROUP BY doc_id, i),
-        |sigl AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM sig GROUP BY doc_id),
-        |band AS (SELECT doc_id, b,
-        |    md5(array_to_string([sg[b*4 + j] for j in range(1, 5)], ',')) AS bh
-        |  FROM sigl, range(32) r(b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
-        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
-        |  FROM documents)
-        |SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
-        |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS lev,
-        |  CAST(greatest(length(na.nt), length(nb.nt)) AS BIGINT) AS max_len
-        |FROM cand c JOIN n na ON na.doc_id = c.a JOIN n nb ON nb.doc_id = c.b
-        |WHERE 100 * levenshtein(na.nt, nb.nt)
-        |      <= 20 * greatest(length(na.nt), length(nb.nt))""".stripMargin,
-
-    "winnow_fingerprints" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |hs AS (SELECT doc_id,
-        |    [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) for i in range(1, len(t) - 1)] AS hs
-        |  FROM toks WHERE len(t) >= 3)
-        |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, unnest(list_distinct(
-        |    [list_min(hs[i:i+3]) for i in range(1, greatest(len(hs) - 3, 1) + 1)])) AS fp
-        |FROM hs""".stripMargin,
-
-    // The NEAR-dup incremental contract: the banded candidate join plus
-    // exact-Jaccard verify must equal the exact cross-set relation (the
-    // same guarantee dedup_minhash proves for the self-join form).
-    "dedup_incremental_lsh" ->
-      s"""WITH $shingleCte
-         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(h.doc_id AS BIGINT) AS dup_of,
-         |  round(len(list_intersect(b.s, h.s))::DOUBLE / len(list_distinct(list_concat(b.s, h.s))), 3) AS jac
-         |FROM sh b JOIN sh h ON b.doc_id >= 400 AND h.doc_id < 400
-         |WHERE len(b.s) > 0 AND len(h.s) > 0
-         |  AND len(list_intersect(b.s, h.s))::DOUBLE / len(list_distinct(list_concat(b.s, h.s))) >= 0.8""".stripMargin,
-
-    // per-source drop share under the replayed cluster closure
-    "dup_ratio_by_source" ->
-      s"""WITH RECURSIVE $clusterClosureCtes
-         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN a.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes,
-         |  round(sum(CASE WHEN a.keep THEN 0 ELSE 1 END)::DOUBLE / count(*), 4)
-         |    AS dup_ratio
-         |FROM asg a JOIN documents d USING (doc_id)
-         |GROUP BY d.source""".stripMargin,
-
-    // per-eval-doc shingle exposure: distinct train grams LEFT-joined
-    // onto each eval doc's shingles; integers up to one division
-    "eval_coverage" ->
-      s"""WITH $shingleCte,
-         |tg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0),
-         |eg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
-         |pd AS (
-         |  SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |    CAST(count(tg.gram) AS BIGINT) AS n_covered
-         |  FROM eg LEFT JOIN tg USING (gram) GROUP BY eg.doc_id)
-         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         |  coalesce(pd.n_grams, 0) AS n_grams,
-         |  coalesce(pd.n_covered, 0) AS n_covered,
-         |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0.0
-         |       ELSE round(pd.n_covered::DOUBLE / pd.n_grams, 4) END AS coverage
-         |FROM documents d LEFT JOIN pd USING (doc_id)
-         |WHERE d.doc_id % 25 = 0""".stripMargin,
-
-    // survivors after the exact cross-set Jaccard drop (same exact-
-    // verify contract as dedup_incremental_lsh's quadratic twin)
-    "decontaminate_lsh" ->
-      s"""WITH $shingleCte,
-         |hit AS (SELECT DISTINCT b.doc_id
-         |  FROM sh b JOIN sh h ON b.doc_id % 25 <> 0 AND h.doc_id % 25 = 0
-         |  WHERE len(b.s) > 0 AND len(h.s) > 0
-         |    AND len(list_intersect(b.s, h.s))::DOUBLE /
-         |        len(list_distinct(list_concat(b.s, h.s))) >= 0.8)
-         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
-         |FROM documents d
-         |WHERE d.doc_id % 25 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
-
-    "chunk_dedup" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |ch AS (SELECT doc_id, i AS chunk_id, array_to_string(t[(i*40+1):(i*40+50)], ' ') AS chunk
-        |  FROM toks, UNNEST(range(0, ((len(t)-1)//40) + 1)) AS u(i) WHERE len(t) >= 1),
-        |ranked AS (SELECT doc_id, chunk_id,
-        |    count(*) OVER (PARTITION BY chunk) AS n_copies,
-        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
-        |  FROM ch)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  CAST(n_copies AS BIGINT) AS n_copies
-        |FROM ranked WHERE rn = 1 AND n_copies >= 2""".stripMargin,
-
-    "bigram_logprob" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)),
-        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-        |       FROM toks, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
-        |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
-        |c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
-        |p AS (SELECT bg.doc_id, (c12.c + 0.5) / (c1.c1 + 0.5 * v.v) AS p
-        |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(ln(p)), 4) AS avg_logprob
-        |FROM p GROUP BY doc_id""".stripMargin,
-
-    "pmi_collocations" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
-        |       FROM toks, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
-        |c12 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
-        |tot AS (SELECT sum(n)::DOUBLE AS total FROM c12),
-        |cl AS (SELECT w1, sum(n) AS cl FROM c12 GROUP BY w1),
-        |cr AS (SELECT w2, sum(n) AS cr FROM c12 GROUP BY w2),
-        |r AS (SELECT c12.w1, c12.w2, c12.n, (c12.n * tot.total) / (cl.cl * cr.cr) AS ratio
-        |      FROM c12 JOIN cl USING (w1) JOIN cr USING (w2), tot WHERE c12.n >= 5),
-        |rk AS (SELECT w1, w2, n, ratio,
-        |    row_number() OVER (ORDER BY ratio DESC, w1, w2) AS rk FROM r)
-        |SELECT w1, w2, CAST(n AS BIGINT) AS n, round(ln(ratio), 4) AS pmi,
-        |  CAST(rk AS BIGINT) AS rk
-        |FROM rk WHERE rk <= 20""".stripMargin,
-
-    "length_percentiles" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-        |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY length(text)), 6) AS pr
-        |FROM documents""".stripMargin,
-
-    // order-independent contract (r10): quantize to the 1e-4 grid, take
-    // EXACT integer sums Σxq/Σxq², then identical double arithmetic on
-    // both sides — μ/σ no longer depend on either engine's summation
-    // order, so round(z, 4) sees bit-identical inputs
-    "standardize_embeddings" ->
-      s"""WITH $rawEmbCte,
-         |e AS (SELECT vec_id, CAST(floor(xx * 10000 + 0.5) AS BIGINT) AS xq, i FROM (
-         |      SELECT vec_id, unnest(x) AS xx, unnest(range(len(x))) AS i FROM raw)),
-         |st AS (SELECT i, CAST(sum(xq) AS DOUBLE) / count(*) / 10000 AS m,
-         |    sqrt(greatest(0, CAST(sum(xq*xq) AS DOUBLE) / count(*) / 100000000
-         |      - (CAST(sum(xq) AS DOUBLE) / count(*) / 10000)
-         |        * (CAST(sum(xq) AS DOUBLE) / count(*) / 10000))) AS sd
-         |  FROM e GROUP BY i)
-         |SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.i AS BIGINT) AS i,
-         |  round(CASE WHEN st.sd > 0 THEN (e.xq / 10000.0 - st.m) / st.sd
-         |             ELSE e.xq / 10000.0 - st.m END, 4) AS z
-         |FROM e JOIN st USING (i)""".stripMargin,
-
-    "user_features" ->
-      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
-        |  round(sum(value), 4) AS total_value
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    "source_overlap" ->
-      s"""WITH $shingleCte,
-         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
-         |SELECT least(da.source, db.source) AS source_x,
-         |  greatest(da.source, db.source) AS source_y,
-         |  CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM pairs p JOIN documents da ON da.doc_id = p.a
-         |             JOIN documents db ON db.doc_id = p.b
-         |GROUP BY 1, 2""".stripMargin,
-
-    "curation_funnel" ->
-      """WITH t AS (SELECT lang, text,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-        |  FROM documents),
-        |f AS (SELECT lang IN ('en', 'de') AS f1,
-        |    length(text) BETWEEN 100 AND 2000 AS f2,
-        |    len(list_distinct(t))::DOUBLE / greatest(len(t), 1) >= 0.3 AS f3,
-        |    norm FROM t),
-        |a AS (SELECT count(*) AS raw,
-        |    count(*) FILTER (f1) AS lang_n,
-        |    count(*) FILTER (f1 AND f2) AS len_n,
-        |    count(*) FILTER (f1 AND f2 AND f3) AS qual_n,
-        |    count(DISTINCT CASE WHEN f1 AND f2 AND f3 THEN norm END) AS dedup_n
-        |  FROM f)
-        |SELECT '0_raw' AS stage, CAST(raw AS BIGINT) AS n_docs FROM a
-        |UNION ALL SELECT '1_lang', CAST(lang_n AS BIGINT) FROM a
-        |UNION ALL SELECT '2_length', CAST(len_n AS BIGINT) FROM a
-        |UNION ALL SELECT '3_quality', CAST(qual_n AS BIGINT) FROM a
-        |UNION ALL SELECT '4_dedup', CAST(dedup_n AS BIGINT) FROM a""".stripMargin,
-
-    "curation_pipeline" ->
-      s"""WITH $curationChainCte
-         |SELECT CAST(sp.doc_id AS BIGINT) AS doc_id, sp.lang, sp.source,
-         |  CAST(sp.rk AS BIGINT) AS rk,
-         |  CASE WHEN sp.rk * 100 <= sp.n * 90 THEN 'train'
-         |       WHEN sp.rk * 100 <= sp.n * 95 THEN 'val'
-         |       ELSE 'test' END AS split,
-         |  CAST(len(ct.t) AS BIGINT) AS n_tokens
-         |FROM sp JOIN ct USING (doc_id)""".stripMargin,
-
-    // pack invariants over the PIPELINE's train split: counts re-derived
-    // from the curated relation; the packing-dependent bound is the
-    // provable TRUE (same contract as pack_invariants)
-    "curation_pipeline_pack" ->
-      s"""WITH $curationChainCte,
-         |tr AS (SELECT doc_id FROM sp WHERE rk * 100 <= n * 90),
-         |pt AS (SELECT len(ct.t) AS ntok FROM ct JOIN tr USING (doc_id))
-         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(*) AS BIGINT) AS distinct_docs,
-         |  CAST(coalesce(sum(ntok), 0) AS BIGINT) AS total_tokens,
-         |  CAST(count(*) FILTER (WHERE ntok > 512) AS BIGINT) AS oversize_bins,
-         |  CAST(0 AS BIGINT) AS overfull_bins,
-         |  TRUE AS bins_within_bound
-         |FROM pt""".stripMargin,
-
-    // the semantic-guard pipeline twin: the shared clean `cd` CTE, then
-    // the decontaminate_semantic cross join keeping strict < threshold,
-    // then domain_mix's md5 window and split_assign's integer bucket
-    "curation_pipeline_sem" ->
-      s"""WITH $cleanCdCte,
-         |ev AS (SELECT embedding::DOUBLE[] AS x FROM embeddings WHERE vec_id % 25 = 0),
-         |sem AS (SELECT t.vec_id AS doc_id
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
-         |        WHERE vec_id % 25 <> 0) t CROSS JOIN ev
-         |  GROUP BY t.vec_id
-         |  HAVING max(list_cosine_similarity(t.x, ev.x)) < 0.35),
-         |dc AS (SELECT cd.doc_id, cd.lang, cd.source FROM cd JOIN sem USING (doc_id)),
-         |dm AS (SELECT doc_id FROM (
-         |    SELECT doc_id, row_number() OVER (PARTITION BY source
-         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM dc)
-         |  WHERE rk <= 50),
-         |kept AS (SELECT dc.doc_id, dc.lang, dc.source,
-         |    CAST((((dc.doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
-         |  FROM dc JOIN dm USING (doc_id))
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, bucket,
-         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM kept""".stripMargin,
-
-    "event_drift" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
-        |  FROM events GROUP BY 1, 2),
-        |types AS (SELECT DISTINCT event_type FROM daily),
-        |tc AS (SELECT count(*) AS t_cnt FROM types),
-        |tot AS (SELECT day, sum(c) AS tot FROM daily GROUP BY day),
-        |grid AS (SELECT t.day, ty.event_type, t.tot,
-        |    (coalesce(d.c, 0) + 1.0) / (t.tot + tc.t_cnt) AS p
-        |  FROM tot t CROSS JOIN types ty
-        |  LEFT JOIN daily d ON d.day = t.day AND d.event_type = ty.event_type, tc),
-        |lagged AS (SELECT day, tot, p,
-        |    lag(p) OVER (PARTITION BY event_type ORDER BY day) AS pp FROM grid)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(max(tot) AS BIGINT) AS n_events,
-        |  round(sum(p * ln(p / pp)), 6) AS kl
-        |FROM lagged WHERE pp IS NOT NULL GROUP BY day""".stripMargin,
-
-    "mixture_weights" ->
-      """WITH c AS (SELECT source, count(*) AS n,
-        |    sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
-        |  FROM documents GROUP BY source),
-        |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c)
-        |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(toks AS BIGINT) AS n_tokens,
-        |  round(pow(n, 0.5) / z, 6) AS weight,
-        |  CAST(round(1000 * pow(n, 0.5) / z) AS BIGINT) AS expected_docs,
-        |  round(1000 * pow(n, 0.5) / z / n, 4) AS epochs
-        |FROM c, z""".stripMargin,
-
-    "lang_confusion" ->
-      """SELECT lang,
-        |  CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS pred,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM (
-        |  SELECT lang, list_max([
-        |    {'s': len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','that','for','with']))), 'l': 'en'},
-        |    {'s': len(list_distinct(list_intersect(t, ['der','die','das','und','ist','von','mit','ein','nicht','auf']))), 'l': 'de'},
-        |    {'s': len(list_distinct(list_intersect(t, ['le','la','les','et','de','est','un','une','pour','dans']))), 'l': 'fr'},
-        |    {'s': len(list_distinct(list_intersect(t, ['el','la','los','y','de','es','un','una','por','con']))), 'l': 'es'}
-        |  ]) AS best
-        |  FROM (SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-        |        FROM documents))
-        |GROUP BY 1, 2""".stripMargin,
-
-    "split_balance" ->
-      """WITH s AS (SELECT lang,
-        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
-        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
-        |  FROM (SELECT lang, text,
-        |          CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS b
-        |        FROM documents)),
-        |c AS (SELECT split, lang, count(*) AS n_docs, sum(toks) AS n_tokens
-        |      FROM s GROUP BY split, lang)
-        |SELECT split, lang, CAST(n_docs AS BIGINT) AS n_docs,
-        |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY split), 6) AS share
-        |FROM c""".stripMargin,
-
-    "split_stratified" ->
-      """WITH r AS (SELECT doc_id, lang, source,
-        |    row_number() OVER (PARTITION BY lang, source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
-        |    count(*) OVER (PARTITION BY lang, source) AS n
-        |  FROM documents)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
-        |  CAST(rk AS BIGINT) AS rk,
-        |  CASE WHEN rk * 100 <= n * 90 THEN 'train'
-        |       WHEN rk * 100 <= n * 95 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM r""".stripMargin,
-
-    // A-ES twin: u re-derived digit-wise from the md5 hex (same integer,
-    // same double); ln and the division replay on identical inputs
-    "weighted_sample" ->
-      """WITH t AS (SELECT doc_id,
-        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
-        |    md5(CAST(doc_id AS VARCHAR)) AS h
-        |  FROM documents),
-        |s AS (SELECT doc_id, n_tokens,
-        |    ln((list_sum([CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
-        |          * CAST(pow(16, 8 - i) AS BIGINT) for i in range(1, 9)]) + 1)::DOUBLE
-        |       / 4294967297) / n_tokens AS priority
-        |  FROM t WHERE n_tokens >= 1),
-        |rk AS (SELECT doc_id, n_tokens, priority,
-        |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM s)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round(priority, 6) AS priority, CAST(rk AS BIGINT) AS rk
-        |FROM rk WHERE rk <= 100""".stripMargin,
-
-    "budget_sample" ->
-      """WITH t AS (SELECT doc_id, source,
-        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-        |  FROM t)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
-        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-        |FROM c WHERE cum_tokens <= 1000""".stripMargin,
-
-    "domain_mix" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rk AS BIGINT) AS rk
-        |FROM (SELECT doc_id, source,
-        |        row_number() OVER (PARTITION BY source
-        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |      FROM documents)
-        |WHERE rk <= 10""".stripMargin,
-
-    "tfidf_topterms" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
-        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        |dft AS (SELECT term, ln((SELECT n + 1 FROM n) / (count(*) + 1)) + 1 AS idf
-        |        FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf * dft.idf AS score,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf * dft.idf DESC, tf.term) AS rk
-        |  FROM tf JOIN dft USING (term))
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
-        |  round(score, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
-        |FROM scored WHERE rk <= 5""".stripMargin,
-
-    "bottomk_sketch" ->
-      s"""WITH $shingleCte,
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |hashed AS (SELECT doc_id, md5(g) AS h FROM ex),
-         |ranked AS (SELECT doc_id, h,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
-         |  FROM hashed)
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rk, h
-         |FROM ranked WHERE rk <= 5""".stripMargin,
-
-    "dedup_minhash" ->
-      s"""WITH $shingleCte
-         |SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
-         |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 3) AS jac
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(a.s) > 0 AND len(b.s) > 0
-         |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
-
-    // transitive closure of the exact near-dup pair relation via a
-    // recursive CTE (cheap at sf0.01: 24 pairs), then min-id per cluster
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |pairs AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-         |reach AS (
-         |  SELECT x, y FROM edges
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         |clust AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x)
-         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-         |       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
-         |       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
-         |FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id""".stripMargin,
-
-    "lang_id" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred
-        |FROM (
-        |  SELECT doc_id, list_max([
-        |    {'s': len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','that','for','with']))), 'l': 'en'},
-        |    {'s': len(list_distinct(list_intersect(t, ['der','die','das','und','ist','von','mit','ein','nicht','auf']))), 'l': 'de'},
-        |    {'s': len(list_distinct(list_intersect(t, ['le','la','les','et','de','est','un','une','pour','dans']))), 'l': 'fr'},
-        |    {'s': len(list_distinct(list_intersect(t, ['el','la','los','y','de','es','un','una','por','con']))), 'l': 'es'}
-        |  ]) AS best
-        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-        |        FROM documents))""".stripMargin,
-
-    "embedding_norms" ->
-      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
-        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS norm
-        |FROM embeddings""".stripMargin,
-
-    "ann_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-        |s AS (SELECT qid, vec_id AS nb, list_cosine_similarity(qv, embedding::DOUBLE[]) AS sim
-        |      FROM q, embeddings WHERE vec_id <> qid),
-        |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM s)
-        |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
-        |FROM r WHERE rn <= 10""".stripMargin,
-
-    // Replicated-index ANN oracles: DuckDB re-derives the trained index
-    // itself (unrolled Lloyd CTEs), then replays assignment, probe,
-    // shortlist, and re-rank — full rows+schema+hash checks on what were
-    // rows-only entries through round 7.
-    "ann_ivf" -> ivfOracleSql("TRUE"),
-    // same chain; the neighbor side filters to 'en' docs before the rank
-    "ann_ivf_filtered" ->
-      s"""WITH ${ivfChainCte("TRUE")},
-         |scored AS (SELECT p.q, a.nb, list_cosine_similarity(p.qv, a.nbv) AS sim
-         |    FROM probe p JOIN asg a USING (cell)
-         |    JOIN documents dd ON dd.doc_id = a.nb AND dd.lang = 'en'
-         |    WHERE a.nb <> p.q),
-         |ivf AS (SELECT q, nb, sim FROM (
-         |    SELECT q, nb, sim, row_number() OVER (PARTITION BY q
-         |      ORDER BY sim DESC, nb) AS rn FROM scored) WHERE rn <= 10)
-         |$ivfSelect""".stripMargin,
-    "ann_ivf_opened" -> ivfOracleSql("TRUE"), // parity with the built index
-    "ann_ivf_appended" -> ivfOracleSql("vec_id % 7 <> 0"),
-    "ann_pq" -> s"WITH $rawEmbCte,\n$pqChainCte,\n${pqRankCte(candJoin = false)}\n$pqSelect",
-    "ann_ivfpq" -> s"WITH ${ivfChainCte("TRUE")},\n$pqChainCte,\n${pqRankCte(candJoin = true)}\n$pqSelect",
-    "ann_ivf_recall" ->
-      s"""WITH ${ivfChainCte("TRUE")},
-         |$ivfRankCte,
-         |$exactTopKCte
-         |SELECT CAST(i.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
-         |  round(count(e.nb) / 10.0, 4) AS recall
-         |FROM ivf i LEFT JOIN ex e ON i.q = e.q AND i.nb = e.nb
-         |GROUP BY i.q""".stripMargin,
-    "ann_ivfpq_recall" ->
-      s"""WITH ${ivfChainCte("TRUE")},
-         |$pqChainCte,
-         |${pqRankCte(candJoin = true)},
-         |$exactTopKCte
-         |SELECT CAST(p.qid AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
-         |  round(count(e.nb) / 10.0, 4) AS recall
-         |FROM pq p LEFT JOIN ex e ON p.qid = e.q AND p.vec_id = e.nb
-         |GROUP BY p.qid""".stripMargin,
-
-    // SemDeDup twin: the SAME replicated k-means chain as ann_ivf gives
-    // the cell assignment — but with the dedup k-derivation
-    // k = max(16, ⌈√N⌉) replayed (IEEE sqrt/ceil are correctly rounded,
-    // so both engines derive the same k), making the registered
-    // contract the O(N^1.5)-balanced one; the verify stage is a plain
-    // within-cell cosine predicate — both halves oracle-checked.
-    "dedup_semantic" ->
-      s"""WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))")}
-         |SELECT CAST(a.nb AS BIGINT) AS a, CAST(b.nb AS BIGINT) AS b,
-         |  CAST(a.cell AS BIGINT) AS cell,
-         |  round(list_cosine_similarity(a.nbv, b.nbv), 4) AS sim
-         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.nb < b.nb
-         |WHERE list_cosine_similarity(a.nbv, b.nbv) >= 0.45""".stripMargin,
-
-    "mmr_rerank" -> mmrSql(5, 20, 0.7),
-
-    // Random-projection twins: the ±1 matrix is the same md5 derivation
-    // as the LSH planes, so the projection — and the recall of search in
-    // projected space — replay exactly.
-    "rp_project" ->
-      s"""WITH $rawEmbCte,
-         |${planesCte(16)},
-         |proj AS (SELECT v.vec_id, p.j,
-         |    ${dotSql("v.x", "p.pw")} / sqrt(16.0) AS val
-         |  FROM raw v, planes p)
-         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j,
-         |  round(val, 4) AS v FROM proj""".stripMargin,
-    // ann_topk's scoring with the duplicate band excluded BEFORE ranking
-    "hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-        |s AS (SELECT qid, vec_id AS nb, list_cosine_similarity(qv, embedding::DOUBLE[]) AS sim
-        |      FROM q, embeddings WHERE vec_id <> qid),
-        |f AS (SELECT * FROM s WHERE sim < 0.45),
-        |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM f)
-        |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
-        |FROM r WHERE rn <= 10""".stripMargin,
-
-    // rp_recall's contract with the projection replaced by the plain
-    // 16-dim PREFIX slice (the matryoshka question)
-    "matryoshka_recall" ->
-      s"""WITH $rawEmbCte,
-         |projv AS (SELECT vec_id, x[1:16] AS y FROM raw),
-         |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
-         |$exactTopKCte,
-         |rqs AS (SELECT vec_id AS q, y AS qy FROM projv WHERE vec_id < 10),
-         |rp AS (SELECT q, nb FROM (
-         |    SELECT rqs.q, pv.vec_id AS nb, row_number() OVER (PARTITION BY rqs.q
-         |      ORDER BY list_cosine_similarity(rqs.qy, pv.y) DESC, pv.vec_id) AS rn
-         |    FROM rqs, projv pv WHERE pv.vec_id <> rqs.q) WHERE rn <= 10)
-         |SELECT CAST(rp.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
-         |  round(count(e.nb) / 10.0, 4) AS recall
-         |FROM rp LEFT JOIN ex e ON rp.q = e.q AND rp.nb = e.nb
-         |GROUP BY rp.q""".stripMargin,
-
-    "rp_recall" ->
-      s"""WITH $rawEmbCte,
-         |${planesCte(16)},
-         |projv AS (SELECT vec_id, list(val ORDER BY j) AS y FROM (
-         |    SELECT v.vec_id, p.j, ${dotSql("v.x", "p.pw")} / sqrt(16.0) AS val
-         |    FROM raw v, planes p) GROUP BY vec_id),
-         |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
-         |$exactTopKCte,
-         |rqs AS (SELECT vec_id AS q, y AS qy FROM projv WHERE vec_id < 10),
-         |rp AS (SELECT q, nb FROM (
-         |    SELECT rqs.q, pv.vec_id AS nb, row_number() OVER (PARTITION BY rqs.q
-         |      ORDER BY list_cosine_similarity(rqs.qy, pv.y) DESC, pv.vec_id) AS rn
-         |    FROM rqs, projv pv WHERE pv.vec_id <> rqs.q) WHERE rn <= 10)
-         |SELECT CAST(rp.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
-         |  round(count(e.nb) / 10.0, 4) AS recall
-         |FROM rp LEFT JOIN ex e ON rp.q = e.q AND rp.nb = e.nb
-         |GROUP BY rp.q""".stripMargin,
-
-    // Hyperplane-LSH twins: the md5-derived ±1 plane matrix
-    // (Hyperplanes.matrix) is re-derived IN SQL, so bucketing and the
-    // exact-cosine verify stage are both oracle-checked.
-    "ann_lsh" ->
-      s"""WITH ${lshChainCte(32, 8)},
-         |cand AS (SELECT DISTINCT qb.vec_id AS q, cb.vec_id AS nb
-         |  FROM band cb JOIN band qb ON cb.band = qb.band AND cb.bh = qb.bh
-         |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
-         |scored AS (SELECT c.q, c.nb, list_cosine_similarity(qv.x, cv.x) AS sim
-         |  FROM cand c JOIN raw qv ON qv.vec_id = c.q JOIN raw cv ON cv.vec_id = c.nb)
-         |SELECT CAST(q AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim FROM (
-         |  SELECT q, nb, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rn
-         |  FROM scored) WHERE rn <= 10""".stripMargin,
-    "dedup_embedding" ->
-      s"""WITH ${lshChainCte(64, 4)},
-         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
-         |scored AS (SELECT c.a, c.b, list_cosine_similarity(va.x, vb.x) AS sim
-         |  FROM cand c JOIN raw va ON va.vec_id = c.a JOIN raw vb ON vb.vec_id = c.b)
-         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, round(sim, 4) AS sim
-         |FROM scored WHERE sim >= 0.45""".stripMargin,
-
-    // SimHash twin: md5-derived per-token hashes (TextOps.tokenHashes)
-    // make the signature pure integer math both engines compute
-    // identically — bit j of a token's hash is a nibble-bit of its md5
-    // hex, the fingerprint bit is the sign of the ±1 bit-sum, bands are
-    // 16-bit slices, hamming is the differing-bit count.
-    "dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |th AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        |hh AS (SELECT doc_id, md5(tok) AS m FROM th),
-        |bitsum AS (SELECT doc_id, t.j AS j,
-        |    sum(((strpos('0123456789abcdef', substr(m, CAST(16 - t.j // 4 AS INT), 1)) - 1)
-        |         >> CAST(t.j % 4 AS INT)) & 1) * 2 - count(*) AS s
-        |  FROM hh, range(64) t(j) GROUP BY doc_id, t.j),
-        |fpb AS (SELECT d.doc_id, t.j AS j,
-        |    CASE WHEN coalesce(bs.s, 0) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM documents d CROSS JOIN range(64) t(j)
-        |  LEFT JOIN bitsum bs ON bs.doc_id = d.doc_id AND bs.j = t.j),
-        |band AS (SELECT doc_id, CAST(j // 16 AS INT) AS band,
-        |    sum(bit * (1 << CAST(j % 16 AS INT))) AS bh
-        |  FROM fpb GROUP BY doc_id, CAST(j // 16 AS INT)),
-        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-        |ham AS (SELECT p.a, p.b, sum(CASE WHEN xa.bit <> xb.bit THEN 1 ELSE 0 END) AS hamming
-        |  FROM pairs p JOIN fpb xa ON xa.doc_id = p.a JOIN fpb xb ON xb.doc_id = p.b AND xa.j = xb.j
-        |  GROUP BY p.a, p.b)
-        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS BIGINT) AS hamming
-        |FROM ham WHERE hamming <= 3""".stripMargin,
-
-    // BFD packing contract (pack_invariants): everything but the bound
-    // booleans re-derived from the raw docs; the packing-dependent bound
-    // is emitted as a provable TRUE (see the query's scaladoc).
-    // the BFD recurrence replayed per shard: items in (n desc, doc_id)
-    // order step through a recursive CTE whose state is the per-bin
-    // load list; the best-fit choice is the lexicographic min of
-    // [remaining, index] over bins with remaining ≥ max(n, 1) — exactly
-    // the aggregate's canonical (tightest, lowest-index) rule. Depth =
-    // docs per shard; sf0.01-gate class (the sf1 replay carries
-    // len(asg)≈6k list states — budget accordingly)
-    "pack_sequences" ->
-      """WITH RECURSIVE
-        |t0 AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n FROM documents),
-        |it AS (SELECT doc_id % 8 AS shard, doc_id, n,
-        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY n DESC, doc_id) AS pos
-        |       FROM t0),
-        |cnt AS (SELECT shard, count(*) AS m FROM it GROUP BY shard),
-        |st AS (
-        |  SELECT shard, 0::BIGINT AS step, []::BIGINT[] AS loads,
-        |         []::STRUCT(d BIGINT, b INT)[] AS asg
-        |  FROM cnt
-        |  UNION ALL
-        |  SELECT s.shard, s.step + 1,
-        |    CASE WHEN x.best IS NULL THEN list_append(s.loads, i.n)
-        |         ELSE list_transform(range(len(s.loads)), j ->
-        |                CASE WHEN j = x.best THEN s.loads[(j+1)::INT] + i.n
-        |                     ELSE s.loads[(j+1)::INT] END)
-        |    END,
-        |    list_append(s.asg, {d: i.doc_id, b: coalesce(x.best, len(s.loads))::INT})
-        |  FROM st s
-        |  JOIN it i ON i.shard = s.shard AND i.pos = s.step + 1
-        |  CROSS JOIN LATERAL (SELECT list_sort(list_filter(
-        |      list_transform(range(len(s.loads)), j -> [512 - s.loads[(j+1)::INT], j]),
-        |      p -> p[1] >= greatest(i.n, 1)))[1][2] AS best) x
-        |),
-        |fin AS (SELECT s.shard, s.asg FROM st s JOIN cnt c ON s.shard = c.shard AND s.step = c.m),
-        |mem AS (SELECT shard, a.d AS doc_id, a.b AS b
-        |        FROM (SELECT shard, unnest(asg) AS a FROM fin))
-        |SELECT shard || '-' || b AS bin_id, CAST(count(*) AS INT) AS n_docs,
-        |  CAST(sum(n) AS BIGINT) AS total_tokens
-        |FROM mem JOIN it USING (shard, doc_id)
-        |GROUP BY 1""".stripMargin,
-
-    "pack_invariants" ->
-      """WITH toks AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n FROM documents)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS distinct_docs,
-        |  CAST(sum(n) AS BIGINT) AS total_tokens,
-        |  CAST(count(*) FILTER (WHERE n > 512) AS BIGINT) AS oversize_bins,
-        |  CAST(0 AS BIGINT) AS overfull_bins,
-        |  TRUE AS bins_within_bound
-        |FROM toks""".stripMargin,
-
-    "label_centroids" ->
-      """SELECT CAST(label AS BIGINT) AS label, round(sqrt(sum(m * m)), 4) AS centroid_norm
-        |FROM (SELECT label, i, avg(x) AS m
-        |      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
-        |                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
-        |      GROUP BY label, i)
-        |GROUP BY label""".stripMargin,
-
-    "label_centroid_vectors" ->
-      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i, round(avg(x), 6) AS m
-        |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings)
-        |GROUP BY label, i""".stripMargin,
-    "similar_docs" ->
-      s"""WITH $shingleCte,
-        |q AS (SELECT doc_id AS qid, s AS qs FROM sh WHERE doc_id = 0),
-        |scored AS (SELECT qid AS q, doc_id AS nb,
-        |    len(list_intersect(qs, s)) / (len(qs) + len(s) - len(list_intersect(qs, s))) AS jac
-        |  FROM sh, q WHERE doc_id <> qid AND len(qs) > 0
-        |    AND (len(qs) + len(s) - len(list_intersect(qs, s))) > 0)
-        |SELECT q, nb, round(jac, 4) AS jac FROM scored
-        |ORDER BY scored.jac DESC, nb LIMIT 10""".stripMargin,
-
-    "repetition_stats" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
-        |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c FROM cnt GROUP BY 1)
-        |SELECT t.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  round(coalesce(n_distinct / n_tokens, 0), 4) AS distinct_ratio,
-        |  round(coalesce(top_c / n_tokens, 0), 4) AS top_token_ratio,
-        |  CASE WHEN len(t.t) >= 2
-        |    THEN round(len(list_distinct([t.t[i] || ' ' || t.t[i+1] for i in range(1, len(t.t))])) / (len(t.t) - 1), 4)
-        |    ELSE 1.0 END AS bigram_distinct_ratio
-        |FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
-
-    "pii_scrub" ->
-      ("""WITH pii AS (SELECT doc_id,
-        |  text || ' contact user' || doc_id || '@example.com from 10.0.' ||
-        |  (doc_id % 256) || '.1 call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-1234' AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '""" + TextOps.emailPattern + """')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '""" + TextOps.ipv4Pattern + """')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text, '""" + TextOps.phonePattern + """')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '""" + TextOps.emailPattern + """', '[EMAIL]', 'g'),
-        |    '""" + TextOps.ipv4Pattern + """', '[IP]', 'g'),
-        |    '""" + TextOps.phonePattern + """', '[PHONE]', 'g') AS redacted
-        |FROM pii""").stripMargin,
-
-    // multimodal_meta: the Spark side renders real container bytes and
-    // walks the headers back; the twin re-derives the SAME fields from
-    // MediaSynth's doc_id arithmetic (MediaSynth.scala rules) — the
-    // only way both agree is if the byte round-trip is exact.
-    "multimodal_meta" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
-        |       WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4/isom' ELSE 'jpeg' END AS format,
-        |  CASE WHEN doc_id % 6 IN (0,1,2,4,5) THEN CAST(doc_id % 640 + 16 AS INT) END AS width,
-        |  CASE WHEN doc_id % 6 IN (0,1,2,4,5) THEN CAST(doc_id % 360 + 9 AS INT) END AS height,
-        |  CASE WHEN doc_id % 6 = 3 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
-        |  CASE WHEN doc_id % 6 = 3 THEN CAST(8000 * (doc_id % 3 + 1) AS INT) END AS sample_rate,
-        |  CASE WHEN doc_id % 6 = 3 THEN CAST(100 * (doc_id % 10 + 1) AS BIGINT)
-        |       WHEN doc_id % 6 = 4 THEN CAST(500 * (doc_id % 8 + 1) AS BIGINT) END AS duration_ms
-        |FROM documents""".stripMargin,
-
-    // content-equality classes re-derived from the GENERATIVE params
-    // (bytes are a pure function of them: images/mp4 of d%6,d%640,d%360
-    // [,d%8]; wav of d%2,d%3,d%10) — independent of the digest the
-    // Spark side groups on, so a digest bug cannot self-confirm
-    "multimodal_dedup" ->
-      """WITH m AS (SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 6 = 3 THEN 'audio'
-        |         WHEN doc_id % 6 = 4 THEN 'video' ELSE 'image' END AS kind,
-        |    CASE WHEN doc_id % 6 = 3
-        |           THEN 'a:' || (doc_id % 2) || ':' || (doc_id % 3) || ':' || (doc_id % 10)
-        |         WHEN doc_id % 6 = 4
-        |           THEN 'v:' || (doc_id % 640) || ':' || (doc_id % 360) || ':' || (doc_id % 8)
-        |         ELSE 'i' || (doc_id % 6) || ':' || (doc_id % 640) || ':' || (doc_id % 360)
-        |    END AS k
-        |  FROM documents),
-        |g AS (SELECT k, min(media_id) AS rep, count(*) AS n_copies FROM m GROUP BY k)
-        |SELECT CAST(m.media_id AS BIGINT) AS media_id, m.kind,
-        |  CAST(g.rep AS BIGINT) AS rep, CAST(g.n_copies AS BIGINT) AS n_copies,
-        |  m.media_id = g.rep AS keep
-        |FROM m JOIN g USING (k)""".stripMargin,
-
-    "split_assign" ->
-      """SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |        CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
-        |      FROM documents)""".stripMargin,
-
-    // the dedup_clusters closure + split_assign's integer bucket
-    // arithmetic keyed on cluster_id: every cluster member inherits one
-    // split (quadratic exact-pair twin — sf0.01-gate class, like
-    // dedup_clusters)
-    "split_leakage_safe" ->
-      s"""WITH RECURSIVE $clusterClosureCtes
-         |SELECT doc_id, cluster_id, keep,
-         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-         |FROM (SELECT *,
-         |        (((cluster_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket
-         |      FROM asg)""".stripMargin,
-
-    "chunk_docs" ->
-      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents)
-        |SELECT doc_id, i AS chunk_id, array_to_string(t[(i*40+1):(i*40+50)], ' ') AS chunk,
-        |       CAST(least(50, len(t) - i*40) AS BIGINT) AS n_chunk_tokens
-        |FROM toks, UNNEST(range(0, ((len(t)-1)//40) + 1)) AS u(i)
-        |WHERE len(t) >= 1""".stripMargin,
-
-    "quantize_int8" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-        |s AS (SELECT vec_id, x, list_max(list_transform(x, a -> abs(a))) / 127 AS scale FROM v)
-        |SELECT vec_id, round(scale, 6) AS scale,
-        |  round(sqrt(list_sum(list_transform(x, a -> pow(a - round(a/scale)*scale, 2))) / len(x)), 6) AS rms_err
-        |FROM s WHERE scale > 0""".stripMargin,
-
-    "decontaminate" ->
-      s"""WITH $shingleCte,
-        |ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
-        |tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0)
-        |SELECT CAST(tr.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
-
-    // max over eval cosines per train vector; each pairwise cosine is the
-    // same left-to-right double fold in both engines (the ann_topk-proven
-    // list_cosine_similarity twin) and max commutes exactly
-    "decontaminate_semantic" ->
-      """WITH ev AS (SELECT embedding::DOUBLE[] AS x FROM embeddings WHERE vec_id < 16),
-        |tr AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings WHERE vec_id >= 16),
-        |s AS (SELECT t.vec_id, max(list_cosine_similarity(t.x, e.x)) AS m
-        |      FROM tr t CROSS JOIN ev e GROUP BY t.vec_id)
-        |SELECT CAST(vec_id AS BIGINT) AS vec_id, round(m, 4) AS max_sim,
-        |       m >= 0.35 AS contaminated
-        |FROM s""".stripMargin,
-
-    // the bloom-prefiltered path verifies exactly, so its contract — and
-    // its twin — is decontaminate's
-    "decontaminate_bloom" ->
-      s"""WITH $shingleCte,
-        |ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
-        |tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 25 <> 0)
-        |SELECT CAST(tr.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
-
-    "length_quantiles" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(quantile_cont(n_chars, 0.1), 4) AS p10,
-        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
-        |  round(quantile_cont(n_chars, 0.9), 4) AS p90
-        |FROM documents GROUP BY lang""".stripMargin,
-
-    "vocab_stats" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens,
-        |  CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
-        |FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |      FROM documents)
-        |GROUP BY lang""".stripMargin,
-
-    // the portable-HLL register replay: h = md5 hex; register index =
-    // first 3 hex chars (top 12 bits), tail = next 13 (remaining 52);
-    // rank = 53 − bitlength(tail) (53 when 0) = the aggregate's
-    // nlz64(tail) − p + 1; Z·2^53 summed as exact HUGEINT including the
-    // 2^53-per-empty-register term; the estimate repeats the
-    // aggregate's double sequence verbatim (left-assoc), linear
-    // counting below 2.5·m with zero registers present
-    "vocab_sketch" ->
-      """WITH ex AS (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |            FROM documents),
-        |tot AS (SELECT lang, count(*) AS total_tokens FROM ex GROUP BY lang),
-        |hh AS (SELECT DISTINCT lang, md5(tok) AS h FROM ex),
-        |reg AS (SELECT lang,
-        |    (strpos('0123456789abcdef', substr(h,1,1))-1)*256
-        |      + (strpos('0123456789abcdef', substr(h,2,1))-1)*16
-        |      + (strpos('0123456789abcdef', substr(h,3,1))-1) AS idx,
-        |    list_sum(list_transform(range(13), i ->
-        |      (strpos('0123456789abcdef', substr(h, (4+i)::INT, 1))-1)::BIGINT << (4*(12-i))::INT)) AS tail
-        |  FROM hh),
-        |rk AS (SELECT lang, idx,
-        |    max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(format('{:b}', tail::BIGINT)) END) AS mj
-        |  FROM reg GROUP BY lang, idx),
-        |agg AS (SELECT lang, count(*) AS nonzero, sum(mj) AS rank_sum,
-        |    sum(CAST(1::BIGINT << (53 - mj) AS HUGEINT))
-        |      + CAST(4096 - count(*) AS HUGEINT) * CAST(1::BIGINT << 53 AS HUGEINT) AS s
-        |  FROM rk GROUP BY lang)
-        |SELECT t.lang, CAST(t.total_tokens AS BIGINT) AS total_tokens,
-        |  CAST(a.nonzero AS BIGINT) AS nonzero_registers,
-        |  CAST(a.rank_sum AS BIGINT) AS register_sum,
-        |  round(CASE WHEN 4096 - a.nonzero > 0 AND
-        |      0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE <= 2.5 * 4096.0
-        |    THEN 4096.0 * ln(4096.0 / (4096 - a.nonzero))
-        |    ELSE 0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE
-        |  END, 4) AS est_distinct
-        |FROM tot t JOIN agg a USING (lang)""".stripMargin,
-
-    "unigram_logprob" ->
-      """WITH ex AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |            FROM documents),
-        |uni AS (SELECT tok, count(*)::DOUBLE / (SELECT count(*) FROM ex) AS p FROM ex GROUP BY tok)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(ln(p)), 4) AS avg_logprob
-        |FROM ex JOIN uni USING (tok) GROUP BY doc_id""".stripMargin,
-
-    "user_sessions" ->
-      """WITH e AS (SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 10 MINUTE
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
-        |g AS (SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e)
-        |SELECT CAST(user_id AS BIGINT) AS user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM g GROUP BY user_id, sid""".stripMargin,
-
-    "window_counts" ->
-      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |       event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // the KMV bottom-32 by md5(event_id) per (hour, type), then the
-    // nearest-rank pick over the (v, h)-sorted sample — all integer
-    // selection over raw doubles
-    "windowed_value_quantiles" ->
-      """WITH ev AS (SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |    event_type, md5(CAST(event_id AS VARCHAR)) AS h, value::DOUBLE AS v
-        |  FROM events),
-        |smp AS (SELECT * FROM (SELECT window_start, event_type, h, v,
-        |    row_number() OVER (PARTITION BY window_start, event_type ORDER BY h) AS hrk
-        |  FROM ev) WHERE hrk <= 32),
-        |tot AS (SELECT window_start, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
-        |r AS (SELECT window_start, event_type, v,
-        |    row_number() OVER (PARTITION BY window_start, event_type ORDER BY v, h) AS rk,
-        |    count(*) OVER (PARTITION BY window_start, event_type) AS ns FROM smp),
-        |q AS (SELECT window_start, event_type, ns,
-        |    max(CASE WHEN rk = 1 + (25*(ns-1))//100 THEN v END) AS p25,
-        |    max(CASE WHEN rk = 1 + (50*(ns-1))//100 THEN v END) AS p50,
-        |    max(CASE WHEN rk = 1 + (75*(ns-1))//100 THEN v END) AS p75
-        |  FROM r GROUP BY 1, 2, 3)
-        |SELECT q.window_start, q.event_type, CAST(t.n AS BIGINT) AS n,
-        |  CAST(q.ns AS BIGINT) AS n_sample, q.p25, q.p50, q.p75
-        |FROM q JOIN tot t USING (window_start, event_type)""".stripMargin,
-
-    // the vocab_sketch HLL replay keyed by (hour window, event_type)
-    // over user_id rendered as a decimal string — same register
-    // arithmetic, same shared estimate expression
-    "windowed_distinct" ->
-      """WITH ev AS (SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |         event_type, user_id::VARCHAR AS u
-        |  FROM events),
-        |tot AS (SELECT window_start, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
-        |hh AS (SELECT DISTINCT window_start, event_type, md5(u) AS h FROM ev),
-        |reg AS (SELECT window_start, event_type,
-        |    (strpos('0123456789abcdef', substr(h,1,1))-1)*256
-        |      + (strpos('0123456789abcdef', substr(h,2,1))-1)*16
-        |      + (strpos('0123456789abcdef', substr(h,3,1))-1) AS idx,
-        |    list_sum(list_transform(range(13), i ->
-        |      (strpos('0123456789abcdef', substr(h, (4+i)::INT, 1))-1)::BIGINT << (4*(12-i))::INT)) AS tail
-        |  FROM hh),
-        |rk AS (SELECT window_start, event_type, idx,
-        |    max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(format('{:b}', tail::BIGINT)) END) AS mj
-        |  FROM reg GROUP BY 1, 2, 3),
-        |agg AS (SELECT window_start, event_type, count(*) AS nonzero, sum(mj) AS rank_sum,
-        |    sum(CAST(1::BIGINT << (53 - mj) AS HUGEINT))
-        |      + CAST(4096 - count(*) AS HUGEINT) * CAST(1::BIGINT << 53 AS HUGEINT) AS s
-        |  FROM rk GROUP BY 1, 2)
-        |SELECT t.window_start, t.event_type, CAST(t.n AS BIGINT) AS n,
-        |  CAST(a.nonzero AS BIGINT) AS nonzero_registers,
-        |  CAST(a.rank_sum AS BIGINT) AS register_sum,
-        |  round(CASE WHEN 4096 - a.nonzero > 0 AND
-        |      0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE <= 2.5 * 4096.0
-        |    THEN 4096.0 * ln(4096.0 / (4096 - a.nonzero))
-        |    ELSE 0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / a.s::DOUBLE
-        |  END, 4) AS est_users
-        |FROM tot t JOIN agg a USING (window_start, event_type)""".stripMargin,
-
-    "funnel_first" ->
-      """WITH t AS (SELECT event_id AS trigger_id, user_id, ts AS t_ts
-        |           FROM events WHERE event_type = 'click'),
-        |     f AS (SELECT event_id AS follow_id, user_id, ts AS f_ts
-        |           FROM events WHERE event_type = 'purchase'),
-        |     p AS (SELECT t.trigger_id, t.user_id, f.follow_id, t.t_ts, f.f_ts,
-        |                  row_number() OVER (PARTITION BY t.trigger_id
-        |                    ORDER BY f.f_ts, f.follow_id) AS rn
-        |           FROM t JOIN f ON t.user_id = f.user_id
-        |             AND f.f_ts > t.t_ts AND f.f_ts <= t.t_ts + INTERVAL 2 HOUR)
-        |SELECT trigger_id, CAST(user_id AS BIGINT) AS user_id, follow_id,
-        |       CAST(epoch_ms(f_ts) - epoch_ms(t_ts) AS BIGINT) AS lag_ms
-        |FROM p WHERE rn = 1""".stripMargin,
-
-    "asof_join" ->
-      """SELECT l.event_id, l.user_id, r.event_id AS purchase_id,
-        |       r.value AS purchase_value,
-        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
-
-    "range_join" ->
-      """SELECT l.event_id AS event_id, r.event_id AS err_event_id
-        |FROM events l JOIN events r
-        |  ON l.user_id = r.user_id AND r.event_type = 'error'
-        | AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
-        | AND l.event_id <> r.event_id""".stripMargin,
-
-    "top_orders_per_customer" ->
-      """WITH t AS (
-        |  SELECT CAST(3000000 + o_custkey AS BIGINT) AS customer,
-        |         CAST(6000000 + o_orderkey AS BIGINT) AS order_v,
-        |         o_totalprice AS totalprice,
-        |         CAST(row_number() OVER (PARTITION BY o_custkey
-        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
-        |  FROM orders)
-        |SELECT customer, order_v, totalprice, rk FROM t WHERE rk <= 3""".stripMargin,
-
-    "orders_rollup" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-        |       o_orderpriority AS priority,
-        |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY ROLLUP (o_year, priority)""".stripMargin,
-
-    "orders_pivot" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-        |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
-        |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
-        |  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
-        |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
-        |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "motif_shared_part" ->
-      """WITH co AS (
-        |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS customer,
-        |         CAST(6000000 + o.o_orderkey AS BIGINT) AS order_v,
-        |         CAST(5000000 + l.l_partkey AS BIGINT) AS part_v
-        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
-        |SELECT a.customer AS customer, CAST(count(*) AS BIGINT) AS n_motifs
-        |FROM co a JOIN co b
-        |  ON a.customer = b.customer AND a.part_v = b.part_v
-        | AND a.order_v < b.order_v
-        |GROUP BY a.customer""".stripMargin,
-
-    "events_enriched" ->
-      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS mktsegment
-        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
-
-    "profile_documents" ->
-      """SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-        |  CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
-        |FROM documents
-        |UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT),
-        |  CAST(count(*) - count(lang) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
-        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
-        |UNION ALL SELECT 'source', CAST(count(*) AS BIGINT),
-        |  CAST(count(*) - count(source) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT),
-        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
-        |UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT),
-        |  CAST(count(*) - count(n_chars) AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT),
-        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
-
-    // BM25 closed form: Robertson idf ln((N-df+.5)/(df+.5)+1), k1=1.2,
-    // b=0.75 (see TextOps.bm25Scores)
-    "bm25_scores" ->
-      """WITH ex AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |            FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        |q AS (SELECT tf.doc_id, tf.tok, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
-        |      WHERE tok IN ('spark', 'join', 'window')),
-        |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY tok)
-        |SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
-        |  round(sum(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1)
-        |            * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl))), 4) AS bm25
-        |FROM q JOIN d USING (tok), st
-        |GROUP BY q.doc_id""".stripMargin,
-
-    // Oracle-less (rows-only per the driver contract) — genuinely not
-    // DuckDB-expressible: vocab_sketch (HLL++ registers; accuracy gated
-    // in PipelineSpec), heavy_hitters_sketch (Misra–Gries partial-merge
-    // order; error bound gated in PipelineSpec), pack_sequences
-    // (partition-local greedy bin state; its relational contract is
-    // oracle-checked by pack_invariants, the rest gated in
-    // PipelineSpec). Round 8 retired dedup_simhash, dedup_embedding,
-    // ann_lsh, ann_ivf, ann_ivf_opened, ann_ivf_appended, ann_pq, and
-    // ann_ivfpq from this list via replicated-index / md5-derived
-    // twins; round 10 retired doc_fingerprint (md5 fingerprint family).
-  )
+  // The SQL lives in per-family objects under graft/oracle (VERDICT r10
+  // item 8 — the entry point stays navigable); OracleRegistrySpec pins
+  // the family maps disjoint and aligned with `queries`.
+  //
+  // Oracle-less (rows-only per the driver contract) — genuinely not
+  // DuckDB-expressible: heavy_hitters_sketch (Misra-Gries partial-merge
+  // order; error bound gated in PipelineSpec). Earlier rows-only entries
+  // were all retired into full oracles (md5-derived twins, recursive-CTE
+  // replays) by rounds 8-10.
+  def oracleSql: Map[String, String] =
+    graft.oracle.GraphOracles.sql ++
+      graft.oracle.SnapshotOracles.sql ++
+      graft.oracle.CorpusOracles.sql ++
+      graft.oracle.VectorOracles.sql ++
+      graft.oracle.CurationOracles.sql ++
+      graft.oracle.EventOracles.sql
 }

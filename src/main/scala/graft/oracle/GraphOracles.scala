@@ -1,0 +1,292 @@
+package graft.oracle
+
+import Ctes._
+
+/** DuckDB oracle twins — graph topology, traversal, and iterative graph analytics
+  * (scans, hops, PageRank, triangles, k-core, LPA, modularity).
+  * Same column names/types/values as the SparkEntry.queries entries they
+  * mirror; the driver hash-compares them per round. */
+object GraphOracles {
+  val sql: Map[String, String] = Map(
+    "pagerank_full" -> pagerankFullSql,
+
+    "pagerank_personal" -> pagerankPersonalSql(3000042L),
+
+    "scan_vertices" -> vertexUnion,
+
+
+    "scan_edges" -> edgeUnion,
+
+
+    "sql_serving" ->
+      s"""WITH edges AS ($edgeUnion)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(count(DISTINCT outV) AS BIGINT) AS n_src
+         |FROM edges GROUP BY label""".stripMargin,
+
+
+    "out_edges_labeled" ->
+      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
+        |FROM orders WHERE o_custkey = 42""".stripMargin,
+
+
+    "degree_histogram" ->
+      s"""WITH edges AS ($edgeUnion)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM (SELECT outV, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY outV)
+         |GROUP BY deg""".stripMargin,
+
+
+    "lookup_vertex" ->
+      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id, c_name AS name,
+        |       c_acctbal AS acctbal, c_mktsegment AS mktsegment
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+
+    "lookup_edge" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id,
+        |       'contains' AS label,
+        |       CAST(6000000 + l_orderkey AS BIGINT) AS outV,
+        |       CAST(5000000 + l_partkey AS BIGINT) AS inV,
+        |       l_quantity AS quantity
+        |FROM liseq
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem) AND seq = 1""".stripMargin,
+
+
+    "filter_by_prop" ->
+      "SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+
+    "count_by_prop" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+
+    "edges_by_label" ->
+      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id,
+        |       CAST(3000000 + o_custkey AS BIGINT) AS outV,
+        |       CAST(6000000 + o_orderkey AS BIGINT) AS inV FROM orders""".stripMargin,
+
+
+    "edges_by_prop" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id
+        |FROM liseq WHERE l_returnflag = 'R'""".stripMargin,
+
+
+    "both_edges" ->
+      """WITH liseq AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+        |SELECT CAST(8000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT) AS id, 'out' AS dir
+        |FROM liseq WHERE l_partkey = 42
+        |UNION ALL
+        |SELECT CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + seq AS BIGINT), 'in'
+        |FROM liseq WHERE l_partkey = 42""".stripMargin,
+
+
+    "out_edges" ->
+      """SELECT CAST(13000000 + o_orderkey AS BIGINT) AS id, 'placed' AS label
+        |FROM orders WHERE o_custkey = 42
+        |UNION ALL SELECT CAST(11000000 + c_custkey AS BIGINT), 'in_nation'
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+
+    "hop1_neighbors" ->
+      """SELECT CAST(3000000 + o_custkey AS BIGINT) AS src,
+        |       CAST(6000000 + o_orderkey AS BIGINT) AS dst FROM orders""".stripMargin,
+
+
+    "hop2_parts" ->
+      """SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS id
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 42""".stripMargin,
+
+
+    "hop3_traversal" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_paths,
+        |       CAST(count(DISTINCT l2.l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM orders o
+        |JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+        |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey""".stripMargin,
+
+
+    "hop3_graphx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_paths,
+        |       CAST(count(DISTINCT l2.l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM orders o
+        |JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+        |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey""".stripMargin,
+
+
+    "query_has_interval" ->
+      """SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000 AND c_acctbal < 5000""".stripMargin,
+
+
+    "connected_components" ->
+      """SELECT CAST(2000000 + n_nationkey AS BIGINT) AS vertex_id,
+        |       CAST(2000000 + n_nationkey AS BIGINT) AS component FROM nation
+        |WHERE n_nationkey IN (SELECT c_nationkey FROM customer
+        |                      UNION SELECT s_nationkey FROM supplier)
+        |UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT),
+        |       CAST(2000000 + c_nationkey AS BIGINT) FROM customer
+        |UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
+        |       CAST(2000000 + s_nationkey AS BIGINT) FROM supplier""".stripMargin,
+
+
+    // closed-form PageRank on the in_nation/in_region star DAG (see
+    // GraphXTraversal.pageRankStarDF): sources 0.15, nation = 0.15 +
+    // 0.85·0.15·members, region = 0.15 + 0.85·Σ nation-ranks, then
+    // GraphX's final normalization rank·|V|/Σrank
+    "pagerank" ->
+      """WITH mem AS (
+        |  SELECT nk, count(*) AS m FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    UNION ALL SELECT s_nationkey AS nk FROM supplier) t GROUP BY nk
+        |), nrank AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |         CAST(0.15 AS DOUBLE) + 0.85 * (0.15 * COALESCE(m, 0)) AS r
+        |  FROM nation LEFT JOIN mem ON nk = n_nationkey
+        |), rrank AS (
+        |  SELECT n_regionkey, CAST(0.15 AS DOUBLE) + 0.85 * sum(r) AS r
+        |  FROM nrank GROUP BY n_regionkey
+        |), rawrank AS (
+        |  SELECT CAST(3000000 + c_custkey AS BIGINT) AS vertex_id,
+        |         CAST(0.15 AS DOUBLE) AS r FROM customer
+        |  UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
+        |         CAST(0.15 AS DOUBLE) FROM supplier
+        |  UNION ALL SELECT CAST(2000000 + n_nationkey AS BIGINT), r FROM nrank
+        |  UNION ALL SELECT CAST(1000000 + n_regionkey AS BIGINT), r FROM rrank
+        |), tot AS (SELECT count(*) AS nv, sum(r) AS s FROM rawrank)
+        |SELECT vertex_id, round(r * nv / s, 4) AS "rank" FROM rawrank, tot""".stripMargin,
+
+
+    // relational triangle census of the bulk-quantity co-occurrence
+    // graph: e is the distinct a<b part-pair set, wedges close on a
+    // third join (see GraphXTraversal.triangleCensusDF)
+    "triangle_count" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+        |SELECT
+        |  CAST((SELECT count(*) FROM (SELECT a AS v FROM e UNION SELECT b FROM e)) AS BIGINT) AS n_parts,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_coedges,
+        |  CAST((SELECT count(*)
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles""".stripMargin,
+
+
+    // per-vertex wedge closure: each triangle (x < y < z) credits all
+    // three corners; degrees from canonical pair endpoints
+    "kcore" -> kcoreSql(12, 12),
+
+    "communities_lpa" -> lpaSql(4),
+
+    // the LPA chain + the exact-integer modularity numerator; HUGEINT
+    // sums, one double division, round(6) — matches the Scala sequence
+    "community_modularity" ->
+      s"""WITH ${lpaCtes(4)},
+         |lab AS (SELECT v, lbl FROM l4),
+         |e2 AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb
+         |  FROM e0 JOIN lab la ON la.v = e0.a JOIN lab lb ON lb.v = e0.b),
+         |mm AS (SELECT count(*) AS m FROM e2),
+         |inc AS (SELECT ca AS c, count(*) AS ic FROM e2 WHERE ca = cb GROUP BY 1),
+         |degc AS (SELECT c, count(*) AS dc FROM (
+         |    SELECT ca AS c FROM e2 UNION ALL SELECT cb FROM e2) GROUP BY 1),
+         |num AS (SELECT sum(CAST(4 AS HUGEINT) * mm.m * coalesce(i.ic, 0)
+         |    - CAST(d.dc AS HUGEINT) * d.dc) AS n
+         |  FROM degc d LEFT JOIN inc i ON i.c = d.c CROSS JOIN mm)
+         |SELECT CAST(mm.m AS BIGINT) AS n_edges,
+         |  CAST((SELECT count(DISTINCT lbl) FROM lab) AS BIGINT) AS n_communities,
+         |  round(num.n::DOUBLE / (4.0 * mm.m * mm.m), 6) AS modularity
+         |FROM mm CROSS JOIN num""".stripMargin,
+
+
+    // integer-exact Pearson of endpoint degrees over the symmetrized
+    // pair edge list; HUGEINT widening mirrors the BigInt combination
+    "assortativity" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |xy AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b
+        |  UNION ALL
+        |  SELECT db.d, da.d
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
+        |       ELSE round((n*sxy - sx*sy)::DOUBLE /
+        |         (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+        |  END AS r
+        |FROM s""".stripMargin,
+
+
+    "clustering_coeff" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e AS (
+        |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+        |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tl AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tri AS (
+        |  SELECT v, count(*) AS t FROM (
+        |    SELECT x AS v FROM tl UNION ALL SELECT y FROM tl UNION ALL SELECT z FROM tl)
+        |  GROUP BY v),
+        |deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+        |SELECT CAST(deg.v AS BIGINT) AS part_id, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(tri.t, 0) AS BIGINT) AS triangles,
+        |  round(CASE WHEN deg.d < 2 THEN 0
+        |        ELSE 2.0 * coalesce(tri.t, 0) / (deg.d * (deg.d - 1)) END, 4) AS coeff
+        |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
+
+
+    // closed-form BFS levels on the placed/contains/supplied_by DAG
+    // (see GraphXTraversal.shortestPathsDF): landmark suppliers 0,
+    // their parts 1, orders containing those parts 2, customers 3
+    "shortest_paths" ->
+      """WITH lm AS (
+        |  -- a landmark is a DAG vertex only if some edge references it
+        |  SELECT CAST(4000000 + s_suppkey AS BIGINT) AS lid FROM supplier
+        |  WHERE s_suppkey BETWEEN 1 AND 3
+        |    AND s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        |), d1 AS (
+        |  SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS v,
+        |         CAST(4000000 + l_suppkey AS BIGINT) AS lid
+        |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 3
+        |), d2 AS (
+        |  SELECT DISTINCT CAST(6000000 + l.l_orderkey AS BIGINT) AS v, d1.lid
+        |  FROM lineitem l JOIN d1 ON CAST(5000000 + l.l_partkey AS BIGINT) = d1.v
+        |), d3 AS (
+        |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS v, d2.lid
+        |  FROM orders o JOIN d2 ON CAST(6000000 + o.o_orderkey AS BIGINT) = d2.v
+        |)
+        |SELECT vertex_id, landmark_id, dist FROM (
+        |  SELECT lid AS vertex_id, lid AS landmark_id, CAST(0 AS INT) AS dist FROM lm
+        |  UNION ALL SELECT v, lid, CAST(1 AS INT) FROM d1
+        |  UNION ALL SELECT v, lid, CAST(2 AS INT) FROM d2
+        |  UNION ALL SELECT v, lid, CAST(3 AS INT) FROM d3)""".stripMargin,
+  )
+}

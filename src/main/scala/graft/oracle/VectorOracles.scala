@@ -1,0 +1,204 @@
+package graft.oracle
+
+import Ctes._
+import graft.pipeline.TextOps
+
+/** DuckDB oracle twins — the embedding/ANN family: brute-force, IVF/PQ/LSH via
+  * md5-derived replicated indexes, re-rank and recall audits.
+  * Same column names/types/values as the SparkEntry.queries entries they
+  * mirror; the driver hash-compares them per round. */
+object VectorOracles {
+  val sql: Map[String, String] = Map(
+
+    "embedding_norms" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS norm
+        |FROM embeddings""".stripMargin,
+
+
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nb, list_cosine_similarity(qv, embedding::DOUBLE[]) AS sim
+        |      FROM q, embeddings WHERE vec_id <> qid),
+        |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM s)
+        |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 10""".stripMargin,
+
+
+    // Replicated-index ANN oracles: DuckDB re-derives the trained index
+    // itself (unrolled Lloyd CTEs), then replays assignment, probe,
+    // shortlist, and re-rank — full rows+schema+hash checks on what were
+    // rows-only entries through round 7.
+    "ann_ivf" -> ivfOracleSql("TRUE"),
+
+    // same chain; the neighbor side filters to 'en' docs before the rank
+    "ann_ivf_filtered" ->
+      s"""WITH ${ivfChainCte("TRUE")},
+         |scored AS (SELECT p.q, a.nb, list_cosine_similarity(p.qv, a.nbv) AS sim
+         |    FROM probe p JOIN asg a USING (cell)
+         |    JOIN documents dd ON dd.doc_id = a.nb AND dd.lang = 'en'
+         |    WHERE a.nb <> p.q),
+         |ivf AS (SELECT q, nb, sim FROM (
+         |    SELECT q, nb, sim, row_number() OVER (PARTITION BY q
+         |      ORDER BY sim DESC, nb) AS rn FROM scored) WHERE rn <= 10)
+         |$ivfSelect""".stripMargin,
+
+    "ann_ivf_opened" -> ivfOracleSql("TRUE"), // parity with the built index,
+
+    "ann_ivf_appended" -> ivfOracleSql("vec_id % 7 <> 0"),
+
+    "ann_pq" -> s"WITH $rawEmbCte,\n$pqChainCte,\n${pqRankCte(candJoin = false)}\n$pqSelect",
+
+    "ann_ivfpq" -> s"WITH ${ivfChainCte("TRUE")},\n$pqChainCte,\n${pqRankCte(candJoin = true)}\n$pqSelect",
+
+    "ann_ivf_recall" ->
+      s"""WITH ${ivfChainCte("TRUE")},
+         |$ivfRankCte,
+         |$exactTopKCte
+         |SELECT CAST(i.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM ivf i LEFT JOIN ex e ON i.q = e.q AND i.nb = e.nb
+         |GROUP BY i.q""".stripMargin,
+
+    "ann_ivfpq_recall" ->
+      s"""WITH ${ivfChainCte("TRUE")},
+         |$pqChainCte,
+         |${pqRankCte(candJoin = true)},
+         |$exactTopKCte
+         |SELECT CAST(p.qid AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM pq p LEFT JOIN ex e ON p.qid = e.q AND p.vec_id = e.nb
+         |GROUP BY p.qid""".stripMargin,
+
+
+    // SemDeDup twin: the SAME replicated k-means chain as ann_ivf gives
+    // the cell assignment — but with the dedup k-derivation
+    // k = max(16, ⌈√N⌉) replayed (IEEE sqrt/ceil are correctly rounded,
+    // so both engines derive the same k), making the registered
+    // contract the O(N^1.5)-balanced one; the verify stage is a plain
+    // within-cell cosine predicate — both halves oracle-checked.
+    "dedup_semantic" ->
+      s"""WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))")}
+         |SELECT CAST(a.nb AS BIGINT) AS a, CAST(b.nb AS BIGINT) AS b,
+         |  CAST(a.cell AS BIGINT) AS cell,
+         |  round(list_cosine_similarity(a.nbv, b.nbv), 4) AS sim
+         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.nb < b.nb
+         |WHERE list_cosine_similarity(a.nbv, b.nbv) >= 0.45""".stripMargin,
+
+
+    "mmr_rerank" -> mmrSql(5, 20, 0.7),
+
+
+    // Random-projection twins: the ±1 matrix is the same md5 derivation
+    // as the LSH planes, so the projection — and the recall of search in
+    // projected space — replay exactly.
+    "rp_project" ->
+      s"""WITH $rawEmbCte,
+         |${planesCte(16)},
+         |proj AS (SELECT v.vec_id, p.j,
+         |    ${dotSql("v.x", "p.pw")} / sqrt(16.0) AS val
+         |  FROM raw v, planes p)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j,
+         |  round(val, 4) AS v FROM proj""".stripMargin,
+
+    // ann_topk's scoring with the duplicate band excluded BEFORE ranking
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nb, list_cosine_similarity(qv, embedding::DOUBLE[]) AS sim
+        |      FROM q, embeddings WHERE vec_id <> qid),
+        |f AS (SELECT * FROM s WHERE sim < 0.45),
+        |r AS (SELECT qid, nb, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nb) AS rn FROM f)
+        |SELECT CAST(qid AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 10""".stripMargin,
+
+
+    // rp_recall's contract with the projection replaced by the plain
+    // 16-dim PREFIX slice (the matryoshka question)
+    "matryoshka_recall" ->
+      s"""WITH $rawEmbCte,
+         |projv AS (SELECT vec_id, x[1:16] AS y FROM raw),
+         |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
+         |$exactTopKCte,
+         |rqs AS (SELECT vec_id AS q, y AS qy FROM projv WHERE vec_id < 10),
+         |rp AS (SELECT q, nb FROM (
+         |    SELECT rqs.q, pv.vec_id AS nb, row_number() OVER (PARTITION BY rqs.q
+         |      ORDER BY list_cosine_similarity(rqs.qy, pv.y) DESC, pv.vec_id) AS rn
+         |    FROM rqs, projv pv WHERE pv.vec_id <> rqs.q) WHERE rn <= 10)
+         |SELECT CAST(rp.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM rp LEFT JOIN ex e ON rp.q = e.q AND rp.nb = e.nb
+         |GROUP BY rp.q""".stripMargin,
+
+
+    "rp_recall" ->
+      s"""WITH $rawEmbCte,
+         |${planesCte(16)},
+         |projv AS (SELECT vec_id, list(val ORDER BY j) AS y FROM (
+         |    SELECT v.vec_id, p.j, ${dotSql("v.x", "p.pw")} / sqrt(16.0) AS val
+         |    FROM raw v, planes p) GROUP BY vec_id),
+         |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
+         |$exactTopKCte,
+         |rqs AS (SELECT vec_id AS q, y AS qy FROM projv WHERE vec_id < 10),
+         |rp AS (SELECT q, nb FROM (
+         |    SELECT rqs.q, pv.vec_id AS nb, row_number() OVER (PARTITION BY rqs.q
+         |      ORDER BY list_cosine_similarity(rqs.qy, pv.y) DESC, pv.vec_id) AS rn
+         |    FROM rqs, projv pv WHERE pv.vec_id <> rqs.q) WHERE rn <= 10)
+         |SELECT CAST(rp.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM rp LEFT JOIN ex e ON rp.q = e.q AND rp.nb = e.nb
+         |GROUP BY rp.q""".stripMargin,
+
+
+    // Hyperplane-LSH twins: the md5-derived ±1 plane matrix
+    // (Hyperplanes.matrix) is re-derived IN SQL, so bucketing and the
+    // exact-cosine verify stage are both oracle-checked.
+    "ann_lsh" ->
+      s"""WITH ${lshChainCte(32, 8)},
+         |cand AS (SELECT DISTINCT qb.vec_id AS q, cb.vec_id AS nb
+         |  FROM band cb JOIN band qb ON cb.band = qb.band AND cb.bh = qb.bh
+         |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+         |scored AS (SELECT c.q, c.nb, list_cosine_similarity(qv.x, cv.x) AS sim
+         |  FROM cand c JOIN raw qv ON qv.vec_id = c.q JOIN raw cv ON cv.vec_id = c.nb)
+         |SELECT CAST(q AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim FROM (
+         |  SELECT q, nb, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH ${lshChainCte(64, 4)},
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+         |scored AS (SELECT c.a, c.b, list_cosine_similarity(va.x, vb.x) AS sim
+         |  FROM cand c JOIN raw va ON va.vec_id = c.a JOIN raw vb ON vb.vec_id = c.b)
+         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, round(sim, 4) AS sim
+         |FROM scored WHERE sim >= 0.45""".stripMargin,
+
+
+    // SimHash twin: md5-derived per-token hashes (TextOps.tokenHashes)
+    // make the signature pure integer math both engines compute
+    // identically — bit j of a token's hash is a nibble-bit of its md5
+    // hex, the fingerprint bit is the sign of the ±1 bit-sum, bands are
+    // 16-bit slices, hamming is the differing-bit count.
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |th AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |hh AS (SELECT doc_id, md5(tok) AS m FROM th),
+        |bitsum AS (SELECT doc_id, t.j AS j,
+        |    sum(((strpos('0123456789abcdef', substr(m, CAST(16 - t.j // 4 AS INT), 1)) - 1)
+        |         >> CAST(t.j % 4 AS INT)) & 1) * 2 - count(*) AS s
+        |  FROM hh, range(64) t(j) GROUP BY doc_id, t.j),
+        |fpb AS (SELECT d.doc_id, t.j AS j,
+        |    CASE WHEN coalesce(bs.s, 0) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM documents d CROSS JOIN range(64) t(j)
+        |  LEFT JOIN bitsum bs ON bs.doc_id = d.doc_id AND bs.j = t.j),
+        |band AS (SELECT doc_id, CAST(j // 16 AS INT) AS band,
+        |    sum(bit * (1 << CAST(j % 16 AS INT))) AS bh
+        |  FROM fpb GROUP BY doc_id, CAST(j // 16 AS INT)),
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |ham AS (SELECT p.a, p.b, sum(CASE WHEN xa.bit <> xb.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM pairs p JOIN fpb xa ON xa.doc_id = p.a JOIN fpb xb ON xb.doc_id = p.b AND xa.j = xb.j
+        |  GROUP BY p.a, p.b)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3""".stripMargin,
+  )
+}
