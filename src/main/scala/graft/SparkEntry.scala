@@ -952,6 +952,17 @@ object SparkEntry {
       // leftover seats by (remainder desc, source) — integer window math
       // over the #sources dimension
       TextOps.quotaApportion(docs(s, d), 1000L)),
+    "epoch_plan" -> ((s, d) =>
+      // the data-recipe table: equal token budget per source, epoch cap
+      // with one largest-remainder redistribution round, epochs as the
+      // exact integer epochs_ppm (NEW r11; at sf0.01 the constants
+      // exercise capped, capped-by-redistribution, and uncapped paths)
+      TextOps.epochPlan(docs(s, d), 110000L, 4L)),
+    "shard_manifest" -> ((s, d) =>
+      // deterministic training shards: multiplicative-hash shard + a
+      // second-hash shuffled position per shard — no global sort, one
+      // shuffle by shard (NEW r11)
+      TextOps.shardManifest(docs(s, d), 8)),
     "quality_tiers" -> ((s, d) =>
       // CCNet-style head/middle/tail by within-lang LM plausibility —
       // integer bitlen-logprob score, integer-exact tertile cuts
@@ -1127,6 +1138,15 @@ object SparkEntry {
       // ANN index across query batches, it does not retrain per query)
       VectorOps.ivfSearch(
         VectorOps.IvfCache.index(s, d), emb(s, d).where(col("vec_id") < 10), 10)
+    },
+    "knn_graph" -> { (s, d) =>
+      // the whole corpus as the query side (NEW r11): top-5 neighbors
+      // per vector via the memoized DEDUP-scaled index (k = ⌈√N⌉ cells,
+      // so the batch self-search stays O(N^1.5) like dedup_semantic —
+      // a fixed-k index would make this O(N²/k)); query side NOT
+      // broadcast — cell equi-join with both sides shuffled, the
+      // bucketed kNN-graph build SemDeDup-style clustering starts from
+      VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), emb(s, d), 5, 4)
     },
     "ann_ivf_filtered" -> { (s, d) =>
       // metadata-filtered vector search: neighbors restricted to 'en'

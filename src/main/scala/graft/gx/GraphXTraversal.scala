@@ -394,13 +394,30 @@ object GraphXTraversal {
       val counts = ed.join(labels.select(col("v").as("y"), col("lbl")), "y")
         .groupBy(col("x").as("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      labels = counts.groupBy(col("v"))
+      val next = counts.groupBy(col("v"))
         .agg(min_by(col("lbl"),
           struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
         .localCheckpoint(true)
+      releaseCheckpoint(labels) // §18 discipline: free the prior round
+      labels = next
     }
-    labels
+    releaseCheckpoint(ed)
+    labels // retained: buildLpa memoizes it (lpaCache)
   }
+
+  /** Free an eager localCheckpoint's blocks (the §18 release discipline
+    * for DataFrame loops): the checkpoint parks edge/vertex-scale
+    * partitions in the block manager keyed by an internal RDD that only
+    * the checkpointed plan references — dropping the DataFrame leaves
+    * reclamation to the ContextCleaner, which only runs after a driver
+    * GC; meanwhile a filling storage pool evicts the session's MEMOIZED
+    * views and later queries pay full recomputes (the §16
+    * tail-poisoning disease, round 9). Unpersist the backing RDD
+    * explicitly the moment the next round is materialized. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Newman modularity of the [[communitiesLpaDF]] labeling — the "did
     * LPA find real structure" number: Q = Σ_c [in_c∕m − (deg_c∕2m)²]
@@ -508,17 +525,24 @@ object GraphXTraversal {
     var r = 0
     while (!converged && r < cap) {
       val alive = degrees(edges).where(col("d") >= k).select(col("v"))
-      edges = edges
+      val next = edges
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      releaseCheckpoint(edges) // §18 discipline: free the prior round
+      edges = next
       val n = edges.count()
       converged = n == prev || n == 0L
       prev = n
       r += 1
     }
-    degrees(edges).withColumn("converged", lit(converged))
+    // materialize the vertex-scale answer and release the final
+    // edge-scale checkpoint — the result must not pin the edge set
+    val out = degrees(edges).withColumn("converged", lit(converged))
+      .localCheckpoint(true)
+    releaseCheckpoint(edges)
+    out
   }
 
   /**

@@ -114,6 +114,36 @@ object CorpusOracles {
 
     // per-source seat allocation: base = (B·n)÷N, leftover seats by
     // (remainder desc, source) — every term an integer
+    // the data-recipe planner: equal integer token budget per source,
+    // epoch cap, ONE largest-remainder redistribution round over the
+    // uncapped sources, a final clamp — every quantity an exact integer
+    // (epochs emitted as 10^6*alloc div tokens, never a rounded rational)
+    "epoch_plan" ->
+      """WITH tok AS (SELECT source,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, t,
+        |    110000 // count(*) OVER ()
+        |      + CASE WHEN row_number() OVER (ORDER BY source) <= 110000 % count(*) OVER ()
+        |             THEN 1 ELSE 0 END AS quota,
+        |    4 * t AS cap_alloc
+        |  FROM tok),
+        |f AS (SELECT sum(CASE WHEN quota > cap_alloc THEN quota - cap_alloc ELSE 0 END) AS freed,
+        |             sum(CASE WHEN quota <= cap_alloc THEN t ELSE 0 END) AS u FROM q),
+        |unc AS (SELECT q.source, (f.freed * q.t) // f.u AS base2,
+        |    (f.freed * q.t) % f.u AS rem2, f.freed AS freed
+        |  FROM q, f WHERE q.quota <= q.cap_alloc AND f.freed > 0 AND f.u > 0),
+        |ex AS (SELECT source, base2 + CASE WHEN
+        |      row_number() OVER (ORDER BY rem2 DESC, source) <= freed - sum(base2) OVER ()
+        |      THEN 1 ELSE 0 END AS extra FROM unc),
+        |w AS (SELECT q.source, q.t, q.cap_alloc, q.quota + coalesce(ex.extra, 0) AS want
+        |  FROM q LEFT JOIN ex USING (source))
+        |SELECT source, CAST(t AS BIGINT) AS tokens,
+        |  CAST(least(cap_alloc, want) AS BIGINT) AS alloc_tokens,
+        |  CAST(1000000 * least(cap_alloc, want) // t AS BIGINT) AS epochs_ppm,
+        |  want > cap_alloc AS capped
+        |FROM w""".stripMargin,
+
     "quota_apportion" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
         |t AS (SELECT c.*, sum(n_docs) OVER () AS n FROM c),

@@ -118,7 +118,9 @@ object Ctes {
     * TRUE for the plain index; the appended index trains on 6/7 of the
     * corpus and assigns the rest to the frozen centroids (ivfAppend) —
     * which is exactly "train on the base subset, assign everyone". */
-  private[oracle] def ivfChainCte(baseFilter: String, kExpr: String = "16"): String = {
+  private[oracle] def ivfChainCte(baseFilter: String, kExpr: String = "16",
+                                  qsFilter: String = "vec_id < 10",
+                                  nProbe: Int = 10): String = {
     val lloyd = (1 to 3).map { it =>
       s"""a$it AS (SELECT cell, x FROM (
          |    SELECT c.cell, s.x, row_number() OVER (PARTITION BY s.vec_id
@@ -143,21 +145,23 @@ object Ctes {
        |    SELECT r.vec_id, r.x, c.cell, row_number() OVER (PARTITION BY r.vec_id
        |      ORDER BY list_cosine_similarity(r.x, c.cv) DESC, c.cell) AS rn
        |    FROM raw r, c3 c) WHERE rn = 1),
-       |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
+       |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE $qsFilter),
        |probe AS (SELECT q, qv, cell FROM (
        |    SELECT qs.q, qs.qv, c.cell, row_number() OVER (PARTITION BY qs.q
        |      ORDER BY list_cosine_similarity(qs.qv, c.cv) DESC, c.cell) AS rn
-       |    FROM qs, c3 c) WHERE rn <= 10)""".stripMargin
+       |    FROM qs, c3 c) WHERE rn <= $nProbe)""".stripMargin
   }
 
   /** `scored` + `ivf` = (q, nb, sim): exact re-rank of the probed cells'
     * members, top-10 per query by (sim desc, nb). */
-  private[oracle] val ivfRankCte =
-    """scored AS (SELECT p.q, a.nb, list_cosine_similarity(p.qv, a.nbv) AS sim
-      |    FROM probe p JOIN asg a USING (cell) WHERE a.nb <> p.q),
-      |ivf AS (SELECT q, nb, sim FROM (
-      |    SELECT q, nb, sim, row_number() OVER (PARTITION BY q
-      |      ORDER BY sim DESC, nb) AS rn FROM scored) WHERE rn <= 10)""".stripMargin
+  private[oracle] def ivfRankCteK(topK: Int): String =
+    s"""scored AS (SELECT p.q, a.nb, list_cosine_similarity(p.qv, a.nbv) AS sim
+       |    FROM probe p JOIN asg a USING (cell) WHERE a.nb <> p.q),
+       |ivf AS (SELECT q, nb, sim FROM (
+       |    SELECT q, nb, sim, row_number() OVER (PARTITION BY q
+       |      ORDER BY sim DESC, nb) AS rn FROM scored) WHERE rn <= $topK)""".stripMargin
+
+  private[oracle] val ivfRankCte = ivfRankCteK(10)
 
   private[oracle] val ivfSelect =
     "SELECT CAST(q AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, round(sim, 4) AS sim FROM ivf"

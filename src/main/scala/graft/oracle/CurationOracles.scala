@@ -160,6 +160,17 @@ object CurationOracles {
         |FROM m JOIN g USING (k)""".stripMargin,
 
 
+    // deterministic shard + shuffled in-shard position, both pure
+    // portable integer-hash functions of doc_id (split_assign family;
+    // the second multiplicative constant is the public xxhash prime)
+    "shard_manifest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY (((doc_id % 2147483648) * 2654435761) % 4294967296) % 8
+        |    ORDER BY ((doc_id % 2147483648) * 2246822519) % 4294967296, doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+
     "split_assign" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split

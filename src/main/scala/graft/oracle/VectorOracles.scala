@@ -31,6 +31,13 @@ object VectorOracles {
     // rows-only entries through round 7.
     "ann_ivf" -> ivfOracleSql("TRUE"),
 
+    // the corpus-as-queries batch self-search: same replayed IVF chain
+    // at the dedup-scaled k = ⌈√N⌉ (the O(N^1.5) contract), every vector
+    // a query (qsFilter TRUE), nProbe 4, top-5 per vector
+    "knn_graph" ->
+      s"WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))",
+        qsFilter = "TRUE", nProbe = 4)},\n${ivfRankCteK(5)}\n$ivfSelect",
+
     // same chain; the neighbor side filters to 'en' docs before the rank
     "ann_ivf_filtered" ->
       s"""WITH ${ivfChainCte("TRUE")},

@@ -2123,6 +2123,108 @@ object TextOps {
   }
 
   /**
+   * Data-recipe epoch planner — the "how many times does each source
+   * repeat" table a training run is provisioned from: an integer TOKEN
+   * budget is apportioned EQUALLY across sources (largest remainder on
+   * uniform weights — the temperature-0 recipe that upsamples small
+   * high-quality feeds), sources whose equal share exceeds `maxEpochs`
+   * passes over their corpus are CAPPED at maxEpochs·tokens, and the
+   * freed budget re-apportions across the uncapped sources
+   * proportionally to their token mass (one redistribution round — the
+   * documented contract; a source pushed past its cap BY the
+   * redistribution is clamped by a final min and flagged).
+   *
+   * §28 float discipline: every quantity is an exact integer
+   * (whitespace-token sums, div/mod apportionment); the epochs figure
+   * is emitted as `epochs_ppm` = 10⁶·alloc div tokens — an exact
+   * integer both engines reproduce bit-for-bit, instead of a rounded
+   * rational that can land on a half-point. Long bounds: budget·t_s and
+   * 10⁶·alloc must stay under 2⁶³ (budget ≤ ~10¹² tokens against ~10⁹-
+   * token sources; widen to DECIMAL(38) past that).
+   *
+   * Shape: one corpus aggregation to (source, tokens), then window math
+   * over the #sources-row dimension plus one scalar fold — driver-free
+   * on the corpus, exact at any size. Returns (source, tokens,
+   * alloc_tokens, epochs_ppm, capped).
+   */
+  def epochPlan(docs: DataFrame, budget: Long, maxEpochs: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val w = Window.partitionBy()
+    val q = docs
+      .select(col("source"), nTokens(col("text")).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("t"))
+      .withColumn("s", count(lit(1)).over(w))
+      .withColumn("base", expr(s"$budget div s"))
+      .withColumn("leftover", lit(budget) - expr(s"s * ($budget div s)"))
+      // equal weights tie on remainder by construction: seat order is
+      // the source name itself (deterministic in both engines)
+      .withColumn("rk", row_number().over(Window.orderBy(col("source"))))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("cap_alloc", lit(maxEpochs) * col("t"))
+      .select(col("source"), col("t"), col("quota"), col("cap_alloc"))
+      .persist()
+    val f = q.agg(
+      sum(when(col("quota") > col("cap_alloc"),
+        col("quota") - col("cap_alloc")).otherwise(0L)).as("freed"),
+      sum(when(col("quota") <= col("cap_alloc"), col("t")).otherwise(0L)).as("u"))
+      .head()
+    val (freed, u) =
+      (if (f.isNullAt(0)) 0L else f.getLong(0), if (f.isNullAt(1)) 0L else f.getLong(1))
+    val unc = q.where(col("quota") <= col("cap_alloc"))
+    val extra =
+      if (freed > 0 && u > 0)
+        unc
+          .withColumn("base2", expr(s"$freed * t div $u"))
+          .withColumn("rem2", expr(s"$freed * t % $u"))
+          .withColumn("leftover2", lit(freed) - sum(col("base2")).over(w))
+          .withColumn("rk2", row_number().over(
+            Window.orderBy(col("rem2").desc, col("source"))))
+          .select(col("source"),
+            (col("base2") + when(col("rk2") <= col("leftover2"), 1L)
+              .otherwise(0L)).as("extra"))
+      else unc.select(col("source"), lit(0L).as("extra"))
+    val out = q.join(extra, Seq("source"), "left_outer")
+      .withColumn("want", col("quota") + coalesce(col("extra"), lit(0L)))
+      .select(col("source"), col("t").as("tokens"),
+        least(col("cap_alloc"), col("want")).as("alloc_tokens"),
+        expr("1000000 * least(cap_alloc, want) div t").as("epochs_ppm"),
+        (col("want") > col("cap_alloc")).as("capped"))
+      .localCheckpoint(true)
+    q.unpersist(blocking = false)
+    out
+  }
+
+  /**
+   * Deterministic training-shard manifest — the last step before
+   * writing shards: every doc gets a shard (multiplicative integer
+   * hash, the [[splitAssign]] family, so assignment is a pure portable
+   * function of doc_id) and a reproducible pseudo-random position
+   * within its shard (rank by a SECOND independent multiplicative
+   * hash — 2246822519, the public xxhash prime — doc_id tiebreak), so a
+   * training run reads shards in a stable shuffled order with no global
+   * sort anywhere: the manifest is one shuffle by shard and a per-shard
+   * window over corpus∕nShards rows. At 100 TB nShards is tens of
+   * thousands and each shard's window sorts one worker-sized slice.
+   * Returns (doc_id, shard, pos).
+   */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    val h1 = expr("((doc_id % 2147483648) * 2654435761) % 4294967296")
+    val h2 = expr("((doc_id % 2147483648) * 2246822519) % 4294967296")
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (h1 % nShards).cast("long").as("shard"), h2.as("h2"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /**
    * CCNet-style quality tiers: rank documents within each language by
    * a unigram-LM plausibility score and cut into head/middle/tail
    * tertiles (CCNet buckets by Wikipedia-LM perplexity; the integer

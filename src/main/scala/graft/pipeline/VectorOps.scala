@@ -418,6 +418,38 @@ object VectorOps {
         .join(allowed.select(col("vec_id").as("nb")).distinct(), "nb")),
       queries, topK, nProbe)
 
+  /** k-NN GRAPH over the embedding corpus via the IVF index: every
+    * vector's top-k cosine neighbors in one batch self-search — the
+    * primitive SemDeDup-style clustering, duplicate-graph analysis, and
+    * graph-based label propagation start from. Differs from
+    * [[ivfSearch]] in ONE plan decision: the query side is the WHOLE
+    * corpus, so it is NOT broadcast — queries rank their nProbe cells
+    * against the broadcast centroid table (corpus×k rows through one
+    * per-query window), then meet the indexed members in a plain cell
+    * equi-join (both sides shuffle by cell — each side corpus-scale,
+    * never corpus×corpus), and the per-query top-k heap truncates
+    * before the final exchange. At 100 TB this is the canonical
+    * bucketed kNN-graph build; a broadcast query side would ship the
+    * corpus to every task. Returns (q, nb, sim round(4)) — k rows per
+    * vector. */
+  def knnGraph(index: IvfIndex, vectors: DataFrame, topK: Int = 5,
+               nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("q")).orderBy(col("s").desc, col("cell"))
+    val q = vectors
+      .select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
+      .join(broadcast(index.centroids), lit(true))
+      .select(col("q"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("s"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
+      .select(col("q"), col("qv"), col("cell"))
+    val scored = index.indexed.join(q, Seq("cell"))
+      .where(col("q") =!= col("nb"))
+      .select(col("q"), col("nb"),
+        cosineBest(vectors.sparkSession, col("qv"), col("nbv")).as("sim"))
+    groupedTopK(scored, "q", "nb", "sim", topK)
+      .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
+  }
+
   /** One-shot build + search (tests and ad-hoc use; long-lived deployments
     * hold the [[IvfIndex]] and call [[ivfSearch]] per query batch). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 10,

@@ -1761,4 +1761,68 @@ class PipelineSpec extends AnyFunSuite {
     val b = TextOps.bpeLearn(base.repartition(7), 6).collect().toSeq
     assert(a == b)
   }
+
+  test("epochPlan: cap, one redistribution round, final clamp — hand-checked integers") {
+    // three sources, budget 600 equal-split to 200 each, cap 2 epochs:
+    //   tiny  (t=40):  cap 80  < 200 -> capped, frees 120
+    //   mid   (t=90):  cap 180 < 200 -> capped, frees 20
+    //   big   (t=400): cap 800 >= 200 -> uncapped, absorbs all 140 freed
+    // redistribution (proportional to t over uncapped {big}): big +140
+    //   -> want 340 <= 800: uncapped, epochs_ppm = 1e6*340 div 400 = 850000
+    val d = Seq(
+      ("tiny", ("w " * 40).trim), ("mid", ("w " * 90).trim),
+      ("big", ("w " * 400).trim)).toDF("source", "text")
+    val out = TextOps.epochPlan(d, 600L, 2L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out("tiny") == ((40L, 80L, 2000000L, true)))
+    assert(out("mid") == ((90L, 180L, 2000000L, true)))
+    assert(out("big") == ((400L, 340L, 850000L, false)))
+    // the clamp path: cap 1 epoch -> big's 200+freed overflows its own
+    // cap (400), so it is clamped AND flagged
+    val clamped = TextOps.epochPlan(d, 2000L, 1L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(clamped("big") == ((400L, true)) &&
+      clamped("tiny") == ((40L, true)) && clamped("mid") == ((90L, true)))
+  }
+
+  test("shardManifest: deterministic shards; positions are a 1..n permutation per shard") {
+    val d = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val m = TextOps.shardManifest(d.toDF(), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.length == 1000)
+    // shard is the split_assign-family multiplicative hash mod 8
+    m.foreach { case (id, sh, _) =>
+      assert(sh == ((id % 2147483648L) * 2654435761L % 4294967296L) % 8) }
+    // per shard: pos is exactly 1..count (a permutation, no gaps/dups)
+    m.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) }
+    // and the order is NOT the doc_id order (the second hash shuffles)
+    val shard0 = m.filter(_._2 == m.head._2).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+    // deterministic across runs/partitionings
+    val again = TextOps.shardManifest(d.repartition(7).toDF(), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(again == m.sorted.toSeq)
+  }
+
+  test("knnGraph: the non-broadcast batch self-search equals ivfSearch on the same queries") {
+    val corpus = (0L until 80L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = VectorOps.ivfBuild(corpus, k = 4, iters = 2)
+    val g = VectorOps.knnGraph(idx, corpus, topK = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every vector gets rows, k-bounded
+    val byQ = g.groupBy(_._1)
+    assert(byQ.keySet == (0L until 80L).toSet)
+    assert(byQ.values.forall(_.size <= 3))
+    // plan-shape difference must not change answers: the broadcast-query
+    // ivfSearch on a 5-vector slice agrees row-for-row
+    val slice = corpus.where(col("vec_id") < 5)
+    val direct = VectorOps.ivfSearch(idx, slice, topK = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(g.filter(_._1 < 5L) == direct)
+    idx.indexed.unpersist(false)
+  }
 }

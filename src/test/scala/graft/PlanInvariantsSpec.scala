@@ -46,6 +46,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // same k-row centroid broadcast as ann_ivf (the IVF assignment
       // inside the memoized index build); the pair join itself is equi
       "dedup_semantic",
+      // the kNN-graph probe broadcasts ONLY the k-row centroid table;
+      // the corpus-sized query side meets the index in a cell equi-join
+      // (knnGraph deliberately does NOT broadcast its query side)
+      "knn_graph",
       // brute-force in projected + original space: two tiny query
       // broadcasts (the ann_topk shape, twice)
       "rp_recall",
