@@ -849,6 +849,10 @@ object SparkEntry {
       // representative per transitive cluster; oracle recomputes the
       // closure with a recursive CTE over the exact-Jaccard pair set
       TextOps.dedupClusters(docs(s, d), 0.8)),
+    "dedup_keep_best" -> ((s, d) =>
+      // same clusters, best-keeper policy: keep the LONGEST doc per
+      // cluster (max n_chars, ties to min doc_id) — integer argmax
+      TextOps.dedupKeepBest(docs(s, d), 0.8)),
     "dedup_simhash" -> ((s, d) => TextOps.simhashPairs(docs(s, d), 3)),
     "dedup_edit" -> ((s, d) =>
       // character-level verify over the LSH candidates: the contract is
@@ -926,6 +930,14 @@ object SparkEntry {
       // rank per token + broadcast range-join against 10 cutoffs —
       // cumulative distinct WITHOUT per-prefix rescans
       TextOps.heapsLaw(docs(s, d))),
+    "zipf_slope" -> ((s, d) =>
+      // rank–frequency OLS slope per lang: ranks from the frequency
+      // HISTOGRAM (no vocabulary sort), moments as integer micros
+      TextOps.zipfSlope(docs(s, d))),
+    "token_entropy" -> ((s, d) =>
+      // unigram entropy per lang in nats: c·ln c as integer micros,
+      // DECIMAL sum, one final double expression
+      TextOps.tokenEntropy(docs(s, d))),
     "dsir_weights" -> ((s, d) =>
       // DSIR importance weights toward the 'en' slice: hashed-bigram
       // profiles, integer floor-log2 ratios (bin-length — no libm log

@@ -553,9 +553,11 @@ object GraphXTraversal {
    * (n_edges, r).
    *
    * Float discipline: every aggregate in the formula is an EXACT
-   * integer sum (degrees are ints, edge counts are longs), kept as
-   * longs until the single final division — so the oracle replays the
-   * number bit-for-bit instead of chasing float-fold order. Shape: one
+   * integer sum (degrees are ints, edge counts are longs), carried in
+   * DECIMAL(38,0) until the single final division — so the oracle
+   * replays the number bit-for-bit instead of chasing float-fold
+   * order, and no product wraps at any physical scale (see
+   * [[assortativityMoments]]). Shape: one
    * vertex-sized degree table joined to the edge list on each endpoint
    * (two dimension joins), one scalar fold.
    */
@@ -575,21 +577,37 @@ object GraphXTraversal {
       .unionAll(e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
         .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
         .select(col("db").as("x"), col("da").as("y")))
-    val s = xy.agg(
-      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy")).head()
-    val (n, sx, sy, sxy, sxx, syy) = (s.getLong(0), s.getLong(1), s.getLong(2),
-      s.getLong(3), s.getLong(4), s.getLong(5))
-    // the SUMS fit longs (Σd·d′ ≤ maxDeg²·2|E|) but the combinations
-    // n·Σx² − (Σx)² overflow past ~10⁶ edges — combine in BigInt (the
-    // DuckDB twin's integer ops widen to HUGEINT the same way)
-    val num = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
-    val den = math.sqrt((BigInt(n) * sxx - BigInt(sx) * sx).toDouble) *
-      math.sqrt((BigInt(n) * syy - BigInt(sy) * sy).toDouble)
+    val (n, sx, sy, sxy, sxx, syy) = assortativityMoments(xy)
+    val num = (BigInt(n) * sxy - sx * sy).toDouble
+    val den = math.sqrt((BigInt(n) * sxx - sx * sx).toDouble) *
+      math.sqrt((BigInt(n) * syy - sy * sy).toDouble)
     val r = if (den == 0d) 0d else num / den
     spark.createDataFrame(Seq((n / 2, BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
       .toDF("n_edges", "r")
+  }
+
+  /** Exact integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) over an
+    * endpoint-degree frame (columns `x`, `y` long), carried in
+    * DECIMAL(38,0) — the same widening as [[modularityNumerator]]: the
+    * former Long chain held only while Σd·d′ ≤ 2⁶³, which a hub of
+    * degree ~10⁵ on a 10¹⁰-edge graph (the 100× regime) breaks, and
+    * non-ANSI Spark wraps silently. Degrees are ints (≤ 2³¹), so the
+    * DECIMAL(18,0) factor cast is lossless and each product stays
+    * within the 38-digit sum cap for any physical edge count; the
+    * DuckDB twin's BIGINT sums widen to HUGEINT natively. Package-
+    * visible so the overflow spec can inject synthetic degree rows
+    * whose single product exceeds Long range. */
+  private[graft] def assortativityMoments(xy: DataFrame)
+      : (Long, BigInt, BigInt, BigInt, BigInt, BigInt) = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val x = col("x").cast(d18)
+    val y = col("y").cast(d18)
+    val s = xy.agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy")).head()
+    def bi(i: Int): BigInt =
+      if (s.isNullAt(i)) BigInt(0) else BigInt(s.getDecimal(i).toBigInteger)
+    (s.getLong(0), bi(1), bi(2), bi(3), bi(4), bi(5))
   }
 
   /** Memoized label-filtered graphs, same LRU discipline as

@@ -30,6 +30,45 @@ object CorpusOracles {
         |FROM documents GROUP BY lang""".stripMargin,
 
 
+    // histogram-derived competition ranks (no vocabulary sort), OLS
+    // moments quantized to integer micros per histogram row and summed
+    // in HUGEINT — the same op sequence as TextOps.zipfSlope
+    "zipf_slope" ->
+      """WITH toks AS (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT lang, tok, count(*) AS f FROM toks GROUP BY 1, 2),
+        |hist AS (SELECT lang, f, count(*) AS h FROM tf GROUP BY 1, 2),
+        |ranked AS (SELECT lang, f, h,
+        |  1 + coalesce(sum(h) OVER (PARTITION BY lang ORDER BY f DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+        |  FROM hist),
+        |s AS (SELECT lang,
+        |  CAST(sum(h) AS HUGEINT) AS n,
+        |  CAST(sum(f * h) AS BIGINT) AS n_tokens,
+        |  sum(CAST(floor(h * ln(r) * 1000000.0 + 0.5) AS HUGEINT)) AS sx,
+        |  sum(CAST(floor(h * ln(f) * 1000000.0 + 0.5) AS HUGEINT)) AS sy,
+        |  sum(CAST(floor(h * ln(r) * ln(f) * 1000000.0 + 0.5) AS HUGEINT)) AS sxy,
+        |  sum(CAST(floor(h * ln(r) * ln(r) * 1000000.0 + 0.5) AS HUGEINT)) AS sxx
+        |  FROM ranked GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS vocab, n_tokens,
+        |  CASE WHEN (n * sxx * 1000000 - sx * sx)::DOUBLE = 0 THEN 0.0
+        |       ELSE round((n * sxy * 1000000 - sx * sy)::DOUBLE /
+        |                  (n * sxx * 1000000 - sx * sx)::DOUBLE, 4) END AS slope
+        |FROM s""".stripMargin,
+
+
+    // c·ln c quantized to integer micros per term, HUGEINT sum, one
+    // final double expression — TextOps.tokenEntropy's twin
+    "token_entropy" ->
+      """WITH toks AS (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  round(ln(sum(c)) -
+        |    sum(CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
+        |      / 1000000.0 / sum(c)::DOUBLE, 6) AS entropy_nats
+        |FROM tf GROUP BY lang""".stripMargin,
+
+
     // first-occurrence attribution per distinct 3-gram: min doc_id over
     // the corpus, then a per-doc stale count — all integers; novelty is
     // the ratio of those integers (1.0 for gram-less docs)
@@ -978,6 +1017,34 @@ object CorpusOracles {
          |       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
          |       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
          |FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id""".stripMargin,
+
+
+    // same transitive closure, best-keeper policy: the representative is
+    // the cluster's longest doc (n_chars DESC, doc_id ASC) — the exact
+    // integer argmax TextOps.dedupKeepBest computes via max(struct)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |clust AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
+         |asg AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |    CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |    CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id),
+         |best AS (SELECT cluster_id, doc_id AS best_doc FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM asg) WHERE rn = 1)
+         |SELECT a.doc_id, a.cluster_id, a.doc_id = b.best_doc AS keep
+         |FROM asg a JOIN best b USING (cluster_id)""".stripMargin,
 
 
     "lang_id" ->

@@ -401,6 +401,30 @@ object TextOps {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Best-keeper variant of [[dedupClusters]]: same transitive
+    * near-dup clusters, but the kept representative is the LONGEST
+    * document (max n_chars, ties to the smaller doc_id) — the usual
+    * curation policy when a near-dup group mixes truncated and full
+    * versions of the same page, where min-doc_id would happily keep
+    * the truncation. Exact integer contract: the argmax is
+    * max(struct(n_chars, −doc_id)), no floats anywhere. Cost past the
+    * cluster assignment: one cluster-keyed aggregation (map-side
+    * combined; almost every cluster is a singleton, so the shuffle
+    * carries ~corpus rows of three longs) + one cluster-keyed
+    * equi-join. Returns (doc_id, cluster_id, keep) for EVERY doc. */
+  def dedupKeepBest(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val cl = dedupClusters(docs, threshold).select(col("doc_id"), col("cluster_id"))
+    val sized = cl.join(
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars")), "doc_id")
+    val best = sized.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nd")).as("best_doc"))
+    sized.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("best_doc")).as("keep"))
+  }
+
   /** Per-token 64-bit hashes — stage THIS as an attribute before
     * [[simhashFromHashes]]: the bit sums reference each hash 64 times
     * (once per bit), and hashing inside that lambda would xxhash every
@@ -1938,6 +1962,82 @@ object TextOps {
     val res = out.localCheckpoint(true)
     toks.unpersist(false)
     res
+  }
+
+  /**
+   * Zipf rank–frequency slope per language: the OLS slope of
+   * ln(freq) on ln(rank) over the unigram distribution — the standard
+   * "is this corpus natural text?" diagnostic (natural language sits
+   * near −1; template farms and boilerplate pile mass into flat
+   * heads or truncated tails). Sibling of [[heapsLaw]] (vocabulary
+   * growth) on the frequency axis.
+   *
+   * Ranks WITHOUT a vocabulary-sized global sort: ranks are derived
+   * from the frequency HISTOGRAM (freq → #tokens at that freq), which
+   * is tiny (distinct frequency values ~10⁴ even at 100 TB corpora —
+   * Zipf itself guarantees the head is sparse and the tail collapses
+   * onto few values). All tokens sharing a frequency get the run's
+   * min-rank (competition ranking), so each histogram row contributes
+   * its term h-fold in closed form. The only window runs over the
+   * per-language histogram — bounded rows, never the vocabulary.
+   *
+   * Exactness (§28 doctrine): every OLS moment is quantized to integer
+   * micros PER HISTOGRAM ROW (⌊h·lnr·lnf·10⁶+½⌋) and summed as
+   * DECIMAL(38,0) — integer addition is order-free, so the engines
+   * agree bit-for-bit up to the one final double division. The twin
+   * replays the same expression sequence in HUGEINT.
+   */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+    val hist = tf.groupBy(col("lang"), col("f")).agg(count(lit(1)).as("h"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist.select(col("lang"), col("f"), col("h"),
+      (lit(1L) + coalesce(sum(col("h")).over(w), lit(0L))).as("r"))
+    val x = log(col("r"))
+    val y = log(col("f"))
+    def micro(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast(d38)
+    val s = ranked.groupBy(col("lang")).agg(
+      sum(col("h")).cast(d38).as("n"),
+      sum(col("f") * col("h")).cast("long").as("n_tokens"),
+      sum(micro(col("h") * x)).as("sx"),
+      sum(micro(col("h") * y)).as("sy"),
+      sum(micro(col("h") * x * y)).as("sxy"),
+      sum(micro(col("h") * x * x)).as("sxx"))
+    val den = col("n") * col("sxx") * lit(1000000L).cast(d38) - col("sx") * col("sx")
+    val num = col("n") * col("sxy") * lit(1000000L).cast(d38) - col("sx") * col("sy")
+    s.select(col("lang"), col("n").cast("long").as("vocab"), col("n_tokens"),
+      when(den.cast("double") === 0d, lit(0.0))
+        .otherwise(round(num.cast("double") / den.cast("double"), 4)).as("slope"))
+  }
+
+  /**
+   * Unigram entropy per language, in nats: H = ln N − (Σ c·ln c)∕N
+   * over the token frequency table — the corpus-diversity scalar
+   * (low entropy = a few tokens dominate: scrape loops, boilerplate;
+   * the ceiling is ln(vocab)). One corpus explode → token-keyed count
+   * (map-side combined, vocabulary-sized result) → per-language fold.
+   *
+   * Exactness: c·ln c quantizes to integer micros per TERM and sums
+   * as DECIMAL(38,0) (a Long sum wraps once Σc·lnc·10⁶ passes 2⁶³ —
+   * ~3·10¹¹ tokens, inside the 100 TB regime); the final expression
+   * ln N − sc∕10⁶∕N is the same op sequence on both engines.
+   */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("lang")).agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(floor(col("c") * log(col("c")) * lit(1e6) + lit(0.5)).cast(d38)).as("sc"))
+      .select(col("lang"), col("n").cast("long").as("n_tokens"), col("vocab"),
+        round(log(col("n").cast("double")) -
+          col("sc").cast("double") / lit(1e6) / col("n").cast("double"), 6)
+          .as("entropy_nats"))
   }
 
   /**

@@ -1191,8 +1191,14 @@ object VectorOps {
       .select(col("vec_id"), col("i").cast("long").as("i"),
         floor(col("x") * s + lit(0.5d)).cast("long").as("xq"))
     val m = col("s1").cast("double") / col("n") / s
+    // Σxq and Σxq² carried in DECIMAL(38,0): xq² ≈ 10¹⁰ per row wraps a
+    // Long sum past ~10⁹ vectors per dim — the 100× regime — and
+    // non-ANSI Spark wraps silently (the DuckDB twin's BIGINT sums
+    // widen to HUGEINT natively, so only this side needed the cast)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val xq = col("xq").cast(d18)
     val stats = q.groupBy(col("i"))
-      .agg(sum(col("xq")).as("s1"), sum(col("xq") * col("xq")).as("s2"),
+      .agg(sum(xq).as("s1"), sum(xq * xq).as("s2"),
         count(lit(1)).as("n"))
       .select(col("i"), m.as("m"),
         sqrt(greatest(lit(0d),

@@ -361,4 +361,27 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(BigInt(4) * m * 2000000000L > BigInt(Long.MaxValue))
     assert(got == want, s"numerator $got != $want")
   }
+
+  test("assortativity moments: exact past Long — a single d·d' over 2^63 must not wrap") {
+    import spark.implicits._
+    // two endpoint-degree rows; the hub-hub row's product 4e9·4e9 =
+    // 1.6e19 > Long.Max, where the former Long sum wrapped per-row.
+    // Degrees are injected, not materialized — the contract is the
+    // integer moment chain itself.
+    val xy = Seq((4000000000L, 4000000000L), (1L, 1L)).toDF("x", "y")
+    val (n, sx, sy, sxy, sxx, syy) =
+      graft.gx.GraphXTraversal.assortativityMoments(xy)
+    val big = BigInt(4000000000L)
+    assert(big * big > BigInt(Long.MaxValue))
+    assert(n == 2L)
+    assert(sx == big + 1 && sy == big + 1)
+    assert(sxy == big * big + 1)
+    assert(sxx == big * big + 1 && syy == big * big + 1)
+    // perfectly correlated endpoints -> Pearson r = 1 through the
+    // same BigInt combination the operator uses
+    val num = (BigInt(n) * sxy - sx * sy).toDouble
+    val den = math.sqrt((BigInt(n) * sxx - sx * sx).toDouble) *
+      math.sqrt((BigInt(n) * syy - sy * sy).toDouble)
+    assert(math.abs(num / den - 1.0) < 1e-12)
+  }
 }

@@ -479,6 +479,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.size == 4)
   }
 
+  test("dedupKeepBest: the longest doc wins the cluster, not min doc_id") {
+    val base = (1 to 50).map(i => s"tok$i")
+    val d = Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.updated(9, "xxmuchlongertoken").mkString(" ")), // longer near-dup
+      (99L, "completely different text about nothing else entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextOps.dedupKeepBest(d, 0.8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == ((1L, false))) // min doc_id (the cluster id) but SHORTER — dropped
+    assert(r(2L) == ((1L, true))) // longest in the cluster — kept
+    assert(r(99L) == ((99L, true))) // singleton keeps itself
+    assert(r.size == 3)
+  }
+
+  test("zipfSlope + tokenEntropy: an exact 1/r corpus fits slope -1 and the closed-form H") {
+    // frequencies 12, 6, 4, 3 are exactly f = 12/r at ranks 1..4, so
+    // ln f = ln 12 − ln r is EXACTLY linear and the OLS slope is −1 up
+    // to the 1e-6 micro quantization
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val d = Seq((1L, "en", text)).toDF("doc_id", "lang", "text")
+    val z = TextOps.zipfSlope(d).head()
+    assert(z.getAs[String]("lang") == "en")
+    assert(z.getAs[Long]("vocab") == 4 && z.getAs[Long]("n_tokens") == 25)
+    assert(math.abs(z.getAs[Double]("slope") + 1.0) <= 2e-4)
+    val e = TextOps.tokenEntropy(d).head()
+    val n = 25.0
+    val want = math.log(n) - (12 * math.log(12) + 6 * math.log(6) +
+      4 * math.log(4) + 3 * math.log(3)) / n
+    assert(e.getAs[Long]("n_tokens") == 25 && e.getAs[Long]("vocab") == 4)
+    assert(math.abs(e.getAs[Double]("entropy_nats") - want) <= 1e-4)
+  }
+
   test("graft_vec_mean: empty-array groups survive partial aggregation; 0-vs-n dims merge throws") {
     val agg = graft.functions.VectorMeanAgg(org.apache.spark.sql.catalyst.expressions.Literal(null))
     // a buffer of empty arrays (dims=0, count>0) must round-trip through
