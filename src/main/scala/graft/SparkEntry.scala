@@ -362,6 +362,13 @@ object SparkEntry {
       // division, so the oracle replays the double bit-for-bit
       graft.gx.GraphXTraversal.assortativityDF(s, TpchGraph.snapshot(s, d))),
 
+    "adamic_adar" -> ((s, d) =>
+      // link-prediction tie strength on EXISTING pair-graph edges:
+      // Σ 1/ln(deg w) over common neighbors, each wedge quantized to
+      // integer micros before the order-free sum; wedge join + semi-join
+      // against the canonical edge set (the triangle census's shape)
+      graft.gx.GraphXTraversal.adamicAdarDF(s, TpchGraph.snapshot(s, d))),
+
     // ---- §2.3 query builder (has + interval), §2.3 property surface ----
     "query_has_interval" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)

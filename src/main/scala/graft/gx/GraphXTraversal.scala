@@ -610,6 +610,62 @@ object GraphXTraversal {
     (s.getLong(0), bi(1), bi(2), bi(3), bi(4), bi(5))
   }
 
+  /**
+   * Adamic–Adar tie strength for EXISTING edges of the co-occurrence
+   * pair graph: for edge (a,b), Σ over common neighbors w of
+   * 1∕ln(deg w) — the standard link-analysis weighting (Adamic &
+   * Adar 2003) where rare shared neighbors count more than hubs.
+   * Scored on edges (embeddedness), not all distance-2 pairs: the
+   * output stays edge-bounded and the enumeration is exactly the
+   * triangle census's wedge join, the shape [[triangleCensusDF]] and
+   * [[clusteringCoeffDF]] already carry (hub wedges square, bounded
+   * by the bulk-quantity filter — same accepted envelope).
+   *
+   * Exactness (§28 doctrine): each wedge's weight quantizes to
+   * integer micros ⌊10⁶∕ln(deg w) + ½⌋ BEFORE the per-edge sum, so
+   * the fold is order-free integer addition; deg w ≥ 2 for any
+   * common neighbor (it closes two wedge legs), so ln never sees 1.
+   * The one shared double is the final micro→aa division.
+   *
+   * Plan: adjacency = symmetrized edge list; one degree aggregation;
+   * wedge self-join on the middle vertex; LEFT SEMI against the
+   * canonical edge set (only closed wedges survive to the deg join);
+   * one (a,b)-keyed count/sum aggregation, map-side combined.
+   */
+  def adamicAdarDF(spark: SparkSession, snap: Snapshot,
+                   minQty: Double = 30.0): DataFrame = {
+    val g = pairGraph(snap, minQty)
+    val e0 = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
+      .toDF("a", "b")
+    adamicAdarPairs(e0)
+  }
+
+  /** The scoring core behind [[adamicAdarDF]], over a canonical
+    * pair-edge frame (columns `a` < `b`, distinct). Package-visible so
+    * the spec can drive hand-built graphs with known closed forms. */
+  private[graft] def adamicAdarPairs(e0: DataFrame): DataFrame = {
+    val adj = e0.select(col("a").as("w"), col("b").as("x"))
+      .unionAll(e0.select(col("b").as("w"), col("a").as("x")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    // renamed projections before the self-join (ambiguity gotcha)
+    val wedges = adj.join(
+        adj.select(col("w").as("w2"), col("x").as("y")),
+        col("w") === col("w2"))
+      .where(col("x") < col("y")).drop("w2")
+    val closed = wedges.join(
+      e0.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_semi")
+    closed.join(deg, "w")
+      .select(col("x"), col("y"),
+        floor(lit(1e6) / log(col("d").cast("double")) + lit(0.5))
+          .cast("long").as("m"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"), sum(col("m")).as("aa_micro"))
+      .select(col("x").as("a"), col("y").as("b"),
+        col("n_common").cast("long").as("n_common"),
+        col("aa_micro").cast("long").as("aa_micro"),
+        (col("aa_micro").cast("double") / lit(1e6)).as("aa"))
+  }
+
   /** Memoized label-filtered graphs, same LRU discipline as
     * [[cachedGraph]]: repeated iterative analytics over the same
     * subgraph (the bench's 3-rep medians, or a session exploring one

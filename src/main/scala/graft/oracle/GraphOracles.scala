@@ -237,6 +237,32 @@ object GraphOracles {
         |FROM s""".stripMargin,
 
 
+    // wedge enumeration + closure semi-join, each wedge's 1/ln(deg)
+    // quantized to integer micros before the per-edge sum — the same
+    // op sequence as GraphXTraversal.adamicAdarDF
+    "adamic_adar" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e0 AS (
+        |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+        |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |adj AS (SELECT a AS w, b AS x FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+        |closed AS (
+        |  SELECT p.x AS x, q.x AS y, p.w AS w
+        |  FROM adj p JOIN adj q ON p.w = q.w AND p.x < q.x
+        |  JOIN e0 ON e0.a = p.x AND e0.b = q.x),
+        |m AS (SELECT x, y,
+        |    CAST(floor(1000000.0 / ln(d) + 0.5) AS BIGINT) AS m
+        |  FROM closed JOIN deg USING (w))
+        |SELECT x AS a, y AS b, CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(m) AS BIGINT) AS aa_micro,
+        |  CAST(sum(m) AS BIGINT)::DOUBLE / 1000000.0 AS aa
+        |FROM m GROUP BY x, y""".stripMargin,
+
+
     "clustering_coeff" ->
       """WITH bulk AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30

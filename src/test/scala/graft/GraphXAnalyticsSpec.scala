@@ -362,6 +362,24 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(got == want, s"numerator $got != $want")
   }
 
+  test("adamic-adar: closed wedges score 1/ln(deg) in exact micros") {
+    import spark.implicits._
+    // 4-cycle plus the (1,3) diagonal: edge (1,3) closes through BOTH
+    // degree-2 vertices 2 and 4; every other edge closes through one
+    // degree-3 vertex — closed forms 2/ln2 and 1/ln3
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("a", "b")
+    val r = graft.gx.GraphXTraversal.adamicAdarPairs(e0).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3)))).toMap
+    val m2 = math.floor(1e6 / math.log(2) + 0.5).toLong
+    val m3 = math.floor(1e6 / math.log(3) + 0.5).toLong
+    assert(r((1L, 3L)) == ((2L, 2 * m2)))
+    assert(r((1L, 2L)) == ((1L, m3)))
+    assert(r((2L, 3L)) == ((1L, m3)))
+    assert(r((3L, 4L)) == ((1L, m3)))
+    assert(r((1L, 4L)) == ((1L, m3)))
+    assert(r.size == 5)
+  }
+
   test("assortativity moments: exact past Long — a single d·d' over 2^63 must not wrap") {
     import spark.implicits._
     // two endpoint-degree rows; the hub-hub row's product 4e9·4e9 =
