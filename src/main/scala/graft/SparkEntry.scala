@@ -745,6 +745,13 @@ object SparkEntry {
       liveElementCounts(Snapshot.head(graft.log.FactLog.open(s, root)))
     },
 
+    "log_checksums" -> ((s, d) =>
+      // replication/backup integrity audit: per-attr fact counts plus an
+      // ADDITIVE md5 checksum (Σ uint32(md5(row)) mod 2^61) — order-free,
+      // so replicas compare without sorts or row pairing; the twin
+      // re-derives every fact of the TPC-H projection and replays the sum
+      graft.log.LogAudit.checksums(TpchGraph.snapshot(s, d).store.factsDF)),
+
     "read_formats" -> { (s, d) =>
       // GraphML / GraphSON / GML sources (§2.1 #8-10): load the same tiny
       // graph from each format, read edges back through the snapshot stack
@@ -1460,6 +1467,18 @@ object SparkEntry {
           date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("n_sample"),
           col("p25"), col("p50"), col("p75"))
+    },
+
+    "windowed_topk" -> { (s, d) =>
+      // per-(hour, type) top-5 events BY VALUE from the native bounded
+      // graft_topk heap — O(k) state per group on a stream where a rank
+      // window holds the whole window; kept set is deterministic
+      // (value desc, event_id asc), so the twin is a plain rank window
+      EventStream.windowedTopK(
+          graft.projection.EventsReplay.rawEvents(s, d))
+        .select(
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("rk"), col("event_id"), col("value"))
     },
 
     // day-over-day event-type KL drift — the data-monitoring signal a

@@ -300,6 +300,43 @@ object FactLog {
  * their ORIGINAL tx stamps, so `getTimeId`-class queries still answer
  * correctly at head.
  */
+/** Ops-grade integrity audit over a fact log: per attribute, the row
+  * count plus an ADDITIVE md5 checksum — Σ uint32(md5(canonical-row))
+  * mod 2⁶¹. The sum is order-free integer addition, so two replicas (or
+  * a backup vs its source, or a re-projection vs the original) compare
+  * checksums without any sort, shuffle-order sensitivity, or row
+  * pairing; corruption, loss, or duplication of any row moves the sum.
+  * The canonical rendering covers the exactly-stringifiable columns
+  * (e, attr, vStr, vLong, vRef, tx, added) — double/decimal/timestamp
+  * payloads still contribute their row's identity fields, so dropped or
+  * duplicated rows of ANY type are caught; only an in-place float-bit
+  * flip is outside the contract (cross-engine float rendering is not
+  * portable, the §28 doctrine). The mod-2⁶¹ keeps the published value
+  * inside BIGINT at any corpus size while the internal sum runs in
+  * DECIMAL(38,0) (a Long sum of uint32 terms wraps past ~4·10⁹ rows).
+  * One map-side-combined aggregation; shuffle = #attrs rows. */
+object LogAudit {
+  import org.apache.spark.sql.functions._
+
+  private val Mod = "2305843009213693952" // 2^61
+
+  def checksums(facts: DataFrame): DataFrame = {
+    val nul = lit("~null~")
+    val canon = concat_ws("|",
+      col("e").cast("string"), col("attr"),
+      coalesce(col("vStr"), nul),
+      coalesce(col("vLong").cast("string"), nul),
+      coalesce(col("vRef").cast("string"), nul),
+      col("tx").cast("string"), col("added").cast("string"))
+    val term = conv(substring(md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
+    facts.groupBy(col("attr")).agg(
+        count(lit(1)).cast("long").as("n_facts"),
+        sum(term).as("s"))
+      .select(col("attr"), col("n_facts"),
+        (col("s") % lit(Mod).cast("decimal(38,0)")).cast("long").as("checksum"))
+  }
+}
+
 object Compaction {
   import org.apache.spark.sql.functions._
 

@@ -67,6 +67,25 @@ object EventOracles {
         |FROM q JOIN tot t USING (window_start, event_type)""".stripMargin,
 
 
+    // rank-window twin of the bounded graft_topk heap: same total order
+    // (value desc, event_id asc); n counts every event in the group,
+    // null values are skipped by the heap like the FILTER here
+    "windowed_topk" ->
+      """WITH ev AS (SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, event_id, value::DOUBLE AS v
+        |  FROM events),
+        |tot AS (SELECT window_start, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, event_id, v,
+        |    row_number() OVER (PARTITION BY window_start, event_type
+        |      ORDER BY v DESC, event_id ASC) AS rk
+        |  FROM ev WHERE v IS NOT NULL)
+        |SELECT r.window_start, r.event_type, CAST(t.n AS BIGINT) AS n,
+        |  CAST(r.rk AS BIGINT) AS rk, CAST(r.event_id AS BIGINT) AS event_id,
+        |  r.v AS value
+        |FROM r JOIN tot t USING (window_start, event_type)
+        |WHERE r.rk <= 5""".stripMargin,
+
+
     // the vocab_sketch HLL replay keyed by (hour window, event_type)
     // over user_id rendered as a decimal string — same register
     // arithmetic, same shared estimate expression

@@ -200,6 +200,81 @@ object SnapshotOracles {
       "SELECT CAST(3 AS BIGINT) AS n_vertices, CAST(2 AS BIGINT) AS n_edges",
 
 
+    // full re-derivation of the TPC-H fact projection (every constructor
+    // in TpchGraph.build, FIXTURES.md §3 id scheme), then the same
+    // additive checksum: Σ uint32(md5(e|attr|vStr|vLong|vRef|0|true))
+    // mod 2^61 per attr — order-free integer addition on both engines
+    "log_checksums" ->
+      """WITH liseq AS (SELECT *,
+        |    CAST(4000000000 + CAST(l_orderkey AS BIGINT) * 64 + row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity,
+        |               l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS BIGINT) AS ct
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT CAST(1000000 + r_regionkey AS BIGINT) AS e, ':graph.element/type' AS attr,
+        |         'vertex' AS vs, NULL::BIGINT AS vl, NULL::BIGINT AS vr FROM region
+        |  UNION ALL SELECT 1000000 + r_regionkey, 'name.string.vertex', r_name, NULL, NULL FROM region
+        |  UNION ALL SELECT 2000000 + n_nationkey, ':graph.element/type', 'vertex', NULL, NULL FROM nation
+        |  UNION ALL SELECT 2000000 + n_nationkey, 'name.string.vertex', n_name, NULL, NULL FROM nation
+        |  UNION ALL SELECT 10000000 + n_nationkey, ':graph.element/type', 'edge', NULL, NULL FROM nation
+        |  UNION ALL SELECT 10000000 + n_nationkey, ':graph.edge/label', 'in_region', NULL, NULL FROM nation
+        |  UNION ALL SELECT 10000000 + n_nationkey, ':graph.edge/outVertex', NULL, NULL, 2000000 + n_nationkey FROM nation
+        |  UNION ALL SELECT 10000000 + n_nationkey, ':graph.edge/inVertex', NULL, NULL, 1000000 + n_regionkey FROM nation
+        |  UNION ALL SELECT 3000000 + c_custkey, ':graph.element/type', 'vertex', NULL, NULL FROM customer
+        |  UNION ALL SELECT 3000000 + c_custkey, 'name.string.vertex', c_name, NULL, NULL FROM customer
+        |  UNION ALL SELECT 3000000 + c_custkey, 'acctbal.double.vertex', NULL, NULL, NULL FROM customer
+        |  UNION ALL SELECT 3000000 + c_custkey, 'mktsegment.string.vertex', c_mktsegment, NULL, NULL FROM customer
+        |  UNION ALL SELECT 11000000 + c_custkey, ':graph.element/type', 'edge', NULL, NULL FROM customer
+        |  UNION ALL SELECT 11000000 + c_custkey, ':graph.edge/label', 'in_nation', NULL, NULL FROM customer
+        |  UNION ALL SELECT 11000000 + c_custkey, ':graph.edge/outVertex', NULL, NULL, 3000000 + c_custkey FROM customer
+        |  UNION ALL SELECT 11000000 + c_custkey, ':graph.edge/inVertex', NULL, NULL, 2000000 + c_nationkey FROM customer
+        |  UNION ALL SELECT 4000000 + s_suppkey, ':graph.element/type', 'vertex', NULL, NULL FROM supplier
+        |  UNION ALL SELECT 4000000 + s_suppkey, 'name.string.vertex', s_name, NULL, NULL FROM supplier
+        |  UNION ALL SELECT 4000000 + s_suppkey, 'acctbal.double.vertex', NULL, NULL, NULL FROM supplier
+        |  UNION ALL SELECT 12000000 + s_suppkey, ':graph.element/type', 'edge', NULL, NULL FROM supplier
+        |  UNION ALL SELECT 12000000 + s_suppkey, ':graph.edge/label', 'in_nation', NULL, NULL FROM supplier
+        |  UNION ALL SELECT 12000000 + s_suppkey, ':graph.edge/outVertex', NULL, NULL, 4000000 + s_suppkey FROM supplier
+        |  UNION ALL SELECT 12000000 + s_suppkey, ':graph.edge/inVertex', NULL, NULL, 2000000 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 5000000 + p_partkey, ':graph.element/type', 'vertex', NULL, NULL FROM part
+        |  UNION ALL SELECT 5000000 + p_partkey, 'name.string.vertex', p_name, NULL, NULL FROM part
+        |  UNION ALL SELECT 5000000 + p_partkey, 'brand.string.vertex', p_brand, NULL, NULL FROM part
+        |  UNION ALL SELECT 5000000 + p_partkey, 'type.string.vertex', p_type, NULL, NULL FROM part
+        |  UNION ALL SELECT 5000000 + p_partkey, 'size.long.vertex', NULL, CAST(p_size AS BIGINT), NULL FROM part
+        |  UNION ALL SELECT 5000000 + p_partkey, 'retailprice.double.vertex', NULL, NULL, NULL FROM part
+        |  UNION ALL SELECT 6000000 + o_orderkey, ':graph.element/type', 'vertex', NULL, NULL FROM orders
+        |  UNION ALL SELECT 6000000 + o_orderkey, 'orderstatus.string.vertex', o_orderstatus, NULL, NULL FROM orders
+        |  UNION ALL SELECT 6000000 + o_orderkey, 'totalprice.double.vertex', NULL, NULL, NULL FROM orders
+        |  UNION ALL SELECT 6000000 + o_orderkey, 'orderdate.ts.vertex', NULL, NULL, NULL FROM orders
+        |  UNION ALL SELECT 6000000 + o_orderkey, 'orderpriority.string.vertex', o_orderpriority, NULL, NULL FROM orders
+        |  UNION ALL SELECT 13000000 + o_orderkey, ':graph.element/type', 'edge', NULL, NULL FROM orders
+        |  UNION ALL SELECT 13000000 + o_orderkey, ':graph.edge/label', 'placed', NULL, NULL FROM orders
+        |  UNION ALL SELECT 13000000 + o_orderkey, ':graph.edge/outVertex', NULL, NULL, 3000000 + o_custkey FROM orders
+        |  UNION ALL SELECT 13000000 + o_orderkey, ':graph.edge/inVertex', NULL, NULL, 6000000 + o_orderkey FROM orders
+        |  UNION ALL SELECT ct, ':graph.element/type', 'edge', NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct, ':graph.edge/label', 'contains', NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct, ':graph.edge/outVertex', NULL, NULL, 6000000 + l_orderkey FROM liseq
+        |  UNION ALL SELECT ct, ':graph.edge/inVertex', NULL, NULL, 5000000 + l_partkey FROM liseq
+        |  UNION ALL SELECT ct, 'quantity.double.edge', NULL, NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct, 'extendedprice.double.edge', NULL, NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct, 'discount.double.edge', NULL, NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct, 'returnflag.string.edge', l_returnflag, NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct, 'shipdate.ts.edge', NULL, NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct + 4000000000, ':graph.element/type', 'edge', NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct + 4000000000, ':graph.edge/label', 'supplied_by', NULL, NULL FROM liseq
+        |  UNION ALL SELECT ct + 4000000000, ':graph.edge/outVertex', NULL, NULL, 5000000 + l_partkey FROM liseq
+        |  UNION ALL SELECT ct + 4000000000, ':graph.edge/inVertex', NULL, NULL, 4000000 + l_suppkey FROM liseq),
+        |c AS (SELECT attr,
+        |    e::VARCHAR || '|' || attr || '|' || coalesce(vs, '~null~') || '|' ||
+        |    coalesce(vl::VARCHAR, '~null~') || '|' || coalesce(vr::VARCHAR, '~null~') ||
+        |    '|0|true' AS canon
+        |  FROM f)
+        |SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
+        |  CAST(sum(list_sum([(strpos('0123456789abcdef', substr(md5(canon), k, 1)) - 1)
+        |      * (1::BIGINT << (4*(8-k))) for k in range(1, 9)]))::HUGEINT
+        |    % 2305843009213693952 AS BIGINT) AS checksum
+        |FROM c GROUP BY attr""".stripMargin,
+
+
     "read_formats" ->
       """SELECT 'graphml' AS fmt, 'marko' AS src_name, 'knows' AS label, 'vadas' AS dst_name
         |UNION ALL SELECT 'graphson', 'marko', 'knows', 'vadas'

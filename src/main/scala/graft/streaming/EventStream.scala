@@ -164,6 +164,33 @@ object EventStream {
         pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"))
   }
 
+  /** Watermarked tumbling-window TOP-K BY VALUE per event type via the
+    * native bounded heap (`graft_topk`, functions/TopKAgg) — the
+    * streaming "largest transactions this hour" audit. Exact top-k by
+    * COUNT needs a second aggregation (chained streaming aggregations
+    * are unsupported); top-k by VALUE is ONE commutative fold whose
+    * kept set is a pure function of the data (the heap ranks
+    * (value desc, event_id asc), ties included), so the SAME transform
+    * runs on batch (oracle-checked as `windowed_topk` — the twin is a
+    * rank window) and on a stream (parity in EventStreamSpec). State is
+    * O(k) per (window, type) regardless of window volume — the property
+    * a row_number window can never give a stream. Requires the graft
+    * session extension. */
+  def windowedTopK(events: DataFrame, window: String = "1 hour",
+                   watermark: String = "2 hours", k: Int = 5): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_topk", col("value").cast("double"),
+          col("event_id").cast("long"), lit(k)).as("tk"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n").cast("long").as("n"), posexplode(col("tk")).as(Seq("rk0", "t")))
+      .select(col("win_start"), col("event_type"), col("n"),
+        (col("rk0") + 1).cast("long").as("rk"),
+        col("t.id").as("event_id"), col("t.score").as("value"))
+
   /** Watermarked tumbling-window DISTINCT-USER estimates per event type
     * via the portable md5 HLL (`graft_hll`, functions/HllSketchAgg) —
     * the canonical streaming-sketch job. Exact streaming distinct keeps

@@ -180,6 +180,53 @@ class EventStreamSpec extends AnyFunSuite {
     assert(n1 == 40L && ns1 == 32L)
   }
 
+  test("windowed top-k by value: stream == batch; heap truncates to k with deterministic ties") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window 0: 8 events incl. a VALUE TIE (ids 3 and 4 both at 60.0 —
+    // the heap must keep/rank them id-ascending); window 1: 2 events
+    // (< k, all kept); the 9:00 event advances the watermark
+    val w0 = Seq(80.0, 20.0, 50.0, 60.0, 60.0, 10.0, 70.0, 30.0).zipWithIndex.map {
+      case (v, i) => Event(i.toLong, ts(s"2024-01-01 00:1$i:00"), i.toLong, "click", v)
+    }
+    val w1 = Seq(
+      Event(100L, ts("2024-01-01 01:10:00"), 1L, "view", 5.0),
+      Event(101L, ts("2024-01-01 01:20:00"), 2L, "view", 9.0))
+    val late = Seq(Event(999L, ts("2024-01-01 09:00:00"), 9L, "click", 1.0))
+    val data = w0 ++ w1 ++ late
+    val source = MemoryStream[Event]
+    // split mid-window so heap state genuinely merges across batches
+    source.addData(w0.take(4): _*)
+    val q = EventStream.windowedTopK(source.toDF())
+      .writeStream.format("memory").queryName("wt_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      source.addData((w0.drop(4) ++ w1 ++ late): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("win_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("rk")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    val streamed = spark.table("wt_sink").collect().map(key).toMap
+    val batch = EventStream.windowedTopK(data.toDF()).collect().map(key).toMap
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"row $k") }
+    // top-5 of window 0: 80(id0), 70(id6), 60(id3), 60(id4), 50(id2) —
+    // the tie ranks id-ascending and 50 survives the truncation to k=5
+    val w0k = "2024-01-01 00:00:00.0"
+    assert(batch((w0k, "click", 1L)) == ((8L, 0L, 80.0)))
+    assert(batch((w0k, "click", 2L)) == ((8L, 6L, 70.0)))
+    assert(batch((w0k, "click", 3L)) == ((8L, 3L, 60.0)))
+    assert(batch((w0k, "click", 4L)) == ((8L, 4L, 60.0)))
+    assert(batch((w0k, "click", 5L)) == ((8L, 2L, 50.0)))
+    assert(!batch.contains((w0k, "click", 6L))) // truncated at k
+    // under-full window keeps everything, ranked
+    val w1k = "2024-01-01 01:00:00.0"
+    assert(batch((w1k, "view", 1L)) == ((2L, 101L, 9.0)))
+    assert(batch((w1k, "view", 2L)) == ((2L, 100L, 5.0)))
+  }
+
   test("streaming dedup drops content duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
