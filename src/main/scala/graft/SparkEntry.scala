@@ -303,20 +303,24 @@ object SparkEntry {
       graft.gx.GraphXTraversal.pageRankStarDF(s, TpchGraph.snapshot(s, d))),
 
     "pagerank_full" -> ((s, d) =>
-      // GraphX static PageRank over the FULL snapshot graph, 10 fixed
-      // iterations, top-30 cut (per-partition heads merged driver-side,
-      // no global sort). The oracle replays the same power method
-      // relationally: 10 unrolled join+aggregate steps over the edge
-      // union, then GraphX's rank·|V|/Σrank normalization — the general
-      // engine vs an independent fixed-iteration computation, with no
-      // known-structure shortcut this time (closes VERDICT r6 item 7).
-      graft.gx.GraphXTraversal.pageRankDF(s, TpchGraph.snapshot(s, d), 10, 30)),
+      // static PageRank over the FULL snapshot graph, 10 fixed
+      // iterations, top-30 cut — the RELATIONAL power method (§42):
+      // result-identical to the GraphX Pregel variant (spec-proven
+      // pairwise in GraphXAnalyticsSpec) but each round moves only the
+      // vertex-sized rank frame against pre-partitioned contribution
+      // edges, where Pregel ships replicated vertex views. The GraphX
+      // twin pageRankDF stays spec-gated. Oracle: 10 unrolled
+      // join+aggregate steps over the edge union, then rank·|V|/Σrank.
+      graft.gx.GraphXTraversal.pageRankRelationalDF(
+        s, TpchGraph.snapshot(s, d), 10, 30)),
 
     "pagerank_personal" -> ((s, d) =>
       // personalized PageRank from customer 42: teleport returns only to
-      // the source, rank = proximity to it. Oracle unrolls the same
-      // delta-teleport power method and GraphX's sum-to-1 normalization.
-      graft.gx.GraphXTraversal.personalizedPageRankDF(
+      // the source, rank = proximity to it. Relational rounds sharing
+      // pagerank_full's memoized contribution edges; GraphX twin
+      // spec-gated. Oracle unrolls the same delta-teleport power method
+      // and the sum-to-1 normalization.
+      graft.gx.GraphXTraversal.personalizedPageRankRelationalDF(
         s, TpchGraph.snapshot(s, d), 3000042L, 10, 30)),
 
     "triangle_count" -> ((s, d) =>
@@ -872,6 +876,11 @@ object SparkEntry {
       // character-level verify over the LSH candidates: the contract is
       // the exact integer predicate 5·lev ≤ max_len — no float anywhere
       TextOps.dedupEditPairs(docs(s, d), 0.8)),
+    "dedup_containment" -> ((s, d) =>
+      // asymmetric near-dup: short doc quoted inside a long one —
+      // containment |S(A)∩S(B)|/|S(A)| over the df-bounded indexed
+      // vocabulary; Jaccard-family dedup is blind to this direction
+      TextOps.containmentPairs(docs(s, d), 3, 0.8)),
     "winnow_fingerprints" -> ((s, d) =>
       // MOSS winnowing: any shared ≥(w+2)-token run shares a selected
       // fingerprint; md5 grams so the twin replays bit-for-bit

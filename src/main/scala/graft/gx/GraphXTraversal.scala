@@ -738,6 +738,152 @@ object GraphXTraversal {
           org.apache.spark.sql.functions.col("rank"), 4).as("rank"))
   }
 
+  /** Memoized out-degree-weighted contribution edges (u, v, w=1∕outdeg u)
+    * for the relational PageRank: one degree aggregation + one join,
+    * repartitioned by `u` BEFORE the eager localCheckpoint so the
+    * preserved HashPartitioning lets every iteration's rank join reuse
+    * the layout instead of re-exchanging the edge-scale side each round
+    * (checkpoint keeps outputPartitioning — the same trick the bucketed
+    * fact log plays at rest). LRU-bounded like [[lpaCache]]; eviction
+    * frees the checkpoint blocks explicitly. */
+  private val contribCache =
+    new java.util.LinkedHashMap[Snapshot, DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Snapshot, DataFrame]): Boolean = {
+        val evict = size() > MaxCachedGraphs
+        if (evict) releaseCheckpoint(e.getValue)
+        evict
+      }
+    }
+
+  private def contribEdges(snap: Snapshot): DataFrame = contribCache.synchronized {
+    val hit = contribCache.get(snap)
+    if (hit != null) hit
+    else {
+      val e = snap.edges.select(col("outV").as("u"), col("inV").as("v"))
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val built = e.join(deg, "u")
+        .select(col("u"), col("v"), (lit(1.0) / col("d")).as("w"))
+        .repartition(col("u"))
+        .localCheckpoint(true)
+      contribCache.put(snap, built)
+      built
+    }
+  }
+
+  /** Memoized vertex frame (v), pre-partitioned on `v` and eagerly
+    * checkpointed: the per-round left join against the rank messages
+    * (already hashed on `v` by their aggregation) then needs NO exchange
+    * on either side — and, critically, the rounds never re-derive the
+    * vertex scan from the fact table (10 rounds × 2 references would be
+    * 20 fact-table scans per query, a recompute cascade the moment
+    * storage pressure evicts the snapshot's persisted facts). Same LRU
+    * bound + explicit release as [[contribCache]]. */
+  private val vertsCache =
+    new java.util.LinkedHashMap[Snapshot, DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Snapshot, DataFrame]): Boolean = {
+        val evict = size() > MaxCachedGraphs
+        if (evict) releaseCheckpoint(e.getValue)
+        evict
+      }
+    }
+
+  private def vertexFrame(snap: Snapshot): DataFrame = vertsCache.synchronized {
+    val hit = vertsCache.get(snap)
+    if (hit != null) hit
+    else {
+      val built = snap.vertexIds.select(col("id").as("v"))
+        .repartition(col("v")).localCheckpoint(true)
+      vertsCache.put(snap, built)
+      built
+    }
+  }
+
+  /** The power method as DataFrame rounds — the relational twin of
+    * GraphX's `staticPageRank`, same recurrence to the bit pattern the
+    * round(4) contract absorbs: r_{i+1}(v) = base(v) + 0.85·Σ_{(u,v)}
+    * r_i(u)∕outdeg(u), base = 0.15 everywhere (global) or 0.15·1{v=src}
+    * (personalized, where r_0 = 1{v=src} — GraphX PageRank.scala
+    * semantics, also the DuckDB twin's unrolled CTEs). Each round is one
+    * rank join against the pre-partitioned contribution edges (only the
+    * vertex-sized rank side exchanges) + one (v)-keyed sum whose
+    * map-side partials collapse the edge-scale messages to
+    * vertex-per-partition rows before the shuffle — the LPA-rewrite
+    * shape (§41) that took modularity 10.5 s → 1.9 s, here applied to
+    * the two queries now at the top of the profile. Rounds materialize
+    * eagerly (localCheckpoint) and release their predecessor — plans
+    * never stack rounds deep. Zero-rank vertices are filtered from the
+    * message side (a 0 contribution adds 0): free for the global
+    * variant, frontier-sized work in the personalized one's early
+    * rounds. Package-visible for the GraphX-equivalence spec. */
+  private[graft] def pageRankRounds(contrib: DataFrame, verts: DataFrame,
+                                    iters: Int, src: Option[Long]): DataFrame = {
+    val base = src match {
+      case Some(s) => when(col("v") === s, lit(0.15)).otherwise(lit(0.0))
+      case None    => lit(0.15)
+    }
+    val init = src match {
+      case Some(s) => when(col("v") === s, lit(1.0)).otherwise(lit(0.0))
+      case None    => lit(1.0)
+    }
+    var ranks = verts.select(col("v"), init.as("r")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val msg = contrib
+        .join(ranks.where(col("r") =!= 0.0).select(col("v").as("u"), col("r")), "u")
+        .groupBy(col("v")).agg(sum(col("r") * col("w")).as("s"))
+      val next = verts.join(msg, Seq("v"), "left_outer")
+        .select(col("v"), (base + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+      releaseCheckpoint(ranks)
+      ranks = next
+    }
+    ranks // caller releases after its final cut materializes
+  }
+
+  /** GraphX's final rank normalization + deterministic top-k cut over a
+    * (v, r) frame: global scales to mean 1 (rank·|V|∕Σrank), personalized
+    * to sum 1 (rank∕Σrank) — PageRank.scala `normalizeRankSum`. The cut
+    * is orderBy+limit = TakeOrderedAndProject: per-partition heaps merged
+    * on the driver, never a global sort shuffle (the same shape
+    * pageRankDF gets from RDD `top`). */
+  private def normalizeTopK(ranks: DataFrame, personalized: Boolean,
+                            topK: Int): DataFrame = {
+    val agg = ranks.agg(count(lit(1)).as("nv"), sum(col("r")).as("s")).head()
+    val scale = if (personalized) 1.0 / agg.getDouble(1)
+                else agg.getLong(0) / agg.getDouble(1)
+    val out = ranks
+      .select(col("v").as("vertex_id"), (col("r") * lit(scale)).as("sr"))
+      .orderBy(col("sr").desc, col("vertex_id").asc).limit(topK)
+      .select(col("vertex_id"), round(col("sr"), 4).as("rank"))
+      .localCheckpoint(true)
+    releaseCheckpoint(ranks)
+    out
+  }
+
+  /** Static PageRank over the full snapshot graph as relational rounds —
+    * result-identical to [[pageRankDF]] (spec-proven) at a fraction of
+    * the Pregel cost: GraphX ships replicated vertex views every round,
+    * while here only the vertex-sized rank frame moves. */
+  def pageRankRelationalDF(spark: SparkSession, snap: Snapshot,
+                           numIter: Int = 10, topK: Int = 30): DataFrame =
+    normalizeTopK(
+      pageRankRounds(contribEdges(snap), vertexFrame(snap), numIter, None),
+      personalized = false, topK)
+
+  /** Personalized PageRank from `src` as relational rounds — the twin of
+    * [[personalizedPageRankDF]], sharing [[contribEdges]] with the
+    * global variant so the two profile-topping queries pay the edge
+    * projection once. */
+  def personalizedPageRankRelationalDF(spark: SparkSession, snap: Snapshot,
+                                       src: Long, numIter: Int = 10,
+                                       topK: Int = 30): DataFrame =
+    normalizeTopK(
+      pageRankRounds(contribEdges(snap), vertexFrame(snap), numIter, Some(src)),
+      personalized = true, topK)
+
   /** Personalized PageRank from one source vertex (GraphX
     * `staticPersonalizedPageRank`, `numIter` fixed rounds, damping 0.85):
     * teleport mass returns ONLY to the source, so rank measures proximity

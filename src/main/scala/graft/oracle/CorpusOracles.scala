@@ -998,6 +998,27 @@ object CorpusOracles {
          |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
 
 
+    // exact containment replay: numerator over the 2..maxDf indexed
+    // vocabulary, denominator the FULL distinct gram count — the same
+    // numerator-only truncation as the operator, so the gate is exact
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |voc AS (SELECT g FROM (SELECT g, count(*) AS df FROM dg GROUP BY g)
+         |        WHERE df BETWEEN 2 AND 50),
+         |idx AS (SELECT doc_id, g FROM dg JOIN voc USING (g)),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+         |  FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT CAST(c.a AS BIGINT) AS contained, CAST(c.b AS BIGINT) AS container,
+         |  CAST(c.n_common AS BIGINT) AS n_common,
+         |  CAST(s.n_grams AS BIGINT) AS n_grams,
+         |  round(c.n_common::DOUBLE / s.n_grams, 4) AS containment
+         |FROM common c JOIN sizes s ON s.doc_id = c.a
+         |WHERE c.n_common::DOUBLE / s.n_grams >= 0.8""".stripMargin,
+
+
     // transitive closure of the exact near-dup pair relation via a
     // recursive CTE (cheap at sf0.01: 24 pairs), then min-id per cluster
     "dedup_clusters" ->

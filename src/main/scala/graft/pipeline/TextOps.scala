@@ -1339,6 +1339,65 @@ object TextOps {
   }
 
   /**
+   * Containment near-dup pairs — the asymmetric signal the Jaccard
+   * family is blind to: a short document quoted wholesale inside a long
+   * one has Jaccard ≈ |A|∕|B| (arbitrarily small) while containment
+   * C(A→B) = |S(A)∩S(B)| ∕ |S(A)| ≈ 1 (Broder 1997's second resemblance
+   * measure). Returns one row per ORDERED pair with C ≥ `threshold`:
+   * (contained, container, n_common, n_grams, containment), where
+   * `n_grams` counts the contained side's INDEXED shingles.
+   *
+   * The numerator counts only INDEXED shingles — word `n`-grams
+   * appearing in 2..maxDf documents: df=1 grams cannot pair, and
+   * df>maxDf grams are boilerplate through which every doc would pair
+   * with every doc (and whose overlap should not flag a dup anyway).
+   * The denominator stays the FULL |S(A)| — a doc whose only shared
+   * grams are its quote keeps a denominator that reflects its real
+   * size, so the measure stays asymmetric (numerator-side truncation
+   * can only UNDER-estimate, never flag a false pair). The DuckDB twin
+   * replays the same split exactly.
+   *
+   * Scale shape: distinct (doc, gram) explode (map-side), one gram
+   * document-frequency aggregation, then a gram-keyed self-equi-join
+   * whose per-gram fan-out is df-bounded at maxDf (≤ maxDf² ordered
+   * pairs per gram — linear in corpus tokens, never |docs|²), one
+   * (a,b)-keyed counting aggregation (map-side combined), one
+   * doc-sized denominator join. Integer counts end to end; the single
+   * shared double is the final division, round(4).
+   */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // staged: tokens referenced size(t)+n-1 times by the shingle lambda
+    // (see shinglesFromTokens's O(tokens²) re-evaluation note)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dg = toks
+      .select(col("doc_id"), explode(shinglesFromTokens(col("t"), n)).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val voc = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf)).select(col("g"))
+    val idx = dg.join(voc, "g").persist(StorageLevel.MEMORY_AND_DISK)
+    // denominator over ALL distinct grams (see scaladoc: numerator-only
+    // truncation keeps the measure asymmetric and conservative)
+    val sizes = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val common = idx.select(col("g"), col("doc_id").as("a"))
+      .join(idx.select(col("g"), col("doc_id").as("b")), "g")
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    val out = common
+      .join(sizes.select(col("doc_id").as("a"), col("n_grams")), "a")
+      .where(col("n_common").cast("double") / col("n_grams") >= threshold)
+      .select(col("a").as("contained"), col("b").as("container"),
+        col("n_common"), col("n_grams"),
+        round(col("n_common").cast("double") / col("n_grams"), 4)
+          .as("containment"))
+      .localCheckpoint(true)
+    Seq(toks, dg, idx).foreach(_.unpersist(false))
+    out
+  }
+
+  /**
    * Cross-source duplication matrix — which sources copy from which:
    * the near-dup pair relation ([[dedupMinHashLsh]]) joined to each
    * side's source and folded to (source_x ≤ source_y, n_pairs). The

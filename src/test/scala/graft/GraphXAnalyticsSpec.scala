@@ -193,6 +193,30 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("relational pagerank == GraphX pagerank (global and personalized)") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the relational rounds replay GraphX's exact recurrence + final
+    // normalization, so the round(4) top-30 must agree pairwise — the
+    // same contract the DuckDB twin holds both implementations to
+    val gxFull = asMap(graft.gx.GraphXTraversal.pageRankDF(spark, snap, 10, 30))
+    val relFull = asMap(graft.gx.GraphXTraversal.pageRankRelationalDF(spark, snap, 10, 30))
+    assert(relFull.keySet == gxFull.keySet,
+      s"vertex sets differ: only-gx=${gxFull.keySet -- relFull.keySet} only-rel=${relFull.keySet -- gxFull.keySet}")
+    gxFull.foreach { case (v, r) =>
+      assert(math.abs(relFull(v) - r) <= 1e-4 + 1e-9, s"vertex $v: gx=$r rel=${relFull(v)}")
+    }
+    val src = 3000042L
+    val gxP = asMap(graft.gx.GraphXTraversal.personalizedPageRankDF(spark, snap, src, 10, 30))
+    val relP = asMap(graft.gx.GraphXTraversal.personalizedPageRankRelationalDF(spark, snap, src, 10, 30))
+    assert(relP.keySet == gxP.keySet,
+      s"vertex sets differ: only-gx=${gxP.keySet -- relP.keySet} only-rel=${relP.keySet -- gxP.keySet}")
+    gxP.foreach { case (v, r) =>
+      assert(math.abs(relP(v) - r) <= 1e-4 + 1e-9, s"vertex $v: gx=$r rel=${relP(v)}")
+    }
+  }
+
   test("assortativity: matches a driver-side Pearson recount of the pair graph") {
     import org.apache.spark.sql.functions.col
     val snap = TpchGraph.snapshot(spark, dir)

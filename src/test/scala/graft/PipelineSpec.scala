@@ -458,6 +458,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("containmentPairs: quote inside a long doc flags one direction only") {
+    // A = a short doc; B embeds A verbatim inside much longer unique text;
+    // C is unrelated. Jaccard(A,B) is small (|A|/|B|), containment(A→B)=1.
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"unique$i word$i").mkString(" ")
+    val d = Seq(
+      (1L, quote),
+      (2L, s"preamble text here $quote $filler"),
+      (3L, "totally unrelated content about engines and turbines spinning")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.containmentPairs(d, 3, 0.8).collect()
+      .map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("n_grams"),
+        r.getAs[Double]("containment")))
+    // A's 4 shingles all recur in B (df=2, indexed); B's own grams are
+    // df=1 and leave the numerator, but its denominator stays |S(B)| —
+    // so only the A→B direction crosses 0.8
+    assert(rows.toSeq == Seq((1L, 2L, 4L, 4L, 1.0)), rows.toSeq.toString)
+  }
+
+  test("containmentPairs: boilerplate grams above maxDf never flag a pair") {
+    // every doc shares the same 5-token boilerplate banner (df=4 > maxDf=3)
+    // but nothing else — the numerator drops those grams, so no pairs
+    val banner = "standard legal disclaimer applies here"
+    val d = (1L to 4L).map(i =>
+      (i, s"$banner body$i content$i differs$i entirely$i")).toDF("doc_id", "text")
+    assert(TextOps.containmentPairs(d, 3, 0.5, maxDf = 3).count() == 0)
+    // same corpus with maxDf back at default: banner grams are indexed
+    // (df=4 ≤ 50) yet the denominator keeps full sizes — symmetric weak
+    // overlap, still below a 0.5 threshold for all pairs
+    assert(TextOps.containmentPairs(d, 3, 0.5, maxDf = 50).count() == 0)
+  }
+
   test("dedupClusters: transitive near-dup chains collapse to one kept representative") {
     // A/B differ by one token, A/C by another: A~B and A~C pass the 0.8
     // shingle-Jaccard bar (~0.88) but B~C (two diffs) lands at ~0.78 —
