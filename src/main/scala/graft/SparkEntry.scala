@@ -346,6 +346,13 @@ object SparkEntry {
       // sequential CTE steps plus one extra round to verify convergence
       graft.gx.GraphXTraversal.kCoreDF(s, TpchGraph.snapshot(s, d))),
 
+    "ktruss" -> ((s, d) =>
+      // 4-truss: every surviving edge closes >= 2 triangles in the
+      // surviving subgraph — the edge-cohesion dual of kcore, peeled to
+      // the (order-independent) fixpoint with the same honest
+      // `converged` flag; the twin unrolls the support peels + 1
+      graft.gx.GraphXTraversal.kTrussDF(s, TpchGraph.snapshot(s, d))),
+
     "communities_lpa" -> ((s, d) =>
       // 4 synchronous label-propagation rounds over the pair graph with
       // the deterministic (count desc, label asc) tie-break — GraphX's
@@ -1152,6 +1159,13 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.lshTopK(e, e.where(col("vec_id") < 10), 10)
     },
+    "ann_hamming" -> { (s, d) =>
+      // binary-tier baseline (NEW r11): top-10 by Hamming distance over
+      // 64-bit sign sketches (8 bytes/vector hot, floats stay cold) —
+      // the twin re-packs the same bits and replays the exact rank
+      val e = emb(s, d)
+      VectorOps.hammingTopK(e, e.where(col("vec_id") < 10), 10)
+    },
     "ann_pq" -> { (s, d) =>
       // PQ ADC search over the memoized codebooks/codes (build billed as
       // build_pq); rows-only — code assignments are engine-specific —
@@ -1182,6 +1196,16 @@ object SparkEntry {
       // broadcast — cell equi-join with both sides shuffled, the
       // bucketed kNN-graph build SemDeDup-style clustering starts from
       VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), emb(s, d), 5, 4)
+    },
+    "knn_label_purity" -> { (s, d) =>
+      // embedding-quality audit (NEW r11): per label, the fraction of
+      // its vectors' kNN slots holding the SAME label, over the same
+      // memoized dedup-scaled kNN graph as knn_graph — exact integer
+      // hit/pair counts, one round(4) division; the twin replays the
+      // IVF chain + the two label joins
+      val e = emb(s, d)
+      VectorOps.labelPurity(
+        VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), e, 5, 4), e)
     },
     "ann_ivf_filtered" -> { (s, d) =>
       // metadata-filtered vector search: neighbors restricted to 'en'
@@ -1546,6 +1570,24 @@ object SparkEntry {
         .where(col("n") >= 2)
         .groupBy(col("customer"))
         .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")).as("n_motifs"))
+    },
+
+    // LOCF gap-fill (NEW r11): every event carries the user's most
+    // recent purchase value so far — the last-observation-carried-
+    // forward feature join a training pipeline runs to densify sparse
+    // signals, as ONE running window per user (single shuffle on
+    // user_id; state is per-user-sequence, not corpus-scale). The
+    // deterministic (ts, event_id) order pins ties; the value double
+    // passes through unchanged, so the twin is bit-exact.
+    "events_locf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.projection.EventsReplay.rawEvents(s, d)
+        .select(col("event_id"), col("user_id"),
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w).as("last_purchase_value"))
     },
 
     // stream-static enrichment, batch twin (stream parity in

@@ -545,6 +545,87 @@ object GraphXTraversal {
     out
   }
 
+  /** k-truss of the co-occurrence pair graph: the maximal subgraph in
+    * which EVERY edge closes ≥ k−2 triangles (support) — the
+    * cohesion-by-edges dual of [[kCoreDF]]'s cohesion-by-degree, and the
+    * standard "dense community scaffold" cut (Cohen 2008). Peels edges
+    * whose support in the CURRENT subgraph falls below k−2, re-supports,
+    * and loops to the unique fixpoint (peel order never matters) with
+    * the same honest `converged` contract as k-core: nominal `rounds`
+    * is what the DuckDB twin unrolls, the loop itself continues to a
+    * hard cap, and the flag is TRUE iff the last peel removed nothing.
+    * Returns the surviving edges (a, b, support, converged) with their
+    * support recomputed in the final subgraph.
+    *
+    * Plan shape per round: the triangle census's wedge join (adjacency
+    * self-joined on the middle vertex, closed by a semi-join against
+    * the current edge set) + one (a,b)-keyed count — all equi-joins on
+    * a monotonically shrinking edge set, map-side combined; rounds
+    * materialize eagerly (localCheckpoint) and release their
+    * predecessor, so plans never stack rounds deep. Peeling depth is a
+    * graph property, not a data-volume one. */
+  def kTrussDF(spark: SparkSession, snap: Snapshot, k: Int = 4,
+               rounds: Int = 8, minQty: Double = 30.0): DataFrame = {
+    import spark.implicits._
+    val g = pairGraph(snap, minQty)
+    val pairs = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
+      .toDF("a", "b")
+    kTrussPeel(pairs, k, rounds)
+  }
+
+  /** The peel loop behind [[kTrussDF]], over a canonical pair-edge frame
+    * (columns `a` < `b`, distinct). Returns (a, b, support, converged).
+    * Requires k ≥ 3 (k = 2 is the input graph — nothing peels).
+    * Package-visible so the fixpoint spec can drive synthetic graphs
+    * whose peeling depth exceeds the nominal round budget. */
+  private[graft] def kTrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "kTruss needs k >= 3 (k = 2 never peels)")
+    val minSup = k - 2
+    // support of every edge in `edges`: one wedge self-join on the middle
+    // vertex, closed wedges kept by a semi-join against the edge set,
+    // counted per (a,b); edges closing no wedge get support 0
+    def withSupport(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("a").as("w"), col("b").as("x"))
+        .unionAll(edges.select(col("b").as("w"), col("a").as("x")))
+      val wedges = adj.join(
+          adj.select(col("w").as("w2"), col("x").as("y")),
+          col("w") === col("w2"))
+        .where(col("x") < col("y")).select(col("x"), col("y"))
+      val sup = wedges
+        .join(edges.select(col("a").as("x"), col("b").as("y")),
+          Seq("x", "y"), "left_semi")
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
+      edges.join(
+          sup.select(col("x").as("a"), col("y").as("b"), col("support")),
+          Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+    var edges = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    // the edge set shrinks monotonically, so an unchanged COUNT means an
+    // unchanged SET — the fixpoint; an empty set is trivially converged
+    var prev = edges.count()
+    var converged = prev == 0L
+    val cap = math.max(rounds, 32)
+    var r = 0
+    while (!converged && r < cap) {
+      val next = withSupport(edges).where(col("support") >= minSup)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      releaseCheckpoint(edges) // §18 discipline: free the prior round
+      edges = next
+      val n = edges.count()
+      converged = n == prev || n == 0L
+      prev = n
+      r += 1
+    }
+    // final support recount within the fixpoint subgraph (the twin's
+    // one-extra-round sup table), then release the edge checkpoint
+    val out = withSupport(edges).withColumn("converged", lit(converged))
+      .localCheckpoint(true)
+    releaseCheckpoint(edges)
+    out
+  }
+
   /**
    * Degree assortativity of the co-occurrence pair graph: the Pearson
    * correlation of endpoint degrees over the symmetrized edge list —

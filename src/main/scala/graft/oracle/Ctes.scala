@@ -301,6 +301,42 @@ object Ctes {
        |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY v""".stripMargin
   }
 
+  /** k-truss twin: the kTrussPeel loop unrolled like [[kcoreSql]] —
+    * round r computes per-edge triangle support over e_{r-1} (adjacency
+    * self-join on the middle vertex, closed by a join back to e_{r-1},
+    * counted per ordered pair) and keeps edges with support ≥ k−2. One
+    * EXTRA round past the nominal depth yields both the honest
+    * `converged` flag (equal edge counts — the set shrinks
+    * monotonically) and the final-subgraph support recount the Spark
+    * side emits. Same pair-graph derivation as the triangle twins
+    * (5000000 + l_partkey vertex ids). */
+  private[oracle] def ktrussSql(k: Int, rounds: Int): String = {
+    val minSup = k - 2
+    val steps = (1 to (rounds + 1)).map { r =>
+      s"""adj$r AS MATERIALIZED (
+         |  SELECT a AS w, b AS x FROM e${r - 1} UNION ALL SELECT b, a FROM e${r - 1}),
+         |sup$r AS MATERIALIZED (
+         |  SELECT p.x AS a, q.x AS b, count(*) AS sup
+         |  FROM adj$r p JOIN adj$r q ON p.w = q.w AND p.x < q.x
+         |  JOIN e${r - 1} e ON e.a = p.x AND e.b = q.x
+         |  GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT s.a, s.b FROM sup$r s WHERE s.sup >= $minSup)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bulk AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+       |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+       |  FROM bulk x JOIN bulk y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$steps
+       |SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+       |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support,
+       |  (SELECT count(*) FROM e${rounds + 1}) = (SELECT count(*) FROM e$rounds) AS converged
+       |FROM e$rounds e LEFT JOIN sup${rounds + 1} s ON s.a = e.a AND s.b = e.b""".stripMargin
+  }
+
   /** Sync-LPA twin: rounds unrolled like kcoreSql — round r counts
     * neighbor labels over the undirected edge list against l_{r-1} and
     * picks per vertex by (count desc, label asc). Same pair-graph e0

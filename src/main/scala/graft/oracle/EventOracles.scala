@@ -144,6 +144,18 @@ object EventOracles {
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
 
+    // LOCF: one running last-non-null window per user, same
+    // deterministic (ts, event_id) order as the Spark side; the value
+    // double passes through unchanged
+    "events_locf" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |       CAST(user_id AS BIGINT) AS user_id,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events""".stripMargin,
+
+
     "range_join" ->
       """SELECT l.event_id AS event_id, r.event_id AS err_event_id
         |FROM events l JOIN events r

@@ -188,6 +188,12 @@ object GraphOracles {
     // three corners; degrees from canonical pair endpoints
     "kcore" -> kcoreSql(12, 12),
 
+    // per-edge triangle-support peel to the fixpoint; the unrolled twin
+    // recounts support one extra round for the converged flag
+    // nominal 8 covers the measured peel depths (sf0.01 takes 6 peels,
+    // sf0.1 takes 3 — depth is a graph property, not monotone in scale)
+    "ktruss" -> ktrussSql(4, 8),
+
     "communities_lpa" -> lpaSql(4),
 
     // the LPA chain + the exact-integer modularity numerator; HUGEINT

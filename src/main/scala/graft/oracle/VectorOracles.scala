@@ -38,6 +38,22 @@ object VectorOracles {
       s"WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))",
         qsFilter = "TRUE", nProbe = 4)},\n${ivfRankCteK(5)}\n$ivfSelect",
 
+    // the knn_graph chain + two label dimension joins + the per-label
+    // integer hit/pair counts and one round(4) division
+    "knn_label_purity" ->
+      s"""WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))",
+        qsFilter = "TRUE", nProbe = 4)},
+         |${ivfRankCteK(5)},
+         |lab AS (SELECT vec_id, label FROM embeddings)
+         |SELECT lq.label AS label,
+         |  CAST(count(DISTINCT i.q) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(count(*) AS BIGINT) AS pairs,
+         |  round(sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS purity
+         |FROM ivf i JOIN lab lq ON lq.vec_id = i.q
+         |           JOIN lab ln ON ln.vec_id = i.nb
+         |GROUP BY lq.label""".stripMargin,
+
     // same chain; the neighbor side filters to 'en' docs before the rank
     "ann_ivf_filtered" ->
       s"""WITH ${ivfChainCte("TRUE")},
@@ -51,6 +67,25 @@ object VectorOracles {
          |$ivfSelect""".stripMargin,
 
     "ann_ivf_opened" -> ivfOracleSql("TRUE"), // parity with the built index,
+
+    // the binary tier: re-pack the 64 sign bits as two 32-bit words
+    // (integer shifts — the Spark side's exact pow(2,i) doubles land on
+    // the same values) and replay the exact Hamming rank
+    "ann_hamming" ->
+      s"""WITH $rawEmbCte,
+         |sk AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN x[i+1] > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN x[i+33] > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+         |  FROM raw),
+         |qs AS (SELECT vec_id AS q, lo AS qlo, hi AS qhi FROM sk WHERE vec_id < 10),
+         |scored AS (SELECT qs.q, c.vec_id AS nb,
+         |    CAST(bit_count(xor(c.lo, qs.qlo)) + bit_count(xor(c.hi, qs.qhi)) AS BIGINT) AS ham
+         |  FROM sk c, qs WHERE c.vec_id <> qs.q)
+         |SELECT CAST(q AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb, ham FROM (
+         |  SELECT q, nb, ham, row_number() OVER (PARTITION BY q ORDER BY ham, nb) AS rn
+         |  FROM scored) WHERE rn <= 10""".stripMargin,
 
     "ann_ivf_appended" -> ivfOracleSql("vec_id % 7 <> 0"),
 

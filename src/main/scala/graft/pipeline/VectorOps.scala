@@ -121,6 +121,54 @@ object VectorOps {
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
+  /** 64-bit SIGN SKETCH of the embedding column, packed as two 32-bit
+    * halves (`lo` = dims 0..31, `hi` = dims 32..63): bit i = [xᵢ > 0].
+    * The 4-byte-per-vector binary compression a 100 TB ANN tier keeps
+    * hot while the float vectors stay cold — Hamming distance on the
+    * packed words is a proxy for angular distance (each agreeing bit is
+    * one axis on whose side both vectors fall). Two halves instead of
+    * one long keep every shift below the sign bit in BOTH engines
+    * (DuckDB's BIGINT << 63 overflows); 2^i is computed as an exact
+    * double pow then cast (exact for i ≤ 31), matching the twin's
+    * integer shifts value-for-value. Returns (vec_id, lo, hi). */
+  def signSketch(emb: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims % 2 == 0, s"signSketch needs an even dims, got $dims")
+    val half = dims / 2
+    def packHalf(offset: Int): Column =
+      aggregate(
+        zip_with(
+          slice(dvec(col("embedding")), offset + 1, half),
+          sequence(lit(0), lit(half - 1)),
+          (x, i) => when(x > 0d, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b)
+    emb.select(col("vec_id"), packHalf(0).as("lo"), packHalf(half).as("hi"))
+  }
+
+  /** Exact top-k by HAMMING distance over the packed sign sketches:
+    * (q, nb, ham) ranked (ham asc, nb asc) — the brute-force baseline of
+    * the binary tier, scanning 8 bytes + two XOR/popcounts per corpus
+    * row where cosine scans 256 float bytes and 64 multiplies. Query
+    * sketches broadcast; the per-partition k-heaps of [[groupedTopK]]
+    * (on matching-bits = dims − ham, so the heap order IS ham asc) keep
+    * the exchange at partitions×k rows. The tie band at a Hamming cut is
+    * wide (ham ∈ 0..64) — the nb tiebreak makes the cut deterministic. */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                  dims: Int = 64): DataFrame = {
+    val c = signSketch(corpus, dims)
+      .select(col("vec_id").as("nb"), col("lo").as("clo"), col("hi").as("chi"))
+    val q = broadcast(signSketch(queries, dims)
+      .select(col("vec_id").as("q"), col("lo").as("qlo"), col("hi").as("qhi")))
+    val scored = c.join(q, col("q") =!= col("nb"))
+      .select(col("q"), col("nb"),
+        (lit(dims.toLong) - bit_count(col("clo").bitwiseXOR(col("qlo"))).cast("long")
+          - bit_count(col("chi").bitwiseXOR(col("qhi"))).cast("long")).as("mb"))
+    // graft_topk carries scores as double — the small-integer mb round-
+    // trips exactly; cast the distance back to the integer it is
+    groupedTopK(scored, "q", "nb", "mb", k)
+      .select(col("q"), col("nb"),
+        (lit(dims.toLong) - col("mb")).cast("long").as("ham"))
+  }
+
   /** Deterministic ±1 hyperplane matrix (md5-derived, see
     * [[graft.functions.Hyperplanes.matrix]]), embedded as a plan
     * literal — the per-(plane,dim) hashing happens ONCE at plan build,
@@ -448,6 +496,28 @@ object VectorOps {
         cosineBest(vectors.sparkSession, col("qv"), col("nbv")).as("sim"))
     groupedTopK(scored, "q", "nb", "sim", topK)
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Per-label kNN PURITY of a (q, nb, …) neighbor graph against a
+    * (vec_id, label) frame — the standard "does the embedding space
+    * respect the labels" audit run before trusting vectors for
+    * clustering or semantic dedup: for each label, the fraction of its
+    * vectors' neighbor slots occupied by the SAME label. Exact-integer
+    * numerator/denominator (hit and pair counts), one final division
+    * under round(4) — the oracle doctrine. Two vertex-keyed dimension
+    * joins on the neighbor graph + one label-keyed aggregation,
+    * map-side combined; nothing here outgrows the kNN graph itself.
+    * Returns (label, n_vecs, hits, pairs, purity). */
+  def labelPurity(nn: DataFrame, emb: DataFrame): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    nn.join(lab.select(col("vec_id").as("q"), col("label")), "q")
+      .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")), "nb")
+      .groupBy(col("label"))
+      .agg(countDistinct(col("q")).as("n_vecs"),
+        sum(when(col("nb_label") === col("label"), 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("pairs"))
+      .select(col("label"), col("n_vecs"), col("hits"), col("pairs"),
+        round(col("hits").cast("double") / col("pairs"), 4).as("purity"))
   }
 
   /** One-shot build + search (tests and ad-hoc use; long-lived deployments

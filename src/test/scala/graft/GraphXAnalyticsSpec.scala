@@ -346,6 +346,33 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(graft.gx.GraphXTraversal.kCorePeel(path, k = 2, rounds = 1).count() == 0L)
   }
 
+  test("k-truss peel: support recount, cascade past nominal rounds, honest empty fixpoint") {
+    import spark.implicits._
+    // K4 (every edge closes 2 triangles) with a pendant triangle hanging
+    // off vertex 4 (its edges close 1): at k=4 the pendant peels in round
+    // 1, the K4 stays support-2 everywhere, and the no-op confirmation
+    // lands past a nominal rounds=1 — the loop must keep going.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val out = graft.gx.GraphXTraversal
+      .kTrussPeel((k4 ++ pendant).toDF("a", "b"), k = 4, rounds = 1)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == k4.toSet)
+    assert(out.forall(r => r.getLong(2) == 2L && r.getBoolean(3)),
+      "K4 survivors must all carry support 2 in the fixpoint subgraph")
+    // two triangles sharing edge (2,3): that edge alone has support 2,
+    // but stripped of its support-1 neighbors it supports nothing — the
+    // 4-truss is EMPTY, reached only by re-supporting after the peel
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    assert(graft.gx.GraphXTraversal.kTrussPeel(twoTri, k = 4, rounds = 1).count() == 0L)
+    // k=3 keeps both triangles intact: every edge closes one, the shared
+    // edge two — and nothing peels, so round 1 already confirms
+    val t3 = graft.gx.GraphXTraversal.kTrussPeel(twoTri, k = 3, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L))
+  }
+
   test("LPA planted hub: a 1e5-neighbor star propagates without per-vertex histogram maps") {
     // star graph: hub 0 with 100k leaves. The former aggregateMessages
     // merge built the hub's full neighbor-label histogram as ONE

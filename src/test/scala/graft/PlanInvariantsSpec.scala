@@ -35,6 +35,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "ann_ivf_recall", "ann_ivfpq_recall",
       // ann_topk's scoring broadcast with the duplicate band filtered
       "hard_negatives",
+      // the binary tier's 10-row query-sketch broadcast against the
+      // corpus sketches — the ann_topk shape on 8-byte rows
+      "ann_hamming",
       // prefix-slice search + full-dim truth: two ann_topk-shaped
       // broadcasts (the rp_recall shape)
       "matryoshka_recall",
@@ -50,6 +53,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // the corpus-sized query side meets the index in a cell equi-join
       // (knnGraph deliberately does NOT broadcast its query side)
       "knn_graph",
+      // the same knn_graph centroid broadcast, downstream of the purity
+      // aggregation's label dimension joins (those are equi)
+      "knn_label_purity",
       // brute-force in projected + original space: two tiny query
       // broadcasts (the ann_topk shape, twice)
       "rp_recall",
