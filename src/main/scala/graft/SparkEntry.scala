@@ -346,6 +346,13 @@ object SparkEntry {
       // sequential CTE steps plus one extra round to verify convergence
       graft.gx.GraphXTraversal.kCoreDF(s, TpchGraph.snapshot(s, d))),
 
+    "pagerank_weighted" -> ((s, d) =>
+      // quantity-weighted rank (NEW r11): contains edges propagate in
+      // proportion to line-item quantity — relational power iteration
+      // over the memoized weighted contribution edges; the twin unrolls
+      // the same weighted rounds
+      graft.gx.GraphXTraversal.pageRankWeightedDF(s, TpchGraph.snapshot(s, d))),
+
     "ktruss" -> ((s, d) =>
       // 4-truss: every surviving edge closes >= 2 triangles in the
       // surviving subgraph — the edge-cohesion dual of kcore, peeled to
@@ -1166,6 +1173,21 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.hammingTopK(e, e.where(col("vec_id") < 10), 10)
     },
+    "ann_hamming_recall" -> { (s, d) =>
+      // how much the 32×-compressed binary tier gives up: recall@10 of
+      // the Hamming rank vs exact cosine truth, per query — integer hit
+      // counts, one round(4) division (the ann_ivf_recall shape)
+      val e = emb(s, d)
+      val qs = e.where(col("vec_id") < 10)
+      val ham = VectorOps.hammingTopK(e, qs, 10)
+      val exact = VectorOps.bruteForceTopK(e, qs, 10)
+      ham.join(exact.select(col("q"), col("nb"), lit(1).as("hit")),
+          Seq("q", "nb"), "left_outer")
+        .groupBy(col("q"))
+        .agg(count(col("hit")).as("hits"))
+        .select(col("q"), col("hits"),
+          round(col("hits") / 10.0, 4).as("recall"))
+    },
     "ann_pq" -> { (s, d) =>
       // PQ ADC search over the memoized codebooks/codes (build billed as
       // build_pq); rows-only — code assignments are engine-specific —
@@ -1588,6 +1610,35 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           last(when(col("event_type") === "purchase", col("value")),
             ignoreNulls = true).over(w).as("last_purchase_value"))
+    },
+
+    // Winsorized per-type value stats (NEW r11): the outlier-robust
+    // aggregate a metrics pipeline clamps heavy-tailed values with —
+    // nearest-rank p01/p99 cut points (one per-type window sort; the
+    // rank expression ceil(n·q) is the same IEEE double in both
+    // engines), then values clamped into [lo, hi] and summed as exact
+    // integer micros (the §28 doctrine: no rounded mean — consumers
+    // divide wins_sum_micro by n themselves). Ties at a cut share one
+    // value, so the tie order inside the window never shows.
+    "events_winsorized" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.projection.EventsReplay.rawEvents(s, d)
+        .select(col("event_type"), col("value"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("value"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val bounds = ranked.groupBy(col("event_type")).agg(
+        max(when(col("rn") ===
+          greatest(ceil(col("n") * lit(0.01)), lit(1L)), col("value"))).as("lo"),
+        max(when(col("rn") === ceil(col("n") * lit(0.99)), col("value"))).as("hi"),
+        max(col("n")).as("n"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(floor(least(greatest(col("value"), col("lo")), col("hi")) * lit(1000000d)
+            + lit(0.5)).cast("long")).as("wins_sum_micro"))
     },
 
     // stream-static enrichment, batch twin (stream parity in

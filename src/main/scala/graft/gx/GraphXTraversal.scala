@@ -883,6 +883,59 @@ object GraphXTraversal {
     }
   }
 
+  /** Memoized QUANTITY-WEIGHTED contribution edges (u, v, w): `contains`
+    * edges carry their quantity as weight, every other label weight 1,
+    * and w = weight∕Σ_out weight — the "how much of this order IS that
+    * part" propagation a uniform 1∕outdeg flattens. Quantities are
+    * integer-valued doubles (≤ 50), so the per-vertex Σweight is EXACT
+    * in double regardless of partial-sum order and each w lands on the
+    * identical bit pattern in the DuckDB twin; the rank iteration's own
+    * float folds are absorbed by the round(4) contract exactly as in
+    * the unweighted variant. Same repartition-before-checkpoint layout
+    * and LRU discipline as [[contribEdges]]. */
+  private val wContribCache =
+    new java.util.LinkedHashMap[Snapshot, DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Snapshot, DataFrame]): Boolean = {
+        val evict = size() > MaxCachedGraphs
+        if (evict) releaseCheckpoint(e.getValue)
+        evict
+      }
+    }
+
+  private def weightedContribEdges(snap: Snapshot): DataFrame =
+    wContribCache.synchronized {
+      val hit = wContribCache.get(snap)
+      if (hit != null) hit
+      else {
+        import graft.model.{A, PropType}
+        val qty = snap.prop("quantity", PropType.PDouble, A.Edge)
+          .select(col("e").as("id"), col("v").as("wt"))
+        val e = snap.edges.select(col("id"), col("outV").as("u"), col("inV").as("v"))
+          .join(qty, Seq("id"), "left_outer")
+          .select(col("u"), col("v"), coalesce(col("wt"), lit(1.0)).as("wt"))
+        val tot = e.groupBy(col("u")).agg(sum(col("wt")).as("tw"))
+        val built = e.join(tot, "u")
+          .select(col("u"), col("v"), (col("wt") / col("tw")).as("w"))
+          .repartition(col("u"))
+          .localCheckpoint(true)
+        wContribCache.put(snap, built)
+        built
+      }
+    }
+
+  /** Quantity-weighted static PageRank as relational rounds — rank flows
+    * along `contains` edges in proportion to line-item quantity (bulk
+    * parts accumulate more of their order's rank), everything else as
+    * the unweighted walk. Same recurrence/normalization/top-30 contract
+    * as [[pageRankRelationalDF]]; the twin unrolls the weighted rounds. */
+  def pageRankWeightedDF(spark: SparkSession, snap: Snapshot,
+                         numIter: Int = 10, topK: Int = 30): DataFrame =
+    normalizeTopK(
+      pageRankRounds(weightedContribEdges(snap), vertexFrame(snap), numIter, None),
+      personalized = false, topK)
+
   /** The power method as DataFrame rounds — the relational twin of
     * GraphX's `staticPageRank`, same recurrence to the bit pattern the
     * round(4) contract absorbs: r_{i+1}(v) = base(v) + 0.85·Σ_{(u,v)}

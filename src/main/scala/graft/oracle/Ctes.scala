@@ -507,6 +507,48 @@ object Ctes {
        |  ORDER BY sr DESC, vertex_id ASC LIMIT 30)""".stripMargin
   }
 
+  /** The edge union with a `wt` column: `contains` edges carry their
+    * l_quantity, every other label 1.0 — the weighted-PageRank twin's
+    * input. Quantities are integer-valued, so per-vertex weight sums
+    * are exact doubles in both engines. */
+  private[oracle] val weightedEdgeUnion =
+    """SELECT CAST(2000000 + n_nationkey AS BIGINT) AS outV,
+      |       CAST(1000000 + n_regionkey AS BIGINT) AS inV, CAST(1.0 AS DOUBLE) AS wt FROM nation
+      |UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT),
+      |       CAST(2000000 + c_nationkey AS BIGINT), 1.0 FROM customer
+      |UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT),
+      |       CAST(2000000 + s_nationkey AS BIGINT), 1.0 FROM supplier
+      |UNION ALL SELECT CAST(3000000 + o_custkey AS BIGINT),
+      |       CAST(6000000 + o_orderkey AS BIGINT), 1.0 FROM orders
+      |UNION ALL SELECT CAST(6000000 + l_orderkey AS BIGINT),
+      |       CAST(5000000 + l_partkey AS BIGINT), l_quantity FROM lineitem
+      |UNION ALL SELECT CAST(5000000 + l_partkey AS BIGINT),
+      |       CAST(4000000 + l_suppkey AS BIGINT), 1.0 FROM lineitem""".stripMargin
+
+  /** 10-iteration WEIGHTED power method, unrolled like
+    * [[pagerankFullSql]] with each contribution scaled by wt∕Σ_out wt
+    * instead of 1∕outdeg. */
+  private[oracle] val pagerankWeightedSql: String = {
+    val steps = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id AS vertex_id, CAST(0.15 AS DOUBLE) + 0.85 * COALESCE(m.s, 0) AS "rank"
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.inV AS dst, sum(r."rank" * (e.wt / d.tw)) AS s
+         |    FROM edges e JOIN r${i - 1} r ON r.vertex_id = e.outV
+         |                 JOIN wdeg d ON d.vertex_id = e.outV
+         |    GROUP BY e.inV) m ON m.dst = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($weightedEdgeUnion),
+       |verts AS ($vertexUnion),
+       |wdeg AS (SELECT outV AS vertex_id, sum(wt) AS tw FROM edges GROUP BY outV),
+       |r0 AS (SELECT id AS vertex_id, CAST(1.0 AS DOUBLE) AS "rank" FROM verts),
+       |$steps,
+       |tot AS (SELECT count(*) AS nv, sum("rank") AS s FROM r10)
+       |SELECT vertex_id, round(sr, 4) AS "rank" FROM (
+       |  SELECT vertex_id, "rank" * nv / s AS sr FROM r10, tot
+       |  ORDER BY sr DESC, vertex_id ASC LIMIT 30)""".stripMargin
+  }
+
   /** 10-iteration personalized power method from `src`, unrolled like
     * [[pagerankFullSql]]: r_0 = 1{v=src},
     * r_{i+1}(v) = 0.15·1{v=src} + 0.85·Σ_{(u,v)∈E} r_i(u)/outdeg(u),

@@ -144,6 +144,25 @@ object EventOracles {
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
 
+    // winsorized per-type stats: nearest-rank p01/p99 cuts (ceil(n·q)
+    // is the same IEEE double both sides), clamp, exact integer-micro
+    // sum — no rounded mean (half-point class)
+    "events_winsorized" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    max(CASE WHEN rn = greatest(CAST(ceil(n*0.01) AS BIGINT), 1) THEN value END) AS lo,
+        |    max(CASE WHEN rn = CAST(ceil(n*0.99) AS BIGINT) THEN value END) AS hi,
+        |    CAST(max(n) AS BIGINT) AS n
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, b.n, b.lo, b.hi,
+        |  CAST(sum(CAST(floor(least(greatest(e.value, b.lo), b.hi)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS wins_sum_micro
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.n, b.lo, b.hi""".stripMargin,
+
+
     // LOCF: one running last-non-null window per user, same
     // deterministic (ts, event_id) order as the Spark side; the value
     // double passes through unchanged

@@ -12,6 +12,8 @@ object GraphOracles {
 
     "pagerank_personal" -> pagerankPersonalSql(3000042L),
 
+    "pagerank_weighted" -> pagerankWeightedSql,
+
     "scan_vertices" -> vertexUnion,
 
 

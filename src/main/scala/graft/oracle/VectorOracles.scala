@@ -87,6 +87,31 @@ object VectorOracles {
          |  SELECT q, nb, ham, row_number() OVER (PARTITION BY q ORDER BY ham, nb) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
 
+    // the Hamming rank vs the exact-cosine truth side, counted per
+    // query — the ann_ivf_recall shape on the binary tier (sketch-side
+    // queries renamed qsk so exactTopKCte's qs stays the cosine one)
+    "ann_hamming_recall" ->
+      s"""WITH $rawEmbCte,
+         |sk AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN x[i+1] > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN x[i+33] > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+         |  FROM raw),
+         |qsk AS (SELECT vec_id AS q, lo AS qlo, hi AS qhi FROM sk WHERE vec_id < 10),
+         |hscored AS (SELECT qsk.q, c.vec_id AS nb,
+         |    CAST(bit_count(xor(c.lo, qsk.qlo)) + bit_count(xor(c.hi, qsk.qhi)) AS BIGINT) AS ham
+         |  FROM sk c, qsk WHERE c.vec_id <> qsk.q),
+         |ham AS (SELECT q, nb FROM (
+         |  SELECT q, nb, row_number() OVER (PARTITION BY q ORDER BY ham, nb) AS rn
+         |  FROM hscored) WHERE rn <= 10),
+         |qs AS (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
+         |$exactTopKCte
+         |SELECT CAST(h.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM ham h LEFT JOIN ex e ON h.q = e.q AND h.nb = e.nb
+         |GROUP BY h.q""".stripMargin,
+
     "ann_ivf_appended" -> ivfOracleSql("vec_id % 7 <> 0"),
 
     "ann_pq" -> s"WITH $rawEmbCte,\n$pqChainCte,\n${pqRankCte(candJoin = false)}\n$pqSelect",

@@ -38,6 +38,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // the binary tier's 10-row query-sketch broadcast against the
       // corpus sketches — the ann_topk shape on 8-byte rows
       "ann_hamming",
+      // the Hamming rank + the brute-force truth side: two tiny query
+      // broadcasts (the ann_ivf_recall shape)
+      "ann_hamming_recall",
       // prefix-slice search + full-dim truth: two ann_topk-shaped
       // broadcasts (the rp_recall shape)
       "matryoshka_recall",
