@@ -553,6 +553,44 @@ object EventStream {
     * without bound but the active set doesn't. None (the default)
     * preserves exact whole-history semantics: state grows with distinct
     * users, the right call only when that set is bounded. */
+  /** One LOCF output row per event. */
+  final case class LocfRow(event_id: Long, user_id: Long,
+                           last_purchase_value: Option[Double])
+
+  /** STREAMING twin of the batch `events_locf` query: every event emits
+    * the user's most recent purchase value so far. Per-user state is ONE
+    * Option[Double] — the smallest stateful op in the file (compare the
+    * near-dup join's per-doc band rows), so state scales with distinct
+    * ACTIVE users, never event volume. Rows within a micro-batch fold in
+    * (ts, event_id) order — the batch window's exact order — so stream ==
+    * batch whenever event time respects batch boundaries per user (the
+    * replay/backfill contract; EventStreamSpec drives both one-batch and
+    * split-batch feeds). `idleTtl` evicts cold users exactly like
+    * [[latestPerUser]] (an evicted user restarts from no-purchase-seen —
+    * the bounded-state trade). */
+  def locfStream(events: Dataset[Event],
+                 idleTtl: Option[String] = None): Dataset[LocfRow] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[Double], LocfRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Option[Double]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption.flatten
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              if (e.event_type == "purchase") last = Some(e.value)
+              LocfRow(e.event_id, uid, last)
+            }
+            state.update(last)
+            idleTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   def latestPerUser(events: Dataset[Event],
                     idleTtl: Option[String] = None): Dataset[UserVersion] = {
     import events.sparkSession.implicits._

@@ -345,6 +345,44 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.intersect(batch.filter(_._1 == 1L)).size == 2)
   }
 
+  test("LOCF stream equals the batch running window, one-batch and split-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(0L, ts("2024-01-01 00:00:00"), 1L, "click", 5.0),    // before any purchase -> null
+      Event(1L, ts("2024-01-01 00:05:00"), 1L, "purchase", 9.5), // sets the carry
+      Event(2L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0),     // carries 9.5
+      Event(3L, ts("2024-01-01 00:20:00"), 1L, "purchase", 2.5), // replaces the carry
+      Event(4L, ts("2024-01-01 00:30:00"), 1L, "error", 0.0),    // carries 2.5
+      Event(5L, ts("2024-01-01 00:00:00"), 2L, "view", 3.0))     // user 2: never -> null
+    // batch truth: the events_locf running window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val batch = events.toDF()
+      .select(col("event_id"), col("user_id"),
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w).as("lpv"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(batch == Map(0L -> None, 1L -> Some(9.5), 2L -> Some(9.5),
+      3L -> Some(2.5), 4L -> Some(2.5), 5L -> None))
+    def run(feeds: Seq[Seq[Event]], sink: String): Map[Long, Option[Double]] = {
+      val source = MemoryStream[Event]
+      val q = EventStream.locfStream(source.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { feeds.foreach { f => source.addData(f: _*); q.processAllAvailable() } }
+      finally q.stop()
+      spark.table(sink).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    }
+    // one batch: in-batch fold order is (ts, event_id) — exact parity
+    assert(run(Seq(events), "locf_one") == batch)
+    // split mid-carry: state carries 9.5 across the batch boundary
+    assert(run(Seq(events.take(3), events.drop(3)), "locf_split") == batch)
+  }
+
   test("funnel pairs: stream-stream interval join equals batch; window bounds respected") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
