@@ -335,6 +335,14 @@ object SparkEntry {
       graft.gx.GraphXTraversal.shortestPathsDF(
         s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
 
+    "harmonic_centrality" -> ((s, d) =>
+      // Σ 1/dist to the supplier landmarks over the order DAG (NEW r11),
+      // each reciprocal quantized to integer micros before the order-free
+      // sum; rides the same Pregel BFS as shortest_paths, and the twin
+      // the same closed-form level structure
+      graft.gx.GraphXTraversal.harmonicCentralityDF(
+        s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
+
     "clustering_coeff" -> ((s, d) =>
       // per-vertex local clustering coefficient on the same pair graph;
       // the oracle recomputes per-vertex wedge closure + degrees in SQL

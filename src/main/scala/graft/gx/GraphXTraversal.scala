@@ -798,6 +798,31 @@ object GraphXTraversal {
     out
   }
 
+  /** Harmonic centrality TO the landmark set over the label-filtered
+    * DAG: h(v) = Σ_{lm reachable} 1∕d(v, lm) — the centrality that stays
+    * well-defined on disconnected graphs (unreachable landmarks
+    * contribute 0 instead of ∞, Boldi & Vigna 2014). Rides
+    * [[shortestPathsDF]]'s Pregel BFS, then one vertex-keyed
+    * aggregation; each distance's reciprocal quantizes to integer
+    * micros ⌊10⁶∕d + ½⌋ BEFORE the sum (the §28 order-free doctrine;
+    * landmarks at d=0 are excluded from their own sum, the convention).
+    * Returns (vertex_id, n_reachable, h_micro, harmonic). */
+  def harmonicCentralityDF(spark: SparkSession, snap: Snapshot,
+                           landmarks: Seq[Long],
+                           labels: Seq[String] =
+                             Seq("placed", "contains", "supplied_by")): DataFrame = {
+    val sp = shortestPathsDF(spark, snap, landmarks, labels)
+      .where(col("dist") > 0)
+    sp.select(col("vertex_id"),
+        floor(lit(1e6) / col("dist").cast("double") + lit(0.5))
+          .cast("long").as("m"))
+      .groupBy(col("vertex_id"))
+      .agg(count(lit(1)).as("n_reachable"), sum(col("m")).as("h_micro"))
+      .select(col("vertex_id"), col("n_reachable"),
+        col("h_micro"),
+        (col("h_micro").cast("double") / lit(1e6)).as("harmonic"))
+  }
+
   /** Static PageRank over the full snapshot graph (`numIter` fixed
     * rounds, damping 0.85): (vertex_id, rank). Spec-gated (rank ORDER
     * in GraphXAnalyticsSpec — hub nations/regions accumulate the mass

@@ -507,6 +507,29 @@ object Ctes {
        |  ORDER BY sr DESC, vertex_id ASC LIMIT 30)""".stripMargin
   }
 
+  /** Closed-form BFS levels on the placed/contains/supplied_by DAG with
+    * supplier landmarks 1..3 (see GraphXTraversal.shortestPathsDF):
+    * parts supplying a landmark at 1, orders containing those parts at
+    * 2, their customers at 3. CTEs `lm`, `d1`, `d2`, `d3` — shared by
+    * the shortest_paths and harmonic_centrality twins. */
+  private[oracle] val spDagCtes: String =
+    """lm AS (
+      |  -- a landmark is a DAG vertex only if some edge references it
+      |  SELECT CAST(4000000 + s_suppkey AS BIGINT) AS lid FROM supplier
+      |  WHERE s_suppkey BETWEEN 1 AND 3
+      |    AND s_suppkey IN (SELECT l_suppkey FROM lineitem)
+      |), d1 AS (
+      |  SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS v,
+      |         CAST(4000000 + l_suppkey AS BIGINT) AS lid
+      |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 3
+      |), d2 AS (
+      |  SELECT DISTINCT CAST(6000000 + l.l_orderkey AS BIGINT) AS v, d1.lid
+      |  FROM lineitem l JOIN d1 ON CAST(5000000 + l.l_partkey AS BIGINT) = d1.v
+      |), d3 AS (
+      |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS v, d2.lid
+      |  FROM orders o JOIN d2 ON CAST(6000000 + o.o_orderkey AS BIGINT) = d2.v
+      |)""".stripMargin
+
   /** The edge union with a `wt` column: `contains` edges carry their
     * l_quantity, every other label 1.0 — the weighted-PageRank twin's
     * input. Quantities are integer-valued, so per-vertex weight sums

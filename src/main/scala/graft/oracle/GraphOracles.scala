@@ -301,26 +301,27 @@ object GraphOracles {
     // (see GraphXTraversal.shortestPathsDF): landmark suppliers 0,
     // their parts 1, orders containing those parts 2, customers 3
     "shortest_paths" ->
-      """WITH lm AS (
-        |  -- a landmark is a DAG vertex only if some edge references it
-        |  SELECT CAST(4000000 + s_suppkey AS BIGINT) AS lid FROM supplier
-        |  WHERE s_suppkey BETWEEN 1 AND 3
-        |    AND s_suppkey IN (SELECT l_suppkey FROM lineitem)
-        |), d1 AS (
-        |  SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS v,
-        |         CAST(4000000 + l_suppkey AS BIGINT) AS lid
-        |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 3
-        |), d2 AS (
-        |  SELECT DISTINCT CAST(6000000 + l.l_orderkey AS BIGINT) AS v, d1.lid
-        |  FROM lineitem l JOIN d1 ON CAST(5000000 + l.l_partkey AS BIGINT) = d1.v
-        |), d3 AS (
-        |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS v, d2.lid
-        |  FROM orders o JOIN d2 ON CAST(6000000 + o.o_orderkey AS BIGINT) = d2.v
-        |)
+      s"""WITH $spDagCtes
         |SELECT vertex_id, landmark_id, dist FROM (
         |  SELECT lid AS vertex_id, lid AS landmark_id, CAST(0 AS INT) AS dist FROM lm
         |  UNION ALL SELECT v, lid, CAST(1 AS INT) FROM d1
         |  UNION ALL SELECT v, lid, CAST(2 AS INT) FROM d2
         |  UNION ALL SELECT v, lid, CAST(3 AS INT) FROM d3)""".stripMargin,
+
+
+    // the same closed-form BFS levels, folded to Σ 1/dist in integer
+    // micros (d=0 landmark self-rows excluded, the convention)
+    "harmonic_centrality" ->
+      s"""WITH $spDagCtes,
+        |sp AS (
+        |  SELECT v AS vertex_id, CAST(1 AS INT) AS dist FROM d1
+        |  UNION ALL SELECT v, CAST(2 AS INT) FROM d2
+        |  UNION ALL SELECT v, CAST(3 AS INT) FROM d3)
+        |SELECT CAST(vertex_id AS BIGINT) AS vertex_id,
+        |  CAST(count(*) AS BIGINT) AS n_reachable,
+        |  CAST(sum(m) AS BIGINT) AS h_micro,
+        |  CAST(sum(m) AS BIGINT)::DOUBLE / 1000000.0 AS harmonic
+        |FROM (SELECT vertex_id, CAST(floor(1000000.0 / dist + 0.5) AS BIGINT) AS m FROM sp)
+        |GROUP BY vertex_id""".stripMargin,
   )
 }
