@@ -606,22 +606,35 @@ object GraphXTraversal {
     // unchanged SET — the fixpoint; an empty set is trivially converged
     var prev = edges.count()
     var converged = prev == 0L
+    // set on the no-op round: that round's supports were computed IN the
+    // fixpoint subgraph (filter kept every edge), so they are exactly
+    // the final recount — reuse them instead of one more wedge join
+    var atFixpoint: DataFrame = null
     val cap = math.max(rounds, 32)
     var r = 0
     while (!converged && r < cap) {
-      val next = withSupport(edges).where(col("support") >= minSup)
-        .select(col("a"), col("b")).localCheckpoint(true)
-      releaseCheckpoint(edges) // §18 discipline: free the prior round
-      edges = next
-      val n = edges.count()
-      converged = n == prev || n == 0L
-      prev = n
-      r += 1
+      val supported = withSupport(edges).localCheckpoint(true)
+      val survivors = supported.where(col("support") >= minSup)
+      val n = survivors.count()
+      if (n == prev) { converged = true; atFixpoint = supported }
+      else {
+        releaseCheckpoint(edges) // §18 discipline: free the prior round
+        edges = survivors.select(col("a"), col("b")).localCheckpoint(true)
+        releaseCheckpoint(supported)
+        converged = n == 0L
+        prev = n
+        r += 1
+      }
     }
-    // final support recount within the fixpoint subgraph (the twin's
-    // one-extra-round sup table), then release the edge checkpoint
-    val out = withSupport(edges).withColumn("converged", lit(converged))
-      .localCheckpoint(true)
+    val out =
+      if (atFixpoint != null)
+        atFixpoint.where(col("support") >= minSup)
+          .withColumn("converged", lit(true)).localCheckpoint(true)
+      else
+        // empty fixpoint or cap hit: one honest recount over the final set
+        withSupport(edges).withColumn("converged", lit(converged))
+          .localCheckpoint(true)
+    if (atFixpoint != null) releaseCheckpoint(atFixpoint)
     releaseCheckpoint(edges)
     out
   }
