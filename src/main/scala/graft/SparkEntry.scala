@@ -1449,6 +1449,18 @@ object SparkEntry {
       // back in ONE partition-mapped pass; oracle re-derives each field
       // from the doc_id arithmetic — equality proves the byte round-trip
       pipeline.MediaSynth.mediaMetaQuery(s, d)),
+    "media_stats" -> ((s, d) =>
+      // per-format corpus audit (NEW r11) over the SAME parsed headers:
+      // counts + integer sums only (sum skips the format's null fields
+      // in both engines; no rounded means — the half-point class). The
+      // twin aggregates the doc_id arithmetic, so a parser drift in any
+      // single field shows as a sum mismatch.
+      pipeline.MediaSynth.mediaMetaQuery(s, d)
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("duration_ms")).as("sum_duration_ms"))),
     "multimodal_dedup" -> ((s, d) =>
       // exact media dedup by content digest over the synthesized
       // binary column (WAV payloads genuinely collide: bytes depend on
@@ -1618,6 +1630,28 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           last(when(col("event_type") === "purchase", col("value")),
             ignoreNulls = true).over(w).as("last_purchase_value"))
+    },
+
+    // Per-user behavioral entropy (NEW r11): H = ln N − (Σ c·ln c)∕N
+    // over the user's event-type counts — low entropy = a bot-like
+    // single-action user, the ceiling ln(n_types). Same exactness
+    // doctrine as token_entropy: c·ln c quantized to integer micros per
+    // type and summed in DECIMAL(38,0), one shared final expression.
+    // Two hash aggregations, both map-side combined.
+    "user_event_entropy" -> { (s, d) =>
+      val tf = graft.projection.EventsReplay.rawEvents(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      tf.groupBy(col("user_id")).agg(
+          sum(col("c")).as("n"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(floor(col("c") * log(col("c")) * lit(1e6) + lit(0.5))
+            .cast("decimal(38,0)")).as("sc"))
+        .select(col("user_id"), col("n").cast("long").as("n_events"),
+          col("n_types"),
+          round(log(col("n").cast("double")) -
+            col("sc").cast("double") / lit(1e6) / col("n").cast("double"), 6)
+            .as("entropy_nats"))
     },
 
     // Winsorized per-type value stats (NEW r11): the outlier-robust

@@ -138,6 +138,24 @@ object CurationOracles {
         |FROM documents""".stripMargin,
 
 
+    // the per-format aggregate of the same arithmetic: integer counts
+    // and sums only (sum skips each format's null fields both sides)
+    "media_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+        |       WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4/isom' ELSE 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 6 IN (0,1,2,4,5) THEN CAST(doc_id % 640 + 16 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 6 IN (0,1,2,4,5) THEN CAST(doc_id % 360 + 9 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 6 = 3 THEN CAST(100 * (doc_id % 10 + 1) AS BIGINT)
+        |       WHEN doc_id % 6 = 4 THEN CAST(500 * (doc_id % 8 + 1) AS BIGINT) END AS duration_ms
+        |FROM documents)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height,
+        |  CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
+        |FROM m GROUP BY format""".stripMargin,
+
+
     // content-equality classes re-derived from the GENERATIVE params
     // (bytes are a pure function of them: images/mp4 of d%6,d%640,d%360
     // [,d%8]; wav of d%2,d%3,d%10) — independent of the digest the

@@ -144,6 +144,21 @@ object EventOracles {
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
 
+    // per-user behavioral entropy: c·ln c in integer micros per type,
+    // HUGEINT sum, one shared final expression — token_entropy's twin
+    // doctrine on the events table
+    "user_event_entropy" ->
+      """WITH tf AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(ln(sum(c)) -
+        |    sum(CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
+        |      / 1000000.0 / sum(c)::DOUBLE, 6) AS entropy_nats
+        |FROM tf GROUP BY user_id""".stripMargin,
+
+
     // winsorized per-type stats: nearest-rank p01/p99 cuts (ceil(n·q)
     // is the same IEEE double both sides), clamp, exact integer-micro
     // sum — no rounded mean (half-point class)
