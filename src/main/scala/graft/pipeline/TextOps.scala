@@ -414,9 +414,15 @@ object TextOps {
     * equi-join. Returns (doc_id, cluster_id, keep) for EVERY doc. */
   def dedupKeepBest(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val cl = dedupClusters(docs, threshold).select(col("doc_id"), col("cluster_id"))
+    // BOTH the argmax and the final join read `sized` — materialize it
+    // once (eager localCheckpoint) or each reference re-runs the whole
+    // LSH + CC cluster pipeline upstream (measured 11 s vs the 1.3 s
+    // dedup_clusters itself costs at sf0.1 — the CollapseProject /
+    // shared-subplan re-evaluation disease, §16)
     val sized = cl.join(
       docs.select(col("doc_id").cast("long").as("doc_id"),
         col("n_chars").cast("long").as("n_chars")), "doc_id")
+      .localCheckpoint(true)
     val best = sized.groupBy(col("cluster_id"))
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"))
       .select(col("cluster_id"), (-col("b.nd")).as("best_doc"))
