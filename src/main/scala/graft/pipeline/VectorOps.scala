@@ -134,10 +134,18 @@ object VectorOps {
   def signSketch(emb: DataFrame, dims: Int = 64): DataFrame = {
     require(dims % 2 == 0, s"signSketch needs an even dims, got $dims")
     val half = dims / 2
+    // fail loudly on a dims mismatch (the lshSignature doctrine): a
+    // short vector would otherwise slice short, null-pad through
+    // zip_with, and silently sketch as zero bits — every wrong-width
+    // vector colliding at Hamming 0
+    val checked = when(
+      assert_true(size(col("embedding")) === dims,
+        lit(s"signSketch: embedding length != dims=$dims")).isNull,
+      dvec(col("embedding")))
     def packHalf(offset: Int): Column =
       aggregate(
         zip_with(
-          slice(dvec(col("embedding")), offset + 1, half),
+          slice(checked, offset + 1, half),
           sequence(lit(0), lit(half - 1)),
           (x, i) => when(x > 0d, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, b) => acc + b)
