@@ -368,6 +368,13 @@ object SparkEntry {
       // `converged` flag; the twin unrolls the support peels + 1
       graft.gx.GraphXTraversal.kTrussDF(s, TpchGraph.snapshot(s, d))),
 
+    "local_bridges" -> ((s, d) =>
+      // weak ties (NEW r11): pair-graph edges with triangle support 0 —
+      // the links joining otherwise-separate neighborhoods — with
+      // endpoint degrees attached; the twin anti-joins the wedge-closure
+      // support table
+      graft.gx.GraphXTraversal.localBridgesDF(s, TpchGraph.snapshot(s, d))),
+
     "communities_lpa" -> ((s, d) =>
       // 4 synchronous label-propagation rounds over the pair graph with
       // the deterministic (count desc, label asc) tie-break — GraphX's

@@ -578,29 +578,33 @@ object GraphXTraversal {
     * Requires k ≥ 3 (k = 2 is the input graph — nothing peels).
     * Package-visible so the fixpoint spec can drive synthetic graphs
     * whose peeling depth exceeds the nominal round budget. */
+  /** Triangle support of every edge in a canonical pair frame (`a` <
+    * `b`, distinct): one wedge self-join on the middle vertex, closed
+    * wedges kept by a semi-join against the edge set, counted per
+    * (a, b); edges closing no wedge get support 0. The per-round core
+    * of [[kTrussPeel]] and the one-shot core of [[localBridgesDF]]. */
+  private[graft] def edgeSupport(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("a").as("w"), col("b").as("x"))
+      .unionAll(edges.select(col("b").as("w"), col("a").as("x")))
+    val wedges = adj.join(
+        adj.select(col("w").as("w2"), col("x").as("y")),
+        col("w") === col("w2"))
+      .where(col("x") < col("y")).select(col("x"), col("y"))
+    val sup = wedges
+      .join(edges.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_semi")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
+    edges.join(
+        sup.select(col("x").as("a"), col("y").as("b"), col("support")),
+        Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   private[graft] def kTrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, "kTruss needs k >= 3 (k = 2 never peels)")
     val minSup = k - 2
-    // support of every edge in `edges`: one wedge self-join on the middle
-    // vertex, closed wedges kept by a semi-join against the edge set,
-    // counted per (a,b); edges closing no wedge get support 0
-    def withSupport(edges: DataFrame): DataFrame = {
-      val adj = edges.select(col("a").as("w"), col("b").as("x"))
-        .unionAll(edges.select(col("b").as("w"), col("a").as("x")))
-      val wedges = adj.join(
-          adj.select(col("w").as("w2"), col("x").as("y")),
-          col("w") === col("w2"))
-        .where(col("x") < col("y")).select(col("x"), col("y"))
-      val sup = wedges
-        .join(edges.select(col("a").as("x"), col("b").as("y")),
-          Seq("x", "y"), "left_semi")
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
-      edges.join(
-          sup.select(col("x").as("a"), col("y").as("b"), col("support")),
-          Seq("a", "b"), "left_outer")
-        .select(col("a"), col("b"),
-          coalesce(col("support"), lit(0L)).as("support"))
-    }
+    def withSupport(edges: DataFrame): DataFrame = edgeSupport(edges)
     var edges = pairs.select(col("a"), col("b")).localCheckpoint(true)
     // the edge set shrinks monotonically, so an unchanged COUNT means an
     // unchanged SET — the fixpoint; an empty set is trivially converged
@@ -637,6 +641,29 @@ object GraphXTraversal {
     if (atFixpoint != null) releaseCheckpoint(atFixpoint)
     releaseCheckpoint(edges)
     out
+  }
+
+  /** LOCAL BRIDGES of the co-occurrence pair graph: edges whose
+    * endpoints share NO common neighbor (triangle support 0, span ≥ 3)
+    * — Granovetter's weak ties, the links whose removal lengthens the
+    * path between their endpoints and the standard "connects otherwise-
+    * separate neighborhoods" signal. One [[edgeSupport]] pass (the
+    * triangle census's wedge join) + one degree dimension join; returns
+    * (a, b, deg_a, deg_b) for every bridge, endpoint degrees attached
+    * so downstream can separate leaf-bridges (deg 1) from genuine
+    * community connectors. */
+  def localBridgesDF(spark: SparkSession, snap: Snapshot,
+                     minQty: Double = 30.0): DataFrame = {
+    val g = pairGraph(snap, minQty)
+    val e0 = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
+      .toDF("a", "b")
+    val adj = e0.select(col("a").as("v"))
+      .unionAll(e0.select(col("b").as("v")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    edgeSupport(e0).where(col("support") === 0L)
+      .join(deg.select(col("v").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"))
   }
 
   /**

@@ -196,6 +196,28 @@ object GraphOracles {
     // sf0.1 takes 3 — depth is a graph property, not monotone in scale)
     "ktruss" -> ktrussSql(4, 8),
 
+    // edges with NO closed wedge (support 0): anti-join against the
+    // wedge-closure count, endpoint degrees from the symmetrized list
+    "local_bridges" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e0 AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+        |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |adj AS (SELECT a AS w, b AS x FROM e0 UNION ALL SELECT b, a FROM e0),
+        |sup AS (
+        |  SELECT p.x AS a, q.x AS b, count(*) AS s
+        |  FROM adj p JOIN adj q ON p.w = q.w AND p.x < q.x
+        |  JOIN e0 e ON e.a = p.x AND e.b = q.x
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT w AS v, count(*) AS d FROM adj GROUP BY w)
+        |SELECT e.a, e.b, CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b
+        |FROM e0 e LEFT JOIN sup s ON s.a = e.a AND s.b = e.b
+        |JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+        |WHERE s.a IS NULL""".stripMargin,
+
     "communities_lpa" -> lpaSql(4),
 
     // the LPA chain + the exact-integer modularity numerator; HUGEINT
