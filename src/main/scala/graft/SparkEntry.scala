@@ -1665,10 +1665,13 @@ object SparkEntry {
     // aggregate a metrics pipeline clamps heavy-tailed values with —
     // nearest-rank p01/p99 cut points (one per-type window sort; the
     // rank expression ceil(n·q) is the same IEEE double in both
-    // engines), then values clamped into [lo, hi] and summed as exact
-    // integer micros (the §28 doctrine: no rounded mean — consumers
-    // divide wins_sum_micro by n themselves). Ties at a cut share one
-    // value, so the tie order inside the window never shows.
+    // engines), then values clamped into [lo, hi], quantized to integer
+    // micros per ROW, and summed in DECIMAL(38,0) (a Long micro-sum
+    // wraps at 9.2e12 value-units — reachable at 100 TB event volume;
+    // the token_entropy widening). The emitted wins_sum is the ONE
+    // shared double expression sc∕10⁶ under round(6) — never a rounded
+    // mean (the half-point class). Ties at a cut share one value, so
+    // the tie order inside the window never shows.
     "events_winsorized" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ev = graft.projection.EventsReplay.rawEvents(s, d)
@@ -1687,7 +1690,9 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
           sum(floor(least(greatest(col("value"), col("lo")), col("hi")) * lit(1000000d)
-            + lit(0.5)).cast("long")).as("wins_sum_micro"))
+            + lit(0.5)).cast("decimal(38,0)")).as("sc"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          round(col("sc").cast("double") / lit(1e6), 6).as("wins_sum"))
     },
 
     // stream-static enrichment, batch twin (stream parity in

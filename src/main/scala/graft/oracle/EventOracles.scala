@@ -160,8 +160,9 @@ object EventOracles {
 
 
     // winsorized per-type stats: nearest-rank p01/p99 cuts (ceil(n·q)
-    // is the same IEEE double both sides), clamp, exact integer-micro
-    // sum — no rounded mean (half-point class)
+    // is the same IEEE double both sides), clamp, per-row integer
+    // micros summed in HUGEINT, ONE shared double expression out — no
+    // rounded mean (half-point class)
     "events_winsorized" ->
       """WITH r AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
@@ -173,7 +174,8 @@ object EventOracles {
         |    CAST(max(n) AS BIGINT) AS n
         |  FROM r GROUP BY event_type)
         |SELECT e.event_type, b.n, b.lo, b.hi,
-        |  CAST(sum(CAST(floor(least(greatest(e.value, b.lo), b.hi)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS wins_sum_micro
+        |  round(sum(CAST(floor(least(greatest(e.value, b.lo), b.hi)*1000000 + 0.5) AS HUGEINT))::DOUBLE
+        |    / 1000000.0, 6) AS wins_sum
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type, b.n, b.lo, b.hi""".stripMargin,
 
