@@ -368,6 +368,13 @@ object SparkEntry {
       // `converged` flag; the twin unrolls the support peels + 1
       graft.gx.GraphXTraversal.kTrussDF(s, TpchGraph.snapshot(s, d))),
 
+    "degree_tail_alpha" -> ((s, d) =>
+      // Hill tail-exponent of the pair-graph degree distribution (NEW
+      // r11): the scale-free/hub-heaviness scalar — ln-degrees in
+      // integer micros over the top-k order statistics, one final
+      // division; the twin replays the same cut and integer chain
+      graft.gx.GraphXTraversal.degreeTailAlphaDF(s, TpchGraph.snapshot(s, d))),
+
     "local_bridges" -> ((s, d) =>
       // weak ties (NEW r11): pair-graph edges with triangle support 0 —
       // the links joining otherwise-separate neighborhoods — with

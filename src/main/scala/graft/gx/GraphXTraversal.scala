@@ -643,6 +643,46 @@ object GraphXTraversal {
     out
   }
 
+  /** Hill estimator of the degree-distribution tail exponent over the
+    * co-occurrence pair graph: α = k ∕ Σ_{i≤k} (ln d₍ᵢ₎ − ln d₍ₖ₊₁₎)
+    * over the k largest degrees — the "is this graph scale-free, and
+    * how heavy is the hub tail" scalar that decides whether skew
+    * mitigations (salting, hub caps) are needed before a 100× scale-up.
+    * The top-(k+1) cut is TakeOrderedAndProject (per-partition heaps,
+    * no global sort); only degree VALUES enter the formula, so ties at
+    * the cut can't make it nondeterministic. Each ln d quantizes to
+    * integer micros before the sum (§28), one shared final division.
+    * Returns one row (k, d_k1, alpha). */
+  def degreeTailAlphaDF(spark: SparkSession, snap: Snapshot, k: Int = 100,
+                        minQty: Double = 30.0): DataFrame = {
+    val g = pairGraph(snap, minQty)
+    import spark.implicits._
+    val deg = spark.createDataFrame(
+      g.degrees.map { case (v, d) => (v, d.toLong) }).toDF("v", "d")
+    tailAlphaFromDegrees(deg, k)
+  }
+
+  /** The estimator core over a (v, d) degree frame — package-visible so
+    * the spec can drive hand-built degree sets with known closed forms.
+    * Requires more than k vertices (the k+1-th order statistic is the
+    * normalizing cut). */
+  private[graft] def tailAlphaFromDegrees(deg: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // k+1 rows: per-partition heads merged, never a full sort shuffle
+    val top = deg.orderBy(col("d").desc, col("v").asc).limit(k + 1)
+    // the 101-row window runs in one task by construction (limit output)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("d").desc, col("v").asc)))
+    val m = floor(log(col("d").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val agg = ranked.agg(
+      sum(when(col("rn") <= k, m)).as("sm"),
+      max(when(col("rn") === k + 1, col("d"))).as("dk1"),
+      max(when(col("rn") === k + 1, m)).as("mk1"))
+    agg.select(lit(k.toLong).as("k"), col("dk1"),
+      round(lit(k.toLong * 1000000L).cast("double") /
+        (col("sm") - lit(k.toLong) * col("mk1")).cast("double"), 4).as("alpha"))
+  }
+
   /** LOCAL BRIDGES of the co-occurrence pair graph: edges whose
     * endpoints share NO common neighbor (triangle support 0, span ≥ 3)
     * — Granovetter's weak ties, the links whose removal lengthens the

@@ -196,6 +196,28 @@ object GraphOracles {
     // sf0.1 takes 3 — depth is a graph property, not monotone in scale)
     "ktruss" -> ktrussSql(4, 8),
 
+    // Hill estimator: top-(k+1) degree order statistics (values only —
+    // ties can't show), ln-degrees in integer micros, one division
+    "degree_tail_alpha" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+        |), e0 AS (
+        |  SELECT DISTINCT CAST(5000000 + x.l_partkey AS BIGINT) AS a,
+        |                  CAST(5000000 + y.l_partkey AS BIGINT) AS b
+        |  FROM bulk x JOIN bulk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |top AS (SELECT v, d FROM deg ORDER BY d DESC, v LIMIT 101),
+        |r AS (SELECT d, row_number() OVER (ORDER BY d DESC, v) AS rn,
+        |    CAST(floor(ln(d) * 1000000.0 + 0.5) AS BIGINT) AS m FROM top)
+        |SELECT CAST(100 AS BIGINT) AS k,
+        |  max(CASE WHEN rn = 101 THEN d END) AS dk1,
+        |  round(100000000.0 /
+        |    (sum(CASE WHEN rn <= 100 THEN m END)
+        |     - 100 * max(CASE WHEN rn = 101 THEN m END))::DOUBLE, 4) AS alpha
+        |FROM r""".stripMargin,
+
     // edges with NO closed wedge (support 0): anti-join against the
     // wedge-closure count, endpoint degrees from the symmetrized list
     "local_bridges" ->

@@ -373,6 +373,23 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
       (2L, 4L) -> 1L, (3L, 4L) -> 1L))
   }
 
+  test("Hill tail exponent: hand-built degrees match the closed form; ties can't show") {
+    import spark.implicits._
+    // degrees 8, 4, 2, 1, 1 with k=2: α = 2 / (ln(8/2) + ln(4/2)) =
+    // 2/ln(8) ≈ 0.9618 on the micro-quantized grid
+    val deg = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L), (5L, 1L)).toDF("v", "d")
+    val row = graft.gx.GraphXTraversal.tailAlphaFromDegrees(deg, 2).head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 2L)
+    assert(row.getDouble(2) == 0.9618, s"alpha ${row.getDouble(2)}")
+    // a tie AT the cut: degrees 8, 4, 4, 4 — whichever tied vertex ranks
+    // third, the VALUE d_(k+1) and the top-k values are the same
+    val tied = Seq((1L, 8L), (2L, 4L), (3L, 4L), (4L, 4L)).toDF("v", "d")
+    val t = graft.gx.GraphXTraversal.tailAlphaFromDegrees(tied, 2).head()
+    assert(t.getLong(1) == 4L)
+    // α = 2 / (ln(8/4) + ln(4/4)) = 2/ln2 ≈ 2.8854
+    assert(t.getDouble(2) == 2.8854, s"alpha ${t.getDouble(2)}")
+  }
+
   test("LPA planted hub: a 1e5-neighbor star propagates without per-vertex histogram maps") {
     // star graph: hub 0 with 100k leaves. The former aggregateMessages
     // merge built the hub's full neighbor-label histogram as ONE
