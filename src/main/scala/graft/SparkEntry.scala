@@ -1195,6 +1195,12 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.hammingTopK(e, e.where(col("vec_id") < 10), 10)
     },
+    "dedup_hamming" -> ((s, d) =>
+      // binary-tier near-dup MINING (NEW r11): multi-index byte-chunk
+      // buckets -> exact XOR-popcount verify at ham <= 20 — complete by
+      // pigeonhole for ham <= 7, the LSH candidates∩predicate contract
+      // above; the twin replays the same chunks, join, and verify
+      VectorOps.hammingNearDupPairs(emb(s, d))),
     "ann_hamming_recall" -> { (s, d) =>
       // how much the 32×-compressed binary tier gives up: recall@10 of
       // the Hamming rank vs exact cosine truth, per query — integer hit

@@ -87,6 +87,28 @@ object VectorOracles {
          |  SELECT q, nb, ham, row_number() OVER (PARTITION BY q ORDER BY ham, nb) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
 
+    // multi-index byte-chunk candidates + exact popcount verify — the
+    // same bands replayed relationally (the dedup_minhash twin class)
+    "dedup_hamming" ->
+      s"""WITH $rawEmbCte,
+         |sk AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN x[i+1] > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(32), i ->
+         |      CASE WHEN x[i+33] > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+         |  FROM raw),
+         |ch AS (SELECT vec_id, lo, hi, t.j,
+         |    CASE WHEN t.j < 4 THEN (lo >> (8*CAST(t.j AS INT))) & 255
+         |         ELSE (hi >> (8*(CAST(t.j AS INT)-4))) & 255 END AS c
+         |  FROM sk, range(8) t(j)),
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+         |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+         |  FROM ch a JOIN ch b ON a.j = b.j AND a.c = b.c AND a.vec_id < b.vec_id)
+         |SELECT CAST(va AS BIGINT) AS a, CAST(vb AS BIGINT) AS b,
+         |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS ham
+         |FROM cand
+         |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 20""".stripMargin,
+
     // the Hamming rank vs the exact-cosine truth side, counted per
     // query — the ann_ivf_recall shape on the binary tier (sketch-side
     // queries renamed qsk so exactTopKCte's qs stays the cosine one)

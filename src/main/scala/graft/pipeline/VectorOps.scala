@@ -177,6 +177,47 @@ object VectorOps {
         (lit(dims.toLong) - col("mb")).cast("long").as("ham"))
   }
 
+  /** Multi-index Hamming near-dup pairs over the sign sketches
+    * (Norouzi et al.'s multi-index hashing shape): each 64-bit sketch
+    * splits into 8 byte chunks; vectors sharing ANY (position, byte)
+    * bucket become candidates — a hash equi-join on (j, chunk), never
+    * all-pairs — then exact XOR-popcount keeps pairs with ham ≤
+    * `maxHam`. By pigeonhole the candidates are COMPLETE for ham ≤ 7
+    * (some byte must match); above that the contract is the LSH class
+    * this repo's dedup family already carries — candidates ∩ predicate
+    * (the dedup_minhash/dedup_edit doctrine), and the twin replays the
+    * same bands so recall gaps can't diverge silently. Bucket fan-out
+    * is 8×corpus rows; per-(position, byte) bucket sizes govern the
+    * join — at 100 TB the byte alphabet (256 per position) would be
+    * widened to 16-bit chunks, same plan. Returns (a, b, ham). */
+  def hammingNearDupPairs(emb: DataFrame, maxHam: Int = 20,
+                          dims: Int = 64): DataFrame = {
+    val sk = signSketch(emb, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ch = sk.select(col("vec_id"), col("lo"), col("hi"),
+      explode(array((0 until 8).map { j =>
+        val word = if (j < 4) col("lo") else col("hi")
+        struct(lit(j).as("j"),
+          shiftrightunsigned(word, 8 * (j % 4)).bitwiseAND(lit(255L)).as("c"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        col("e.j").as("j"), col("e.c").as("c"))
+    val lhs = ch.select(col("j"), col("c"), col("vec_id").as("a"),
+      col("lo").as("alo"), col("hi").as("ahi"))
+    val rhs = ch.select(col("j"), col("c"), col("vec_id").as("b"),
+      col("lo").as("blo"), col("hi").as("bhi"))
+    val cand = lhs.join(rhs, Seq("j", "c")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("alo"), col("ahi"),
+        col("blo"), col("bhi")).distinct()
+    val out = cand.select(col("a"), col("b"),
+        (bit_count(col("alo").bitwiseXOR(col("blo"))).cast("long") +
+         bit_count(col("ahi").bitwiseXOR(col("bhi"))).cast("long")).as("ham"))
+      .where(col("ham") <= maxHam)
+      .localCheckpoint(true)
+    sk.unpersist(false)
+    out
+  }
+
   /** Deterministic ±1 hyperplane matrix (md5-derived, see
     * [[graft.functions.Hyperplanes.matrix]]), embedded as a plan
     * literal — the per-(plane,dim) hashing happens ONCE at plan build,
