@@ -1652,6 +1652,28 @@ object SparkEntry {
             ignoreNulls = true).over(w).as("last_purchase_value"))
     },
 
+    // Per-user event-type TRANSITION counts (NEW r11): the first-order
+    // Markov table behavioral models and funnel diagnostics start from
+    // — one lead() window per user (single user_id shuffle, the
+    // events_locf layout), then a types²-bounded count aggregation.
+    // All-integer contract: n plus the from-state total (consumers
+    // divide; a rounded probability is the half-point class).
+    "event_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = graft.projection.EventsReplay.rawEvents(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("from_total"))
+      pairs.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("from_total").cast("long").as("from_total"))
+    },
+
     // Per-user behavioral entropy (NEW r11): H = ln N − (Σ c·ln c)∕N
     // over the user's event-type counts — low entropy = a bot-like
     // single-action user, the ceiling ln(n_types). Same exactness

@@ -144,6 +144,19 @@ object EventOracles {
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
 
+    // per-user lead() bigrams -> types²-bounded counts + from-state
+    // totals; all integers
+    "event_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+        |FROM c""".stripMargin,
+
+
     // per-user behavioral entropy: c·ln c in integer micros per type,
     // HUGEINT sum, one shared final expression — token_entropy's twin
     // doctrine on the events table
