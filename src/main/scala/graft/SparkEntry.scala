@@ -1195,6 +1195,12 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.hammingTopK(e, e.where(col("vec_id") < 10), 10)
     },
+    "embedding_isotropy" -> ((s, d) =>
+      // embedding-collapse audit (NEW r11): cosine histogram over
+      // deterministic-offset pairs — pure integer pairing, HOF-fold
+      // cosines the twin replays term-for-term, floor buckets + exact
+      // micro sums
+      VectorOps.cosineHistogram(emb(s, d))),
     "dedup_hamming" -> ((s, d) =>
       // binary-tier near-dup MINING (NEW r11): multi-index byte-chunk
       // buckets -> exact XOR-popcount verify at ham <= 20 — complete by

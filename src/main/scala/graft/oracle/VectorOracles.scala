@@ -87,6 +87,26 @@ object VectorOracles {
          |  SELECT q, nb, ham, row_number() OVER (PARTITION BY q ORDER BY ham, nb) AS rn
          |  FROM scored) WHERE rn <= 10""".stripMargin,
 
+    // deterministic-offset pairs, the SAME sequential cosine fold
+    // (dot/(√dot·√dot) via the zip-fold builders), floor buckets +
+    // exact micro sums
+    "embedding_isotropy" -> {
+      val cos = s"(${dotSql("p.xa", "v2.x")} / " +
+        s"(sqrt(${dotSql("p.xa", "p.xa")}) * sqrt(${dotSql("v2.x", "v2.x")})))"
+      s"""WITH $rawEmbCte,
+         |nn AS (SELECT max(vec_id) + 1 AS n FROM raw),
+         |p AS (
+         |  SELECT vec_id AS a, x AS xa, (vec_id + 1) % nn.n AS b FROM raw, nn
+         |  UNION ALL SELECT vec_id, x, (vec_id + 17) % nn.n FROM raw, nn
+         |  UNION ALL SELECT vec_id, x, (vec_id + 131) % nn.n FROM raw, nn),
+         |sc AS (SELECT CAST(floor($cos * 10.0) AS BIGINT) AS bucket,
+         |    CAST(floor($cos * 1000000.0 + 0.5) AS BIGINT) AS m
+         |  FROM p JOIN raw v2 ON v2.vec_id = p.b WHERE p.a <> p.b)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(m) AS BIGINT) AS sum_cos_micro
+         |FROM sc GROUP BY bucket""".stripMargin
+    },
+
     // multi-index byte-chunk candidates + exact popcount verify — the
     // same bands replayed relationally (the dedup_minhash twin class)
     "dedup_hamming" ->

@@ -547,6 +547,33 @@ object VectorOps {
       .select(col("q"), col("nb"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding ISOTROPY audit: the cosine histogram over a
+    * deterministic sample of pairs — each vector paired with the ids at
+    * fixed offsets (v, (v+o) mod N) — the "did the embedding space
+    * collapse" check run before trusting vectors for dedup or ANN (a
+    * healthy space concentrates near 0; mass near 1 means the encoder
+    * collapsed). The pairing is pure integer arithmetic (no sampling
+    * RNG, no shuffle beyond one id-keyed join); each pair's cosine uses
+    * the SEQUENTIAL HOF fold, which the twin replays term-for-term, so
+    * the floor-bucket edges and the per-bucket integer micro sums land
+    * bit-identically. Returns (bucket = ⌊10·cos⌋, n_pairs,
+    * sum_cos_micro). */
+  def cosineHistogram(emb: DataFrame,
+                      offsets: Seq[Int] = Seq(1, 17, 131)): DataFrame = {
+    val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val v = emb.select(col("vec_id"), dvec(col("embedding")).as("x"))
+    val lhs = offsets.map { o =>
+      v.select(col("vec_id").as("a"), col("x").as("xa"),
+        ((col("vec_id") + o) % n).as("b"))
+    }.reduce(_ unionAll _)
+    lhs.join(v.select(col("vec_id").as("b"), col("x").as("xb")), "b")
+      .where(col("a") =!= col("b"))
+      .select(floor(cosine(col("xa"), col("xb")) * lit(10.0)).cast("long").as("bucket"),
+        floor(cosine(col("xa"), col("xb")) * lit(1e6) + lit(0.5)).cast("long").as("m"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("sum_cos_micro"))
+  }
+
   /** Per-label kNN PURITY of a (q, nb, …) neighbor graph against a
     * (vec_id, label) frame — the standard "does the embedding space
     * respect the labels" audit run before trusting vectors for
