@@ -368,6 +368,13 @@ object SparkEntry {
       // `converged` flag; the twin unrolls the support peels + 1
       graft.gx.GraphXTraversal.kTrussDF(s, TpchGraph.snapshot(s, d))),
 
+    "rich_club" -> ((s, d) =>
+      // hub interconnectedness (NEW r11): φ(k) = 2E_k/(N_k(N_k−1)) over
+      // degree thresholds — exact integer club/edge counts, one
+      // round(6) division per row; the twin replays each threshold's
+      // semi-joins
+      graft.gx.GraphXTraversal.richClubDF(s, TpchGraph.snapshot(s, d))),
+
     "degree_tail_alpha" -> ((s, d) =>
       // Hill tail-exponent of the pair-graph degree distribution (NEW
       // r11): the scale-free/hub-heaviness scalar — ln-degrees in

@@ -643,6 +643,40 @@ object GraphXTraversal {
     out
   }
 
+  /** Rich-club coefficients of the co-occurrence pair graph: for each
+    * degree threshold k, φ(k) = 2·E_k ∕ (N_k·(N_k−1)) where N_k counts
+    * vertices of degree > k and E_k the edges with BOTH endpoints in
+    * that club — "do the hubs interconnect more than random" (Colizza
+    * et al. 2006), the structural complement of [[assortativityDF]]'s
+    * single mixing scalar. One degree aggregation + two semi-joins per
+    * threshold on a shrinking club, exact integer counts, one round(6)
+    * division per row. Returns (k, n_club, e_club, phi). */
+  def richClubDF(spark: SparkSession, snap: Snapshot,
+                 ks: Seq[Int] = Seq(4, 8, 16, 32),
+                 minQty: Double = 30.0): DataFrame = {
+    val g = pairGraph(snap, minQty)
+    val e0 = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
+      .toDF("a", "b").localCheckpoint(true)
+    val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    import spark.implicits._
+    val rows = ks.sorted.map { k =>
+      val club = deg.where(col("d") > k).select(col("v"))
+      val nClub = club.count()
+      val eClub = e0
+        .join(club.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(club.select(col("v").as("b")), Seq("b"), "left_semi")
+        .count()
+      val phi = if (nClub < 2) 0d
+        else BigDecimal(2.0 * eClub / (nClub.toDouble * (nClub - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k.toLong, nClub, eClub, phi)
+    }
+    releaseCheckpoint(e0); releaseCheckpoint(deg)
+    rows.toDF("k", "n_club", "e_club", "phi")
+  }
+
   /** Hill estimator of the degree-distribution tail exponent over the
     * co-occurrence pair graph: α = k ∕ Σ_{i≤k} (ln d₍ᵢ₎ − ln d₍ₖ₊₁₎)
     * over the k largest degrees — the "is this graph scale-free, and

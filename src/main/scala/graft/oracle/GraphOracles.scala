@@ -196,6 +196,31 @@ object GraphOracles {
     // sf0.1 takes 3 — depth is a graph property, not monotone in scale)
     "ktruss" -> ktrussSql(4, 8),
 
+    // per-threshold club/edge integer counts, one round(6) division
+    "rich_club" -> {
+      val rows = Seq(4, 8, 16, 32).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT count(*) FROM deg WHERE d > $k) AS n_club,
+           |  (SELECT count(*) FROM e0 e
+           |     JOIN (SELECT v FROM deg WHERE d > $k) p ON e.a = p.v
+           |     JOIN (SELECT v FROM deg WHERE d > $k) q ON e.b = q.v) AS e_club""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH bulk AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM bulk x JOIN bulk y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |deg AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+         |r AS ($rows)
+         |SELECT k, CAST(n_club AS BIGINT) AS n_club, CAST(e_club AS BIGINT) AS e_club,
+         |  CASE WHEN n_club < 2 THEN 0.0
+         |       ELSE round(2.0 * e_club / (CAST(n_club AS DOUBLE) * (n_club - 1)), 6)
+         |  END AS phi
+         |FROM r""".stripMargin
+    },
+
     // Hill estimator: top-(k+1) degree order statistics (values only —
     // ties can't show), ln-degrees in integer micros, one division
     "degree_tail_alpha" ->
