@@ -1627,6 +1627,44 @@ object SparkEntry {
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
     },
 
+    // Market-basket lift (NEW r11): for part pairs co-bought in ≥2
+    // orders (the synthetic baskets are sparse — max support 5 at
+    // sf0.01), lift = N·c_ab∕(c_a·c_b) over the distinct (order, part)
+    // basket relation — the association-rule primitive. The PMI
+    // contract: the ratio is the same double op-sequence on the same
+    // integers in both engines (rank-safe), emitted through
+    // round(ln,4); top-20 by (ratio desc, a, b). Pair generation is
+    // the order-keyed self-join bounded by items-per-order.
+    "basket_lift" -> { (s, d) =>
+      val snap = TpchGraph.snapshot(s, d)
+      val baskets = snap.edges.where(col("label") === "contains")
+        .select(col("outV").as("o"), col("inV").as("p")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nOrders = baskets.select(col("o")).distinct().count()
+      val ca = baskets.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val pairs = baskets.select(col("o"), col("p").as("a"))
+        .join(baskets.select(col("o"), col("p").as("b")), "o")
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 2)
+      import org.apache.spark.sql.expressions.Window
+      val out = pairs
+        .join(ca.select(col("p").as("a"), col("c").as("c_a")), "a")
+        .join(ca.select(col("p").as("b"), col("c").as("c_b")), "b")
+        .select(col("a"), col("b"), col("c_a"), col("c_b"), col("c_ab"),
+          ((col("c_ab") * lit(nOrders.toDouble)) /
+            (col("c_a") * col("c_b")).cast("double")).as("ratio"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ratio").desc, col("a"), col("b"))))
+        .where(col("rk") <= 20)
+        .select(col("a"), col("b"), col("c_a"), col("c_b"), col("c_ab"),
+          round(log(col("ratio")), 4).as("log_lift"),
+          col("rk").cast("long").as("rk"))
+        .localCheckpoint(true)
+      baskets.unpersist(false)
+      out
+    },
+
     // graph motif: two orders by the same customer containing the same
     // part. ΣC(n,2) needs NO pair join (the r9 plan materialized every
     // order-pair — per-(customer, part) quadratic, a hot key at 100×

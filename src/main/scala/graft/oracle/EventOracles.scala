@@ -242,6 +242,29 @@ object EventOracles {
         |FROM orders GROUP BY 1""".stripMargin,
 
 
+    // distinct (order, part) baskets; ratio = the same double
+    // op-sequence on the same integers (rank-safe), emitted through
+    // round(ln, 4) — the pmi_collocations contract on part pairs
+    "basket_lift" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT CAST(6000000 + l_orderkey AS BIGINT) AS o,
+        |         CAST(5000000 + l_partkey AS BIGINT) AS p
+        |  FROM lineitem),
+        |nn AS (SELECT count(DISTINCT o)::DOUBLE AS n FROM bk),
+        |ca AS (SELECT p, count(*) AS c FROM bk GROUP BY p),
+        |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS c_ab
+        |  FROM bk x JOIN bk y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (SELECT pr.a, pr.b, la.c AS c_a, lb.c AS c_b, pr.c_ab,
+        |    (pr.c_ab * nn.n) / CAST(la.c * lb.c AS DOUBLE) AS ratio
+        |  FROM pr JOIN ca la ON la.p = pr.a JOIN ca lb ON lb.p = pr.b, nn),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY ratio DESC, a, b) AS rk FROM r)
+        |SELECT a, b, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+        |  CAST(c_ab AS BIGINT) AS c_ab, round(ln(ratio), 4) AS log_lift,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 20""".stripMargin,
+
+
     "motif_shared_part" ->
       """WITH co AS (
         |  SELECT DISTINCT CAST(3000000 + o.o_custkey AS BIGINT) AS customer,
