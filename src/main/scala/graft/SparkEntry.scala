@@ -1627,6 +1627,36 @@ object SparkEntry {
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
     },
 
+    // Revenue concentration (NEW r11): the Gini coefficient of
+    // per-customer order revenue — the "how head-heavy is the
+    // distribution" audit run on any weight column before sampling
+    // against it. Revenue quantizes to integer micros per order, the
+    // per-customer sums and the rank moments Σx / Σi·x ride
+    // DECIMAL(38,0)/HUGEINT (Σi·x is O(n²·x) — far past Long at scale),
+    // and the emitted value is floor(g·10⁶) — floor of the identical
+    // double, never a round() whose half-breaking could differ. The
+    // rank is one dimension-scale sort (customers, not line items).
+    "gini_revenue" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      val rev = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey").cast("long").as("c"),
+          floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+        .groupBy(col("c")).agg(sum(col("m")).as("x"))
+      val ranked = rev.withColumn("i",
+        row_number().over(Window.orderBy(col("x").asc, col("c").asc)))
+      val agg = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("b"),
+        sum(col("i").cast(d38) * col("x").cast(d38)).as("a")).head()
+      val n = agg.getLong(0)
+      val b = agg.getDecimal(1).doubleValue
+      val a = agg.getDecimal(2).doubleValue
+      val g = 2.0 * a / (n.toDouble * b) - (n + 1.0) / n
+      val gm = math.floor(g * 1e6).toLong
+      Seq((n, gm, gm / 1e6)).toDF("n_customers", "gini_micro", "gini")
+    },
+
     // Market-basket lift (NEW r11): for part pairs co-bought in ≥2
     // orders (the synthetic baskets are sparse — max support 5 at
     // sf0.01), lift = N·c_ab∕(c_a·c_b) over the distinct (order, part)

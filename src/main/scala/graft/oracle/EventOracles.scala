@@ -242,6 +242,23 @@ object EventOracles {
         |FROM orders GROUP BY 1""".stripMargin,
 
 
+    // per-order micros -> per-customer sums -> rank moments in HUGEINT,
+    // floor(g*1e6) of the identical double (floor, never round)
+    "gini_revenue" ->
+      """WITH rev AS (SELECT CAST(o_custkey AS BIGINT) AS c,
+        |    sum(CAST(floor(o_totalprice*1000000 + 0.5) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT c, x, row_number() OVER (ORDER BY x, c) AS i FROM rev),
+        |s AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS b,
+        |    sum(CAST(i AS HUGEINT) * x) AS a FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(floor((2.0 * a::DOUBLE / (n::DOUBLE * b::DOUBLE) - (n + 1.0) / n)
+        |    * 1000000.0) AS BIGINT) AS gini_micro,
+        |  CAST(floor((2.0 * a::DOUBLE / (n::DOUBLE * b::DOUBLE) - (n + 1.0) / n)
+        |    * 1000000.0) AS BIGINT) / 1000000.0 AS gini
+        |FROM s""".stripMargin,
+
+
     // distinct (order, part) baskets; ratio = the same double
     // op-sequence on the same integers (rank-safe), emitted through
     // round(ln, 4) — the pmi_collocations contract on part pairs
