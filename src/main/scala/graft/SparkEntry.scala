@@ -1657,6 +1657,35 @@ object SparkEntry {
       Seq((n, gm, gm / 1e6)).toDF("n_customers", "gini_micro", "gini")
     },
 
+    // Lorenz deciles (NEW r11): the table behind [[gini_revenue]] —
+    // per revenue decile (rank-ordered customers, explicit integer
+    // decile formula ⌊(i−1)·10∕n⌋+1 so both engines cut identically),
+    // customer count and the decile's share of total revenue in exact
+    // integer micros via BigInt/HUGEINT FLOOR division (no float
+    // division anywhere). Ten bounded rows; the rank is the same
+    // dimension-scale sort as gini.
+    "revenue_deciles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      val rev = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey").cast("long").as("c"),
+          floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+        .groupBy(col("c")).agg(sum(col("m")).as("x"))
+      val ranked = rev
+        .withColumn("i", row_number().over(Window.orderBy(col("x").asc, col("c").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("decile", expr("((i - 1) * 10) div n") + lit(1))
+      val rows = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("x").cast(d38)).as("xs"))
+        .collect()
+      val total = rows.map(r => BigInt(r.getDecimal(2).toBigInteger)).sum
+      rows.toSeq.map { r =>
+        val xs = BigInt(r.getDecimal(2).toBigInteger)
+        (r.getLong(0), r.getLong(1), (xs * 1000000 / total).toLong)
+      }.toDF("decile", "n_customers", "share_micro")
+    },
+
     // Market-basket lift (NEW r11): for part pairs co-bought in ≥2
     // orders (the synthetic baskets are sparse — max support 5 at
     // sf0.01), lift = N·c_ab∕(c_a·c_b) over the distinct (order, part)

@@ -242,6 +242,24 @@ object EventOracles {
         |FROM orders GROUP BY 1""".stripMargin,
 
 
+    // rank-ordered deciles by the explicit integer cut, shares via
+    // exact HUGEINT floor division — no float division anywhere
+    "revenue_deciles" ->
+      """WITH rev AS (SELECT CAST(o_custkey AS BIGINT) AS c,
+        |    sum(CAST(floor(o_totalprice*1000000 + 0.5) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT c, x, row_number() OVER (ORDER BY x, c) AS i,
+        |    count(*) OVER () AS n FROM rev),
+        |dec AS (SELECT ((i - 1) * 10) // n + 1 AS decile, x FROM r),
+        |g AS (SELECT decile, count(*) AS n_customers,
+        |    sum(CAST(x AS HUGEINT)) AS xs FROM dec GROUP BY decile),
+        |tot AS (SELECT sum(xs) AS t FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST((xs * 1000000) // tot.t AS BIGINT) AS share_micro
+        |FROM g, tot""".stripMargin,
+
+
     // per-order micros -> per-customer sums -> rank moments in HUGEINT,
     // floor(g*1e6) of the identical double (floor, never round)
     "gini_revenue" ->
