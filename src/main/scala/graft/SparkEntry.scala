@@ -1260,6 +1260,23 @@ object SparkEntry {
       // bucketed kNN-graph build SemDeDup-style clustering starts from
       VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), emb(s, d), 5, 4)
     },
+    "knn_mutual_rate" -> { (s, d) =>
+      // neighborhood symmetry audit (NEW r11): the fraction of kNN-graph
+      // edges whose reverse edge also exists — low mutual rate means hub
+      // vectors dominate neighborhoods (the k-occurrence skew that
+      // degrades kNN classification); one self-semi-join on the memoized
+      // graph + exact integer counts, one round(4) division
+      val nn = VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), emb(s, d), 5, 4)
+        .select(col("q"), col("nb"))
+      val mutual = nn.join(
+        nn.select(col("nb").as("q"), col("q").as("nb")), Seq("q", "nb"), "left_semi")
+      val n = nn.count()
+      val m = mutual.count()
+      import s.implicits._
+      Seq((n, m,
+        BigDecimal(m.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_edges", "n_mutual", "mutual_rate")
+    },
     "knn_label_purity" -> { (s, d) =>
       // embedding-quality audit (NEW r11): per label, the fraction of
       // its vectors' kNN slots holding the SAME label, over the same

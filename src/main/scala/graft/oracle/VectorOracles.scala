@@ -38,6 +38,19 @@ object VectorOracles {
       s"WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))",
         qsFilter = "TRUE", nProbe = 4)},\n${ivfRankCteK(5)}\n$ivfSelect",
 
+    // the knn_graph chain + one reverse-edge self-join; integer counts,
+    // one round(4) division (the dup_ratio_by_source ratio class)
+    "knn_mutual_rate" ->
+      s"""WITH ${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))",
+        qsFilter = "TRUE", nProbe = 4)},
+         |${ivfRankCteK(5)},
+         |e AS (SELECT q, nb FROM ivf),
+         |m AS (SELECT count(*) AS mm FROM e a JOIN e b ON a.q = b.nb AND a.nb = b.q),
+         |t AS (SELECT count(*) AS n FROM e)
+         |SELECT CAST(t.n AS BIGINT) AS n_edges, CAST(m.mm AS BIGINT) AS n_mutual,
+         |  round(m.mm::DOUBLE / t.n, 4) AS mutual_rate
+         |FROM t, m""".stripMargin,
+
     // the knn_graph chain + two label dimension joins + the per-label
     // integer hit/pair counts and one round(4) division
     "knn_label_purity" ->

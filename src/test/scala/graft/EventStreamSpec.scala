@@ -383,6 +383,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(run(Seq(events.take(3), events.drop(3)), "locf_split") == batch)
   }
 
+  test("LOCF stream under the RocksDB provider: split-batch carry survives the production state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chkRoot = "/root/repo/target/tmp/rocksdb_chk_locf"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chkRoot))
+    EventStream.withRocksDbStateStore(spark) {
+      val source = MemoryStream[Event]
+      val q = EventStream.locfStream(source.toDS())
+        .writeStream.format("memory").queryName("rocks_locf_sink")
+        .option("checkpointLocation", s"$chkRoot/locf")
+        .outputMode("append").start()
+      try {
+        source.addData(
+          Event(0L, ts("2024-01-01 00:00:00"), 1L, "click", 5.0),
+          Event(1L, ts("2024-01-01 00:05:00"), 1L, "purchase", 9.5))
+        q.processAllAvailable()
+        // the carry must cross the micro-batch boundary through RocksDB
+        source.addData(Event(2L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("rocks_locf_sink").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got == Map(0L -> None, 1L -> Some(9.5), 2L -> Some(9.5)))
+    }
+  }
+
   test("funnel pairs: stream-stream interval join equals batch; window bounds respected") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
