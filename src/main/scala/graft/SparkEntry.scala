@@ -950,6 +950,35 @@ object SparkEntry {
       // rows-only — summary contents depend on partial-merge order — with
       // the MG error-bound gate in PipelineSpec
       TextOps.heavyHittersSketch(docs(s, d), 10)),
+    "hh_sketch_audit" -> ((s, d) =>
+      // the ORACLED projection of the Misra–Gries summary: per (lang,
+      // token) the provable invariants (guaranteed-survivor containment
+      // + the n/(capacity+1) under-count bound) hold for EVERY
+      // partial-merge order, so the twin emits TRUE from exact counts
+      // and any aggregate bug flips a row — capacity 16 < the 31-token
+      // vocab, so eviction actually fires
+      TextOps.heavyHittersSketchAudit(docs(s, d), 16)),
+    "dedup_url" -> { (s, d) =>
+      // URL-level dedup (NEW r12): the documents table carries no URL, so
+      // the harness synthesizes THREE deterministic surface variants per
+      // canonical page (the MediaSynth pattern — both engines derive
+      // identical inputs): scheme/host case, www., :443, trailing slash,
+      // tracking params, param order, fragment. The operator under test
+      // is canonicalUrl + dedupUrls; the twin is CLOSED-FORM (it emits
+      // the intended canonical target directly), so any canonicalization
+      // deviation mismatches instead of being replayed.
+      val g = expr("doc_id div 3").cast("string")
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("https://"), col("source"), lit(".example.com/page/"),
+            g, lit("?id="), g, lit("&z=2&a=1")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.com:443/page/"),
+            g, lit("/?utm_source=x&z=2&a=1&id="), g))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".example.com/page/"),
+            g, lit("?a=1&id="), g, lit("&z=2&utm_campaign=c&fbclid=zz#frag")))
+      TextOps.dedupUrls(docs(s, d).withColumn("url", url), col("url"))
+    },
     "dup_spans" -> ((s, d) =>
       // exact duplicated-substring spans (Lee et al. ACL'22): maximal
       // runs of corpus-repeated 13-grams — substring-level dedup signal
@@ -1652,17 +1681,17 @@ object SparkEntry {
     // DECIMAL(38,0)/HUGEINT (Σi·x is O(n²·x) — far past Long at scale),
     // and the emitted value is floor(g·10⁶) — floor of the identical
     // double, never a round() whose half-breaking could differ. The
-    // rank is one dimension-scale sort (customers, not line items).
+    // rank rides Ranks.prefixRank (range shuffle + per-partition
+    // offsets) — no task ever sorts the whole customer dimension.
     "gini_revenue" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val d38 = "decimal(38,0)"
       val rev = s.read.parquet(s"$d/orders.parquet")
         .select(col("o_custkey").cast("long").as("c"),
           floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long").as("m"))
         .groupBy(col("c")).agg(sum(col("m")).as("x"))
-      val ranked = rev.withColumn("i",
-        row_number().over(Window.orderBy(col("x").asc, col("c").asc)))
+      val ranked = graft.operators.Ranks.prefixRank(
+        rev, Seq(col("x").asc, col("c").asc), "i")
       val agg = ranked.agg(count(lit(1)).as("n"),
         sum(col("x").cast(d38)).as("b"),
         sum(col("i").cast(d38) * col("x").cast(d38)).as("a")).head()
@@ -1680,22 +1709,26 @@ object SparkEntry {
     // customer count and the decile's share of total revenue in exact
     // integer micros via BigInt/HUGEINT FLOOR division (no float
     // division anywhere). Ten bounded rows; the rank is the same
-    // dimension-scale sort as gini.
+    // distributed prefix rank as gini (and `i` is a Long, so the
+    // (i−1)·10 product can't wrap past 214.7M customers the way the
+    // old 32-bit row_number() silently would).
     "revenue_deciles" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val d38 = "decimal(38,0)"
       val rev = s.read.parquet(s"$d/orders.parquet")
         .select(col("o_custkey").cast("long").as("c"),
           floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long").as("m"))
         .groupBy(col("c")).agg(sum(col("m")).as("x"))
-      val ranked = rev
-        .withColumn("i", row_number().over(Window.orderBy(col("x").asc, col("c").asc)))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCust = rev.count()
+      val ranked = graft.operators.Ranks.prefixRank(
+          rev, Seq(col("x").asc, col("c").asc), "i")
+        .withColumn("n", lit(nCust))
         .withColumn("decile", expr("((i - 1) * 10) div n") + lit(1))
       val rows = ranked.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"), sum(col("x").cast(d38)).as("xs"))
         .collect()
+      rev.unpersist(false)
       val total = rows.map(r => BigInt(r.getDecimal(2).toBigInteger)).sum
       rows.toSeq.map { r =>
         val xs = BigInt(r.getDecimal(2).toBigInteger)
@@ -1710,7 +1743,10 @@ object SparkEntry {
     // contract: the ratio is the same double op-sequence on the same
     // integers in both engines (rank-safe), emitted through
     // round(ln,4); top-20 by (ratio desc, a, b). Pair generation is
-    // the order-keyed self-join bounded by items-per-order.
+    // the order-keyed self-join bounded by items-per-order. The cut is
+    // orderBy+limit = TakeOrderedAndProject (per-partition heaps, the
+    // PMI pattern) — the rank window then sees 20 rows, never the full
+    // qualifying pair set.
     "basket_lift" -> { (s, d) =>
       val snap = TpchGraph.snapshot(s, d)
       val baskets = snap.edges.where(col("label") === "contains")
@@ -1730,9 +1766,9 @@ object SparkEntry {
         .select(col("a"), col("b"), col("c_a"), col("c_b"), col("c_ab"),
           ((col("c_ab") * lit(nOrders.toDouble)) /
             (col("c_a") * col("c_b")).cast("double")).as("ratio"))
+        .orderBy(col("ratio").desc, col("a"), col("b")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("ratio").desc, col("a"), col("b"))))
-        .where(col("rk") <= 20)
         .select(col("a"), col("b"), col("c_a"), col("c_b"), col("c_ab"),
           round(log(col("ratio")), 4).as("log_lift"),
           col("rk").cast("long").as("rk"))

@@ -557,9 +557,10 @@ object GraphXTraversal {
     * Returns the surviving edges (a, b, support, converged) with their
     * support recomputed in the final subgraph.
     *
-    * Plan shape per round: the triangle census's wedge join (adjacency
-    * self-joined on the middle vertex, closed by a semi-join against
-    * the current edge set) + one (a,b)-keyed count — all equi-joins on
+    * Plan shape per round: [[edgeSupport]]'s degree-oriented wedge join
+    * (each triangle enumerated once at its lowest-(deg,id) corner,
+    * closed by a semi-join against the oriented edge set) + one
+    * (a,b)-keyed count — all equi-joins on
     * a monotonically shrinking edge set, map-side combined; rounds
     * materialize eagerly (localCheckpoint) and release their
     * predecessor, so plans never stack rounds deep. Peeling depth is a
@@ -579,24 +580,56 @@ object GraphXTraversal {
     * Package-visible so the fixpoint spec can drive synthetic graphs
     * whose peeling depth exceeds the nominal round budget. */
   /** Triangle support of every edge in a canonical pair frame (`a` <
-    * `b`, distinct): one wedge self-join on the middle vertex, closed
-    * wedges kept by a semi-join against the edge set, counted per
-    * (a, b); edges closing no wedge get support 0. The per-round core
-    * of [[kTrussPeel]] and the one-shot core of [[localBridgesDF]]. */
+    * `b`, distinct) via DEGREE-ORIENTED wedge enumeration (Chiba–
+    * Nishizeki / Latapy's compact-forward): orient every edge from its
+    * lower-(degree, id) endpoint, enumerate each wedge ONCE at its
+    * lowest-ordered vertex among that vertex's out-neighbours, and
+    * close it against the oriented edge set — each triangle is
+    * generated exactly once (vs three times from the symmetric union),
+    * and the wedge join's row count drops from Σ deg(v)² to
+    * Σ outdeg(v)² = O(E^1.5) worst-case, the classic ~3× triangle-work
+    * cut that compounds across every [[kTrussPeel]] round. Found
+    * triangles then fan their three canonical edges into one count.
+    * Edges closing no wedge get support 0. The per-round core of
+    * [[kTrussPeel]] and the one-shot core of [[localBridgesDF]].
+    * Degrees are recomputed per call, so peel rounds orient by the
+    * CURRENT subgraph (one extra edge-scale aggregation, far cheaper
+    * than the wedge rows it saves). */
   private[graft] def edgeSupport(edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("a").as("w"), col("b").as("x"))
-      .unionAll(edges.select(col("b").as("w"), col("a").as("x")))
-    val wedges = adj.join(
-        adj.select(col("w").as("w2"), col("x").as("y")),
-        col("w") === col("w2"))
-      .where(col("x") < col("y")).select(col("x"), col("y"))
-    val sup = wedges
-      .join(edges.select(col("a").as("x"), col("b").as("y")),
-        Seq("x", "y"), "left_semi")
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
-    edges.join(
-        sup.select(col("x").as("a"), col("y").as("b"), col("support")),
-        Seq("a", "b"), "left_outer")
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient u→w by (deg, id); carry the head's degree so the wedge
+    // filter can order out-neighbours by the same total order without
+    // re-joining degrees
+    val oriented = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(expr(
+        "IF(da < db OR (da = db AND a < b), " +
+          "struct(a AS u, b AS w, db AS dw), " +
+          "struct(b AS u, a AS w, da AS dw))").as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+    // wedges at u: ordered pairs of out-neighbours; the closing edge, if
+    // present, is oriented lower→higher by construction, so ONE lookup
+    val wedges = oriented.alias("l")
+      .join(oriented.alias("r"), col("l.u") === col("r.u"))
+      .where(col("l.dw") < col("r.dw") ||
+        (col("l.dw") === col("r.dw") && col("l.w") < col("r.w")))
+      .select(col("l.u").as("t1"), col("l.w").as("t2"), col("r.w").as("t3"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("t2"), col("w").as("t3")),
+      Seq("t2", "t3"), "left_semi")
+    val sup = tris.select(explode(array(
+        struct(least(col("t1"), col("t2")).as("a"),
+          greatest(col("t1"), col("t2")).as("b")),
+        struct(least(col("t1"), col("t3")).as("a"),
+          greatest(col("t1"), col("t3")).as("b")),
+        struct(least(col("t2"), col("t3")).as("a"),
+          greatest(col("t2"), col("t3")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    edges.join(sup, Seq("a", "b"), "left_outer")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
   }

@@ -548,6 +548,21 @@ object CorpusOracles {
         |GROUP BY p.tok, p.true_count, p.rk""".stripMargin,
 
 
+    // the MG-invariants projection: every (lang, token) must satisfy the
+    // Misra–Gries guarantee against the sketch, and the guarantee is
+    // provable from EXACT counts alone (merge-order-independent), so the
+    // twin emits TRUE per row — the Spark side computes the booleans
+    // from the live graft_topfreq summary
+    "hh_sketch_audit" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS true_count FROM toks GROUP BY 1, 2)
+        |SELECT lang, tok, CAST(true_count AS BIGINT) AS true_count, TRUE AS mg_ok
+        |FROM cnt""".stripMargin,
+
+
     "heavy_hitters" ->
       """WITH toks AS (
         |  SELECT lang, unnest(list_filter(
@@ -559,6 +574,21 @@ object CorpusOracles {
         |  FROM freqs)
         |SELECT lang, tok, CAST(freq AS BIGINT) AS freq, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 10""".stripMargin,
+
+
+    // CLOSED-FORM twin: emits the canonical target each of the three
+    // synthesized surface variants must collapse to — scheme/host case,
+    // www., :443, trailing slash, tracking params, param order and
+    // fragment all erased, kept params sorted (a=1 < id=g < z=2). Any
+    // canonicalUrl deviation shows up as a string mismatch here instead
+    // of being replayed into the oracle.
+    "dedup_url" ->
+      """SELECT 'https://' || source || '.example.com/page/' || (doc_id // 3)
+        |    || '?a=1&id=' || (doc_id // 3) || '&z=2' AS url_canon,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
 
 
     "dedup_incremental" ->

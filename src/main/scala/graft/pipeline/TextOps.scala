@@ -76,6 +76,57 @@ object TextOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select(col("doc_id"), col("group_size"))
 
+  /**
+   * URL canonicalization — the first pass over any web corpus, where
+   * the same page hides behind scheme/host case, `www.`, default
+   * ports, tracking parameters, parameter order, trailing slashes and
+   * fragments. Rules (each a portable regex/array op — Java regex and
+   * DuckDB's RE2 agree on every pattern used):
+   *
+   *  - scheme and host lowercased; path kept case-sensitive
+   *  - leading `www.` stripped from the host
+   *  - default port stripped (`:80` for http, `:443` for https)
+   *  - tracking params dropped (`utm_*`, `gclid`, `fbclid`, `msclkid`,
+   *    `ref`, `mc_cid`, `mc_eid`), the rest SORTED and rejoined —
+   *    parameter order never distinguishes two URLs
+   *  - trailing slashes collapsed (bare authority → `/`)
+   *  - fragment dropped
+   *
+   * Pure column expression (whole-stage codegen, no UDF): safe to
+   * evaluate per row at any scale.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** URL-level dedup over [[canonicalUrl]] — one surviving row (min
+    * `doc_id`) per canonical URL with the collision count: the daily
+    * web-ingest first pass, upstream of content dedup ([[dedupExact]],
+    * MinHash) since it needs no text at all. Same scale shape as
+    * [[dedupExact]]: ONE hash-groupBy shuffle on the canonical key,
+    * map-side combined. Composes with [[dedupIncremental]] by
+    * substituting the canonical URL for the normalized text as the
+    * batch-vs-history key. Returns (url_canon, keep_doc_id, n_dups). */
+  def dedupUrls(docs: DataFrame, url: Column): DataFrame =
+    docs.groupBy(canonicalUrl(url).as("url_canon"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
   /** Distinct word 3-gram shingles from a TOKEN-ARRAY ATTRIBUTE. The
     * argument must be a materialized column, not an expression: `t` is
     * referenced size(t)+2 times here, and Spark inlines (re-evaluates)
@@ -1720,6 +1771,58 @@ object TextOps {
   }
 
   /**
+   * Oracled INVARIANTS projection of [[heavyHittersSketch]]'s
+   * Misra–Gries summary — the bridge between "the summary is
+   * merge-order-dependent, rows-only forever" and "the driver still
+   * hash-checks something provable about it". The summary's CONTENTS
+   * vary with partial-merge order, but two theorems hold for every
+   * merge shape (Misra–Gries 1982; Agarwal et al., "Mergeable
+   * Summaries", PODS'12 — the truncation FreqSketchAgg implements):
+   *
+   *  1. guaranteed-survivor containment — every token with true count
+   *     > n/(capacity+1) is in the summary;
+   *  2. the under-count bound — for every token, est ≤ true and
+   *     true − est ≤ n/(capacity+1); absent tokens have est = 0, so
+   *     absence itself proves true ≤ n/(capacity+1).
+   *
+   * The projection (lang, tok, true_count, mg_ok) is therefore fully
+   * deterministic: the DuckDB twin emits mg_ok = TRUE from exact
+   * counts alone, and any implementation bug in the native aggregate
+   * (a lost counter, an over-decrement, a broken merge truncation)
+   * flips a row to false and hash-mismatches. Comparisons are exact
+   * integers — x·(capacity+1) vs n, never a float division.
+   *
+   * `capacity` defaults BELOW the per-lang vocabulary so eviction —
+   * the code path worth auditing — actually fires at every SF.
+   * Shape: the same one (lang, tok) count shuffle as [[heavyHitters]]
+   * plus the sketch's own capacity-bounded aggregation; the join back
+   * is vocabulary-sized.
+   */
+  def heavyHittersSketchAudit(docs: DataFrame, capacity: Int = 16): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val toks = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("true_count"))
+    val totals = exact.groupBy(col("lang")).agg(sum(col("true_count")).as("n"))
+    val sketch = toks.groupBy(col("lang"))
+      .agg(call_function("graft_topfreq", col("tok"), lit(capacity)).as("top"))
+      .select(col("lang"), explode(col("top")).as("e"))
+      .select(col("lang"), col("e.item").as("tok"), col("e.est").as("est"))
+    val out = exact.join(totals, "lang")
+      .join(sketch, Seq("lang", "tok"), "left_outer")
+      .select(col("lang"), col("tok"), col("true_count"),
+        when(col("est").isNull,
+          col("true_count") * (capacity + 1) <= col("n"))
+          .otherwise(col("est") > 0 && col("est") <= col("true_count") &&
+            (col("true_count") - col("est")) * (capacity + 1) <= col("n"))
+          .as("mg_ok"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
+
+  /**
    * Count-Min frequency estimates — the third portable sketch beside
    * the md5 HLL (distinct counts) and the Bloom prefilter (membership):
    * a d×w counter matrix where cell (i, c) sums the multiplicity of
@@ -2123,19 +2226,19 @@ object TextOps {
    * aggregation), and a checkpoint then counts tokens with
    * first_rank ≤ cutoff via a broadcast range-join against the
    * `steps`-row checkpoint table (each token row duplicated ≤ steps
-   * times, then collapsed map-side). The doc-rank window is a global
-   * sort over doc-count-sized rows; at 100 TB replace with the
-   * pre-sorted doc_id order (ranks = row position) or zipWithIndex on
-   * a sorted scan — the token-side plan is unchanged.
+   * times, then collapsed map-side). The doc rank is
+   * [[graft.operators.Ranks.prefixRank]] — a range shuffle + offset
+   * stamp, so no task ever sorts the whole corpus; the token-side
+   * plan is unchanged.
    */
   def heapsLaw(docs: DataFrame, steps: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
     require(steps > 0, "steps must be positive")
-    val ranked = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+    val ranked = graft.operators.Ranks.prefixRank(
+        docs.select(col("doc_id"), tokens(col("text")).as("t")),
+        Seq(col("doc_id")), "rk")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = ranked.count()
     val cps = (1 to steps)

@@ -123,7 +123,7 @@ object VectorOps {
 
   /** 64-bit SIGN SKETCH of the embedding column, packed as two 32-bit
     * halves (`lo` = dims 0..31, `hi` = dims 32..63): bit i = [xᵢ > 0].
-    * The 4-byte-per-vector binary compression a 100 TB ANN tier keeps
+    * The 8-byte-per-vector binary compression a 100 TB ANN tier keeps
     * hot while the float vectors stay cold — Hamming distance on the
     * packed words is a proxy for angular distance (each agreeing bit is
     * one axis on whose side both vectors fall). Two halves instead of

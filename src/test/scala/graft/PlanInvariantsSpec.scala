@@ -84,13 +84,38 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "source_chi2",
       // 1-row global-norm broadcast against the #sources aggregate
       "source_embedding_drift")
+    // global-window gate: an unpartitioned Window funnels every input row
+    // through ONE task's sort — allowed only above a Limit (the
+    // TakeOrdered-then-rank pattern: the window sees ≤ k rows) or for
+    // queries whose window input is bounded BY CONSTRUCTION (named here
+    // with the bound)
+    val allowedGlobalWindow = Set(
+      // the 9-row percentile grid / ≤1024-row bottom-k sample windows
+      "bottomk_quantiles", "lang_length_quantiles",
+      // Hamilton-apportionment window math over the #sources dimension
+      // table (post-aggregation, bounded by the source vocabulary)
+      "quota_apportion", "epoch_plan")
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, Window => LWindow}
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val df = fn(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"query $name plans a CartesianProduct:\n$plan")
       if (!allowedBnlj(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"query $name plans a BroadcastNestedLoopJoin outside the allowed set:\n$plan")
+      if (!allowedGlobalWindow(name)) {
+        val unbounded = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: GlobalLimit => (); case _: LocalLimit => ()
+            }.isEmpty => w
+        }
+        assert(unbounded.isEmpty,
+          s"query $name plans an unpartitioned Window with no Limit below it " +
+            s"(single-task global sort):\n${unbounded.mkString("\n")}")
+      }
     }
   }
 
