@@ -1142,6 +1142,11 @@ object SparkEntry {
       // labeled lang vs langId prediction — the is-the-filter-good-enough
       // evaluation table; |langs|²-bounded output
       TextOps.langConfusion(docs(s, d))),
+    "lang_id_trained" -> ((s, d) =>
+      // supervised-style hashed-feature classifier (NEW r12): per-bucket
+      // majority label trained on doc_id%10<8, holdout majority vote —
+      // all integer argmax, profile broadcast; confusion matrix out
+      TextOps.langIdTrained(docs(s, d))),
     "split_balance" -> ((s, d) =>
       // per-(split,lang) doc/token counts + within-split share — the
       // split-skew audit over the deterministic hash split

@@ -918,6 +918,29 @@ object CorpusOracles {
         |GROUP BY 1, 2""".stripMargin,
 
 
+    // the trained-langID replay: hashed token buckets (md5 word 1, the
+    // hash_embed cell idiom) → per-bucket majority label on the
+    // doc_id%10<8 train split → holdout per-doc majority vote; every
+    // argmax is integer counts with (count desc, label asc) ties
+    "lang_id_trained" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |feat AS (SELECT doc_id, lang,
+        |    list_sum(list_transform(range(8), j ->
+        |      (strpos('0123456789abcdef', substr(md5(tok), (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 1024 AS b
+        |  FROM toks),
+        |prof AS (SELECT b, lang, count(*) AS c FROM feat WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |blab AS (SELECT b, lang AS plang FROM (
+        |    SELECT b, lang, row_number() OVER (PARTITION BY b ORDER BY c DESC, lang) AS rn FROM prof)
+        |  WHERE rn = 1),
+        |votes AS (SELECT f.doc_id, f.lang, bl.plang, count(*) AS v
+        |  FROM feat f JOIN blab bl ON bl.b = f.b WHERE f.doc_id % 10 >= 8 GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, plang FROM (
+        |    SELECT doc_id, lang, plang, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, plang) AS rn FROM votes)
+        |  WHERE rn = 1)
+        |SELECT lang, plang AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+
     "split_balance" ->
       """WITH s AS (SELECT lang,
         |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,

@@ -2869,4 +2869,47 @@ object TextOps {
         col("weight").cast("long"))
     (mergeDf, syms)
   }
+
+  /** Supervised-style hashed-feature language classifier — the trained
+    * counterpart of the heuristic [[langId]]. Training: per-bucket
+    * majority label over hashed token features (md5 word 1 mod `buckets`
+    * — the same portable hashing-trick cell as [[hashEmbed]]) on the
+    * deterministic train split (doc_id % 10 < 8). Inference: each
+    * held-out document's tokens vote their bucket's label; majority
+    * wins. All integer arithmetic — counts and argmax with
+    * (count desc, label asc) tie-breaks — so the DuckDB twin replays it
+    * bit-for-bit; no float log-likelihoods to diverge on near-ties.
+    * Returns the holdout confusion matrix (lang, predicted, n).
+    *
+    * Scale: one shuffle on (bucket, lang) for the profile (map-side
+    * partials collapse the token stream to ≤ buckets×|langs| rows), the
+    * learned table is ≤ `buckets` rows and BROADCAST to the vote join,
+    * and votes shuffle on doc_id — nothing all-pairs, nothing
+    * driver-side. Both argmax windows partition on high-cardinality
+    * keys (bucket / doc_id), never a global sort. */
+  def langIdTrained(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("b"))
+    val profile = feat.where(col("doc_id") % 10 < 8)
+      .groupBy(col("b"), col("lang")).agg(count(lit(1)).as("c"))
+    val bucketLabel = profile
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("c").desc, col("lang").asc)))
+      .where(col("rn") === 1)
+      .select(col("b"), col("lang").as("plang"))
+    val votes = feat.where(col("doc_id") % 10 >= 8)
+      .join(broadcast(bucketLabel), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("v"))
+    val pred = votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("v").desc, col("plang").asc)))
+      .where(col("rn") === 1)
+    pred.groupBy(col("lang"), col("plang").as("predicted"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
 }

@@ -64,6 +64,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
   }
 
+  test("langIdTrained: disjoint-vocab languages classify; holdout split honored") {
+    // train split = doc_id % 10 < 8; docs 8/9/18 are the holdout
+    val d = (0L to 3L).map(i => (i, "alpha beta gamma delta", "en")) ++
+      (4L to 7L).map(i => (i, "zork blum quux fnord", "xx")) ++
+      Seq((8L, "alpha beta gamma", "en"),   // clean en holdout
+          (9L, "zork blum quux", "xx"),     // clean xx holdout
+          (18L, "zork blum fnord", "en"))   // mislabeled: votes say xx
+    val cm = TextOps.langIdTrained(d.toDF("doc_id", "text", "lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cm((("en", "en"))) == 1L)
+    assert(cm((("xx", "xx"))) == 1L)
+    assert(cm((("en", "xx"))) == 1L) // the planted misclassification row
+    assert(cm.size == 3)
+    // train docs never appear in the confusion matrix
+    assert(cm.values.sum == 3L)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1f, 0f, 0f), 0),
     (1L, Array(0.9f, 0.1f, 0f), 0),
