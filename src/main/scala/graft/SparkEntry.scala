@@ -979,6 +979,50 @@ object SparkEntry {
             g, lit("?a=1&id="), g, lit("&z=2&utm_campaign=c&fbclid=zz#frag")))
       TextOps.dedupUrls(docs(s, d).withColumn("url", url), col("url"))
     },
+    "dedup_url_incremental" -> { (s, d) =>
+      // Daily-ingest URL dedup (r12): batch = doc_id >= 400 vs the
+      // accumulated history, keyed by canonical URL. The synthesized
+      // crawl is revisit-heavy on a single host: page = doc_id % 430,
+      // so batch pages 400-429 are genuinely new (survive) while pages
+      // 0-69 are revisits of history URLs (dropped by the anti-join);
+      // surface variants rotate with doc_id % 3 as in dedup_url.
+      val g = pmod(col("doc_id"), lit(430)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("https://crawl.example.com/page/"), g,
+            lit("?id="), g, lit("&z=2&a=1")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("HTTPS://WWW.Crawl.Example.com:443/page/"), g,
+            lit("/?utm_source=x&z=2&a=1&id="), g))
+        .otherwise(
+          concat(lit("https://crawl.example.com/page/"), g,
+            lit("?a=1&id="), g, lit("&z=2&utm_campaign=c&fbclid=zz#frag")))
+      val all = docs(s, d).withColumn("url", url)
+      TextOps.dedupUrlsIncremental(
+        all.where(col("doc_id") >= 400), all.where(col("doc_id") < 400))
+    },
+    "host_stats" -> { (s, d) =>
+      // Domain-level curation audit (r12): per canonical host — docs,
+      // distinct pages (canonical URLs), distinct normalized texts
+      // (the gap to n_docs is the host's exact-dup mass), total chars.
+      // Same three-variant URL surface as dedup_url, so the twin is
+      // closed-form on the intended canonical host/page.
+      val g = expr("doc_id div 3").cast("string")
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("https://"), col("source"), lit(".example.com/page/"),
+            g, lit("?id="), g, lit("&z=2&a=1")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.com:443/page/"),
+            g, lit("/?utm_source=x&z=2&a=1&id="), g))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".example.com/page/"),
+            g, lit("?a=1&id="), g, lit("&z=2&utm_campaign=c&fbclid=zz#frag")))
+      TextOps.hostStats(docs(s, d).withColumn("url", url), col("url"))
+    },
+    "perplexity_tiers" -> ((s, d) =>
+      // CCNet-style per-language head/middle/tail LM-perplexity tertiles
+      // over the corpus bigram model — integer-micro NLL sums, exact
+      // rational ordering, integer tertile boundaries (TextOps doctrine).
+      TextOps.perplexityTiers(docs(s, d))),
     "dup_spans" -> ((s, d) =>
       // exact duplicated-substring spans (Lee et al. ACL'22): maximal
       // runs of corpus-repeated 13-grams — substring-level dedup signal

@@ -591,6 +591,73 @@ object CorpusOracles {
         |GROUP BY 1""".stripMargin,
 
 
+    // closed-form canonical target again (crawl.example.com, page =
+    // doc_id % 430); batch groups by canonical URL then anti-joins the
+    // history's canonical set — pages 0-69 are revisits and drop out
+    "dedup_url_incremental" ->
+      """WITH cu AS (
+        |  SELECT doc_id,
+        |    'https://crawl.example.com/page/' || (doc_id % 430)
+        |      || '?a=1&id=' || (doc_id % 430) || '&z=2' AS url_canon
+        |  FROM documents),
+        |batch AS (
+        |  SELECT url_canon, min(doc_id) AS doc_id, count(*) AS batch_dups
+        |  FROM cu WHERE doc_id >= 400 GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, url_canon,
+        |  CAST(batch_dups AS BIGINT) AS batch_dups
+        |FROM batch
+        |WHERE url_canon NOT IN (SELECT url_canon FROM cu WHERE doc_id < 400)""".stripMargin,
+
+
+    // closed-form host + page (the dedup_url variants all collapse to
+    // source.example.com / doc_id // 3); n_texts replays the normText key
+    "host_stats" ->
+      """SELECT source || '.example.com' AS host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT doc_id // 3) AS BIGINT) AS n_pages,
+        |  CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS BIGINT) AS n_texts,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+
+    // bigram_logprob's LM spine, per-bigram NLL quantized to integer
+    // micros PER ROW (order-free), per-doc DECIMAL sums; docs rank
+    // within lang by the exact rational sum/n (one double division of
+    // integers, ties by doc_id; bigram-less docs flagged to the tail
+    // end — no NULL-ordering dependence); integer tertile boundaries
+    "perplexity_tiers" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+        |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(floor(-ln((c12.c + 0.5) / (c1.c1 + 0.5 * v.v)) * 1e6 + 0.5)
+        |        AS BIGINT)) AS sum_nll_mu
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+        |  GROUP BY bg.doc_id),
+        |sc AS (SELECT d.doc_id, d.lang,
+        |    coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(pd.sum_nll_mu, 0) AS sum_nll_mu
+        |  FROM documents d LEFT JOIN pd USING (doc_id)),
+        |rk AS (SELECT doc_id, lang, n_bigrams, sum_nll_mu,
+        |    row_number() OVER (PARTITION BY lang ORDER BY (n_bigrams = 0),
+        |      CASE WHEN n_bigrams = 0 THEN 0.0
+        |           ELSE sum_nll_mu::DOUBLE / n_bigrams END, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(sum_nll_mu AS BIGINT) AS sum_nll_mu,
+        |  CASE WHEN rk * 3 <= n THEN 'head'
+        |       WHEN rk * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS tier
+        |FROM rk""".stripMargin,
+
+
     "dedup_incremental" ->
       """WITH batch AS (
         |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,

@@ -127,6 +127,60 @@ object TextOps {
     docs.groupBy(canonicalUrl(url).as("url_canon"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
 
+  /** Canonical host of a URL (post-[[canonicalUrl]] authority) — the
+    * grouping key for domain-level curation. */
+  def canonicalHost(url: Column): Column =
+    regexp_extract(canonicalUrl(url), "^[a-z0-9+.-]*://([^/]*)", 1)
+
+  /**
+   * Incremental URL dedup — [[dedupIncremental]]'s daily-ingest shape
+   * keyed by the canonical URL instead of the normalized text: dedup
+   * the NEW crawl batch within itself (min doc_id per canonical URL),
+   * then drop every canonical URL the accumulated corpus already holds
+   * — the first pass of a daily web-ingest, upstream of content dedup
+   * since it reads no text at all. Returns the surviving batch rows as
+   * (doc_id, url_canon, batch_dups).
+   *
+   * Scale shape: identical to [[dedupIncremental]] — one hash-group on
+   * the batch + one anti-join that shuffles the BATCH to the (bucketed,
+   * shuffle-free) history layout, never the reverse; at 100 TB the
+   * history side is a bucketed table of 8-byte url digests.
+   */
+  def dedupUrlsIncremental(newBatch: DataFrame, history: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    newBatch
+      .groupBy(canonicalUrl(col(urlCol)).as("url_canon"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dups"))
+      .join(history.select(canonicalUrl(col(urlCol)).as("url_canon")).distinct(),
+        Seq("url_canon"), "left_anti")
+      .select(col("doc_id"), col("url_canon"), col("batch_dups"))
+
+  /**
+   * Per-host corpus audit — the table a domain-level curation pass
+   * (RefinedWeb-style blocklists, host quotas) reads: for each
+   * canonical host, the doc count, distinct canonical-URL count
+   * (pages), distinct normalized-text count (unique content — the gap
+   * to n_docs is the host's exact-dup mass), and total chars. All
+   * integer-exact.
+   *
+   * Scale shape: ONE aggregation keyed by host; the two exact distinct
+   * counts plan as Spark's Expand (×3 row multiply before the
+   * map-side combine) — at 100 TB swap them for `graft_hll` sketches
+   * (the portable HLL aggregate) and keep the single shuffle; this
+   * exact form is the oracle anchor.
+   */
+  def hostStats(docs: DataFrame, url: Column): DataFrame =
+    docs
+      .select(canonicalHost(url).as("host"),
+        canonicalUrl(url).as("url_canon"),
+        normText(col("text")).as("norm"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_canon")).as("n_pages"),
+        countDistinct(col("norm")).as("n_texts"),
+        sum(col("len")).as("sum_chars"))
+
   /** Distinct word 3-gram shingles from a TOKEN-ARRAY ATTRIBUTE. The
     * argument must be a materialized column, not an expression: `t` is
     * referenced size(t)+2 times here, and Spark inlines (re-evaluates)
@@ -1046,6 +1100,76 @@ object TextOps {
         log((col("c") + addK) / (col("c1") + addK * vocab)).as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logprob"))
+    val res = out.localCheckpoint(true)
+    Seq(toksAll, bi).foreach(_.unpersist(false))
+    res
+  }
+
+  /**
+   * CCNet-style perplexity tiers (Wenzek et al., "CCNet: Extracting
+   * High Quality Monolingual Datasets from Web Crawl Data", LREC'20):
+   * score every document by its LM cost under the corpus bigram model
+   * ([[bigramLogProb]]'s add-k smoothed p(w₂|w₁)), then split each
+   * LANGUAGE into head / middle / tail tertiles by per-bigram average
+   * negative log-likelihood — the classic keep-the-head quality filter.
+   *
+   * Portability doctrine (§28): each bigram's NLL is quantized to
+   * integer micros PER ROW (floor(−ln p·10⁶ + ½) — order-free), summed
+   * in DECIMAL(38,0); docs compare by the exact rational
+   * sum_nll_mu ∕ n_bigrams (one double division of integers, the
+   * [[qualityTiers]] contract), ties by doc_id; bigram-less docs (< 2
+   * tokens) sort to the tail end via an explicit flag — no NULL
+   * ordering dependence. Tier boundaries are integer-exact tertiles:
+   * head iff 3·rk ≤ n, middle iff 3·rk ≤ 2·n.
+   *
+   * Returns (doc_id, lang, n_bigrams, sum_nll_mu, tier).
+   *
+   * Scale shape: the bigram_logprob spine (two shuffles over bigram
+   * instances; count tables broadcast under AQE, head-vocabulary
+   * broadcast + unigram backoff at 100 TB) plus one per-lang window
+   * over doc-sized rows — the lang-partitioned sort splitStratified
+   * already carries.
+   */
+  def perplexityTiers(docs: DataFrame, addK: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val toksAll = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = toksAll.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
+    val bi = toksAll.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val perDoc = bi
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(-log((col("c") + addK) / (col("c1") + addK * vocab)) * 1e6 + 0.5)
+          .cast("long").as("nll_mu"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll_mu").cast("decimal(38,0)")).cast("long").as("sum_nll_mu"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("sum_nll_mu"), lit(0L)).cast("long").as("sum_nll_mu"))
+    val w = Window.partitionBy(col("lang"))
+    val avgNll = when(col("n_bigrams") === 0, lit(0.0))
+      .otherwise(col("sum_nll_mu").cast("double") / col("n_bigrams"))
+    val out = scored
+      .withColumn("rk", row_number().over(w.orderBy(
+        (col("n_bigrams") === 0).cast("int"), avgNll, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_nll_mu"),
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("tier"))
     val res = out.localCheckpoint(true)
     Seq(toksAll, bi).foreach(_.unpersist(false))
     res

@@ -1009,6 +1009,57 @@ class PipelineSpec extends AnyFunSuite {
       ("https://a.com/q", 7L, 1L)))
   }
 
+  test("dedupUrlsIncremental: batch groups by canonical URL, history anti-joins") {
+    import spark.implicits._
+    val history = Seq(
+      (0L, "https://a.com/p?id=1"),
+      (1L, "https://a.com/q")).toDF("doc_id", "url")
+    val batch = Seq(
+      (10L, "HTTPS://WWW.A.com:443/p/?id=1&utm_source=x"), // canonical dup of history p → dropped
+      (11L, "https://a.com/r?b=2&a=1"),                    // new page, survives
+      (12L, "https://a.com/r?a=1&b=2#frag"),               // in-batch dup of 11 → collapsed
+      (13L, "https://b.org/s")).toDF("doc_id", "url")
+    val got = TextOps.dedupUrlsIncremental(batch, history).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (11L, "https://a.com/r?a=1&b=2", 2L),
+      (13L, "https://b.org/s", 1L)))
+  }
+
+  test("hostStats: per-host docs / pages / distinct texts / chars") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "same text", "https://a.com/p?id=1"),
+      (1L, "same  TEXT", "HTTPS://WWW.A.com:443/p/?id=1"), // same page + same norm text
+      (2L, "other text", "https://a.com/q"),
+      (3L, "b text", "https://b.org/x")).toDF("doc_id", "text", "url")
+    val got = TextOps.hostStats(d, col("url")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a.com") == ((3L, 2L, 2L,
+      "same text".length.toLong + "same  TEXT".length + "other text".length)))
+    assert(got("b.org") == ((1L, 1L, 1L, "b text".length.toLong)))
+  }
+
+  test("perplexityTiers: repeated-pattern docs head, odd doc tails, tertiles exact") {
+    import spark.implicits._
+    // 6 docs, one lang: five share the high-probability bigram stream,
+    // one is lexically odd (rare bigrams → high NLL); plus a 1-token doc
+    // that must sort to the tail END without NULL-ordering surprises.
+    val d = (0L to 4L).map(i => (i, "a b a b a b a b", "en")) ++
+      Seq((5L, "zz qq rr ss tt uu", "en"), (6L, "x", "en"))
+    val rows = TextOps.perplexityTiers(d.toDF("doc_id", "text", "lang")).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // n = 7 → head: rk ≤ 2, middle: rk ≤ 4 (3·rk ≤ 14 ⇒ rk ≤ 4), tail: 5..7
+    assert(byId(6L)._3 == "tail" && byId(6L)._1 == 0L) // bigram-less → tail end
+    assert(byId(5L)._3 == "tail")                      // rare bigrams → worst real score
+    assert(byId(0L)._3 == "head" && byId(1L)._3 == "head")
+    assert(byId(2L)._3 == "middle" && byId(3L)._3 == "middle")
+    assert(byId(4L)._3 == "tail")                      // rk 5 of 7
+    // identical docs share the identical integer score
+    assert((0L to 4L).map(byId(_)._2).toSet.size == 1)
+  }
+
   test("dedupIncremental: in-batch dedup plus anti-join against history") {
     import spark.implicits._
     val history = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
