@@ -1329,6 +1329,11 @@ object SparkEntry {
       VectorOps.ivfSearch(
         VectorOps.IvfCache.index(s, d), emb(s, d).where(col("vec_id") < 10), 10)
     },
+    "ann_ivf_cells" -> ((s, d) =>
+      // IVF health audit (r12): per-cell population + micro-quantized
+      // centroid-affinity sums over the memoized trained index — the
+      // balance/drift table an ANN deployment monitors.
+      VectorOps.ivfCellStats(VectorOps.IvfCache.index(s, d))),
     "knn_graph" -> { (s, d) =>
       // the whole corpus as the query side (NEW r11): top-5 neighbors
       // per vector via the memoized DEDUP-scaled index (k = ⌈√N⌉ cells,

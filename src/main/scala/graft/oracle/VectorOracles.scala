@@ -31,6 +31,18 @@ object VectorOracles {
     // rows-only entries through round 7.
     "ann_ivf" -> ivfOracleSql("TRUE"),
 
+    // replayed IVF chain (same k=16 build as ann_ivf), then per-cell
+    // counts + per-row micro-quantized cosine-to-own-centroid sums —
+    // order-free integer state, one HUGEINT sum per cell
+    "ann_ivf_cells" ->
+      s"""WITH ${ivfChainCte("TRUE")}
+         |SELECT CAST(a.cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(CAST(floor(list_cosine_similarity(a.nbv, c.cv) * 1e6 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS sum_cos_mu
+         |FROM asg a JOIN c3 c USING (cell)
+         |GROUP BY a.cell""".stripMargin,
+
     // the corpus-as-queries batch self-search: same replayed IVF chain
     // at the dedup-scaled k = ⌈√N⌉ (the O(N^1.5) contract), every vector
     // a query (qsFilter TRUE), nProbe 4, top-5 per vector

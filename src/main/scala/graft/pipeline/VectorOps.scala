@@ -515,6 +515,32 @@ object VectorOps {
         .join(allowed.select(col("vec_id").as("nb")).distinct(), "nb")),
       queries, topK, nProbe)
 
+  /**
+   * IVF index health audit — per-cell population and centroid affinity:
+   * (cell, n_vectors, sum_cos_mu), where sum_cos_mu is the order-free
+   * sum of each member's cosine-to-own-centroid quantized to integer
+   * micros per row (floor(cos·10⁶ + ½), DECIMAL(38,0) sum — the §28
+   * portability doctrine). The cell-size histogram is THE operational
+   * metric of a deployed IVF index: skewed cells mean probe-latency
+   * tails and recall holes, and a falling mean affinity vs the
+   * build-time value is drift — time to retrain (the per-cell
+   * generalization of [[ivfAppend]]'s staleness scalar).
+   *
+   * Scale shape: one broadcast join (k centroid rows) + one cell-keyed
+   * aggregation with map-side partials — rows out = k.
+   */
+  def ivfCellStats(index: IvfIndex): DataFrame =
+    index.indexed
+      .join(broadcast(index.centroids), Seq("cell"))
+      .select(col("cell"),
+        floor(cosineBest(index.indexed.sparkSession,
+          col("nbv"), col("cv")) * 1e6 + 0.5).cast("long").as("cos_mu"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("cos_mu").cast("decimal(38,0)")).cast("long").as("sum_cos_mu"))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        col("sum_cos_mu"))
+
   /** k-NN GRAPH over the embedding corpus via the IVF index: every
     * vector's top-k cosine neighbors in one batch self-search — the
     * primitive SemDeDup-style clustering, duplicate-graph analysis, and

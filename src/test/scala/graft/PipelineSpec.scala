@@ -1009,6 +1009,16 @@ class PipelineSpec extends AnyFunSuite {
       ("https://a.com/q", 7L, 1L)))
   }
 
+  test("ivfCellStats: populations sum to corpus; affinity bounded by 1e6 per member") {
+    val idx = VectorOps.ivfBuild(vecs, k = 2, iters = 1)
+    val rows = VectorOps.ivfCellStats(idx).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 5L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_cos_mu") <= r.getAs[Long]("n_vectors") * 1000000L)
+    }
+    assert(rows.map(_.getAs[Long]("cell")).toSet.subsetOf(Set(0L, 1L)))
+  }
+
   test("dedupUrlsIncremental: batch groups by canonical URL, history anti-joins") {
     import spark.implicits._
     val history = Seq(
