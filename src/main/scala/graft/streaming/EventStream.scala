@@ -399,6 +399,28 @@ object EventStream {
       .drop("norm_hash_a", "norm_hash_b")
   }
 
+  /** Streaming URL dedup — the streaming twin of
+    * [[graft.pipeline.TextOps.dedupUrls]]: drop re-crawls whose
+    * CANONICAL URL ([[graft.pipeline.TextOps.canonicalUrl]] — scheme/
+    * host case, www, default ports, tracking params, param order,
+    * slash, fragment) was already seen within the watermark horizon.
+    * Upstream of [[dedupDocStream]] in a live ingest since it reads no
+    * text. State keys on the same independently-seeded 64-bit hash
+    * PAIR as dedupDocStream (16 bytes per URL in the window; a silent
+    * collision-drop needs both hashes to collide; the salt goes first
+    * in the second hash for the same seed-chaining reason). */
+  def dedupUrlStream(docs: DataFrame, tsCol: String,
+                     watermark: String = "1 hour",
+                     urlCol: String = "url"): DataFrame = {
+    val canon = graft.pipeline.TextOps.canonicalUrl(col(urlCol))
+    docs
+      .withColumn("url_hash_a", xxhash64(canon))
+      .withColumn("url_hash_b", xxhash64(lit(1), canon))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url_hash_a", "url_hash_b")
+      .drop("url_hash_a", "url_hash_b")
+  }
+
   /** Streaming NEAR-dup detection — the streaming twin of
     * [[graft.pipeline.TextOps.dedupMinHashLsh]]: minhash-band candidate
     * generation as a watermarked stream-stream self-join. Each doc

@@ -227,6 +227,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(batch((w1k, "view", 2L)) == ((2L, 100L, 5.0)))
   }
 
+  test("streaming URL dedup: canonical re-crawls dropped; batch dedupUrls agrees on survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val rows = Seq(
+      (0L, ts("2024-01-01 00:00:00"), "https://a.com/p?id=1&z=2"),
+      (1L, ts("2024-01-01 00:10:00"), "HTTPS://WWW.A.com:443/p/?z=2&utm_source=t&id=1"), // canonical dup of 0
+      (2L, ts("2024-01-01 00:20:00"), "https://a.com/q"))
+    source.addData(rows: _*)
+    val q = EventStream.dedupUrlStream(
+        source.toDF().toDF("doc_id", "ts", "url"), "ts")
+      .writeStream.format("memory").queryName("urldedup_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // later-batch re-crawl of page p, still inside the watermark
+      source.addData((3L, ts("2024-01-01 00:30:00"), "https://a.com/p?id=1&z=2#frag"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("urldedup_sink").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 2L)) // 1 and 3 collapse onto 0's canonical URL
+    // stream survivors == batch dedupUrls keepers over the same feed
+    val batchKeep = graft.pipeline.TextOps.dedupUrls(
+        (rows :+ (3L, ts("2024-01-01 00:30:00"), "https://a.com/p?id=1&z=2#frag"))
+          .toDF("doc_id", "ts", "url"), col("url"))
+      .collect().map(_.getAs[Long]("keep_doc_id")).toSet
+    assert(batchKeep == ids)
+  }
+
   test("streaming dedup drops content duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
