@@ -343,6 +343,15 @@ object SparkEntry {
       graft.gx.GraphXTraversal.harmonicCentralityDF(
         s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
 
+    "betweenness_landmarks" -> ((s, d) =>
+      // Brandes dependency accumulation to the supplier landmarks
+      // (NEW r12): general level-synchronized relational sweep with
+      // the INTEGER-quantized δ recursion ((σv·(1e6+δu)) div σu — no
+      // float ratios, engine-exact); the twin derives the same
+      // integers from the DAG's closed-form level structure
+      graft.gx.GraphXTraversal.betweennessLandmarksDF(
+        s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
+
     "clustering_coeff" -> ((s, d) =>
       // per-vertex local clustering coefficient on the same pair graph;
       // the oracle recomputes per-vertex wedge closure + degrees in SQL

@@ -970,6 +970,93 @@ object GraphXTraversal {
         (col("h_micro").cast("double") / lit(1e6)).as("harmonic"))
   }
 
+  /**
+   * Landmark betweenness (Brandes, "A Faster Algorithm for Betweenness
+   * Centrality", J. Math. Sociol. 2001), restricted to shortest paths
+   * ENDING at the landmark set — the standard sampled/pivot
+   * approximation of full betweenness, run here as a GENERAL
+   * level-synchronized relational sweep: a forward σ pass (path
+   * counts per (vertex, landmark), level by level over the
+   * label-filtered edge relation, multi-edges counted per edge) and a
+   * backward dependency pass.
+   *
+   * Engine-exact quantized dependency contract (§28 applied to a
+   * RECURSION, not just a sum): leaves carry δ_mu = 0 and each
+   * predecessor contribution is
+   * `(σ_v · (10⁶ + δ_mu(u))) div σ_u` — pure integer arithmetic
+   * (floor division of non-negative longs), so the backward recursion
+   * is bit-identical in any engine: no float ratios, no
+   * summation-order dependence. δ_mu ≈ Brandes' δ × 10⁶ (each division
+   * floors once per tree edge). Landmarks (the sources) are excluded,
+   * leaf levels carry 0, and only δ_mu > 0 rows return:
+   * (vertex_id, btw_mu).
+   *
+   * Scale shape: maxDepth forward joins + maxDepth−1 backward joins,
+   * each edge-scale with map-side-combined sums — the pagerank-round
+   * shape, but a FIXED small number of rounds; σ/δ frames are
+   * vertex-sized. The twin derives the same integers from the order
+   * DAG's closed-form level structure (the shortest_paths trick), so
+   * the general sweep is verified against an independent derivation.
+   */
+  def betweennessLandmarksDF(spark: SparkSession, snap: Snapshot,
+      landmarks: Seq[Long],
+      labels: Seq[String] = Seq("placed", "contains", "supplied_by"),
+      maxDepth: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sp = shortestPathsDF(spark, snap, landmarks, labels)
+    val e = snap.edges.where(col("label").isin(labels: _*))
+      .select(col("outV").as("u"), col("inV").as("w"))
+    def level(l: Int) = sp.where(col("dist") === l)
+    // forward: σ(landmark) = 1; σ_L(u) = Σ over edges u→w with
+    // dist(w) = L−1 and dist(u) = L (same landmark) of σ(w)
+    var sigmas = Vector(level(0)
+      .select(col("vertex_id").as("v"), col("landmark_id").as("lm"),
+        lit(1L).as("sigma")))
+    (1 to maxDepth).foreach { l =>
+      val prev = sigmas.last
+        .select(col("v").as("pw"), col("lm"), col("sigma").as("psigma"))
+      val sl = e
+        .join(prev, col("w") === col("pw"))
+        .join(level(l).select(col("vertex_id").as("u2"),
+          col("landmark_id").as("lm2")),
+          col("u") === col("u2") && col("lm") === col("lm2"))
+        .groupBy(col("u"), col("lm"))
+        .agg(sum(col("psigma")).as("sigma"))
+        .select(col("u").as("v"), col("lm"), col("sigma"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sigmas = sigmas :+ sl
+    }
+    // backward: δ_mu at the deepest level is 0; each level-l vertex sums
+    // (σ_v·(10⁶+δ_mu(u))) div σ_u over its level-(l+1) tree edges u→v
+    var delta = sigmas(maxDepth).select(col("v"), col("lm"), lit(0L).as("delta"))
+    val deps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    ((maxDepth - 1) to 1 by -1).foreach { l =>
+      val up = delta
+        .select(col("v").as("uu"), col("lm").as("ulm"), col("delta").as("udelta"))
+        .join(sigmas(l + 1).select(col("v").as("us"), col("lm").as("uslm"),
+          col("sigma").as("usigma")),
+          col("uu") === col("us") && col("ulm") === col("uslm"))
+        .select(col("uu"), col("ulm"), col("udelta"), col("usigma"))
+      val dl = e
+        .join(up, col("u") === col("uu"))
+        .join(sigmas(l).select(col("v").as("wv"), col("lm").as("wlm"),
+          col("sigma").as("wsigma")),
+          col("w") === col("wv") && col("ulm") === col("wlm"))
+        .groupBy(col("wv"), col("wlm"))
+        .agg(sum(expr("(wsigma * (1000000 + udelta)) div usigma")).as("delta"))
+        .select(col("wv").as("v"), col("wlm").as("lm"), col("delta"))
+      deps += dl
+      delta = dl
+    }
+    val out = deps.reduceLeft(_ unionByName _)
+      .groupBy(col("v")).agg(sum(col("delta")).as("btw_mu"))
+      .where(col("btw_mu") > 0)
+      .select(col("v").as("vertex_id"), col("btw_mu"))
+      .localCheckpoint(true)
+    sigmas.drop(1).foreach(_.unpersist(false))
+    out
+  }
+
   /** Static PageRank over the full snapshot graph (`numIter` fixed
     * rounds, damping 0.85): (vertex_id, rank). Spec-gated (rank ORDER
     * in GraphXAnalyticsSpec — hub nations/regions accumulate the mass

@@ -378,6 +378,51 @@ object GraphOracles {
         |  UNION ALL SELECT v, lid, CAST(3 AS INT) FROM d3)""".stripMargin,
 
 
+    // Brandes to the landmark set, derived CLOSED-FORM from the DAG's
+    // level structure (vs the general relational sweep under test):
+    // σ(part) = supplied_by multiplicity to the landmark, σ(order) =
+    // Σ σ(part) per contains edge (lineitem row — multi-edges count),
+    // σ(cust) = Σ σ(order) per placed edge; the backward pass uses the
+    // INTEGER-quantized δ recursion (σv·(1e6+δu)) // σu — floor division
+    // of non-negative integers, bit-identical in both engines. Leaves
+    // (customers) carry 0, landmarks are excluded, only δ > 0 returns.
+    "betweenness_landmarks" ->
+      """WITH s1 AS (
+        |  SELECT CAST(5000000 + l_partkey AS BIGINT) AS v,
+        |         CAST(4000000 + l_suppkey AS BIGINT) AS lid,
+        |         count(*) AS sigma
+        |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 3 GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT CAST(6000000 + l.l_orderkey AS BIGINT) AS v, s1.lid,
+        |         sum(s1.sigma) AS sigma
+        |  FROM lineitem l JOIN s1 ON CAST(5000000 + l.l_partkey AS BIGINT) = s1.v
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT CAST(3000000 + o.o_custkey AS BIGINT) AS v, s2.lid,
+        |         sum(s2.sigma) AS sigma
+        |  FROM orders o JOIN s2 ON CAST(6000000 + o.o_orderkey AS BIGINT) = s2.v
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT s2.v, s2.lid,
+        |         sum((s2.sigma * 1000000) // s3.sigma) AS delta
+        |  FROM s2 JOIN orders o ON CAST(6000000 + o.o_orderkey AS BIGINT) = s2.v
+        |          JOIN s3 ON s3.v = CAST(3000000 + o.o_custkey AS BIGINT)
+        |                 AND s3.lid = s2.lid
+        |  GROUP BY 1, 2),
+        |d1 AS (
+        |  SELECT s1.v, s1.lid,
+        |         sum((s1.sigma * (1000000 + d2.delta)) // s2.sigma) AS delta
+        |  FROM lineitem l
+        |    JOIN s1 ON CAST(5000000 + l.l_partkey AS BIGINT) = s1.v
+        |    JOIN s2 ON CAST(6000000 + l.l_orderkey AS BIGINT) = s2.v
+        |           AND s2.lid = s1.lid
+        |    JOIN d2 ON d2.v = s2.v AND d2.lid = s1.lid
+        |  GROUP BY 1, 2)
+        |SELECT CAST(v AS BIGINT) AS vertex_id, CAST(sum(delta) AS BIGINT) AS btw_mu
+        |FROM (SELECT v, delta FROM d2 UNION ALL SELECT v, delta FROM d1)
+        |GROUP BY v HAVING sum(delta) > 0""".stripMargin,
+
+
     // the same closed-form BFS levels, folded to Σ 1/dist in integer
     // micros (d=0 landmark self-rows excluded, the convention)
     "harmonic_centrality" ->

@@ -132,6 +132,46 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("betweenness landmarks: general sweep equals a driver-side integer Brandes recount") {
+    val snap = TpchGraph.snapshot(spark, dir)
+    val got = graft.gx.GraphXTraversal
+      .betweennessLandmarksDF(spark, snap, Seq(4000001L, 4000002L, 4000003L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recount from the raw tables with the same quantized
+    // integer recursion (brute force in driver memory, fine at sf0.001)
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+        col("l_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (lm <- Seq(1L, 2L, 3L)) {
+      // σ: per-edge multiplicities (contains/supplied_by are per lineitem row)
+      val s1 = li.filter(_._3 == lm).groupBy(_._2).map { case (p, rs) => p -> rs.size.toLong }
+      val s2 = li.filter(t => s1.contains(t._2)).groupBy(_._1)
+        .map { case (o, rs) => o -> rs.map(t => s1(t._2)).sum }
+      val s3 = s2.toSeq.groupBy { case (o, _) => ord(o) }
+        .map { case (c, os) => c -> os.map(_._2).sum }
+      // δ: the quantized recursion (σv·(1e6+δu)) div σu, leaves 0
+      val d2 = s2.map { case (o, so) => o -> (so * 1000000L) / s3(ord(o)) }
+      val d1 = li.filter(t => s1.contains(t._2)).groupBy(_._2)
+        .map { case (p, rs) =>
+          p -> rs.map(t => (s1(p) * (1000000L + d2(t._1))) / s2(t._1)).sum }
+      d2.foreach { case (o, d) => acc(6000000L + o) += d }
+      d1.foreach { case (p, d) => acc(5000000L + p) += d }
+    }
+    val expected = acc.filter(_._2 > 0).toMap
+    assert(got.nonEmpty)
+    assert(got == expected, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k)).take(5)
+      s"first diffs: ${diff.map(k => (k, got.get(k), expected.get(k)))}"
+    })
+  }
+
   test("adaptive width: proportional to the filtered edge count, floored and capped") {
     import graft.gx.GraphXTraversal.{widthFor, TargetEdgesPerPartition, labelEdgeCount, cachedLabelGraph}
     // small subgraph → narrow (the measured-good sf0.1 point reproduced:

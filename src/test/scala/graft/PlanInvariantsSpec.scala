@@ -21,6 +21,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // each of these broadcasts a TINY query batch against the corpus
     // (exact-scoring search paths) — the corpus side is never shuffled
     val allowedBnlj = Set("ann_topk", "ann_ivf", "ann_ivf_opened",
+      // per-cell audit over the memoized index: the only BNLJ is the
+      // index BUILD's k-row centroid broadcast (cached InMemoryRelation,
+      // billed as build_ivf); the audit itself is a broadcast hash join
+      "ann_ivf_cells",
       // ann_ivf's probe shape with the allowed-id equi-join added
       "ann_ivf_filtered",
       // the appended-index search broadcasts the same k-row centroid
