@@ -93,6 +93,11 @@ object Bench {
       // base-build + incremental append for ann_ivf_appended
       SparkEntry.IvfAppendCache.get(spark, sfDir).index.indexed.count(); ()
     }
+    build("build_knn") {
+      // the memoized kNN-graph frame (r12): knn_graph / knn_mutual_rate /
+      // knn_label_purity all read this one checkpointed self-search
+      pipeline.VectorOps.IvfCache.knnGraphFrame(spark, sfDir).count(); ()
+    }
     build("build_pq") {
       pipeline.VectorOps.PqCache.get(spark, sfDir); ()
     }

@@ -1350,7 +1350,7 @@ object SparkEntry {
       // a fixed-k index would make this O(N²/k)); query side NOT
       // broadcast — cell equi-join with both sides shuffled, the
       // bucketed kNN-graph build SemDeDup-style clustering starts from
-      VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), emb(s, d), 5, 4)
+      VectorOps.IvfCache.knnGraphFrame(s, d)
     },
     "knn_mutual_rate" -> { (s, d) =>
       // neighborhood symmetry audit (NEW r11): the fraction of kNN-graph
@@ -1358,7 +1358,7 @@ object SparkEntry {
       // vectors dominate neighborhoods (the k-occurrence skew that
       // degrades kNN classification); one self-semi-join on the memoized
       // graph + exact integer counts, one round(4) division
-      val nn = VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), emb(s, d), 5, 4)
+      val nn = VectorOps.IvfCache.knnGraphFrame(s, d)
         .select(col("q"), col("nb"))
       val mutual = nn.join(
         nn.select(col("nb").as("q"), col("q").as("nb")), Seq("q", "nb"), "left_semi")
@@ -1376,8 +1376,7 @@ object SparkEntry {
       // hit/pair counts, one round(4) division; the twin replays the
       // IVF chain + the two label joins
       val e = emb(s, d)
-      VectorOps.labelPurity(
-        VectorOps.knnGraph(VectorOps.IvfCache.dedupIndex(s, d), e, 5, 4), e)
+      VectorOps.labelPurity(VectorOps.IvfCache.knnGraphFrame(s, d), e)
     },
     "ann_ivf_filtered" -> { (s, d) =>
       // metadata-filtered vector search: neighbors restricted to 'en'

@@ -773,6 +773,25 @@ object VectorOps {
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
         ivfBuild(e, dedupK(e.count()))
       }
+
+    /** Memoized kNN GRAPH over the dedup-scaled index (top-5, nProbe 4 —
+      * the registered shape): knn_graph, knn_mutual_rate and
+      * knn_label_purity all start from this one frame, so the batch
+      * self-search runs once per (session, sf dir) instead of once per
+      * caller. The frame is checkpointed by [[knnGraph]]; eviction needs
+      * no unpersist (ContextCleaner reclaims checkpoint blocks). */
+    private val knnCache =
+      new LruMemo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+        MaxCachedIndexes, _ => ())
+    def knnGraphFrame(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+      knnCache.getOrBuild((spark, dir)) {
+        // materialize eagerly — caching the lazy plan would re-run the
+        // cell join + top-k heap per caller
+        knnGraph(dedupIndex(spark, dir),
+          spark.read.parquet(s"$dir/embeddings.parquet"), 5, 4)
+          .localCheckpoint(true)
+      }
   }
 
   /** k for [[IvfCache.dedupIndex]]: ⌈√N⌉, floored at 16 so tiny corpora
