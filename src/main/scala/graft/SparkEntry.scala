@@ -1027,6 +1027,14 @@ object SparkEntry {
             g, lit("?a=1&id="), g, lit("&z=2&utm_campaign=c&fbclid=zz#frag")))
       TextOps.hostStats(docs(s, d).withColumn("url", url), col("url"))
     },
+    "vocab_drift" -> ((s, d) =>
+      // token-distribution drift of the incoming batch vs the corpus
+      // (NEW r12): smoothed KL(batch‖history) in order-free integer
+      // picos + the top-20 divergent tokens (TakeOrdered cut); the
+      // daily-ingest monitoring twin of typeDriftDaily
+      TextOps.vocabDrift(
+        docs(s, d).where(col("doc_id") >= 400),
+        docs(s, d).where(col("doc_id") < 400))),
     "perplexity_tiers" -> ((s, d) =>
       // CCNet-style per-language head/middle/tail LM-perplexity tertiles
       // over the corpus bigram model — integer-micro NLL sums, exact

@@ -622,6 +622,38 @@ object CorpusOracles {
         |GROUP BY 1""".stripMargin,
 
 
+    // smoothed KL(batch‖history) over the union vocabulary: exact
+    // integer counts form the same doubles in both engines; per-token
+    // terms quantized to integer picos per row (can be negative —
+    // floor(x+0.5) is round-half-up in both), order-free total; top-20
+    // by (|term| desc, tok)
+    "vocab_drift" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cb AS (SELECT tok, count(*) AS c_batch FROM toks WHERE doc_id >= 400 GROUP BY 1),
+        |chh AS (SELECT tok, count(*) AS c_hist FROM toks WHERE doc_id < 400 GROUP BY 1),
+        |j AS (SELECT coalesce(cb.tok, chh.tok) AS tok,
+        |    coalesce(c_batch, 0) AS c_batch, coalesce(c_hist, 0) AS c_hist
+        |  FROM cb FULL OUTER JOIN chh ON cb.tok = chh.tok),
+        |tot AS (SELECT sum(c_batch)::DOUBLE AS nb, sum(c_hist)::DOUBLE AS nh,
+        |    count(*)::DOUBLE AS vv FROM j),
+        |t AS (SELECT tok, c_hist, c_batch,
+        |    CAST(floor((((c_batch + 0.5) / (nb + 0.5 * vv)) *
+        |      ln(((c_batch + 0.5) / (nb + 0.5 * vv)) /
+        |         ((c_hist + 0.5) / (nh + 0.5 * vv)))) * 1e12 + 0.5) AS BIGINT)
+        |      AS term_pico
+        |  FROM j, tot),
+        |kl AS (SELECT sum(term_pico) AS kl_pico FROM t),
+        |rk AS (SELECT tok, c_hist, c_batch, term_pico,
+        |    row_number() OVER (ORDER BY abs(term_pico) DESC, tok) AS rk FROM t)
+        |SELECT tok, CAST(c_hist AS BIGINT) AS c_hist,
+        |  CAST(c_batch AS BIGINT) AS c_batch,
+        |  CAST(term_pico AS BIGINT) AS term_pico,
+        |  CAST(kl.kl_pico AS BIGINT) AS kl_pico, CAST(rk AS BIGINT) AS rk
+        |FROM rk, kl WHERE rk <= 20""".stripMargin,
+
+
     // bigram_logprob's LM spine, per-bigram NLL quantized to integer
     // micros PER ROW (order-free), per-doc DECIMAL sums; docs rank
     // within lang by the exact rational sum/n (one double division of

@@ -2484,6 +2484,65 @@ object TextOps {
         round(col("total_chars").cast("double") / col("n_bpe"), 4).as("chars_per_bpe"))
 
   /**
+   * Vocabulary drift between a NEW ingest batch and the accumulated
+   * corpus — the monitoring table a daily pipeline alerts on before
+   * letting a crawl into the training mix: smoothed
+   * KL(batch ‖ history) over the UNION vocabulary, with the top-k most
+   * divergent tokens as the actionable artifact (the
+   * [[EventStream.typeDriftDaily]] doctrine lifted from event types to
+   * the token distribution).
+   *
+   * Portability: p = (c_batch + ½)∕(N_batch + ½V) and q = the
+   * history's — every input an exact integer, so both engines form the
+   * same doubles; each token's KL term p·ln(p∕q) is quantized to
+   * integer PICOs per row (floor(term·10¹² + ½) — terms CAN be
+   * negative, and floor(x + ½) is round-half-up in both engines);
+   * kl_pico is the order-free integer total. The top-k cut is
+   * orderBy(|term| desc, tok) + limit — TakeOrderedAndProject heaps,
+   * never a global sort — and the rank window touches k rows.
+   *
+   * Returns k rows: (tok, c_hist, c_batch, term_pico, kl_pico, rk).
+   *
+   * Scale shape: two token-keyed counts (map-side combined) + one
+   * full-outer join on the token key; the totals row broadcasts to the
+   * term projection (single-row crossJoin, the heapsLaw shape).
+   */
+  def vocabDrift(newBatch: DataFrame, history: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(name))
+    val joined = counts(newBatch, "c_batch")
+      .join(counts(history, "c_hist"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_batch"), lit(0L)).as("c_batch"),
+        coalesce(col("c_hist"), lit(0L)).as("c_hist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = joined.agg(
+      sum(col("c_batch")).as("nb"), sum(col("c_hist")).as("nh"),
+      count(lit(1)).as("vv"))
+    val p = (col("c_batch") + lit(0.5)) / (col("nb") + lit(0.5) * col("vv"))
+    val q = (col("c_hist") + lit(0.5)) / (col("nh") + lit(0.5) * col("vv"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c_hist"), col("c_batch"),
+        floor((p * log(p / q)) * lit(1e12) + lit(0.5))
+          .cast("long").as("term_pico"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kl = terms.agg(sum(col("term_pico")).as("kl_pico"))
+    val out = terms
+      .orderBy(abs(col("term_pico")).desc, col("tok")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("term_pico")).desc, col("tok"))))
+      .crossJoin(broadcast(kl))
+      .select(col("tok"), col("c_hist"), col("c_batch"), col("term_pico"),
+        col("kl_pico"), col("rk").cast("long").as("rk"))
+      .localCheckpoint(true)
+    Seq(joined, terms).foreach(_.unpersist(false))
+    out
+  }
+
+  /**
    * Largest-remainder (Hamilton) apportionment of an integer sampling
    * budget across sources: each source gets ⌊B·n_s∕N⌋ docs, and the
    * leftover seats go to the largest remainders (B·n_s mod N, ties by

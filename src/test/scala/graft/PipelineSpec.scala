@@ -1070,6 +1070,25 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L to 4L).map(byId(_)._2).toSet.size == 1)
   }
 
+  test("vocabDrift: novel batch tokens rank as most divergent; kl total is the term sum") {
+    import spark.implicits._
+    val history = Seq((0L, "alpha beta alpha beta gamma"),
+      (1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "zork zork zork alpha"),
+      (11L, "zork beta")).toDF("doc_id", "text")
+    val rows = TextOps.vocabDrift(batch, history, k = 3).collect()
+    assert(rows.length == 3)
+    // zork: 4 batch occurrences, 0 history — the dominant positive term
+    val top = rows.find(_.getAs[Long]("rk") == 1L).get
+    assert(top.getAs[String]("tok") == "zork")
+    assert(top.getAs[Long]("c_batch") == 4L && top.getAs[Long]("c_hist") == 0L)
+    assert(top.getAs[Long]("term_pico") > 0L)
+    // kl_pico is identical on every row (the order-free corpus total)
+    assert(rows.map(_.getAs[Long]("kl_pico")).toSet.size == 1)
+    // ranks are 1..3 under the (|term| desc, tok) contract
+    assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("dedupIncremental: in-batch dedup plus anti-join against history") {
     import spark.implicits._
     val history = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
