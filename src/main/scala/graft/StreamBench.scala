@@ -124,6 +124,36 @@ object StreamBench {
         s""""rows_per_sec":${(nDocs / secs).toLong},"state_bytes":$stBytes}"""
     }
 
+    // ---- 1b. streaming URL dedup over the same doc feed (r12) ----
+    {
+      def withUrl(df: DataFrame): DataFrame = {
+        // revisit-heavy synthetic crawl: ~2.5 surface variants per page
+        val g = pmod(col("doc_id"), lit(20000)).cast("string")
+        df.withColumn("url",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("https://crawl.example.com/page/"), g,
+              lit("?id="), g, lit("&z=2&a=1")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("HTTPS://WWW.Crawl.Example.com:443/page/"), g,
+              lit("/?utm_source=x&z=2&a=1&id="), g))
+          .otherwise(concat(lit("https://crawl.example.com/page/"), g,
+            lit("?a=1&id="), g, lit("&z=2#f"))))
+      }
+      val (secs, outRows, stBytes) =
+        run("urldedup", EventStream.dedupUrlStream(
+          withUrl(fileStream(s"$root/docs_src", docSchema, 4)), "ts"))
+      // all ts in one horizon → within-watermark dedup == global dedup on
+      // the canonical-URL hash pair
+      val canon = graft.pipeline.TextOps.canonicalUrl(col("url"))
+      val expect = withUrl(docs).select(
+          xxhash64(canon).as("a"), xxhash64(lit(1), canon).as("b"))
+        .distinct().count()
+      out("dedup_url_stream") =
+        s"""{"input_rows":$nDocs,"out_rows":$outRows,"batch_expect":$expect,""" +
+        s""""parity":${outRows == expect},"secs":${f"$secs%.2f"},""" +
+        s""""rows_per_sec":${(nDocs / secs).toLong},"state_bytes":$stBytes}"""
+    }
+
     // ---- 2. streaming minhash near-dup pairs over 50k sf1 docs ----
     {
       val (secs, outRows, stBytes) =
