@@ -942,17 +942,23 @@ object GraphXTraversal {
   def shortestPathsDF(spark: SparkSession, snap: Snapshot,
                       landmarks: Seq[Long],
                       labels: Seq[String] =
-                        Seq("placed", "contains", "supplied_by")): DataFrame =
-    spCache.synchronized {
-      val key = (snap, landmarks, labels)
-      val hit = spCache.get(key)
-      if (hit != null) hit
-      else {
-        val built = buildShortestPaths(spark, snap, landmarks, labels)
-        spCache.put(key, built)
-        built
+                        Seq("placed", "contains", "supplied_by")): DataFrame = {
+    val key = (snap, landmarks, labels)
+    val hit = spCache.synchronized(spCache.get(key))
+    if (hit != null) hit
+    else {
+      // build OUTSIDE the monitor — holding it across the multi-round
+      // Pregel run would stall unrelated keys; a lost race just keeps
+      // the winner's frame (checkpoint blocks of the loser are
+      // reclaimed by the ContextCleaner)
+      val built = buildShortestPaths(spark, snap, landmarks, labels)
+      spCache.synchronized {
+        val race = spCache.get(key)
+        if (race != null) race
+        else { spCache.put(key, built); built }
       }
     }
+  }
 
   private def buildShortestPaths(spark: SparkSession, snap: Snapshot,
                                  landmarks: Seq[Long],
@@ -1067,12 +1073,19 @@ object GraphXTraversal {
     var delta = sigmas(maxDepth).select(col("v"), col("lm"), lit(0L).as("delta"))
     val deps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     ((maxDepth - 1) to 1 by -1).foreach { l =>
-      val up = delta
-        .select(col("v").as("uu"), col("lm").as("ulm"), col("delta").as("udelta"))
-        .join(sigmas(l + 1).select(col("v").as("us"), col("lm").as("uslm"),
-          col("sigma").as("usigma")),
-          col("uu") === col("us") && col("ulm") === col("uslm"))
-        .select(col("uu"), col("ulm"), col("udelta"), col("usigma"))
+      // LEFT join δ onto the level-(l+1) σ frame: a vertex with no
+      // deeper tree predecessor is a LEAF at its level (δ = 0), but its
+      // σw·10⁶ div σu contribution to level l still counts — an inner
+      // join would silently drop it on general graphs (latent on the
+      // order DAG, where every intermediate vertex has a deeper
+      // predecessor)
+      val up = sigmas(l + 1)
+        .select(col("v").as("uu"), col("lm").as("ulm"), col("sigma").as("usigma"))
+        .join(delta.select(col("v").as("dv"), col("lm").as("dlm"),
+          col("delta").as("ddelta")),
+          col("uu") === col("dv") && col("ulm") === col("dlm"), "left")
+        .select(col("uu"), col("ulm"),
+          coalesce(col("ddelta"), lit(0L)).as("udelta"), col("usigma"))
       val dl = tree.where(col("du") === l + 1)
         .join(up, col("u") === col("uu") && col("lm") === col("ulm"))
         .join(sigmas(l).select(col("v").as("wv"), col("lm").as("wlm"),
@@ -1084,10 +1097,14 @@ object GraphXTraversal {
       deps += dl
       delta = dl
     }
-    val out = deps.reduceLeft(_ unionByName _)
-      .groupBy(col("v")).agg(sum(col("delta")).as("btw_mu"))
-      .where(col("btw_mu") > 0)
-      .select(col("v").as("vertex_id"), col("btw_mu"))
+    // maxDepth ≤ 1 means every non-landmark vertex is a leaf: the
+    // correct answer is the empty relation, not an empty-reduce crash
+    val out = (if (deps.isEmpty)
+        sp.select(col("vertex_id"), lit(0L).as("btw_mu")).where(lit(false))
+      else deps.reduceLeft(_ unionByName _)
+        .groupBy(col("v")).agg(sum(col("delta")).as("btw_mu"))
+        .where(col("btw_mu") > 0)
+        .select(col("v").as("vertex_id"), col("btw_mu")))
       .localCheckpoint(true)
     sigmas.drop(1).foreach(_.unpersist(false))
     tree.unpersist(false)

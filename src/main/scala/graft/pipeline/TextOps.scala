@@ -1080,6 +1080,24 @@ object TextOps {
    * anchor.
    */
   def bigramLogProb(docs: DataFrame, addK: Double = 0.5): DataFrame = {
+    val (scored, vocab, staged) = bigramLmScored(docs)
+    val out = scored
+      .select(col("doc_id"),
+        log((col("c") + addK) / (col("c1") + addK * vocab)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logprob"))
+    val res = out.localCheckpoint(true)
+    staged.foreach(_.unpersist(false))
+    res
+  }
+
+  /** Shared bigram-LM spine of [[bigramLogProb]] and [[perplexityTiers]]:
+    * staged token arrays and bigram instances (persist barriers), the
+    * c12/c1 count tables (context re-aggregated FROM the bigram counts —
+    * no second tokenize pass), and the per-bigram-instance frame joined
+    * to both. Returns (scored instances carrying c/c1, vocabulary size,
+    * frames to unpersist after the caller checkpoints). */
+  private def bigramLmScored(docs: DataFrame): (DataFrame, Double, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val toksAll = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1094,15 +1112,7 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-    val out = bi
-      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col("doc_id"),
-        log((col("c") + addK) / (col("c1") + addK * vocab)).as("lp"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logprob"))
-    val res = out.localCheckpoint(true)
-    Seq(toksAll, bi).foreach(_.unpersist(false))
-    res
+    (bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1")), vocab, Seq(toksAll, bi))
   }
 
   /**
@@ -1132,22 +1142,8 @@ object TextOps {
    */
   def perplexityTiers(docs: DataFrame, addK: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
-    val toksAll = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab = toksAll.select(explode(col("t")).as("tok"))
-      .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
-    val bi = toksAll.where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-    val perDoc = bi
-      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val (scored0, vocab, staged) = bigramLmScored(docs)
+    val perDoc = scored0
       .select(col("doc_id"),
         floor(-log((col("c") + addK) / (col("c1") + addK * vocab)) * 1e6 + 0.5)
           .cast("long").as("nll_mu"))
@@ -1171,7 +1167,7 @@ object TextOps {
           .when(col("rk") * 3 <= col("n") * 2, "middle")
           .otherwise("tail").as("tier"))
     val res = out.localCheckpoint(true)
-    Seq(toksAll, bi).foreach(_.unpersist(false))
+    staged.foreach(_.unpersist(false))
     res
   }
 

@@ -778,8 +778,10 @@ object VectorOps {
       * the registered shape): knn_graph, knn_mutual_rate and
       * knn_label_purity all start from this one frame, so the batch
       * self-search runs once per (session, sf dir) instead of once per
-      * caller. The frame is checkpointed by [[knnGraph]]; eviction needs
-      * no unpersist (ContextCleaner reclaims checkpoint blocks). */
+      * caller. The localCheckpoint below is the memo's contract —
+      * [[knnGraph]] itself returns a LAZY plan, and caching that would
+      * re-run the cell join per caller; eviction needs no unpersist
+      * (ContextCleaner reclaims checkpoint blocks). */
     private val knnCache =
       new LruMemo[(org.apache.spark.sql.SparkSession, String), DataFrame](
         MaxCachedIndexes, _ => ())

@@ -172,6 +172,27 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     })
   }
 
+  test("betweenness landmarks: mid-level leaves still contribute (left-join δ contract)") {
+    // lm ← a ← b (level-2 LEAF) and lm ← a ← c ← e: b has no deeper tree
+    // predecessor, so an INNER δ-join would silently drop its σ·10⁶ term
+    // from δ(a) — this shape never occurs on the order DAG, so only a
+    // custom graph exercises it
+    val g = new graft.graph.GraftGraph(TestSpark.spark)
+    val lm = g.addVertex(); val a = g.addVertex(); val b = g.addVertex()
+    val c = g.addVertex(); val e = g.addVertex()
+    g.addEdge(a, lm, "x"); g.addEdge(b, a, "x")
+    g.addEdge(c, a, "x"); g.addEdge(e, c, "x")
+    val snap = graft.snapshot.Snapshot.head(g.log)
+    val got = graft.gx.GraphXTraversal
+      .betweennessLandmarksDF(spark, snap, Seq(lm.id), Seq("x"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // σ ≡ 1 everywhere; δ(c) = 10⁶ (from e); δ(a) = 10⁶ (from leaf b)
+    // + 2·10⁶ (from c) = 3·10⁶ — the inner-join bug reported 2·10⁶
+    assert(got(c.id) == 1000000L)
+    assert(got(a.id) == 3000000L)
+    assert(got.size == 2) // b and e are leaves (δ 0); the landmark is excluded
+  }
+
   test("adaptive width: proportional to the filtered edge count, floored and capped") {
     import graft.gx.GraphXTraversal.{widthFor, TargetEdgesPerPartition, labelEdgeCount, cachedLabelGraph}
     // small subgraph → narrow (the measured-good sf0.1 point reproduced:
