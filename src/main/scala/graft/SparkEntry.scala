@@ -1498,9 +1498,15 @@ object SparkEntry {
       VectorOps.labelCentroidVectors(emb(s, d).withColumn("label", col("label").cast("long")))
         .select(col("label"), posexplode(col("centroid")).as(Seq("i", "m")))
         .select(col("label"), col("i").cast("long").as("i"), round(col("m"), 6).as("m"))),
-    "dedup_embedding" -> ((s, d) =>
-      // threshold tuned to the synthetic corpus (max pairwise cosine ≈ .5)
-      VectorOps.embeddingNearDupPairs(emb(s, d), threshold = 0.45)),
+    "dedup_embedding" -> { (s, d) =>
+      // threshold tuned to the synthetic corpus (max pairwise cosine ≈ .5);
+      // band width adapts to N (r12) so per-band buckets stay ~128 rows —
+      // fixed 4-bit bands made the candidate join quadratic at sf1+
+      val e = emb(s, d)
+      val rpb = VectorOps.lshRowsPerBand(e.count())
+      VectorOps.embeddingNearDupPairs(e, threshold = 0.45,
+        bands = 64 / rpb, rowsPerBand = rpb)
+    },
     "clean_corpus" -> ((s, d) =>
       TextOps.cleanCorpus(docs(s, d), Seq("en", "de"), 100L, 2000L)),
 

@@ -256,6 +256,29 @@ object Ctes {
        |           THEN 1.0 ELSE -1.0 END AS w
        |    FROM range($nPlanes) p(j), range(64) d(i)) p(j, i, w) GROUP BY p.j)""".stripMargin
 
+  /** Adaptive-band variant of [[lshChainCte]] (dedup_embedding r12):
+    * rowsPerBand = GREATEST(4, bitlen(N−1) − 7) computed IN SQL from the
+    * corpus count (the integer formula VectorOps.lshRowsPerBand
+    * replays), the remainder band dropped (j < (nPlanes ∕∕ r)·r) so no
+    * short band reintroduces tiny hash spaces; 1::BIGINT shifts so wide
+    * bands can't overflow. Plane j is a pure function of (j, i), so the
+    * Spark side's bands·r-plane signature is a prefix of this 64-plane
+    * matrix. */
+  private[oracle] def lshChainCteAdaptive(nPlanes: Int): String =
+    s"""$rawEmbCte,
+       |${planesCte(nPlanes)},
+       |rpb AS (SELECT GREATEST(4, CAST(length(bin(count(*) - 1)) AS INT) - 7) AS r
+       |  FROM raw),
+       |sig AS (SELECT v.vec_id, p.j,
+       |    CASE WHEN list_sum(list_transform(range(len(v.x)), i -> v.x[i+1] * p.pw[i+1])) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM raw v, planes p),
+       |band AS (SELECT vec_id, band, sum(bit * (1::BIGINT << bitpos)) AS bh FROM (
+       |    SELECT s.vec_id, CAST(s.j // r.r AS INT) AS band,
+       |           CAST(s.j % r.r AS INT) AS bitpos, s.bit
+       |    FROM sig s, rpb r WHERE s.j < ($nPlanes // r.r) * r.r)
+       |  GROUP BY vec_id, band)""".stripMargin
+
   private[oracle] def lshChainCte(nPlanes: Int, rowsPerBand: Int): String =
     s"""$rawEmbCte,
        |${planesCte(nPlanes)},

@@ -298,7 +298,7 @@ object VectorOracles {
          |  FROM scored) WHERE rn <= 10""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH ${lshChainCte(64, 4)},
+      s"""WITH ${lshChainCteAdaptive(64)},
          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          |  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
          |scored AS (SELECT c.a, c.b, list_cosine_similarity(va.x, vb.x) AS sim

