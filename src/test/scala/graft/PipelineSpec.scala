@@ -1009,6 +1009,18 @@ class PipelineSpec extends AnyFunSuite {
       ("https://a.com/q", 7L, 1L)))
   }
 
+  test("lshRowsPerBand: bitlen formula — floor 4, then +1 per doubling") {
+    // the SQL twin computes GREATEST(4, length(bin(n-1)) - 7); this pins
+    // the Scala side to the same integer function
+    assert(VectorOps.lshRowsPerBand(1L) == 4)
+    assert(VectorOps.lshRowsPerBand(2000L) == 4)    // sf0.01 regime: unchanged rows
+    assert(VectorOps.lshRowsPerBand(2048L) == 4)    // bitlen(2047)=11
+    assert(VectorOps.lshRowsPerBand(2049L) == 5)    // bitlen(2048)=12
+    assert(VectorOps.lshRowsPerBand(20000L) == 8)   // sf1 regime
+    assert(VectorOps.lshRowsPerBand(100000L) == 10) // sf5 regime
+    assert(VectorOps.lshRowsPerBand(1L << 40) == 33)
+  }
+
   test("ivfCellStats: populations sum to corpus; affinity bounded by 1e6 per member") {
     val idx = VectorOps.ivfBuild(vecs, k = 2, iters = 1)
     val rows = VectorOps.ivfCellStats(idx).collect()
