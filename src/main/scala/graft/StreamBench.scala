@@ -44,6 +44,12 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", graft.functions.GraftExtensions.configValue)
+      // production RocksDB checkpointing: small per-batch changelogs +
+      // periodic snapshots instead of a full SST snapshot retained per
+      // micro-batch — `state_bytes` then measures the durable footprint
+      // a deployment actually provisions, not N stacked snapshots
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,6 +66,16 @@ object StreamBench {
     docs.repartition(32).write.parquet(s"$root/docs_src")
     val docSchema = docs.schema
     val nDocs = docs.count()
+    // parity-validity guard (r12 ADVICE): every within-watermark parity
+    // bit below assumes the whole doc feed fits inside ONE watermark
+    // horizon — if the generator ever widens the ts spread past 1 h,
+    // within-watermark dedup legitimately re-emits keys and parity:false
+    // would be a protocol artifact, not a code defect. Fail fast instead.
+    val span = docs.agg((max(col("ts")).cast("long") -
+      min(col("ts")).cast("long")).as("s")).head.getLong(0)
+    require(span < 3600,
+      s"doc feed ts span ${span}s exceeds the 1 h watermark horizon; " +
+        "within-watermark parity checks would be meaningless")
 
     // events: ts normalized to TIMESTAMP via the shared schema-adaptive
     // reader (EventsReplay.rawEvents — handles nanos-long and µs layouts).
@@ -154,20 +170,83 @@ object StreamBench {
         s""""rows_per_sec":${(nDocs / secs).toLong},"state_bytes":$stBytes}"""
     }
 
+    // ---- 1c. ingest-time contamination guard over the doc feed (r13:
+    // every production streaming stage gets an sf1 throughput record).
+    // Stateless Bloom-probe projection: state_bytes is offsets/commits
+    // only — the record documents that the guard adds NO keyed state. ----
+    {
+      // deterministic held-out "eval set": every 100th page's text
+      val evalDocs = docs.where(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id"), col("text"))
+      val guarded = EventStream.contaminationGuard(
+        fileStream(s"$root/docs_src", docSchema, 4), evalDocs)
+      val (secs, outRows, stBytes) = {
+        val ckpt = s"$root/ckpt_contamination"
+        val nOut = new AtomicLong(0L); val nFlag = new AtomicLong(0L)
+        val t0 = System.nanoTime()
+        val q = EventStream.withRocksDbStateStore(spark) {
+          guarded.writeStream.option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              nOut.addAndGet(b.count())
+              nFlag.addAndGet(b.where(col("flagged")).count()); ()
+            }.start()
+        }
+        try q.processAllAvailable() finally q.stop()
+        out("contamination_flagged") = nFlag.get().toString
+        ((System.nanoTime() - t0) / 1e9, nOut.get(),
+          dirBytes(java.nio.file.Paths.get(ckpt)))
+      }
+      val flagged = out.remove("contamination_flagged").get.toLong
+      // batch twin: the SAME stateless projection over the batch frame —
+      // parity is exact equality of the flagged doc sets (and the Bloom
+      // contract: every exact-contaminated doc must be flagged)
+      val batchFlagged = EventStream.contaminationGuard(docs, evalDocs)
+        .where(col("flagged")).select("doc_id")
+      val batchFlaggedN = batchFlagged.count()
+      // decontaminate returns ONLY contaminated (doc_id, n_hits) rows;
+      // same n as the guard so "no false negatives" is apples-to-apples
+      val exactMissed = graft.pipeline.TextOps.decontaminate(docs, evalDocs, n = 3)
+        .join(batchFlagged, Seq("doc_id"), "left_anti").count()
+      out("contamination_guard_stream") =
+        s"""{"input_rows":$nDocs,"out_rows":$outRows,"flagged":$flagged,""" +
+        s""""batch_flagged":$batchFlaggedN,"exact_missed":$exactMissed,""" +
+        s""""parity":${flagged == batchFlaggedN && exactMissed == 0L},""" +
+        s""""secs":${f"$secs%.2f"},"rows_per_sec":${(nDocs / secs).toLong},""" +
+        s""""state_bytes":$stBytes}"""
+    }
+
     // ---- 2. streaming minhash near-dup pairs over 50k sf1 docs ----
     {
+      // state-partition tuning for the 4-stateful-op pipeline: each
+      // micro-batch commits one RocksDB instance per (operator ×
+      // partition), so 32 shuffle partitions mean 4×32 store commits
+      // per batch — fixed cost that dwarfs the data at this state size.
+      // 8 partitions × 4 ops ≈ the core count; a production deployment
+      // sizes state partitions to state volume, not to the CPU count.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val (secs, outRows, stBytes) =
-        run("neardup", EventStream.nearDupPairsStream(
+        try run("neardup", EventStream.nearDupPairsStream(
           fileStream(s"$root/docs_src", docSchema, 4), "ts"))
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // batch twin of the SAME estimator pipeline (identical band hashing
       // and signature Jaccard; regular join since every pair is in-horizon)
       import graft.pipeline.TextOps
-      val numHashes = 128; val bands = 32; val r = numHashes / bands
-      def banded(side: String): DataFrame =
-        docs.select(col("doc_id").as(side),
+      // mirror the operator's tuned constants — the parity contract is
+      // "identical banding", so the twin derives them from the operator
+      val numHashes = EventStream.NearDupNumHashes
+      val bands = EventStream.NearDupBands
+      val r = numHashes / bands
+      // localCheckpoint = the batch staging barrier (same role as the
+      // stream operator's Generate barriers): signature computed once
+      val sigT = docs.select(col("doc_id"),
           TextOps.signatureBest(spark, TextOps.hashPairs(
             TextOps.shinglesFromTokens(TextOps.tokens(col("text")))),
-            numHashes).as(s"sig_$side"))
+            numHashes).as("sig"))
+        .where(col("sig").isNotNull).localCheckpoint(true)
+      def banded(side: String): DataFrame =
+        sigT.select(col("doc_id").as(side), col("sig").as(s"sig_$side"))
           .select(col(side), col(s"sig_$side"),
             explode(transform(sequence(lit(0), lit(bands - 1)),
               b => struct(b.as("band"),

@@ -1094,6 +1094,11 @@ object GraphXTraversal {
         .groupBy(col("wv"), col("wlm"))
         .agg(sum(expr("(wsigma * (1000000 + udelta)) div usigma")).as("delta"))
         .select(col("wv").as("v"), col("wlm").as("lm"), col("delta"))
+        // persist each level's delta (like the sigma levels): dl feeds
+        // BOTH the next level's recursion and the final union — unstaged,
+        // level l re-executes the whole deeper delta chain inside the
+        // union's lineage, quadratic in rounds if maxDepth grows
+        .persist(StorageLevel.MEMORY_AND_DISK)
       deps += dl
       delta = dl
     }
@@ -1107,6 +1112,7 @@ object GraphXTraversal {
         .select(col("v").as("vertex_id"), col("btw_mu")))
       .localCheckpoint(true)
     sigmas.drop(1).foreach(_.unpersist(false))
+    deps.foreach(_.unpersist(false))
     tree.unpersist(false)
     out
   }

@@ -267,7 +267,7 @@ object Ctes {
   private[oracle] def lshChainCteAdaptive(nPlanes: Int): String =
     s"""$rawEmbCte,
        |${planesCte(nPlanes)},
-       |rpb AS (SELECT GREATEST(4, CAST(length(bin(count(*) - 1)) AS INT) - 7) AS r
+       |rpb AS (SELECT GREATEST(4, CAST(length(bin(GREATEST(count(*) - 1, 0))) AS INT) - 7) AS r
        |  FROM raw),
        |sig AS (SELECT v.vec_id, p.j,
        |    CASE WHEN list_sum(list_transform(range(len(v.x)), i -> v.x[i+1] * p.pw[i+1])) > 0

@@ -455,25 +455,65 @@ object EventStream {
     * colliding band; the final `dropDuplicatesWithinWatermark`
     * collapses them to one row per (a, b) pair.
     *
-    * On a stream, `persist()` staging barriers are unavailable, so the
-    * signature pipeline runs as nested column expressions — the
-    * re-evaluation cost stays within one map stage per micro-batch and
-    * never enters join state. */
+    * On a stream, `persist()` staging barriers are unavailable, so each
+    * stage of the signature pipeline (tokens → shingles → hash pairs →
+    * signature) is pinned behind an `explode(array(…))` GENERATE
+    * barrier instead (VERDICT r12 throughput item): a single-element
+    * Generate evaluates its child exactly once per row and the
+    * optimizer cannot collapse a downstream Project's lambda references
+    * through it — without the barriers, project-collapse inlines the
+    * whole pipeline into the per-band / per-shingle lambda bodies and
+    * re-evaluates it per element (the same O(tokens²)/per-band blowup
+    * [[graft.pipeline.TextOps]].lshStages documents for batch; measured
+    * 12× on the banded projection at 5k docs). The barrier rows never
+    * enter join state — they live inside one map stage per micro-batch.
+    *
+    * Band tuning: `bands` defaults to [[NearDupBands]] = 16 (r = 8), not
+    * the batch operator's 32 (r = 4). The LSH S-curve midpoint
+    * (1/b)^(1/r) moves from 0.42 to 0.71 — far closer to the 0.8
+    * verify threshold — so sub-threshold pairs (which r=4 catches with
+    * ~87% probability at J=0.5 and the verify stage then discards)
+    * mostly never enter the candidate join, and the per-doc band state
+    * halves. Cost: catch probability at exactly J=0.8 is 1−(1−0.8⁸)¹⁶ ≈
+    * 0.95 (≥0.99 above J=0.85) instead of ~1−5·10⁻⁸ — the threshold
+    * boundary is already estimator-blurred (σ≈0.035), so the recall
+    * trade sits inside the existing noise band. */
+  val NearDupNumHashes: Int = 128
+  val NearDupBands: Int = 16
+
+  /** tokens → shingles → hash-pairs → minhash signature with each stage
+    * pinned behind a single-element Generate barrier (see
+    * [[nearDupPairsStream]] doc). Appends `sig_full` (null when the doc
+    * has <3 tokens) and drops `text`. */
+  private def stagedSignature(docs: DataFrame, keep: Seq[org.apache.spark.sql.Column],
+                              numHashes: Int): DataFrame = {
+    import graft.pipeline.TextOps
+    val spark = docs.sparkSession
+    def stage(df: DataFrame, c: org.apache.spark.sql.Column,
+              name: String, dropCol: String): DataFrame =
+      df.withColumn(name, explode(array(c))).drop(dropCol)
+    val base = docs.select(keep :+ col("text"): _*)
+    val t = stage(base, TextOps.tokens(col("text")), "t", "text")
+    val sh = stage(t, TextOps.shinglesFromTokens(col("t")), "sh", "t")
+    val hp = stage(sh, TextOps.hashPairs(col("sh")), "hp", "sh")
+    stage(hp, TextOps.signatureBest(spark, col("hp"), numHashes), "sig_full", "hp")
+  }
+
   def nearDupPairsStream(docs: DataFrame, tsCol: String,
                          watermark: String = "1 hour",
                          threshold: Double = 0.8,
-                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    import graft.pipeline.TextOps
-    val spark = docs.sparkSession
+                         numHashes: Int = NearDupNumHashes,
+                         bands: Int = NearDupBands): DataFrame = {
     val r = numHashes / bands
-    def sigFull = TextOps.signatureBest(spark, TextOps.hashPairs(
-      TextOps.shinglesFromTokens(TextOps.tokens(col("text")))), numHashes)
     // thin banded key stream: band hashes from the FULL components, the
-    // components themselves never enter this join's state
+    // components themselves never enter this join's state. Null
+    // signatures (sub-3-token docs) are excluded like the batch
+    // operator's `sig IS NOT NULL` — hash-of-null is a per-band
+    // constant, so shingle-less docs would otherwise all collide.
     def banded(side: String): DataFrame =
-      docs
-        .select(col("doc_id").as(side), col(tsCol).as(s"ts_$side"),
-          sigFull.as("sig_full"))
+      stagedSignature(docs,
+          Seq(col("doc_id").as(side), col(tsCol).as(s"ts_$side")), numHashes)
+        .where(col("sig_full").isNotNull)
         .select(col(side), col(s"ts_$side"),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
@@ -484,9 +524,10 @@ object EventStream {
         .withWatermark(s"ts_$side", watermark)
     // one truncated-signature row per doc — the per-doc signature store
     def sigs(side: String): DataFrame =
-      docs
-        .select(col("doc_id").as(s"s$side"), col(tsCol).as(s"ts_s$side"),
-          transform(sigFull,
+      stagedSignature(docs,
+          Seq(col("doc_id").as(s"s$side"), col(tsCol).as(s"ts_s$side")), numHashes)
+        .select(col(s"s$side"), col(s"ts_s$side"),
+          transform(col("sig_full"),
             h => (h.bitwiseAND(0xFFFFL) - 32768L).cast("smallint")).as(s"sig_$side"))
         .withWatermark(s"ts_s$side", watermark)
     val horizon = expr(s"INTERVAL $watermark")
@@ -550,17 +591,27 @@ object EventStream {
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("gram")), lit(expectedItems), lit(numBits)).as("bf"))
       .head()
-    val grams = TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n)
-    if (bloomRow.isNullAt(0))
-      docs.withColumn("flagged", lit(false))
-        .withColumn("n_grams", size(grams).cast("long"))
-    else {
-      val bf = lit(bloomRow.getAs[Array[Byte]]("bf"))
-      docs
-        .withColumn("flagged", exists(grams,
+    // tokens and grams staged behind Generate barriers (the
+    // nearDupPairsStream discipline): shinglesFromTokens' lambda makes
+    // size(t)+n references to its token argument, so an UNSTAGED
+    // tokens(text) re-evaluates the split per shingle position —
+    // O(tokens²) inside a "stateless" projection (measured 401 rows/s
+    // at sf1 before this fix). Barriers keep it one pass per row and
+    // compose with readStream (a persist() would not).
+    val staged = docs
+      .withColumn("__cg_t", explode(array(TextOps.tokens(col("text")))))
+      .withColumn("__cg_grams",
+        explode(array(TextOps.shinglesFromTokens(col("__cg_t"), n))))
+      .drop("__cg_t")
+    val out =
+      if (bloomRow.isNullAt(0)) staged.withColumn("flagged", lit(false))
+      else {
+        val bf = lit(bloomRow.getAs[Array[Byte]]("bf"))
+        staged.withColumn("flagged", exists(col("__cg_grams"),
           g => call_function("graft_might_contain", bf, xxhash64(g))))
-        .withColumn("n_grams", size(grams).cast("long"))
-    }
+      }
+    out.withColumn("n_grams", size(col("__cg_grams")).cast("long"))
+      .drop("__cg_grams")
   }
 
   /** Per-user latest state via explicit keyed state (the streaming
