@@ -1208,6 +1208,12 @@ object SparkEntry {
       // majority label trained on doc_id%10<8, holdout majority vote —
       // all integer argmax, profile broadcast; confusion matrix out
       TextOps.langIdTrained(docs(s, d))),
+    "quality_classifier" -> ((s, d) =>
+      // model-based quality filter (r12 verdict item 3): labels are the
+      // CCNet-style qualityTiers tertiles, features the langIdTrained
+      // hashed-token buckets, training the per-bucket integer majority
+      // on doc_id%10<8; twin replays label derivation + both argmaxes
+      TextOps.qualityClassifier(docs(s, d))),
     "split_balance" -> ((s, d) =>
       // per-(split,lang) doc/token counts + within-split share — the
       // split-skew audit over the deterministic hash split
@@ -1624,6 +1630,17 @@ object SparkEntry {
       // equivalence classes from the raw payload alone
       pipeline.MultimodalOps.dedupExactMedia(
         pipeline.MediaSynth.synthesize(docs(s, d).select(col("doc_id"))))),
+    "multimodal_neardup" -> ((s, d) =>
+      // byte-level media NEAR-dup (r12 verdict item 2): payloads gain a
+      // class-seeded high-entropy body, then truncated (d%7==3) and
+      // re-muxed-suffix (d%7==5) variants are PLANTED as extra rows —
+      // no digest matches, so exact dedup misses them by construction.
+      // The aligned-chunk + CC operator must recover cluster == byte
+      // class of the base; the twin re-derives the classes from doc_id
+      // arithmetic alone (it never sees a byte)
+      pipeline.MultimodalOps.nearDupMedia(
+        pipeline.MediaSynth.plantNearDups(
+          pipeline.MediaSynth.synthesize(docs(s, d).select(col("doc_id")))))),
     "vocab_sketch" -> ((s, d) =>
       // FULL oracle since r10: the portable md5 HLL (graft_hll) — the
       // twin replays register indexes/ranks from md5 hex and repeats

@@ -1040,6 +1040,42 @@ object CorpusOracles {
         |FROM pred GROUP BY 1, 2""".stripMargin,
 
 
+    // quality_tiers' label chain + lang_id_trained's classifier chain,
+    // composed: tier labels from the integer LM-plausibility tertiles,
+    // then the hashed-bucket majority train / holdout vote — every step
+    // an integer count or a (count desc, label asc) argmax, replayed here
+    "quality_classifier" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |ct AS (SELECT tok, length(bin(count(*)::BIGINT)) AS bl FROM tk GROUP BY tok),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens, sum(bl) AS sum_bl
+        |  FROM tk JOIN ct USING (tok) GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, d.lang,
+        |    CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+        |         ELSE coalesce(pd.sum_bl, 0)::DOUBLE / pd.n_tokens END AS avg_bl
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |rkd AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_bl DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM sc),
+        |tiers AS (SELECT doc_id,
+        |    CASE WHEN rk*3 <= n THEN 'head'
+        |         WHEN rk*3 <= n*2 THEN 'middle' ELSE 'tail' END AS tier
+        |  FROM rkd),
+        |feat AS (SELECT t.doc_id, ti.tier,
+        |    list_sum(list_transform(range(8), j ->
+        |      (strpos('0123456789abcdef', substr(md5(t.tok), (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 1024 AS b
+        |  FROM tk t JOIN tiers ti USING (doc_id)),
+        |prof AS (SELECT b, tier, count(*) AS c FROM feat WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |blab AS (SELECT b, tier AS ptier FROM (
+        |    SELECT b, tier, row_number() OVER (PARTITION BY b ORDER BY c DESC, tier) AS rn FROM prof)
+        |  WHERE rn = 1),
+        |votes AS (SELECT f.doc_id, f.tier, bl.ptier, count(*) AS v
+        |  FROM feat f JOIN blab bl ON bl.b = f.b WHERE f.doc_id % 10 >= 8 GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, tier, ptier FROM (
+        |    SELECT doc_id, tier, ptier, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, ptier) AS rn FROM votes)
+        |  WHERE rn = 1)
+        |SELECT tier, ptier AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+
     "split_balance" ->
       """WITH s AS (SELECT lang,
         |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,

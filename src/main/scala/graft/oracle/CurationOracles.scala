@@ -178,6 +178,32 @@ object CurationOracles {
         |FROM m JOIN g USING (k)""".stripMargin,
 
 
+    // byte-level near-dup classes re-derived generatively: originals ∪
+    // the planted truncation (d%7=3 → +10⁹) and suffix (d%7=5 → +2·10⁹)
+    // variants, clustered by the BASE's byte class — the Spark side must
+    // recover exactly these clusters from aligned-chunk fingerprints
+    // over the raw payloads (the twin never sees a byte)
+    "multimodal_neardup" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 3 THEN 'audio'
+        |         WHEN doc_id % 6 = 4 THEN 'video' ELSE 'image' END AS kind,
+        |    CASE WHEN doc_id % 6 = 3
+        |           THEN 'a:' || (doc_id % 2) || ':' || (doc_id % 3) || ':' || (doc_id % 10)
+        |         WHEN doc_id % 6 = 4
+        |           THEN 'v:' || (doc_id % 640) || ':' || (doc_id % 360) || ':' || (doc_id % 8)
+        |         ELSE 'i' || (doc_id % 6) || ':' || (doc_id % 640) || ':' || (doc_id % 360)
+        |    END AS k
+        |  FROM documents),
+        |m AS (SELECT doc_id AS media_id, kind, k FROM base
+        |  UNION ALL SELECT doc_id + 1000000000, kind, k FROM base WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id + 2000000000, kind, k FROM base WHERE doc_id % 7 = 5),
+        |g AS (SELECT k, min(media_id) AS rep, count(*) AS n_members FROM m GROUP BY k)
+        |SELECT CAST(m.media_id AS BIGINT) AS media_id, m.kind,
+        |  CAST(g.rep AS BIGINT) AS rep, CAST(g.n_members AS BIGINT) AS n_members,
+        |  m.media_id = g.rep AS keep
+        |FROM m JOIN g USING (k)""".stripMargin,
+
+
     // deterministic shard + shuffled in-shard position, both pure
     // portable integer-hash functions of doc_id (split_assign family;
     // the second multiplicative constant is the public xxhash prime)

@@ -139,6 +139,58 @@ object MediaSynth {
       .toDF("media_id", "kind", "content")
   }
 
+  /** Byte-equality class key of render(d) — the same strings the
+    * multimodal_dedup / multimodal_neardup oracle SQL derives (bytes are
+    * a pure function of these params, so byte class == this key). */
+  private[pipeline] def classKey(d: Long): String = (d % 6) match {
+    case 3 => s"a:${d % 2}:${d % 3}:${d % 10}"
+    case 4 => s"v:${d % 640}:${d % 360}:${d % 8}"
+    case _ => s"i${d % 6}:${d % 640}:${d % 360}"
+  }
+
+  /** Deterministic pseudorandom bytes from a string seed (LCG over a
+    * folded seed): stands in for the high-entropy compressed BODY real
+    * media carries after the header. Pure function — identical seeds
+    * give identical bytes, distinct seeds give bytes that share no long
+    * run (the property the aligned-chunk near-dup keys on). */
+  private[pipeline] def pseudoBody(seed: String, n: Int): Array[Byte] = {
+    var h = seed.foldLeft(1125899906842597L)((a, c) => a * 31 + c)
+    Array.fill(n) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      (h >>> 33).toByte
+    }
+  }
+
+  /** Near-dup fixture corpus for [[MultimodalOps.nearDupMedia]]: every
+    * payload gains a class-seeded pseudorandom body (so distinct byte
+    * classes share no aligned chunk, like real compressed media), and
+    * two kinds of byte-level near-misses are PLANTED as extra rows:
+    *   - d % 7 == 3 → media_id d + 10⁹: the payload TRUNCATED to 60%
+    *     (a partial download / cut upload);
+    *   - d % 7 == 5 → media_id d + 2·10⁹: the payload plus a 32-byte
+    *     class-seeded suffix (a re-muxed copy with trailer metadata).
+    * Both variants share their base's leading aligned chunks but not
+    * its digest, so exact dedup misses them by construction and
+    * near-dup must recover cluster == byte class of the base — which
+    * the oracle re-derives from doc_id arithmetic alone. */
+  def plantNearDups(media: DataFrame, bodyBytes: Int = 512): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, kind, content) =>
+        val k = classKey(d)
+        val padded = content ++ pseudoBody(k, bodyBytes)
+        val baseRow = (d, kind, padded)
+        if (d % 7 == 3)
+          Seq(baseRow, (d + 1000000000L, kind, padded.take(padded.length * 3 / 5)))
+        else if (d % 7 == 5)
+          Seq(baseRow, (d + 2000000000L, kind, padded ++ pseudoBody("s:" + k, 32)))
+        else Seq(baseRow)
+      })
+      .toDF("media_id", "kind", "content")
+  }
+
   /** One partition-mapped pass over mixed media: sniff the container by
     * its magic bytes and emit the unified typed-metadata row every
     * curation filter keys on (images → dimensions, audio → channels/

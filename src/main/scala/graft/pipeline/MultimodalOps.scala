@@ -341,6 +341,92 @@ object MultimodalOps {
         (col("media_id") === col("rep")).as("keep"))
   }
 
+  /** One aligned-chunk fingerprint row. */
+  final case class ChunkFp(media_id: Long, pos: Int, ch: Long)
+
+  /** Aligned chunk fingerprints: split each payload into fixed
+    * `chunkBytes` chunks at fixed offsets and hash each (first 8 bytes
+    * of the chunk's MD5, position mixed in by the caller's join key).
+    * The payload is consumed inside the partition iterator and DROPPED
+    * before any exchange — only (media_id, pos, 8-byte hash) rows ever
+    * shuffle, the same discipline as [[dedupExactMedia]]. */
+  def chunkFingerprints(media: DataFrame, chunkBytes: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, c) =>
+          if (c == null || c.isEmpty) Iterator.empty
+          else c.grouped(chunkBytes).zipWithIndex.map { case (chunk, i) =>
+            md.reset()
+            val h = md.digest(chunk)
+            ChunkFp(id, i, java.nio.ByteBuffer.wrap(h).getLong)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /**
+   * Byte-level media NEAR-dup — the tier above [[dedupExactMedia]]:
+   * truncated downloads and re-muxed copies (same stream bytes, extra
+   * trailer) share long byte runs with their source but no digest.
+   * Perceptual (decoded-pixel) similarity needs a codec and belongs in
+   * the [[extractFeatures]] stage; byte-run sharing is the codec-free
+   * tier every multimodal pipeline runs first.
+   *
+   * Candidates: an equi-join on (pos, chunk-hash) over ALIGNED
+   * `chunkBytes` fingerprints — two items meet ONLY if some aligned
+   * chunk is byte-identical, so work is proportional to bucket sizes
+   * (a bucket = items sharing one chunk), never |media|². High-entropy
+   * compressed payloads make cross-item chunk collisions vanishingly
+   * rare, so buckets ≈ true copy groups. Aligned chunking catches
+   * truncation and append/re-mux (offsets preserved); byte INSERTIONS
+   * would shift offsets — the next tier for that is content-defined
+   * chunk boundaries (rolling-hash cuts), same join shape, different
+   * splitter.
+   *
+   * Clusters: near-dup is transitive in curation policy (keep ONE of a
+   * truncation chain), so candidate pairs feed GraphX
+   * connectedComponents — the pair graph is orders of magnitude
+   * smaller than the corpus (the [[graft.pipeline.TextOps.dedupClusters]]
+   * shape), the component id (min media_id) IS the representative.
+   * Returns (media_id, kind, rep, n_members, keep) for EVERY item;
+   * singletons keep themselves.
+   */
+  def nearDupMedia(media: DataFrame, chunkBytes: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val fps = chunkFingerprints(media, chunkBytes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = fps.as("x").join(fps.as("y"),
+        col("x.pos") === col("y.pos") && col("x.ch") === col("y.ch") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .distinct()
+    val edges = pairs.rdd
+      .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+      .coalesce(8)
+    val cc = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+      .connectedComponents().vertices
+    val compDF = spark.createDataFrame(cc).toDF("media_id", "comp")
+    val assigned = media.select(col("media_id").cast("long"), col("kind"))
+      .join(compDF, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"),
+        coalesce(col("comp"), col("media_id")).as("rep"))
+    val sizes = assigned.groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"))
+    val out = assigned.join(sizes, "rep")
+      .select(col("media_id"), col("kind"), col("rep").cast("long"),
+        col("n_members").cast("long"),
+        (col("media_id") === col("rep")).as("keep"))
+      .localCheckpoint(true)
+    fps.unpersist(false)
+    out
+  }
+
   /** Batch-shape audit: rows per partition — the knob that decides decoder
     * memory footprint at 100 TB (pair with repartition/maxPartitionBytes). */
   def partitionHistogram(media: DataFrame): DataFrame = {

@@ -3066,29 +3066,61 @@ object TextOps {
     * and votes shuffle on doc_id — nothing all-pairs, nothing
     * driver-side. Both argmax windows partition on high-cardinality
     * keys (bucket / doc_id), never a global sort. */
-  def langIdTrained(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+  def langIdTrained(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    trainedTokenClassifier(
+      docs.select(col("doc_id"), col("text"), col("lang")), "lang", buckets)
+
+  /** The shared hashed-feature majority trainer behind [[langIdTrained]]
+    * and [[qualityClassifier]]: `labeled` must carry (doc_id, text,
+    * <labelCol>). Per-bucket majority label on the deterministic train
+    * split (doc_id % 10 < 8), bucket-vote argmax on the holdout,
+    * confusion matrix (labelCol, predicted, n) out. All integer counts
+    * with (count desc, label asc) tie-breaks — engine-exact. */
+  private def trainedTokenClassifier(labeled: DataFrame, labelCol: String,
+                                     buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val feat = docs
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("lang"),
+    val feat = labeled
+      .select(col("doc_id"), col(labelCol), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col(labelCol),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
           .as("b"))
     val profile = feat.where(col("doc_id") % 10 < 8)
-      .groupBy(col("b"), col("lang")).agg(count(lit(1)).as("c"))
+      .groupBy(col("b"), col(labelCol)).agg(count(lit(1)).as("c"))
     val bucketLabel = profile
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("b")).orderBy(col("c").desc, col("lang").asc)))
+        Window.partitionBy(col("b")).orderBy(col("c").desc, col(labelCol).asc)))
       .where(col("rn") === 1)
-      .select(col("b"), col("lang").as("plang"))
+      .select(col("b"), col(labelCol).as("plab"))
     val votes = feat.where(col("doc_id") % 10 >= 8)
       .join(broadcast(bucketLabel), Seq("b"))
-      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .groupBy(col("doc_id"), col(labelCol), col("plab"))
       .agg(count(lit(1)).as("v"))
     val pred = votes
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("v").desc, col("plang").asc)))
+        Window.partitionBy(col("doc_id")).orderBy(col("v").desc, col("plab").asc)))
       .where(col("rn") === 1)
-    pred.groupBy(col("lang"), col("plang").as("predicted"))
+    pred.groupBy(col(labelCol), col("plab").as("predicted"))
       .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** Model-based quality filter — the TRAINED tier every modern curation
+    * stack runs above the heuristic rules ([[qualityScores]] /
+    * [[gopherRepetition]] are the rule tier; CCNet/Gopher/LLaMA train a
+    * classifier on quality labels and filter by its verdict). Labels
+    * come from [[qualityTiers]] (CCNet-style head/middle/tail by
+    * integer LM plausibility — itself engine-exact), features are the
+    * [[langIdTrained]] hashed-token buckets, training is the per-bucket
+    * majority on the deterministic doc_id%10<8 split. Returns the
+    * holdout confusion matrix (tier, predicted, n) — the calibration
+    * artifact a production pipeline thresholds on before applying the
+    * model as a filter. Scale shape inherited from the two parents: one
+    * (bucket, label) shuffle + a broadcast model table + one doc-keyed
+    * vote shuffle; the label pass adds qualityTiers' token-count
+    * shuffle. Nothing all-pairs, nothing driver-side. */
+  def qualityClassifier(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val labels = qualityTiers(docs).select(col("doc_id"), col("tier"))
+    trainedTokenClassifier(
+      docs.select(col("doc_id"), col("text")).join(labels, "doc_id"),
+      "tier", buckets)
   }
 }

@@ -254,4 +254,53 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(sum(col("n_copies") * col("n_copies"))).head().getLong(0)
     assert(got == expect)
   }
+
+  test("chunkFingerprints: aligned offsets, payload-derived hashes, tail chunk included") {
+    val rows = Seq(
+      Row(1L, "image", Array.tabulate[Byte](600)(_.toByte), Row(null, null, null, null)),
+      Row(2L, "image", Array.tabulate[Byte](600)(_.toByte).take(300), Row(null, null, null, null)),
+      Row(3L, "image", null, Row(null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    val fps = MultimodalOps.chunkFingerprints(df, 256).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("pos")) -> r.getAs[Long]("ch")).toMap
+    // 600 bytes -> chunks at 0,1,2 (tail 88 bytes); 300 -> 0,1 (tail 44)
+    assert(fps.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (2L, 1)))
+    // item 2 is a truncation of item 1: chunk 0 identical, chunk 1 (partial
+    // on item 2) differs — the aligned-chunk signature of a cut download
+    assert(fps((1L, 0)) == fps((2L, 0)))
+    assert(fps((1L, 1)) != fps((2L, 1)))
+  }
+
+  test("nearDupMedia: planted truncation + suffix variants cluster with their base; distinct classes stay apart") {
+    val ids = spark.range(0, 500).toDF("doc_id")
+    val planted = graft.pipeline.MediaSynth.plantNearDups(
+      graft.pipeline.MediaSynth.synthesize(ids))
+    val out = MultimodalOps.nearDupMedia(planted).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("rep"), r.getAs[Long]("n_members"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.size == planted.count())
+    // every planted variant clusters with its base (same rep), never keeps
+    (0L until 500L).foreach { d =>
+      if (d % 7 == 3) {
+        assert(out(d + 1000000000L)._1 == out(d)._1, s"truncation variant of $d")
+        assert(!out(d + 1000000000L)._3)
+      }
+      if (d % 7 == 5) {
+        assert(out(d + 2000000000L)._1 == out(d)._1, s"suffix variant of $d")
+        assert(!out(d + 2000000000L)._3)
+      }
+    }
+    // reps are cluster minima and exactly the keepers
+    assert(out.forall { case (id, (rep, _, keep)) => keep == (id == rep) })
+    // clusters == byte classes of the base: two image ids with different
+    // (w, h) never share a cluster even in the same container format
+    assert(out(0L)._1 != out(6L)._1) // both png, different dims
+    // exact-dup wavs (same d%2, d%3, d%10 → identical bytes) DO cluster
+    val wavSame = (3L, 33L) // 3%6==33%6==3; 3≡33 mod 2,3,10
+    assert(out(wavSame._1)._1 == out(wavSame._2)._1)
+    // n_members consistent: sum over keepers == total rows
+    val total = out.collect { case (_, (_, n, true)) => n }.sum
+    assert(total == out.size)
+  }
 }

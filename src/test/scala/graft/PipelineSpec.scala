@@ -82,6 +82,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(cm.values.sum == 3L)
   }
 
+  test("qualityClassifier: separable corpus classifies tiers on the holdout; labels follow qualityTiers") {
+    // 30 docs, one lang, three 10-doc classes with token corpus-counts
+    // 130 / 30 / 10 → avg bitlen-logprob 8 / 5 / 4 → qualityTiers cuts
+    // land exactly on the classes (ranks 1-10 head, 11-20 middle,
+    // 21-30 tail). Hashed-bucket majority then separates the disjoint
+    // vocabularies; holdout = doc_id % 10 ∈ {8, 9} (two per class).
+    val d = (0L to 9L).map(i => (i, Seq.fill(13)("ha hb hc hd he").mkString(" "), "en")) ++
+      (10L to 19L).map(i => (i, Seq.fill(3)("ma mb mc md me").mkString(" "), "en")) ++
+      (20L to 29L).map(i => (i, "ta tb tc td te", "en"))
+    val cm = TextOps.qualityClassifier(d.toDF("doc_id", "text", "lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // perfect holdout confusion: the six held-out docs (8,9,18,19,28,29)
+    // all land on their class tier
+    assert(cm == Map(("head", "head") -> 2L, ("middle", "middle") -> 2L,
+      ("tail", "tail") -> 2L))
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1f, 0f, 0f), 0),
     (1L, Array(0.9f, 0.1f, 0f), 0),
@@ -1012,6 +1030,8 @@ class PipelineSpec extends AnyFunSuite {
   test("lshRowsPerBand: bitlen formula — floor 4, then +1 per doubling") {
     // the SQL twin computes GREATEST(4, length(bin(n-1)) - 7); this pins
     // the Scala side to the same integer function
+    assert(VectorOps.lshRowsPerBand(0L) == 4)  // empty table: twin's
+    // GREATEST(count(*)-1, 0) clamp lands on the same floor (r12 ADVICE)
     assert(VectorOps.lshRowsPerBand(1L) == 4)
     assert(VectorOps.lshRowsPerBand(2000L) == 4)    // sf0.01 regime: unchanged rows
     assert(VectorOps.lshRowsPerBand(2048L) == 4)    // bitlen(2047)=11
