@@ -1419,6 +1419,15 @@ object SparkEntry {
       VectorOps.ivfSearch(
         IvfAppendCache.get(s, d).index, emb(s, d).where(col("vec_id") < 10), 10)
     },
+    "ann_ivf_health" -> { (s, d) =>
+      // IVF self-maintenance decision row (r12 verdict item 6): the
+      // integer staleness/imbalance inputs + rebuild verdict over the
+      // memoized appended index (base = 6/7 of the corpus, appended =
+      // the rest assigned to frozen centroids). The twin replays the
+      // build+append chain and the exact cross-multiplied compares.
+      VectorOps.ivfHealth(IvfAppendCache.get(s, d).index,
+        pmod(col("nb"), lit(7)) === 0)
+    },
     "ann_ivf_recall" -> { (s, d) =>
       // ANN QUALITY made driver-visible (VERDICT r7 missing #1):
       // recall@10 of the memoized IVF search vs the exact brute-force

@@ -181,6 +181,35 @@ object VectorOracles {
 
     "ann_ivf_appended" -> ivfOracleSql("vec_id % 7 <> 0"),
 
+    // the self-maintenance decision row: replay the base build (6/7 of
+    // the corpus) + frozen-centroid assignment of everything (asg in the
+    // chain assigns the FULL corpus — exactly ivfAppend's merge), then
+    // the per-side affinity micro sums and the exact integer compares
+    // the Spark ivfHealth runs (cross-multiplied staleness at 20000
+    // micros, imbalance at 4x fair share, k=16)
+    "ann_ivf_health" ->
+      s"""WITH ${ivfChainCte("vec_id % 7 <> 0")},
+         |aff AS (SELECT a.nb,
+         |    CAST(floor(list_cosine_similarity(a.nbv, c.cv) * 1e6 + 0.5) AS BIGINT) AS cos_mu
+         |  FROM asg a JOIN c3 c USING (cell)),
+         |sides AS (SELECT
+         |    sum(CASE WHEN nb % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         |    sum(CASE WHEN nb % 7 <> 0 THEN cos_mu ELSE 0 END)::BIGINT AS sum_base_mu,
+         |    sum(CASE WHEN nb % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_app,
+         |    sum(CASE WHEN nb % 7 = 0 THEN cos_mu ELSE 0 END)::BIGINT AS sum_app_mu
+         |  FROM aff),
+         |cl AS (SELECT count(*)::BIGINT AS n_cells, max(cnt)::BIGINT AS max_cell_n FROM (
+         |    SELECT cell, count(*) AS cnt FROM asg GROUP BY cell)),
+         |v AS (SELECT *,
+         |    (sum_base_mu::HUGEINT * n_app - sum_app_mu::HUGEINT * n_base)
+         |      > (20000::HUGEINT * n_base * n_app) AS stale,
+         |    max_cell_n * 16 > 4 * (n_base + n_app) AS imbalanced
+         |  FROM sides, cl)
+         |SELECT (n_base + n_app)::BIGINT AS n_vectors, n_cells, max_cell_n,
+         |  n_base, sum_base_mu, n_app, sum_app_mu, stale, imbalanced,
+         |  (stale OR imbalanced) AS rebuild
+         |FROM v""".stripMargin,
+
     "ann_pq" -> s"WITH $rawEmbCte,\n$pqChainCte,\n${pqRankCte(candJoin = false)}\n$pqSelect",
 
     "ann_ivfpq" -> s"WITH ${ivfChainCte("TRUE")},\n$pqChainCte,\n${pqRankCte(candJoin = true)}\n$pqSelect",

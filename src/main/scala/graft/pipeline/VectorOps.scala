@@ -883,6 +883,86 @@ object VectorOps {
     IvfAppended(IvfIndex(index.centroids, merged, index.k), baseMean, appendedMean)
   }
 
+  /** One-row IVF self-maintenance DECISION table — the ANN analog of
+    * the fact log's compact-if-needed: every input is an exact integer
+    * so any engine replays the verdict bit-for-bit (the §28 doctrine
+    * applied to a POLICY, not just a value):
+    *  - staleness: per-row centroid-affinity micros (floor(cos·10⁶+½))
+    *    summed per side (base vs `isAppended` rows); the "appended mean
+    *    dropped more than `stalenessMicro` below the base mean" compare
+    *    runs CROSS-MULTIPLIED (sum_base·n_app − sum_app·n_base >
+    *    thr·n_base·n_app, DECIMAL(38,0)) — an exact rational compare,
+    *    no float division anywhere;
+    *  - imbalance: max cell population vs the fair share,
+    *    max_cell_n·k > `imbalanceFactor`·n_vectors (integers);
+    *  - rebuild = stale OR imbalanced.
+    * Columns: (n_vectors, n_cells, max_cell_n, n_base, sum_base_mu,
+    * n_app, sum_app_mu, stale, imbalanced, rebuild).
+    * Scale shape: one broadcast join (k centroid rows) + two
+    * map-side-combined aggregations — rows out = 1. */
+  def ivfHealth(index: IvfIndex, isAppended: Column,
+                stalenessMicro: Long = 20000L,
+                imbalanceFactor: Long = 4L): DataFrame = {
+    val spark = index.indexed.sparkSession
+    val dec = "decimal(38,0)"
+    val aff = index.indexed
+      .join(broadcast(index.centroids), Seq("cell"))
+      .select(
+        floor(cosineBest(spark, col("nbv"), col("cv")) * 1e6 + 0.5)
+          .cast("long").as("cos_mu"),
+        isAppended.as("app"))
+    val sides = aff.agg(
+      sum(when(!col("app"), 1L).otherwise(0L)).cast("long").as("n_base"),
+      sum(when(!col("app"), col("cos_mu")).otherwise(0L).cast(dec))
+        .cast("long").as("sum_base_mu"),
+      sum(when(col("app"), 1L).otherwise(0L)).cast("long").as("n_app"),
+      sum(when(col("app"), col("cos_mu")).otherwise(0L).cast(dec))
+        .cast("long").as("sum_app_mu"))
+    val cells = index.indexed.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        max(col("cnt")).cast("long").as("max_cell_n"))
+    // 1×1 join of two single-row aggregates (the packInvariants BNLJ-by-
+    // design shape, allowlisted in PlanInvariantsSpec)
+    val stale =
+      (col("sum_base_mu").cast(dec) * col("n_app") -
+        col("sum_app_mu").cast(dec) * col("n_base")) >
+        (lit(stalenessMicro).cast(dec) * col("n_base") * col("n_app"))
+    sides.crossJoin(cells)
+      .select(
+        (col("n_base") + col("n_app")).cast("long").as("n_vectors"),
+        col("n_cells"), col("max_cell_n"),
+        col("n_base"), col("sum_base_mu"), col("n_app"), col("sum_app_mu"),
+        stale.as("stale"),
+        (col("max_cell_n") * index.k >
+          lit(imbalanceFactor) * (col("n_base") + col("n_app")))
+          .as("imbalanced"))
+      .withColumn("rebuild", col("stale") || col("imbalanced"))
+  }
+
+  /** Self-maintaining index policy: consult [[ivfHealth]] and RETRAIN
+    * the coarse quantizer from the index's own rows when the verdict
+    * says so (the fact log's compactIfNeeded shape — the caller holds
+    * whatever index comes back and never tracks drift manually).
+    * Returns (index, rebuilt). On rebuild the old assignment cache is
+    * released (the [[ivfAppend]] ownership contract: pass an index you
+    * own, use only the returned one). */
+  def ivfMaintain(index: IvfIndex, isAppended: Column,
+                  stalenessMicro: Long = 20000L,
+                  imbalanceFactor: Long = 4L,
+                  iters: Int = 3): (IvfIndex, Boolean) = {
+    val verdict = ivfHealth(index, isAppended, stalenessMicro, imbalanceFactor)
+      .select(col("rebuild")).head().getBoolean(0)
+    if (!verdict) (index, false)
+    else {
+      val corpus = index.indexed
+        .select(col("nb").as("vec_id"), col("nbv").as("embedding"))
+      val rebuilt = ivfBuild(corpus, index.k, iters)
+      index.indexed.unpersist(false)
+      (rebuilt, true)
+    }
+  }
+
   /** The FAISS-style IVF+PQ composition — IVF PRUNES (each query scans
     * only its nProbe cells' members), PQ COMPRESSES (the scan reads byte
     * codes, not raw vectors): at 100 TB the candidate store is

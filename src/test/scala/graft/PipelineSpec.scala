@@ -100,6 +100,37 @@ class PipelineSpec extends AnyFunSuite {
       ("tail", "tail") -> 2L))
   }
 
+  test("ivfMaintain: drifted append triggers rebuild and restores affinity; compatible append keeps the index") {
+    import graft.pipeline.VectorOps
+    def axisCloud(ids: Range, axis: Int, dims: Int = 8): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val v = Array.fill(dims)(0.001f * (i % 7))
+        v(axis) = 1f
+        (i.toLong, v)
+      }
+    // base cloud on axis 0; drifted appended batch on axis 4 — frozen
+    // centroids describe it badly, the staleness compare must fire
+    val base = axisCloud(0 until 60, 0).toDF("vec_id", "embedding")
+    val drifted = axisCloud(100 until 130, 4).toDF("vec_id", "embedding")
+    val app1 = VectorOps.ivfAppend(VectorOps.ivfBuild(base, k = 4), drifted)
+    val h1 = VectorOps.ivfHealth(app1.index, col("nb") >= 100L).head()
+    assert(h1.getAs[Boolean]("stale"), "drifted batch must read stale")
+    assert(h1.getAs[Long]("n_app") == 30L && h1.getAs[Long]("n_base") == 60L)
+    val (rebuilt, didRebuild) = VectorOps.ivfMaintain(app1.index, col("nb") >= 100L)
+    assert(didRebuild)
+    // post-rebuild: the appended batch's affinity is healthy again —
+    // the same health row must no longer read stale
+    val h2 = VectorOps.ivfHealth(rebuilt, col("nb") >= 100L).head()
+    assert(!h2.getAs[Boolean]("stale"), "rebuild must clear the staleness")
+    // compatible append (same distribution as base): no rebuild branch
+    val sameDist = axisCloud(200 until 230, 0).toDF("vec_id", "embedding")
+    val app2 = VectorOps.ivfAppend(VectorOps.ivfBuild(base, k = 4), sameDist)
+    val (kept, didRebuild2) = VectorOps.ivfMaintain(app2.index, col("nb") >= 200L)
+    assert(!didRebuild2 && (kept eq app2.index))
+    kept.indexed.unpersist(false)
+    rebuilt.indexed.unpersist(false)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1f, 0f, 0f), 0),
     (1L, Array(0.9f, 0.1f, 0f), 0),

@@ -25,6 +25,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // index BUILD's k-row centroid broadcast (cached InMemoryRelation,
       // billed as build_ivf); the audit itself is a broadcast hash join
       "ann_ivf_cells",
+      // ann_ivf_cells' audit shape over the appended index PLUS the
+      // 1×1 join of the two single-row decision aggregates (the
+      // packInvariants BNLJ-by-design shape)
+      "ann_ivf_health",
       // ann_ivf's probe shape with the allowed-id equi-join added
       "ann_ivf_filtered",
       // the appended-index search broadcasts the same k-row centroid
