@@ -1157,14 +1157,29 @@ object GraphXTraversal {
       }
     }
 
+  /** ONE dual-weight contribution-edge checkpoint serves the whole
+    * pagerank family (r12 verdict item 7): the uniform 1∕outdeg weight
+    * (full + personalized) and the quantity-normalized weight (weighted)
+    * ride the same (u, v) rows, derived in a single edge scan + ONE
+    * per-u aggregation (count and Σqty together) + one join + one
+    * checkpoint — the suite used to build and checkpoint the edge table
+    * twice. Callers project the weight column they walk with. */
   private def contribEdges(snap: Snapshot): DataFrame = contribCache.synchronized {
     val hit = contribCache.get(snap)
     if (hit != null) hit
     else {
-      val e = snap.edges.select(col("outV").as("u"), col("inV").as("v"))
-      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val built = e.join(deg, "u")
-        .select(col("u"), col("v"), (lit(1.0) / col("d")).as("w"))
+      import graft.model.{A, PropType}
+      val qty = snap.prop("quantity", PropType.PDouble, A.Edge)
+        .select(col("e").as("id"), col("v").as("wt"))
+      val e = snap.edges.select(col("id"), col("outV").as("u"), col("inV").as("v"))
+        .join(qty, Seq("id"), "left_outer")
+        .select(col("u"), col("v"), coalesce(col("wt"), lit(1.0)).as("wt"))
+      val tot = e.groupBy(col("u"))
+        .agg(count(lit(1)).as("d"), sum(col("wt")).as("tw"))
+      val built = e.join(tot, "u")
+        .select(col("u"), col("v"),
+          (lit(1.0) / col("d")).as("w"),
+          (col("wt") / col("tw")).as("wq"))
         .repartition(col("u"))
         .localCheckpoint(true)
       contribCache.put(snap, built)
@@ -1202,57 +1217,24 @@ object GraphXTraversal {
     }
   }
 
-  /** Memoized QUANTITY-WEIGHTED contribution edges (u, v, w): `contains`
-    * edges carry their quantity as weight, every other label weight 1,
-    * and w = weight∕Σ_out weight — the "how much of this order IS that
-    * part" propagation a uniform 1∕outdeg flattens. Quantities are
-    * integer-valued doubles (≤ 50), so the per-vertex Σweight is EXACT
-    * in double regardless of partial-sum order and each w lands on the
-    * identical bit pattern in the DuckDB twin; the rank iteration's own
-    * float folds are absorbed by the round(4) contract exactly as in
-    * the unweighted variant. Same repartition-before-checkpoint layout
-    * and LRU discipline as [[contribEdges]]. */
-  private val wContribCache =
-    new java.util.LinkedHashMap[Snapshot, DataFrame](
-      16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Snapshot, DataFrame]): Boolean = {
-        val evict = size() > MaxCachedGraphs
-        if (evict) releaseCheckpoint(e.getValue)
-        evict
-      }
-    }
-
-  private def weightedContribEdges(snap: Snapshot): DataFrame =
-    wContribCache.synchronized {
-      val hit = wContribCache.get(snap)
-      if (hit != null) hit
-      else {
-        import graft.model.{A, PropType}
-        val qty = snap.prop("quantity", PropType.PDouble, A.Edge)
-          .select(col("e").as("id"), col("v").as("wt"))
-        val e = snap.edges.select(col("id"), col("outV").as("u"), col("inV").as("v"))
-          .join(qty, Seq("id"), "left_outer")
-          .select(col("u"), col("v"), coalesce(col("wt"), lit(1.0)).as("wt"))
-        val tot = e.groupBy(col("u")).agg(sum(col("wt")).as("tw"))
-        val built = e.join(tot, "u")
-          .select(col("u"), col("v"), (col("wt") / col("tw")).as("w"))
-          .repartition(col("u"))
-          .localCheckpoint(true)
-        wContribCache.put(snap, built)
-        built
-      }
-    }
-
   /** Quantity-weighted static PageRank as relational rounds — rank flows
     * along `contains` edges in proportion to line-item quantity (bulk
-    * parts accumulate more of their order's rank), everything else as
-    * the unweighted walk. Same recurrence/normalization/top-30 contract
-    * as [[pageRankRelationalDF]]; the twin unrolls the weighted rounds. */
+    * parts accumulate more of their order's rank; w = qty∕Σ_out qty,
+    * weight 1 on unweighted labels). Quantities are integer-valued
+    * doubles (≤ 50), so the per-vertex Σweight is EXACT in double
+    * regardless of partial-sum order and each w lands on the identical
+    * bit pattern in the DuckDB twin; the rank iteration's own float
+    * folds are absorbed by the round(4) contract exactly as in the
+    * unweighted variant. Walks the `wq` column of the SHARED
+    * [[contribEdges]] checkpoint (one edge derivation for the whole
+    * family); same recurrence/normalization/top-30 contract as
+    * [[pageRankRelationalDF]]; the twin unrolls the weighted rounds. */
   def pageRankWeightedDF(spark: SparkSession, snap: Snapshot,
                          numIter: Int = 10, topK: Int = 30): DataFrame =
     normalizeTopK(
-      pageRankRounds(weightedContribEdges(snap), vertexFrame(snap), numIter, None),
+      pageRankRounds(
+        contribEdges(snap).select(col("u"), col("v"), col("wq").as("w")),
+        vertexFrame(snap), numIter, None),
       personalized = false, topK)
 
   /** The power method as DataFrame rounds — the relational twin of
@@ -1282,16 +1264,17 @@ object GraphXTraversal {
       case Some(s) => when(col("v") === s, lit(1.0)).otherwise(lit(0.0))
       case None    => lit(1.0)
     }
-    // Round FUSION (r12 probe, kept at 2): materialize every 2nd round
-    // instead of every round — a fused round's plan embeds its
-    // predecessor (rank is referenced exactly once per round, so lineage
-    // depth 2 never re-evaluates anything), halving the localCheckpoint
-    // barriers that were the 10-iteration floor at the top of the r11
-    // profile. Measured sf0.1 5-rep medians: fuse=2 → weighted 7.1→5.5 s,
-    // personalized 5.7→3.1 s, full ~7.1→6.1 s; fuse=5 regresses the
-    // personalized variant to 6.0 s (deep fused plans defeat the
-    // zero-rank frontier prune), so 2 is the measured optimum.
-    val fuse = 2
+    // Round FUSION (r12 probe at 2, r13 re-probe → 3): materialize every
+    // 3rd round instead of every round — a fused round's plan embeds its
+    // predecessors (rank is referenced exactly once per round, so
+    // lineage depth ≤3 never re-evaluates anything), cutting the
+    // localCheckpoint barriers that were the 10-iteration floor at the
+    // top of the r11 profile. r13 same-host 5-rep medians (sf0.1):
+    // fuse=2 full/weighted/personal 6.2∕6.0∕3.3 s, fuse=3 5.8∕5.4∕3.1 s
+    // (family −8%), fuse=4 regresses personalized to 6.2 s (deep fused
+    // plans defeat the zero-rank frontier prune, the same cliff r12
+    // measured at 5) — 3 is the measured optimum.
+    val fuse = 3
     var ranks = verts.select(col("v"), init.as("r")).localCheckpoint(true)
     var lastCp = ranks
     (1 to iters).foreach { i =>
