@@ -341,14 +341,16 @@ object MultimodalOps {
         (col("media_id") === col("rep")).as("keep"))
   }
 
-  /** One aligned-chunk fingerprint row. */
-  final case class ChunkFp(media_id: Long, pos: Int, ch: Long)
+  /** One aligned-chunk fingerprint row: `digest` is the whole-payload
+    * MD5 prefix (the exact-equality key), `ch` the chunk's. */
+  final case class ChunkFp(media_id: Long, digest: Long, pos: Int, ch: Long)
 
   /** Aligned chunk fingerprints: split each payload into fixed
     * `chunkBytes` chunks at fixed offsets and hash each (first 8 bytes
-    * of the chunk's MD5, position mixed in by the caller's join key).
-    * The payload is consumed inside the partition iterator and DROPPED
-    * before any exchange — only (media_id, pos, 8-byte hash) rows ever
+    * of the chunk's MD5, position mixed in by the caller's join key),
+    * plus the whole-payload digest from the same pass. The payload is
+    * consumed inside the partition iterator and DROPPED before any
+    * exchange — only (media_id, digest, pos, 8-byte hash) rows ever
     * shuffle, the same discipline as [[dedupExactMedia]]. */
   def chunkFingerprints(media: DataFrame, chunkBytes: Int = 256): DataFrame = {
     val spark = media.sparkSession
@@ -359,10 +361,14 @@ object MultimodalOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, c) =>
           if (c == null || c.isEmpty) Iterator.empty
-          else c.grouped(chunkBytes).zipWithIndex.map { case (chunk, i) =>
+          else {
             md.reset()
-            val h = md.digest(chunk)
-            ChunkFp(id, i, java.nio.ByteBuffer.wrap(h).getLong)
+            val dig = java.nio.ByteBuffer.wrap(md.digest(c)).getLong
+            c.grouped(chunkBytes).zipWithIndex.map { case (chunk, i) =>
+              md.reset()
+              ChunkFp(id, dig, i,
+                java.nio.ByteBuffer.wrap(md.digest(chunk)).getLong)
+            }
           }
         }
       }
@@ -388,34 +394,58 @@ object MultimodalOps {
    * chunk boundaries (rolling-hash cuts), same join shape, different
    * splitter.
    *
+   * EXACT duplicates collapse first: the chunk join runs over ONE
+   * digest representative (min media_id) per distinct payload, never
+   * over the raw rows — byte-identical copy groups are the common case
+   * (a popular WAV repeated 700× would otherwise contribute C(700,2)
+   * pairs in every shared chunk bucket, the r13 sf5 lesson), and their
+   * membership is already decided by equality. The representative's
+   * cluster verdict then rejoins every member through its digest.
+   * All of this moves thin fingerprint rows only; payload bytes never
+   * enter an exchange.
+   *
    * Clusters: near-dup is transitive in curation policy (keep ONE of a
    * truncation chain), so candidate pairs feed GraphX
    * connectedComponents — the pair graph is orders of magnitude
    * smaller than the corpus (the [[graft.pipeline.TextOps.dedupClusters]]
-   * shape), the component id (min media_id) IS the representative.
-   * Returns (media_id, kind, rep, n_members, keep) for EVERY item;
-   * singletons keep themselves.
+   * shape), the component id IS the representative (min media_id:
+   * each digest rep is its group's min, so the component min over reps
+   * is the true cluster min). Returns (media_id, kind, rep, n_members,
+   * keep) for EVERY item; singletons (and null/empty payloads) keep
+   * themselves.
    */
   def nearDupMedia(media: DataFrame, chunkBytes: Int = 256): DataFrame = {
     val spark = media.sparkSession
     import org.apache.spark.storage.StorageLevel
     val fps = chunkFingerprints(media, chunkBytes)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = fps.as("x").join(fps.as("y"),
+    // one representative per DISTINCT payload; chunk rows for reps only
+    val repIds = fps.where(col("pos") === 0)
+      .groupBy(col("digest")).agg(min(col("media_id")).as("drep"))
+    val rfps = fps.join(repIds,
+        fps("digest") === repIds("digest") && fps("media_id") === repIds("drep"))
+      .select(col("drep"), col("pos"), col("ch"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = rfps.as("x").join(rfps.as("y"),
         col("x.pos") === col("y.pos") && col("x.ch") === col("y.ch") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("a"), col("y.media_id").as("b"))
+          col("x.drep") < col("y.drep"))
+      .select(col("x.drep").as("a"), col("y.drep").as("b"))
       .distinct()
     val edges = pairs.rdd
       .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
       .coalesce(8)
     val cc = org.apache.spark.graphx.Graph.fromEdges(edges, ())
       .connectedComponents().vertices
-    val compDF = spark.createDataFrame(cc).toDF("media_id", "comp")
+    val compDF = spark.createDataFrame(cc).toDF("drep", "comp")
+    // member → digest (one thin row each) → rep's component
+    val memberDigest = fps.where(col("pos") === 0)
+      .select(col("media_id"), col("digest"))
     val assigned = media.select(col("media_id").cast("long"), col("kind"))
-      .join(compDF, Seq("media_id"), "left")
+      .join(memberDigest, Seq("media_id"), "left")
+      .join(repIds, Seq("digest"), "left")
+      .join(compDF, Seq("drep"), "left")
       .select(col("media_id"), col("kind"),
-        coalesce(col("comp"), col("media_id")).as("rep"))
+        coalesce(col("comp"), col("drep"), col("media_id")).as("rep"))
     val sizes = assigned.groupBy(col("rep"))
       .agg(count(lit(1)).as("n_members"))
     val out = assigned.join(sizes, "rep")
@@ -423,6 +453,7 @@ object MultimodalOps {
         col("n_members").cast("long"),
         (col("media_id") === col("rep")).as("keep"))
       .localCheckpoint(true)
+    rfps.unpersist(false)
     fps.unpersist(false)
     out
   }
