@@ -414,21 +414,100 @@ object MultimodalOps {
    * keep) for EVERY item; singletons (and null/empty payloads) keep
    * themselves.
    */
-  def nearDupMedia(media: DataFrame, chunkBytes: Int = 256): DataFrame = {
+  def nearDupMedia(media: DataFrame, chunkBytes: Int = 256): DataFrame =
+    clusterByChunks(media, chunkFingerprints(media, chunkBytes),
+      Seq("pos", "ch"))
+
+  /** Gear table for content-defined chunking: 256 pseudorandom longs
+    * from a fixed LCG seed — pure constants, so cut points are a pure
+    * function of the byte stream on every engine and run. */
+  private val Gear: Array[Long] = {
+    var h = 0x9E3779B97F4A7C15L
+    Array.fill(256) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      h
+    }
+  }
+
+  /** Content-defined chunk fingerprints (gear rolling hash, FastCDC
+    * family): a cut falls wherever the rolling hash of the trailing
+    * bytes masks to zero (`avgBits` → expected chunk ≈ 2^avgBits
+    * bytes), so chunk BOUNDARIES move with the content, not the
+    * offsets. After an insertion or deletion, the hash state
+    * re-synchronizes within one 64-byte window and every later cut —
+    * hence every later chunk — matches the original again. This is the
+    * insertion-robust tier [[chunkFingerprints]]' aligned offsets can't
+    * give (an early insert shifts every aligned block): rsync/casync/
+    * dedup-store chunking, applied to media payloads. No min/max clamp:
+    * clamps couple a cut to its predecessor and break the
+    * resynchronization guarantee; tiny chunks are acceptable noise
+    * here because the join key is the chunk hash itself.
+    * Emits (media_id, digest, ch) — no position: ordinals shift under
+    * insertion by design. */
+  def cdcFingerprints(media: DataFrame, avgBits: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val mask = (1L << avgBits) - 1
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, c) =>
+          if (c == null || c.isEmpty) Iterator.empty
+          else {
+            md.reset()
+            val dig = java.nio.ByteBuffer.wrap(md.digest(c)).getLong
+            val cuts = scala.collection.mutable.ArrayBuffer(0)
+            var h = 0L
+            var i = 0
+            while (i < c.length) {
+              h = (h << 1) + Gear(c(i) & 0xFF)
+              if ((h & mask) == 0L) cuts += i + 1
+              i += 1
+            }
+            if (cuts.last != c.length) cuts += c.length
+            cuts.iterator.zip(cuts.iterator.drop(1)).map { case (s, e) =>
+              md.reset()
+              md.update(c, s, e - s)
+              (id, dig, java.nio.ByteBuffer.wrap(md.digest()).getLong)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "digest", "ch")
+  }
+
+  /** Insertion-robust media near-dup: [[nearDupMedia]]'s digest-collapse
+    * + CC machinery over [[cdcFingerprints]], candidates keyed by chunk
+    * hash alone (content-defined boundaries make positions meaningless
+    * and unnecessary). Catches edits aligned chunking structurally
+    * misses — bytes inserted/removed mid-stream (metadata retags,
+    * spliced segments) — at the cost of hashing every byte through the
+    * rolling gear. Same output contract: (media_id, kind, rep,
+    * n_members, keep). */
+  def nearDupMediaCdc(media: DataFrame, avgBits: Int = 6): DataFrame =
+    clusterByChunks(media, cdcFingerprints(media, avgBits), Seq("ch"))
+
+  /** Shared digest-collapse → candidate join → CC → member-rejoin stage
+    * behind [[nearDupMedia]] and [[nearDupMediaCdc]]; `fps` must carry
+    * (media_id, digest, keyCols…). */
+  private def clusterByChunks(media: DataFrame, fpsIn: DataFrame,
+                              keyCols: Seq[String]): DataFrame = {
     val spark = media.sparkSession
     import org.apache.spark.storage.StorageLevel
-    val fps = chunkFingerprints(media, chunkBytes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // one representative per DISTINCT payload; chunk rows for reps only
-    val repIds = fps.where(col("pos") === 0)
+    val fps = fpsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val memberDigest = fps.groupBy(col("media_id"))
+      .agg(first(col("digest")).as("digest"))
+    val repIds = memberDigest
       .groupBy(col("digest")).agg(min(col("media_id")).as("drep"))
     val rfps = fps.join(repIds,
         fps("digest") === repIds("digest") && fps("media_id") === repIds("drep"))
-      .select(col("drep"), col("pos"), col("ch"))
+      .select(col("drep") +: keyCols.map(fps(_)): _*)
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = rfps.as("x").join(rfps.as("y"),
-        col("x.pos") === col("y.pos") && col("x.ch") === col("y.ch") &&
-          col("x.drep") < col("y.drep"))
+    val cond = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.drep") < col("y.drep")
+    val pairs = rfps.as("x").join(rfps.as("y"), cond)
       .select(col("x.drep").as("a"), col("y.drep").as("b"))
       .distinct()
     val edges = pairs.rdd
@@ -437,9 +516,6 @@ object MultimodalOps {
     val cc = org.apache.spark.graphx.Graph.fromEdges(edges, ())
       .connectedComponents().vertices
     val compDF = spark.createDataFrame(cc).toDF("drep", "comp")
-    // member → digest (one thin row each) → rep's component
-    val memberDigest = fps.where(col("pos") === 0)
-      .select(col("media_id"), col("digest"))
     val assigned = media.select(col("media_id").cast("long"), col("kind"))
       .join(memberDigest, Seq("media_id"), "left")
       .join(repIds, Seq("digest"), "left")

@@ -272,6 +272,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fps((1L, 1)) != fps((2L, 1)))
   }
 
+  test("cdcFingerprints + nearDupMediaCdc: mid-stream insertion defeats aligned chunks but not content-defined ones") {
+    // high-entropy 2 KB payload (deterministic LCG bytes), plus a copy
+    // with 24 junk bytes INSERTED at offset 40 — every aligned 256-byte
+    // block shifts, so nearDupMedia must miss the pair; CDC boundaries
+    // re-synchronize after the insertion, so nearDupMediaCdc must
+    // cluster it. An unrelated payload must stay apart in both.
+    def bytes(seed: Long, n: Int): Array[Byte] = {
+      var h = seed
+      Array.fill(n) { h = h * 6364136223846793005L + 1442695040888963407L; (h >>> 33).toByte }
+    }
+    val base = bytes(42L, 2048)
+    val inserted = base.take(40) ++ bytes(7L, 24) ++ base.drop(40)
+    val rows = Seq(
+      Row(1L, "image", base, Row(null, null, null, null)),
+      Row(2L, "image", inserted, Row(null, null, null, null)),
+      Row(3L, "image", bytes(99L, 2048), Row(null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    def reps(out: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      out.collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("rep")).toMap
+    val aligned = reps(MultimodalOps.nearDupMedia(df))
+    assert(aligned(1L) != aligned(2L), "aligned chunks must shift under an early insertion")
+    val cdc = reps(MultimodalOps.nearDupMediaCdc(df))
+    assert(cdc(1L) == cdc(2L) && cdc(2L) == 1L, "CDC must re-synchronize past the insertion")
+    assert(cdc(3L) == 3L, "unrelated payload stays its own cluster")
+    // cut determinism: same bytes -> identical chunk-hash multiset
+    val f1 = MultimodalOps.cdcFingerprints(df).where(col("media_id") === 1L)
+      .select("ch").collect().map(_.getLong(0)).sorted.toSeq
+    val f1b = MultimodalOps.cdcFingerprints(df).where(col("media_id") === 1L)
+      .select("ch").collect().map(_.getLong(0)).sorted.toSeq
+    assert(f1 == f1b && f1.nonEmpty)
+  }
+
   test("nearDupMedia: planted truncation + suffix variants cluster with their base; distinct classes stay apart") {
     val ids = spark.range(0, 500).toDF("doc_id")
     val planted = graft.pipeline.MediaSynth.plantNearDups(
