@@ -180,7 +180,7 @@ object StreamBench {
         .select(col("doc_id"), col("text"))
       val guarded = EventStream.contaminationGuard(
         fileStream(s"$root/docs_src", docSchema, 4), evalDocs)
-      val (secs, outRows, stBytes) = {
+      val (secs, outRows, stBytes, flagged) = {
         val ckpt = s"$root/ckpt_contamination"
         val nOut = new AtomicLong(0L); val nFlag = new AtomicLong(0L)
         val t0 = System.nanoTime()
@@ -193,11 +193,9 @@ object StreamBench {
             }.start()
         }
         try q.processAllAvailable() finally q.stop()
-        out("contamination_flagged") = nFlag.get().toString
         ((System.nanoTime() - t0) / 1e9, nOut.get(),
-          dirBytes(java.nio.file.Paths.get(ckpt)))
+          dirBytes(java.nio.file.Paths.get(ckpt)), nFlag.get())
       }
-      val flagged = out.remove("contamination_flagged").get.toLong
       // batch twin: the SAME stateless projection over the batch frame —
       // parity is exact equality of the flagged doc sets (and the Bloom
       // contract: every exact-contaminated doc must be flagged)

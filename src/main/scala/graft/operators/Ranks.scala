@@ -26,16 +26,13 @@ import org.apache.spark.sql.functions._
  * to `rdd.zipWithIndex` for step 3 — one shuffle read twice, but every
  * row of the ranked frame deserialized to external `Row`s (a full-
  * corpus CPU tax and the end of whole-stage codegen). Now every step
- * is a DataFrame operator: the per-partition counts are a second PLAN
- * BRANCH over the same sorted frame, and the offset lookup is a 1-row
+ * is a DataFrame operator: the sorted + position-stamped frame is
+ * pinned ONCE (eager localCheckpoint — one range shuffle total; see
+ * the correctness note in the body), the per-partition counts are one
+ * cheap pass over the pinned blocks, and the offset lookup is a 1-row
  * broadcast (≤ numShufflePartitions `(pid, cnt)` structs) folded per
- * row with an `aggregate` HOF over ≤ N entries. Column pruning
- * narrows the count branch's range shuffle to the ORDER COLUMNS only
- * (which is also why the two exchanges don't canonically unify): the
- * cost model is payload-shuffle + key-only-shuffle + broadcast, versus
- * payload-shuffle + full deserialization before — at corpus scale the
- * key-only exchange is the far cheaper side of that trade, and the
- * stamp pass stays inside Tungsten end-to-end.
+ * row with an `aggregate` HOF over ≤ N entries. The stamp pass stays
+ * inside Tungsten end-to-end.
  *
  * The emitted rank is 1-based and depends only on the TOTAL ORDER of
  * the keys, never on how the sampler drew range boundaries — callers
@@ -53,14 +50,28 @@ object Ranks {
   def prefixRank(df: DataFrame, order: Seq[Column], rankCol: String,
                  numPartitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "prefixRank needs at least one order column")
+    Seq("__pid", "__lidx", "__parts").foreach(c =>
+      require(!df.columns.contains(c),
+        s"prefixRank reserves column name $c"))
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
+    // the eager checkpoint below is CORRECTNESS, not caching (r13 review
+    // catch): the count branch and the stamp branch must read the SAME
+    // physical partitioning, but two executions of repartitionByRange
+    // sample range bounds independently (RangePartitioner seeds its
+    // reservoir from rdd.id) — whenever payload columns keep the two
+    // exchanges from canonicalizing identically, the broadcast offsets
+    // would describe different boundaries than the rows being stamped
+    // (measured 9.7M of 10M ranks wrong at 10M rows). Pinning the
+    // sorted+stamped frame once is the same materialize-the-shared-
+    // input discipline as dedupKeepBest's `sized`.
     val withId = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .withColumn("__lidx",
         monotonically_increasing_id() - shiftleft(col("__pid"), 33))
+      .localCheckpoint(true)
     // one (pid, cnt) row per partition, collapsed to a single array row
     // — broadcast state is ≤ numShufflePartitions structs
     val offRow = withId.groupBy(col("__pid"))

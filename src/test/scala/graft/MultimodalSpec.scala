@@ -303,6 +303,16 @@ class MultimodalSpec extends AnyFunSuite {
     val f1b = MultimodalOps.cdcFingerprints(df).where(col("media_id") === 1L)
       .select("ch").collect().map(_.getLong(0)).sorted.toSeq
     assert(f1 == f1b && f1.nonEmpty)
+    // no false merges across a fully unrelated corpus (r13 review catch:
+    // sub-minBytes chunks collide by pigeonhole — 1,500 random payloads
+    // produced a 709-member false cluster before the length floor)
+    val noise = (0L until 1500L).map(i =>
+      Row(i, "image", bytes(1000 + i, 2048), Row(null, null, null, null)))
+    val noiseDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(noise, 4), MultimodalOps.mediaSchema)
+    val merged = MultimodalOps.nearDupMediaCdc(noiseDf)
+      .where(!col("keep")).count()
+    assert(merged == 0L, s"$merged unrelated payloads were falsely clustered")
   }
 
   test("nearDupMedia: planted truncation + suffix variants cluster with their base; distinct classes stay apart") {

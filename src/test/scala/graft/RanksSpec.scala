@@ -35,6 +35,28 @@ class RanksSpec extends AnyFunSuite {
       (10L, "b", 4L), (10L, "c", 5L)))
   }
 
+  test("prefixRank with surviving payload columns: offsets and stamps read ONE partitioning (r13 review regression)") {
+    // pre-fix shape: a payload column that survives into the executed
+    // query kept the count branch's and stamp branch's range exchanges
+    // from canonicalizing identically, so RangePartitioner sampled two
+    // DIFFERENT sets of range bounds (rdd.id-seeded reservoir) and the
+    // broadcast offsets described the wrong boundaries — 9.7M of 10M
+    // ranks wrong before the eager checkpoint pin. The window rank is
+    // the ground truth here; payload forces the failing plan shape.
+    import org.apache.spark.sql.expressions.Window
+    val n = 500000L
+    val df = spark.range(n).select(
+      pmod(col("id") * lit(2654435761L), lit(1000003L)).as("v"),
+      col("id").as("payload"))
+    val ranked = Ranks.prefixRank(df, Seq(col("v"), col("payload")), "rk",
+      numPartitions = 16)
+    val truth = row_number().over(
+      Window.orderBy(col("v"), col("payload"))).cast("long")
+    val bad = ranked.withColumn("chk", truth)
+      .where(col("rk") =!= col("chk")).count()
+    assert(bad === 0L, s"$bad of $n ranks disagree with the window rank")
+  }
+
   test("prefixRank preserves schema and handles array columns") {
     import spark.implicits._
     val df = Seq((2L, Seq("b", "c")), (1L, Seq("a"))).toDF("doc_id", "t")
