@@ -1650,6 +1650,17 @@ object SparkEntry {
       pipeline.MultimodalOps.nearDupMedia(
         pipeline.MediaSynth.plantNearDups(
           pipeline.MediaSynth.synthesize(docs(s, d).select(col("doc_id")))))),
+    "cdc_invariants" -> ((s, d) =>
+      // the CONTENT-DEFINED near-dup tier's census entry (r13 verdict
+      // item 2): chunk layouts aren't SQL-replayable, so the registered
+      // contract is the clustering's exact-integer invariant row
+      // (coverage, planted insertion/truncation/suffix/exact-copy
+      // variants co-clustered with their base, keep/member consistency,
+      // min-chunk floor) — the twin re-derives every count from the
+      // planted-id arithmetic and pins the violation columns at 0
+      pipeline.MultimodalOps.cdcInvariants(
+        pipeline.MediaSynth.plantCdcVariants(
+          pipeline.MediaSynth.synthesize(docs(s, d).select(col("doc_id")))))),
     "vocab_sketch" -> ((s, d) =>
       // FULL oracle since r10: the portable md5 HLL (graft_hll) — the
       // twin replays register indexes/ranks from md5 hex and repeats

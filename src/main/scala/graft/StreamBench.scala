@@ -226,7 +226,8 @@ object StreamBench {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val (secs, outRows, stBytes) =
         try run("neardup", EventStream.nearDupPairsStream(
-          fileStream(s"$root/docs_src", docSchema, 4), "ts"))
+          fileStream(s"$root/docs_src", docSchema, 4), "ts",
+          bands = EventStream.NearDupBandsTuned))
         finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // batch twin of the SAME estimator pipeline (identical band hashing
       // and signature Jaccard; regular join since every pair is in-horizon)
@@ -234,7 +235,7 @@ object StreamBench {
       // mirror the operator's tuned constants — the parity contract is
       // "identical banding", so the twin derives them from the operator
       val numHashes = EventStream.NearDupNumHashes
-      val bands = EventStream.NearDupBands
+      val bands = EventStream.NearDupBandsTuned
       val r = numHashes / bands
       // localCheckpoint = the batch staging barrier (same role as the
       // stream operator's Generate barriers): signature computed once

@@ -1169,8 +1169,14 @@ object GraphXTraversal {
     if (hit != null) hit
     else {
       import graft.model.{A, PropType}
+      // one row per edge id BEFORE the join: snap.prop is one-row-per-
+      // element at a resolved checkpoint today, but the unweighted
+      // family's edge count (d) now rides the same joined frame, so a
+      // duplicate prop row would silently duplicate edges and corrupt
+      // BOTH weights (r13 advice) — pin uniqueness with an aggregate.
       val qty = snap.prop("quantity", PropType.PDouble, A.Edge)
-        .select(col("e").as("id"), col("v").as("wt"))
+        .groupBy(col("e")).agg(max(col("v")).as("wt"))
+        .select(col("e").as("id"), col("wt"))
       val e = snap.edges.select(col("id"), col("outV").as("u"), col("inV").as("v"))
         .join(qty, Seq("id"), "left_outer")
         .select(col("u"), col("v"), coalesce(col("wt"), lit(1.0)).as("wt"))

@@ -42,6 +42,36 @@ import org.apache.spark.sql.functions._
  */
 object Ranks {
 
+  /** How many prefixRank checkpoints stay pinned at once. Each call
+    * pins the full sorted frame (an eager localCheckpoint — see the
+    * correctness note in [[prefixRank]]); without a release, a
+    * long-lived session accumulates one ranked-frame copy in executor
+    * storage PER CALL (r13 advice). The registry below evicts+frees
+    * the oldest beyond this bound — the same LRU discipline as
+    * GraphXTraversal's contribCache. A caller must therefore consume
+    * its ranked frame before issuing [[MaxPinned]] further prefixRank
+    * calls (an unpersisted localCheckpoint cannot recompute; a stale
+    * read fails loudly with a missing-block error, never silently).
+    * Verify/Bench materialize each query's frame immediately, so the
+    * bound is never approached there. */
+  private val MaxPinned = 8
+
+  private val pinned = new java.util.ArrayDeque[DataFrame]()
+
+  /** Register a checkpointed frame; evict + free the oldest beyond
+    * [[MaxPinned]]. Unpersists the BACKING RDD (the LogicalRDD leaf),
+    * not the Dataset cache entry — a localCheckpoint parks its blocks
+    * under an internal RDD the CacheManager never tracks (same
+    * mechanics as GraphXTraversal.releaseCheckpoint). */
+  private def pin(df: DataFrame): Unit = pinned.synchronized {
+    pinned.addLast(df)
+    while (pinned.size() > MaxPinned) {
+      pinned.removeFirst().queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Append a 1-based dense global rank column `rankCol` ordered by
     * `order` (which must be a total order — break ties explicitly).
     * Costs one range shuffle (reused across the count branch and the
@@ -72,6 +102,7 @@ object Ranks {
       .withColumn("__lidx",
         monotonically_increasing_id() - shiftleft(col("__pid"), 33))
       .localCheckpoint(true)
+    pin(withId)
     // one (pid, cnt) row per partition, collapsed to a single array row
     // — broadcast state is ≤ numShufflePartitions structs
     val offRow = withId.groupBy(col("__pid"))

@@ -204,6 +204,37 @@ object CurationOracles {
         |FROM m JOIN g USING (k)""".stripMargin,
 
 
+    // CDC near-dup invariants (the pack_invariants pattern): content-
+    // defined chunk layouts can't be replayed in SQL, but the expected
+    // invariant row is pure planted-id arithmetic — coverage counts
+    // from the d%7 variant families (1→insertion, 2→exact copy,
+    // 3→truncation, 5→suffix), violation columns pinned at 0
+    "cdc_invariants" ->
+      """WITH f AS (SELECT
+        |    count(*) AS n_base,
+        |    count(*) FILTER (WHERE doc_id % 7 = 1) AS n_ins,
+        |    count(*) FILTER (WHERE doc_id % 7 = 2) AS n_exact,
+        |    count(*) FILTER (WHERE doc_id % 7 = 3) AS n_trunc,
+        |    count(*) FILTER (WHERE doc_id % 7 = 5) AS n_suffix
+        |  FROM documents)
+        |SELECT
+        |  CAST(n_base + n_ins + n_exact + n_trunc + n_suffix AS BIGINT) AS n_rows,
+        |  CAST(n_base + n_ins + n_exact + n_trunc + n_suffix AS BIGINT) AS n_media,
+        |  CAST(0 AS BIGINT) AS bad_keep,
+        |  CAST(0 AS BIGINT) AS multi_keep,
+        |  CAST(0 AS BIGINT) AS bad_members,
+        |  CAST(n_trunc AS BIGINT) AS n_trunc,
+        |  CAST(0 AS BIGINT) AS trunc_split,
+        |  CAST(n_suffix AS BIGINT) AS n_suffix,
+        |  CAST(0 AS BIGINT) AS suffix_split,
+        |  CAST(n_ins AS BIGINT) AS n_ins,
+        |  CAST(0 AS BIGINT) AS ins_split,
+        |  CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(0 AS BIGINT) AS exact_split,
+        |  CAST(0 AS BIGINT) AS short_chunks
+        |FROM f""".stripMargin,
+
+
     // deterministic shard + shuffled in-shard position, both pure
     // portable integer-hash functions of doc_id (split_assign family;
     // the second multiplicative constant is the public xxhash prime)

@@ -191,6 +191,47 @@ object MediaSynth {
       .toDF("media_id", "kind", "content")
   }
 
+  /** Near-dup fixture corpus for the CONTENT-DEFINED tier
+    * ([[MultimodalOps.nearDupMediaCdc]]): like [[plantNearDups]] but
+    * with a LARGER class body (2 KB vs 512 B) and one more variant
+    * family — byte INSERTIONS, the edit aligned chunking structurally
+    * misses and CDC exists to catch. Per base id d (families disjoint
+    * by d % 7):
+    *   - d % 7 == 1 → media_id d + 3·10⁹: 24 class-seeded bytes
+    *     INSERTED at 40% of the payload (a metadata retag);
+    *   - d % 7 == 2 → media_id d + 4·10⁹: byte-identical copy (must
+    *     collapse by digest REGARDLESS of chunk layout — the
+    *     whole-payload fingerprint row's contract);
+    *   - d % 7 == 3 → media_id d + 10⁹: TRUNCATED to 60%;
+    *   - d % 7 == 5 → media_id d + 2·10⁹: 32-byte suffix appended.
+    * The 2 KB body makes every variant share ≥1 emitted (≥ minBytes)
+    * content-defined chunk with its base deterministically-in-practice:
+    * each shared byte run is ≥ 0.8 KB, and a run of L bytes fails to
+    * contain a full chunk w.p. ≈ e^(−L/64) ≈ 4·10⁻⁶ per class — the
+    * cdc_invariants oracle counts co-clustered pairs exactly. */
+  def plantCdcVariants(media: DataFrame, bodyBytes: Int = 2048): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, kind, content) =>
+        val k = classKey(d)
+        val padded = content ++ pseudoBody(k, bodyBytes)
+        val baseRow = (d, kind, padded)
+        (d % 7) match {
+          case 1 =>
+            val at = padded.length * 2 / 5
+            Seq(baseRow, (d + 3000000000L, kind,
+              padded.take(at) ++ pseudoBody("ins:" + k, 24) ++ padded.drop(at)))
+          case 2 => Seq(baseRow, (d + 4000000000L, kind, padded))
+          case 3 => Seq(baseRow, (d + 1000000000L, kind, padded.take(padded.length * 3 / 5)))
+          case 5 => Seq(baseRow, (d + 2000000000L, kind, padded ++ pseudoBody("s:" + k, 32)))
+          case _ => Seq(baseRow)
+        }
+      })
+      .toDF("media_id", "kind", "content")
+  }
+
   /** One partition-mapped pass over mixed media: sniff the container by
     * its magic bytes and emit the unified typed-metadata row every
     * curation filter keys on (images → dimensions, audio → channels/

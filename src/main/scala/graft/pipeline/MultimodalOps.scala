@@ -449,8 +449,16 @@ object MultimodalOps {
     * serve as candidate keys, and the post-resync full-size chunks
     * still carry the match. (At 100 TB, widen the 64-bit hash to the
     * full 128-bit MD5 — same plan, 16-byte keys.)
-    * Emits (media_id, digest, ch) — no position: ordinals shift under
-    * insertion by design. */
+    * Emits (media_id, digest, ch, len) — no position: ordinals shift
+    * under insertion by design. `len` is the chunk's byte length
+    * (every emitted chunk row has len ≥ minBytes — the floor audit
+    * column). One extra row per non-empty payload carries the
+    * whole-payload digest as its own key (ch = digest, len = −1),
+    * UNCONDITIONALLY (r13 advice): a payload whose chunks are ALL
+    * shorter than minBytes would otherwise emit nothing and even its
+    * byte-identical copies would escape the digest collapse. The key
+    * coincides with the single-chunk hash of an uncut payload (both
+    * are MD5(whole)), so it adds no new collision surface. */
   def cdcFingerprints(media: DataFrame, avgBits: Int = 6,
                       minBytes: Int = 24): DataFrame = {
     val spark = media.sparkSession
@@ -474,17 +482,18 @@ object MultimodalOps {
               i += 1
             }
             if (cuts.last != c.length) cuts += c.length
-            cuts.iterator.zip(cuts.iterator.drop(1))
-              .filter { case (s, e) => e - s >= minBytes }
-              .map { case (s, e) =>
-                md.reset()
-                md.update(c, s, e - s)
-                (id, dig, java.nio.ByteBuffer.wrap(md.digest()).getLong)
-              }
+            Iterator.single((id, dig, dig, -1)) ++
+              cuts.iterator.zip(cuts.iterator.drop(1))
+                .filter { case (s, e) => e - s >= minBytes }
+                .map { case (s, e) =>
+                  md.reset()
+                  md.update(c, s, e - s)
+                  (id, dig, java.nio.ByteBuffer.wrap(md.digest()).getLong, e - s)
+                }
           }
         }
       }
-      .toDF("media_id", "digest", "ch")
+      .toDF("media_id", "digest", "ch", "len")
   }
 
   /** Insertion-robust media near-dup: [[nearDupMedia]]'s digest-collapse
@@ -497,6 +506,67 @@ object MultimodalOps {
     * n_members, keep). */
   def nearDupMediaCdc(media: DataFrame, avgBits: Int = 6): DataFrame =
     clusterByChunks(media, cdcFingerprints(media, avgBits), Seq("ch"))
+
+  /** The relational CONTRACT of the CDC near-dup tier, one row (the
+    * pack_invariants pattern: chunk layouts are content-defined and not
+    * replayable in SQL, but the clustering's INVARIANTS are exact
+    * integers a twin can re-derive from [[MediaSynth.plantCdcVariants]]'
+    * id arithmetic):
+    *   - coverage / exactly-once: `n_rows` = `n_media` = corpus size
+    *     (every media appears exactly once in the output);
+    *   - planted recovery: each variant family's count, and per family
+    *     the number of variants whose cluster rep DIFFERS from its
+    *     base's rep — 0 when the tier works (insertions via chunk
+    *     resync, exact copies via the unconditional whole-payload
+    *     digest row, truncations/suffixes via shared leading chunks);
+    *   - keep/rep consistency: rows where keep ≠ (media_id = rep),
+    *     clusters with ≠1 keeper, clusters whose n_members disagrees
+    *     with the actual member count — all 0;
+    *   - min-chunk floor compliance: emitted chunk rows (len ≥ 0)
+    *     shorter than `minBytes` — 0 (the r13 pigeonhole guard).
+    * All columns BIGINT; single-row aggregates join 1×1 (BNLJ by
+    * design, the packInvariants shape). */
+  def cdcInvariants(media: DataFrame, avgBits: Int = 6,
+                    minBytes: Int = 24): DataFrame = {
+    // nearDupMediaCdc's output is already an eager localCheckpoint, so
+    // the four family probes below re-read materialized blocks, never
+    // re-run the clustering
+    val out = nearDupMediaCdc(media, avgBits)
+    val fps = cdcFingerprints(media, avgBits, minBytes)
+    val a1 = out.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("media_id")).as("n_media"),
+      coalesce(sum(when(col("keep") =!= (col("media_id") === col("rep")), 1L)
+        .otherwise(0L)), lit(0L)).as("bad_keep"))
+    val perCluster = out.groupBy(col("rep")).agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+      min(col("n_members")).as("nm_lo"), max(col("n_members")).as("nm_hi"))
+    val a2 = perCluster.agg(
+      coalesce(sum(when(col("keeps") =!= 1L, 1L).otherwise(0L)), lit(0L))
+        .as("multi_keep"),
+      coalesce(sum(when(col("nm_lo") =!= col("sz") || col("nm_hi") =!= col("sz"),
+        1L).otherwise(0L)), lit(0L)).as("bad_members"))
+    val reps = out.select(col("media_id"), col("rep"))
+    val baseReps = reps.where(col("media_id") < 1000000000L)
+      .select(col("media_id").as("bid"), col("rep").as("brep"))
+    def fam(off: Long, nCol: String, splitCol: String): DataFrame =
+      reps.where(col("media_id") >= off && col("media_id") < off + 1000000000L)
+        .select((col("media_id") - off).as("bid"), col("rep").as("vrep"))
+        .join(baseReps, "bid")
+        .agg(count(lit(1)).as(nCol),
+          coalesce(sum(when(col("vrep") =!= col("brep"), 1L).otherwise(0L)),
+            lit(0L)).as(splitCol))
+    val a7 = fps.agg(
+      coalesce(sum(when(col("len") >= 0 && col("len") < minBytes, 1L)
+        .otherwise(0L)), lit(0L)).as("short_chunks"))
+    a1.join(a2, lit(true))
+      .join(fam(1000000000L, "n_trunc", "trunc_split"), lit(true))
+      .join(fam(2000000000L, "n_suffix", "suffix_split"), lit(true))
+      .join(fam(3000000000L, "n_ins", "ins_split"), lit(true))
+      .join(fam(4000000000L, "n_exact", "exact_split"), lit(true))
+      .join(a7, lit(true))
+  }
 
   /** Shared digest-collapse → candidate join → CC → member-rejoin stage
     * behind [[nearDupMedia]] and [[nearDupMediaCdc]]; `fps` must carry

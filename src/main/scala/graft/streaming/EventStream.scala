@@ -468,18 +468,24 @@ object EventStream {
     * 12× on the banded projection at 5k docs). The barrier rows never
     * enter join state — they live inside one map stage per micro-batch.
     *
-    * Band tuning: `bands` defaults to [[NearDupBands]] = 16 (r = 8), not
-    * the batch operator's 32 (r = 4). The LSH S-curve midpoint
-    * (1/b)^(1/r) moves from 0.42 to 0.71 — far closer to the 0.8
-    * verify threshold — so sub-threshold pairs (which r=4 catches with
-    * ~87% probability at J=0.5 and the verify stage then discards)
-    * mostly never enter the candidate join, and the per-doc band state
-    * halves. Cost: catch probability at exactly J=0.8 is 1−(1−0.8⁸)¹⁶ ≈
-    * 0.95 (≥0.99 above J=0.85) instead of ~1−5·10⁻⁸ — the threshold
-    * boundary is already estimator-blurred (σ≈0.035), so the recall
-    * trade sits inside the existing noise band. */
+    * Band tuning: the PUBLIC default stays [[NearDupBands]] = 32
+    * (r = 4) — near-certain recall at the J=0.8 threshold
+    * (1−(1−0.8⁴)³² ≈ 1−5·10⁻⁸), matching the batch operator, so
+    * existing callers keep their recall contract (r13 advice: the
+    * default must not silently trade recall). Throughput-tuned
+    * deployments pass [[NearDupBandsTuned]] = 16 (r = 8) explicitly,
+    * as StreamBench does: the LSH S-curve midpoint (1/b)^(1/r) moves
+    * from 0.42 to 0.71 — far closer to the 0.8 verify threshold — so
+    * sub-threshold pairs (which r=4 catches with ~87% probability at
+    * J=0.5 and the verify stage then discards) mostly never enter the
+    * candidate join, and the per-doc band state halves. Cost: catch
+    * probability at exactly J=0.8 drops to 1−(1−0.8⁸)¹⁶ ≈ 0.95
+    * (≥0.99 above J=0.85) — the threshold boundary is already
+    * estimator-blurred (σ≈0.035), so that trade sits inside the
+    * existing noise band, but it is the CALLER's trade to make. */
   val NearDupNumHashes: Int = 128
-  val NearDupBands: Int = 16
+  val NearDupBands: Int = 32
+  val NearDupBandsTuned: Int = 16
 
   /** tokens → shingles → hash-pairs → minhash signature with each stage
     * pinned behind a single-element Generate barrier (see
@@ -526,6 +532,9 @@ object EventStream {
     def sigs(side: String): DataFrame =
       stagedSignature(docs,
           Seq(col("doc_id").as(s"s$side"), col(tsCol).as(s"ts_s$side")), numHashes)
+        .where(col("sig_full").isNotNull) // sub-3-token docs never band,
+        // so their signature rows would sit dead in join state for the
+        // full watermark horizon (r13 advice) — drop them symmetrically
         .select(col(s"s$side"), col(s"ts_s$side"),
           transform(col("sig_full"),
             h => (h.bitwiseAND(0xFFFFL) - 32768L).cast("smallint")).as(s"sig_$side"))

@@ -346,4 +346,43 @@ class MultimodalSpec extends AnyFunSuite {
     val total = out.collect { case (_, (_, n, true)) => n }.sum
     assert(total == out.size)
   }
+  test("cdcInvariants: planted insertion/truncation/suffix/exact variants all co-cluster; violation columns 0") {
+    val ids = spark.range(0, 300).toDF("doc_id")
+    val planted = graft.pipeline.MediaSynth.plantCdcVariants(
+      graft.pipeline.MediaSynth.synthesize(ids))
+    val row = MultimodalOps.cdcInvariants(planted).collect().head
+    def g(c: String): Long = row.getAs[Long](c)
+    val expTrunc = (0L until 300L).count(_ % 7 == 3)
+    val expSuffix = (0L until 300L).count(_ % 7 == 5)
+    val expIns = (0L until 300L).count(_ % 7 == 1)
+    val expExact = (0L until 300L).count(_ % 7 == 2)
+    assert(g("n_rows") == 300L + expTrunc + expSuffix + expIns + expExact)
+    assert(g("n_media") == g("n_rows"), "exactly-once coverage")
+    assert(g("n_trunc") == expTrunc && g("n_suffix") == expSuffix &&
+      g("n_ins") == expIns && g("n_exact") == expExact)
+    Seq("bad_keep", "multi_keep", "bad_members", "trunc_split",
+      "suffix_split", "ins_split", "exact_split", "short_chunks")
+      .foreach(c => assert(g(c) == 0L, s"$c must be 0, was ${g(c)}"))
+  }
+
+  test("cdcFingerprints: all-tiny-chunk payloads still collapse as exact duplicates (whole-payload digest row)") {
+    // payloads short enough that EVERY content-defined chunk is under
+    // minBytes: before the unconditional digest row, such media emitted
+    // zero fingerprints and even byte-identical copies escaped the
+    // digest collapse (r13 advice)
+    val tiny = Array.tabulate[Byte](16)(i => (i * 7 + 1).toByte)
+    val other = Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)
+    val rows = Seq(
+      Row(1L, "image", tiny, Row(null, null, null, null)),
+      Row(2L, "image", tiny.clone(), Row(null, null, null, null)),
+      Row(3L, "image", other, Row(null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    val fps = MultimodalOps.cdcFingerprints(df).collect()
+    assert(fps.count(_.getAs[Int]("len") == -1) == 3, "one whole-payload row per media")
+    val out = MultimodalOps.nearDupMediaCdc(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("rep")).toMap
+    assert(out(1L) == 1L && out(2L) == 1L, "byte-identical tiny payloads collapse")
+    assert(out(3L) == 3L, "distinct tiny payload stays apart")
+  }
 }

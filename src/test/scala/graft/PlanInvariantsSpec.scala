@@ -29,6 +29,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // 1×1 join of the two single-row decision aggregates (the
       // packInvariants BNLJ-by-design shape)
       "ann_ivf_health",
+      // seven single-row invariant aggregates joined 1×1 (the
+      // packInvariants BNLJ-by-design shape over the CDC clustering)
+      "cdc_invariants",
       // ann_ivf's probe shape with the allowed-id equi-join added
       "ann_ivf_filtered",
       // the appended-index search broadcasts the same k-row centroid
