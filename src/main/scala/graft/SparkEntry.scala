@@ -1650,6 +1650,18 @@ object SparkEntry {
       pipeline.MultimodalOps.nearDupMedia(
         pipeline.MediaSynth.plantNearDups(
           pipeline.MediaSynth.synthesize(docs(s, d).select(col("doc_id")))))),
+    "multimodal_perceptual" -> ((s, d) =>
+      // perceptual tier over DECODABLE payloads (r13 verdict item 3):
+      // real 24-bit BMP pixels / 16-bit WAV PCM are decoded and hashed
+      // (8×8 luma aHash / 16-window gain-normalized energy envelope);
+      // planted brightness-shifted + volume-halved variants share NO
+      // payload byte with their base, so every byte tier misses them
+      // and only the decoded-feature invariance can recover
+      // cluster == perceptual class — which the twin re-derives from
+      // doc_id arithmetic alone (the generative-twin pattern)
+      pipeline.MultimodalOps.nearDupPerceptual(
+        pipeline.MediaSynth.plantPerceptualVariants(
+          pipeline.MediaSynth.synthesizeDecodable(docs(s, d).select(col("doc_id")))))),
     "cdc_invariants" -> ((s, d) =>
       // the CONTENT-DEFINED near-dup tier's census entry (r13 verdict
       // item 2): chunk layouts aren't SQL-replayable, so the registered

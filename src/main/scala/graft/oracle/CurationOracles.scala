@@ -204,6 +204,28 @@ object CurationOracles {
         |FROM m JOIN g USING (k)""".stripMargin,
 
 
+    // perceptual near-dup classes re-derived generatively: decodable
+    // fixture ids split even→image class (d//2)%24, odd→audio class
+    // (d//2)%20; d%3==1 plants a +10⁹ variant (brightness-shifted
+    // pixels / volume-halved samples) sharing the base's class but no
+    // payload byte — the Spark side must recover exactly these
+    // clusters from DECODED features (the twin never sees a byte)
+    "multimodal_perceptual" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'i:' || ((doc_id // 2) % 24)
+        |         ELSE 'a:' || ((doc_id // 2) % 20) END AS k
+        |  FROM documents),
+        |m AS (SELECT doc_id AS media_id, kind, k FROM base
+        |  UNION ALL SELECT doc_id + 1000000000, kind, k FROM base WHERE doc_id % 3 = 1),
+        |g AS (SELECT kind, k, min(media_id) AS rep, count(*) AS n_members
+        |      FROM m GROUP BY kind, k)
+        |SELECT CAST(m.media_id AS BIGINT) AS media_id, m.kind,
+        |  CAST(g.rep AS BIGINT) AS rep, CAST(g.n_members AS BIGINT) AS n_members,
+        |  m.media_id = g.rep AS keep
+        |FROM m JOIN g USING (kind, k)""".stripMargin,
+
+
     // CDC near-dup invariants (the pack_invariants pattern): content-
     // defined chunk layouts can't be replayed in SQL, but the expected
     // invariant row is pure planted-id arithmetic — coverage counts

@@ -232,6 +232,127 @@ object MediaSynth {
       .toDF("media_id", "kind", "content")
   }
 
+  // ---- decodable fixtures: real pixel/sample payloads for the
+  //      PERCEPTUAL near-dup tier (r13 verdict item 3) ----
+
+  /** Number of distinct image / audio perceptual classes in the
+    * decodable fixture — a CLOSED class space: every scale factor
+    * draws from the same [[ImgClasses]]×[[AudClasses]] payload set, so
+    * the pairwise feature-distinctness check in MultimodalSpec covers
+    * ALL classes any sf store can contain. */
+  private[pipeline] val ImgClasses = 24
+  private[pipeline] val AudClasses = 20
+
+  /** 32×32 24-bit gray BMP whose pixels are a pure function of the
+    * class id: luma(x,y) = 64 + ((x·(1+c%5) + y·(2+c%7) + x·y·(1+c%3))
+    * mod 97) ∈ [64, 160] — (c%5, c%7, c%3) is injective below
+    * lcm(5,7,3)=105, and the margin to 0/255 keeps a +8 brightness
+    * shift clamp-free (the planted perceptual variant must be an EXACT
+    * uniform shift for aHash invariance to be structural, not
+    * statistical). */
+  private[graft] def bmpGray(c: Int): Array[Byte] = {
+    val (w, h) = (32, 32)
+    // FULL 54-byte header (unlike the header-only [[bmp]] fixture, the
+    // pixel data here is real, so the declared offset must be honored):
+    // 14-byte file header + complete 40-byte BITMAPINFOHEADER
+    val header = "BM".getBytes ++ le32(54L + w * h * 3) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](24)(0) // compression/size/res/palette fields, all 0
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      // BMP rows are stored bottom-up
+      val srcY = h - 1 - y
+      var x = 0
+      while (x < w) {
+        val luma = (64 + ((x * (1 + c % 5) + srcY * (2 + c % 7) +
+          x * srcY * (1 + c % 3)) % 97)).toByte
+        val o = (y * w + x) * 3
+        px(o) = luma; px(o + 1) = luma; px(o + 2) = luma
+        x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
+  /** Mono 16-bit 8 kHz WAV with 2048 REAL samples: window j = i∕128
+    * (16 windows) carries amplitude a_j = 10 + ((j·(1+c%9) +
+    * j²·(1+c%2) + c) mod 23), waveform s_i = 2·a_j·((i mod 7) − 3).
+    * Every sample is EVEN, so the planted volume-half variant
+    * (s_i ∕ 2) is exact integer math and the normalized energy
+    * envelope (⌊Σ|s|·1024∕total⌋ per window) is bit-identical —
+    * scale-invariance is structural. */
+  private[graft] def wavPcm(c: Int): Array[Byte] = {
+    val n = 2048
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val j = i / 128
+      val aj = 10 + ((j * (1 + c % 9) + j * j * (1 + c % 2) + c) % 23)
+      val s = 2 * aj * ((i % 7) - 3)
+      pcm(i * 2) = s.toByte
+      pcm(i * 2 + 1) = (s >> 8).toByte
+      i += 1
+    }
+    wav(1, 8000, 16, n * 2L) ++ pcm
+  }
+
+  /** Decodable media table: even ids → gray BMP of image class
+    * (d∕2) mod [[ImgClasses]], odd ids → PCM WAV of audio class
+    * (d∕2) mod [[AudClasses]]. Payloads carry REAL pixels/samples the
+    * perceptual tier must actually decode. */
+  def synthesizeDecodable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        if (d % 2 == 0) (d, "image", bmpGray(((d / 2) % ImgClasses).toInt))
+        else (d, "audio", wavPcm(((d / 2) % AudClasses).toInt))
+      })
+      .toDF("media_id", "kind", "content")
+  }
+
+  /** Plant perceptual near-misses that share NO byte run with their
+    * base beyond the fixed header: for d % 3 == 1, media_id d + 10⁹ is
+    * the brightness-shifted image (+8 per channel — every pixel byte
+    * changes) or the volume-halved audio (every sample byte changes).
+    * Exact dedup and byte-level near-dup both miss these by
+    * construction; the perceptual features must be INVARIANT to them
+    * (uniform luma shift / uniform gain), so the cluster contract is
+    * cluster == perceptual class of the base — which the DuckDB twin
+    * re-derives from doc_id arithmetic alone. */
+  def plantPerceptualVariants(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, kind, content) =>
+        val baseRow = (d, kind, content)
+        if (d % 3 != 1) Seq(baseRow)
+        else if (kind == "image") {
+          // +8 to every pixel byte past the 54-byte header (clamp-free
+          // by fixture construction: luma ≤ 160)
+          val shifted = content.clone()
+          var i = 54
+          while (i < shifted.length) { shifted(i) = (shifted(i) + 8).toByte; i += 1 }
+          Seq(baseRow, (d + 1000000000L, kind, shifted))
+        } else {
+          // halve every 16-bit sample past the 44-byte RIFF header
+          // (exact: fixture samples are even)
+          val halved = content.clone()
+          var i = 44
+          while (i + 1 < halved.length) {
+            val s = ((halved(i + 1) << 8) | (halved(i) & 0xFF)).toShort / 2
+            halved(i) = s.toByte; halved(i + 1) = (s >> 8).toByte
+            i += 2
+          }
+          Seq(baseRow, (d + 1000000000L, kind, halved))
+        }
+      })
+      .toDF("media_id", "kind", "content")
+  }
+
   /** One partition-mapped pass over mixed media: sniff the container by
     * its magic bytes and emit the unified typed-metadata row every
     * curation filter keys on (images → dimensions, audio → channels/

@@ -385,4 +385,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == 1L && out(2L) == 1L, "byte-identical tiny payloads collapse")
     assert(out(3L) == 3L, "distinct tiny payload stays apart")
   }
+
+  test("perceptual tier: aHash/envelope invariant under planted transforms; all fixture classes pairwise distinct") {
+    import graft.pipeline.MediaSynth
+    // (a) feature invariance is STRUCTURAL: brightness shift leaves the
+    // aHash bit-identical, exact half-volume leaves the envelope
+    // bit-identical (computed off-Spark on the raw fixture bytes)
+    val img0 = MediaSynth.bmpGray(5)
+    val imgShift = img0.clone()
+    (54 until imgShift.length).foreach(i => imgShift(i) = (imgShift(i) + 8).toByte)
+    assert(MultimodalOps.bmpAHash(img0) == MultimodalOps.bmpAHash(imgShift))
+    val wav0 = MediaSynth.wavPcm(7)
+    val wavHalf = wav0.clone()
+    var i = 44
+    while (i + 1 < wavHalf.length) {
+      val s = ((wavHalf(i + 1) << 8) | (wavHalf(i) & 0xFF)).toShort / 2
+      wavHalf(i) = s.toByte; wavHalf(i + 1) = (s >> 8).toByte
+      i += 2
+    }
+    assert(MultimodalOps.wavEnvelope(wav0) == MultimodalOps.wavEnvelope(wavHalf))
+    // (b) the class space is CLOSED (every sf draws from these 24+20
+    // payloads), so pairwise distinctness here covers all scales
+    val imgHashes = (0 until 24).map(c => MultimodalOps.bmpAHash(MediaSynth.bmpGray(c)).get)
+    assert(imgHashes.distinct.size == 24, "image classes must have distinct aHashes")
+    val envs = (0 until 20).map(c => MultimodalOps.wavEnvelope(MediaSynth.wavPcm(c)).get)
+    assert(envs.distinct.size == 20, "audio classes must have distinct envelopes")
+    // (c) end-to-end: clusters == generative classes incl. planted variants
+    val ids = spark.range(0, 200).toDF("doc_id")
+    val planted = MediaSynth.plantPerceptualVariants(MediaSynth.synthesizeDecodable(ids))
+    val out = MultimodalOps.nearDupPerceptual(planted).collect()
+      .map(r => r.getAs[Long]("media_id") -> (r.getAs[Long]("rep"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.size == planted.count())
+    (0L until 200L).foreach { d =>
+      val expRep = if (d % 2 == 0) (d / 2) % 24 * 2 else ((d / 2) % 20) * 2 + 1
+      assert(out(d)._1 == expRep, s"base $d cluster")
+      if (d % 3 == 1) assert(out(d + 1000000000L)._1 == expRep, s"variant of $d")
+    }
+    assert(out.forall { case (id, (rep, keep)) => keep == (id == rep) })
+  }
 }
