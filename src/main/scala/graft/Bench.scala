@@ -52,6 +52,27 @@ object Bench {
       rep()
       median(Seq(rep(), rep(), rep()))
     }
+    // ---- parallel canary (VERDICT r13 item 1): the single-partition
+    // canary above measures single-core turbo, which empirically
+    // ANTI-correlates with 32-way suite speed on shared VMs (BASELINE's
+    // same-code pairs: 142.4 s at factor 0.286 vs 130.4 s at 0.361) —
+    // turbo clocks run highest exactly when sibling vCPUs are idle. The
+    // suite runs 32-wide, so normalize against a canary with the same
+    // shape: the SAME xxhash microbench at 32 partitions × 10^7 rows
+    // each, all cores busy; wall time then reflects the aggregate
+    // throughput the suite actually gets. Same protocol: one discarded
+    // warm-up, 3-rep median. Both factors are emitted; judge cross-round
+    // totals against `host_factor_par`. ----
+    val hostFactorPar = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      def rep() = time {
+        spark.range(0L, 320000000L, 1L, 32)
+          .select(xxhash64(col("id")).as("h"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      rep()
+      median(Seq(rep(), rep(), rep()))
+    }
 
     // ---- phase 0: shared projection builds (billed once, separately).
     // A failed build lands in `errors` and the affected queries fail
@@ -143,7 +164,7 @@ object Bench {
     val queryTotal = timings.values.sum
     val buildTotal = builds.values.sum
     val total = queryTotal + buildTotal
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"host_factor":$hostFactor,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"host_factor":$hostFactor,"host_factor_par":$hostFactorPar,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
     // full per-query detail: first line of stdout (human/log record) and
     // a sidecar file for mechanical regression diffing. Targeted runs
     // (BENCH_ONLY / BENCH_BUILDS filters) must NOT clobber the sidecar —
@@ -160,7 +181,7 @@ object Bench {
     // names + the slowest queries that fit, 3-decimal seconds.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_total":${r3(queryTotal)},"build_total":${r3(buildTotal)},"host_factor":${r3(hostFactor)},"reps":$reps,"agg":"median","n_queries":${timings.size},"detail":"BENCH_DETAIL.json","builds":${
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_total":${r3(queryTotal)},"build_total":${r3(buildTotal)},"host_factor":${r3(hostFactor)},"host_factor_par":${r3(hostFactorPar)},"reps":$reps,"agg":"median","n_queries":${timings.size},"detail":"BENCH_DETAIL.json","builds":${
       builds.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"errors":${
       errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{"""
     val tailBudget = 1800 - head.length - 60

@@ -3070,6 +3070,53 @@ object TextOps {
     trainedTokenClassifier(
       docs.select(col("doc_id"), col("text"), col("lang")), "lang", buckets)
 
+  /** The token→bucket hashing-trick cell shared by the trained
+    * classifiers and the streaming model filter — md5 word 1 mod
+    * `buckets`, the same portable hash as [[hashEmbed]]. */
+  private[graft] def tokenBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+
+  /** The learned model table of the hashed-feature majority classifier:
+    * per-bucket majority label over the deterministic train split
+    * (doc_id % 10 < 8), (count desc, label asc) tie-breaks. ≤ `buckets`
+    * rows — small enough to broadcast into a batch vote join or to
+    * ship as a plan literal into a STREAMING stateless projection
+    * ([[graft.streaming.EventStream]].modelFilterStream). */
+  private[graft] def bucketProfile(labeled: DataFrame, labelCol: String,
+                                   buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    labeled
+      .select(col("doc_id"), col(labelCol), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col(labelCol), tokenBucket(col("tok"), buckets).as("b"))
+      .where(col("doc_id") % 10 < 8)
+      .groupBy(col("b"), col(labelCol)).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("c").desc, col(labelCol).asc)))
+      .where(col("rn") === 1)
+      .select(col("b"), col(labelCol).as("plab"))
+  }
+
+  /** Per-doc holdout predictions of the majority classifier —
+    * (doc_id, <labelCol>, plab): bucket-vote argmax with (count desc,
+    * label asc) tie-breaks; the confusion matrix and the streaming
+    * parity spec both read this surface. */
+  private[graft] def classifierPredictions(labeled: DataFrame, labelCol: String,
+                                           buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = labeled
+      .select(col("doc_id"), col(labelCol), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col(labelCol), tokenBucket(col("tok"), buckets).as("b"))
+    val votes = feat.where(col("doc_id") % 10 >= 8)
+      .join(broadcast(bucketProfile(labeled, labelCol, buckets)), Seq("b"))
+      .groupBy(col("doc_id"), col(labelCol), col("plab"))
+      .agg(count(lit(1)).as("v"))
+    votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("v").desc, col("plab").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col(labelCol), col("plab"))
+  }
+
   /** The shared hashed-feature majority trainer behind [[langIdTrained]]
     * and [[qualityClassifier]]: `labeled` must carry (doc_id, text,
     * <labelCol>). Per-bucket majority label on the deterministic train
@@ -3077,31 +3124,10 @@ object TextOps {
     * confusion matrix (labelCol, predicted, n) out. All integer counts
     * with (count desc, label asc) tie-breaks — engine-exact. */
   private def trainedTokenClassifier(labeled: DataFrame, labelCol: String,
-                                     buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val feat = labeled
-      .select(col("doc_id"), col(labelCol), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col(labelCol),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
-          .as("b"))
-    val profile = feat.where(col("doc_id") % 10 < 8)
-      .groupBy(col("b"), col(labelCol)).agg(count(lit(1)).as("c"))
-    val bucketLabel = profile
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("b")).orderBy(col("c").desc, col(labelCol).asc)))
-      .where(col("rn") === 1)
-      .select(col("b"), col(labelCol).as("plab"))
-    val votes = feat.where(col("doc_id") % 10 >= 8)
-      .join(broadcast(bucketLabel), Seq("b"))
-      .groupBy(col("doc_id"), col(labelCol), col("plab"))
-      .agg(count(lit(1)).as("v"))
-    val pred = votes
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("v").desc, col("plab").asc)))
-      .where(col("rn") === 1)
-    pred.groupBy(col(labelCol), col("plab").as("predicted"))
+                                     buckets: Int): DataFrame =
+    classifierPredictions(labeled, labelCol, buckets)
+      .groupBy(col(labelCol), col("plab").as("predicted"))
       .agg(count(lit(1)).cast("long").as("n"))
-  }
 
   /** Model-based quality filter — the TRAINED tier every modern curation
     * stack runs above the heuristic rules ([[qualityScores]] /

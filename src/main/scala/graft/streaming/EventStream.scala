@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -46,6 +46,25 @@ object EventStream {
       case Some(v) => spark.conf.set(ProviderKey, v)
       case None => spark.conf.unset(ProviderKey)
     }
+  }
+
+  /** Set the event-time watermark UNLESS the input already carries one:
+    * Spark (with `statefulOperator.allowMultiple`, the default) forbids
+    * REDEFINING a watermark downstream of a stateful operator, so
+    * operators that compose into one query DAG (url dedup → exact dedup
+    * → near-dup) must define it exactly once at the source. A stage fed
+    * an already-watermarked stream inherits the upstream delay — its
+    * own `watermark` parameter is then a no-op (the composed pipeline
+    * semantics: one horizon governs the whole DAG). The column metadata
+    * survives renames, so downstream range joins on aliased ts columns
+    * keep their event-time designation. */
+  private def withWatermarkOnce(df: DataFrame, tsCol: String,
+                                delay: String): DataFrame = {
+    val already = df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    if (already) df else df.withWatermark(tsCol, delay)
   }
 
   /** Per-user running version state maintained with mapGroupsWithState. */
@@ -390,10 +409,9 @@ object EventStream {
   def dedupDocStream(docs: DataFrame, tsCol: String,
                      watermark: String = "1 hour"): DataFrame = {
     val norm = graft.pipeline.TextOps.normText(col("text"))
-    docs
+    withWatermarkOnce(docs
       .withColumn("norm_hash_a", xxhash64(norm))
-      .withColumn("norm_hash_b", xxhash64(lit(1), norm))
-      .withWatermark(tsCol, watermark)
+      .withColumn("norm_hash_b", xxhash64(lit(1), norm)), tsCol, watermark)
       .dropDuplicatesWithinWatermark("norm_hash_a", "norm_hash_b")
       // internal dedup key, not part of the doc schema
       .drop("norm_hash_a", "norm_hash_b")
@@ -413,10 +431,9 @@ object EventStream {
                      watermark: String = "1 hour",
                      urlCol: String = "url"): DataFrame = {
     val canon = graft.pipeline.TextOps.canonicalUrl(col(urlCol))
-    docs
+    withWatermarkOnce(docs
       .withColumn("url_hash_a", xxhash64(canon))
-      .withColumn("url_hash_b", xxhash64(lit(1), canon))
-      .withWatermark(tsCol, watermark)
+      .withColumn("url_hash_b", xxhash64(lit(1), canon)), tsCol, watermark)
       .dropDuplicatesWithinWatermark("url_hash_a", "url_hash_b")
       .drop("url_hash_a", "url_hash_b")
   }
@@ -527,7 +544,7 @@ object EventStream {
             .as("bb"))
         .select(col(side), col(s"ts_$side"),
           col("bb.band").as(s"band_$side"), col("bb.bh").as(s"bh_$side"))
-        .withWatermark(s"ts_$side", watermark)
+        .transform(withWatermarkOnce(_, s"ts_$side", watermark))
     // one truncated-signature row per doc — the per-doc signature store
     def sigs(side: String): DataFrame =
       stagedSignature(docs,
@@ -538,7 +555,7 @@ object EventStream {
         .select(col(s"s$side"), col(s"ts_s$side"),
           transform(col("sig_full"),
             h => (h.bitwiseAND(0xFFFFL) - 32768L).cast("smallint")).as(s"sig_$side"))
-        .withWatermark(s"ts_s$side", watermark)
+        .transform(withWatermarkOnce(_, s"ts_s$side", watermark))
     val horizon = expr(s"INTERVAL $watermark")
     // 1. thin candidate join: any colliding band within the horizon.
     //    ts_b is dropped so exactly ONE event-time column (ts_a) flows
@@ -621,6 +638,72 @@ object EventStream {
       }
     out.withColumn("n_grams", size(col("__cg_grams")).cast("long"))
       .drop("__cg_grams")
+  }
+
+  /** Ingest-time MODEL-BASED filter — the trained tier of the streaming
+    * curation front (r13 verdict item 4): the hashed-feature majority
+    * models behind [[graft.pipeline.TextOps.langIdTrained]] and
+    * [[graft.pipeline.TextOps.qualityClassifier]] are trained ONCE on
+    * the batch corpus (`trainDocs` must carry doc_id, text, lang), the
+    * two learned bucket→label tables (≤ `buckets` rows each) ship into
+    * the stream as plan literals (at 100 TB: broadcast variables —
+    * same plan shape, the [[contaminationGuard]] pattern), and each
+    * arriving document is scored as a STATELESS projection: its tokens
+    * vote their bucket's label, majority wins with the EXACT batch
+    * tie-break ((count desc, label asc) — encoded as a sort on
+    * (−count, label) structs). No watermark, no keyed state, no
+    * shuffle.
+    *
+    * Returns the input columns + `pred_lang` + `pred_tier` (null when
+    * no token hits a trained bucket) + `keep` (pred_tier present and
+    * not 'tail' — the CCNet-style model filter verdict). Works
+    * identically on a batch frame (the parity gate) and a readStream
+    * source. Token/bucket/label stages are pinned behind Generate
+    * barriers (the [[stagedSignature]] discipline): the argmax
+    * references the label array once per candidate label, so an
+    * unstaged expression would re-tokenize per label. */
+  def modelFilterStream(docs: DataFrame, trainDocs: DataFrame,
+                        buckets: Int = 1024): DataFrame = {
+    import graft.pipeline.TextOps
+    val langProfile = TextOps.bucketProfile(
+      trainDocs.select(col("doc_id"), col("text"), col("lang")), "lang", buckets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tierLabels = TextOps.qualityTiers(trainDocs).select(col("doc_id"), col("tier"))
+    val tierProfile = TextOps.bucketProfile(
+      trainDocs.select(col("doc_id"), col("text")).join(tierLabels, "doc_id"),
+      "tier", buckets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    modelFilterApply(docs, langProfile, tierProfile, buckets)
+  }
+
+  /** The stateless scoring projection of [[modelFilterStream]], split
+    * out so a composed pipeline (or a test) can reuse already-trained
+    * profiles without re-running the trainer. */
+  def modelFilterApply(docs: DataFrame, langProfile: Map[Long, String],
+                       tierProfile: Map[Long, String],
+                       buckets: Int = 1024): DataFrame = {
+    import graft.pipeline.TextOps
+    def labs(m: Map[Long, String]): Column =
+      filter(transform(col("__mf_t"),
+        t => element_at(typedlit(m), TextOps.tokenBucket(t, buckets))),
+        x => x.isNotNull)
+    def pred(labsCol: Column, labels: Seq[String]): Column =
+      if (labels.isEmpty) lit(null).cast("string")
+      else when(size(labsCol) === 0, lit(null).cast("string")).otherwise(
+        element_at(sort_array(array(labels.map(l =>
+          struct((-size(filter(labsCol, x => x === lit(l)))).cast("long").as("nc"),
+            lit(l).as("lab"))): _*)), 1).getField("lab"))
+    val langLabels = langProfile.values.toSeq.distinct.sorted
+    val tierLabels = tierProfile.values.toSeq.distinct.sorted
+    docs
+      .withColumn("__mf_t", explode(array(TextOps.tokens(col("text")))))
+      .withColumn("__mf_ll", explode(array(labs(langProfile))))
+      .withColumn("__mf_tl", explode(array(labs(tierProfile))))
+      .withColumn("pred_lang", pred(col("__mf_ll"), langLabels))
+      .withColumn("pred_tier", pred(col("__mf_tl"), tierLabels))
+      .withColumn("keep",
+        col("pred_tier").isNotNull && col("pred_tier") =!= "tail")
+      .drop("__mf_t", "__mf_ll", "__mf_tl")
   }
 
   /** Per-user latest state via explicit keyed state (the streaming

@@ -778,4 +778,90 @@ class EventStreamSpec extends AnyFunSuite {
     val want = p2c * math.log(p2c / p1c) + p2b * math.log(p2b / p1b)
     assert(math.abs(r("2024-01-02")._2 - want) < 1e-6)
   }
+
+  test("streaming model filter: stateless projection predictions equal the batch classifier argmax") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextOps
+    // two clearly-separable languages + a per-doc token for variety
+    def text(d: Long): String = {
+      val base = if (d % 2 == 0) "the cat sat on the mat with the dog"
+                 else "le chat assis sur le tapis avec le chien"
+      s"$base extra$d token${d % 5}"
+    }
+    val train = (0L until 40L).map(d =>
+      (d, text(d), if (d % 2 == 0) "en" else "fr")).toDF("doc_id", "text", "lang")
+    val buckets = 64
+    // stream the same docs through the filter
+    val source = MemoryStream[(Long, Timestamp, String)]
+    source.addData((0L until 40L).map(d =>
+      (d, ts("2024-01-01 00:00:00"), text(d))): _*)
+    val q = EventStream.modelFilterStream(
+        source.toDF().toDF("doc_id", "ts", "text"), train, buckets)
+      .writeStream.format("memory").queryName("modelfilter_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("modelfilter_sink")
+      .select("doc_id", "pred_lang", "pred_tier", "keep").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(streamed.size == 40, "stateless projection must emit every doc")
+    // batch twins: the SAME per-doc argmax surfaces
+    val langPred = TextOps.classifierPredictions(train, "lang", buckets)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val tiers = TextOps.qualityTiers(train).select(col("doc_id"), col("tier"))
+    val tierPred = TextOps.classifierPredictions(
+        train.select(col("doc_id"), col("text")).join(tiers, "doc_id"), "tier", buckets)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // holdout docs (doc_id % 10 >= 8) are where the batch surface predicts
+    langPred.foreach { case (d, p) =>
+      assert(streamed(d)._1 == p, s"pred_lang mismatch for doc $d") }
+    assert(langPred.nonEmpty && tierPred.nonEmpty)
+    tierPred.foreach { case (d, p) =>
+      assert(streamed(d)._2 == p, s"pred_tier mismatch for doc $d") }
+    // keep verdict: tier present and not tail
+    streamed.foreach { case (d, (_, t, k)) =>
+      assert(k == (t != null && t != "tail"), s"keep verdict for doc $d") }
+    // every holdout doc hits at least one trained bucket in this corpus
+    assert((0L until 40L).filter(_ % 10 >= 8).forall(d => streamed(d)._1 != null))
+  }
+
+  test("composed pipeline: url dedup -> exact dedup -> guard -> near-dup in one query DAG") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 100).map(i => s"w$i")
+    val dA = base.mkString(" ")
+    val dB = base.updated(50, "zz").mkString(" ")          // near-dup of dA
+    val evalText = (200 to 260).map(i => s"e$i").mkString(" ")
+    val evalDocs = Seq((99L, evalText)).toDF("doc_id", "text")
+    // rows: (doc_id, ts, text, url) — 0 re-delivered under a variant URL,
+    // 3 an exact-text dup of 0 under its own URL, 4 contaminated, 1 near-dup
+    val rows = Seq(
+      (0L, ts("2024-01-01 00:00:00"), dA, "https://x.com/p/0?a=1"),
+      (0L, ts("2024-01-01 00:00:01"), dA, "HTTPS://WWW.X.com:443/p/0/?utm_source=z&a=1"),
+      (1L, ts("2024-01-01 00:10:00"), dB, "https://x.com/p/1?a=1"),
+      (3L, ts("2024-01-01 00:11:00"), dA, "https://x.com/p/3?a=1"),
+      (4L, ts("2024-01-01 00:12:00"), evalText, "https://x.com/p/4?a=1"),
+      (5L, ts("2024-01-01 00:13:00"), "an entirely different subject matter", "https://x.com/p/5?a=1"))
+    val source = MemoryStream[(Long, Timestamp, String, String)]
+    val chained = {
+      val src = source.toDF().toDF("doc_id", "ts", "text", "url")
+      val urlDeduped = EventStream.dedupUrlStream(src, "ts").drop("url")
+      val exactDeduped = EventStream.dedupDocStream(urlDeduped, "ts")
+      val clean = EventStream.contaminationGuard(exactDeduped, evalDocs)
+        .where(!col("flagged")).drop("flagged", "n_grams")
+      EventStream.nearDupPairsStream(clean, "ts")
+    }
+    val q = chained.writeStream.format("memory").queryName("composed_sink")
+      .outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("composed_sink")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the url re-delivery of 0 collapsed, the exact dup 3 collapsed into
+    // doc 0's class, the contaminated doc 4 was dropped before near-dup,
+    // leaving exactly the (0, 1) near-dup pair
+    assert(pairs == Set((0L, 1L)))
+  }
 }
