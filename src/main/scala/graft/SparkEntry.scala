@@ -1059,6 +1059,13 @@ object SparkEntry {
       TextOps.hashEmbed(docs(s, d))
         .select(col("doc_id"), posexplode(col("vec")).as(Seq("j", "v")))
         .select(col("doc_id"), col("j").cast("long").as("j"), col("v"))),
+    "hybrid_rrf" -> ((s, d) =>
+      // hybrid lexical+vector retrieval with reciprocal-rank fusion:
+      // BM25 micros rank (exact integers) ⊕ hashEmbed-cosine rank (raw
+      // bit-identical folds) → 1/(60+r) fused, emitted as floor micros
+      // — the production two-channel search primitive; the twin replays
+      // both channels and the fusion arithmetic
+      TextOps.hybridSearch(docs(s, d), Seq("spark", "join", "window"))),
     "text_ann_hashed" -> { (s, d) =>
       // similarity search over TEXT with no external model: hashEmbed →
       // brute-force cosine top-5 (zero vectors filtered on both sides —

@@ -1287,6 +1287,65 @@ object CorpusOracles {
         |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
 
 
+    // hybrid RRF: BM25 in integer micros (floor per (doc,term) BEFORE
+    // the sum — rank never hangs on float addend order), hashEmbed
+    // cosine on raw bit-identical folds, 1/(60+r) fusion floored to
+    // nano-units; candidate cut 100 per channel, final top-20 on
+    // (rrf_m desc, doc_id)
+    "hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |q AS (SELECT tf.doc_id, tf.tok, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
+         |      WHERE tok IN ('spark', 'join', 'window')),
+         |d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY tok),
+         |lex AS (SELECT q.doc_id,
+         |    sum(CAST(floor(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1)
+         |        * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl)) * 1e6) AS BIGINT)) AS m
+         |  FROM q JOIN d USING (tok), st GROUP BY q.doc_id),
+         |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY m DESC, doc_id) AS lr
+         |         FROM lex QUALIFY lr <= 100),
+         |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |h AS (SELECT doc_id, md5(tok) AS h, cnt FROM cnt),
+         |cell AS (SELECT doc_id,
+         |    list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 64 AS j,
+         |    CASE WHEN list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+9)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 2 = 0
+         |      THEN cnt ELSE -cnt END AS v
+         |  FROM h),
+         |agg AS (SELECT doc_id, j, sum(v) AS v FROM cell GROUP BY 1, 2),
+         |grid AS (SELECT d2.doc_id, g.range AS j
+         |  FROM (SELECT DISTINCT doc_id FROM cnt) d2 CROSS JOIN range(64) g),
+         |rows0 AS (SELECT grid.doc_id, grid.j, coalesce(a.v, 0) AS v
+         |  FROM grid LEFT JOIN agg a ON a.doc_id = grid.doc_id AND a.j = grid.j),
+         |hv AS (SELECT doc_id, list(v::DOUBLE ORDER BY j) AS x FROM rows0 GROUP BY doc_id
+         |       HAVING max(abs(v)) > 0),
+         |qtok AS (SELECT tok, count(*) AS cnt FROM (VALUES ('spark'), ('join'), ('window')) t(tok) GROUP BY tok),
+         |qh AS (SELECT md5(tok) AS h, cnt FROM qtok),
+         |qcell AS (SELECT
+         |    list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+1)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 64 AS j,
+         |    CASE WHEN list_sum(list_transform(range(8), j ->
+         |      (strpos('0123456789abcdef', substr(h, (j+9)::INT, 1))-1)::BIGINT << (4*(7-j))::INT)) % 2 = 0
+         |      THEN cnt ELSE -cnt END AS v
+         |  FROM qh),
+         |qagg AS (SELECT j, sum(v) AS v FROM qcell GROUP BY 1),
+         |qvec AS (SELECT list(coalesce(qa.v, 0)::DOUBLE ORDER BY g.range) AS qx
+         |  FROM range(64) g LEFT JOIN qagg qa ON qa.j = g.range),
+         |vs AS (SELECT hv.doc_id AS nb, list_cosine_similarity(qx, x) AS sim FROM hv, qvec),
+         |vecr AS (SELECT nb, row_number() OVER (ORDER BY sim DESC, nb) AS vr
+         |         FROM vs QUALIFY vr <= 100),
+         |f AS (SELECT coalesce(l.doc_id, v.nb) AS doc_id, l.lr, v.vr
+         |      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.nb)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(lr, 0) AS BIGINT) AS lex_rank,
+         |  CAST(coalesce(vr, 0) AS BIGINT) AS vec_rank,
+         |  CAST(floor((coalesce(1.0/(60+lr), 0) + coalesce(1.0/(60+vr), 0)) * 1e9) AS BIGINT) AS rrf_m
+         |FROM f ORDER BY rrf_m DESC, doc_id LIMIT 20""".stripMargin,
+
+
     // BM25 closed form: Robertson idf ln((N-df+.5)/(df+.5)+1), k1=1.2,
     // b=0.75 (see TextOps.bm25Scores)
     "bm25_scores" ->

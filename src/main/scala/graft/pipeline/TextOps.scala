@@ -1776,6 +1776,98 @@ object TextOps {
     res
   }
 
+  /**
+   * Hybrid lexical+vector retrieval with reciprocal-rank fusion — the
+   * standard two-channel search primitive (RRF, Cormack et al. SIGIR'09;
+   * what production hybrid search runs over a BM25 index + an ANN
+   * index): score(d) = Σ_channels 1∕(60 + rank_channel(d)) over the
+   * channels where d appears in the top-`nCand`.
+   *
+   * Engine-exact contract (the §28 doctrine applied twice):
+   *  - the LEXICAL rank quantizes each BM25 per-(doc, term) contribution
+   *    to integer micros BEFORE the per-doc sum — a raw float sum's
+   *    addend order is engine-dependent, and ranks must never hang on
+   *    it (the perplexity_tiers lesson); ties break on doc_id;
+   *  - the VECTOR rank orders RAW hashEmbed cosines (bit-identical
+   *    across engines: one shared left-to-right fold — the ann_topk /
+   *    text_ann_hashed proof) with nb ties on doc_id;
+   *  - the fused score is emitted as ⌊rrf·10⁹⌋ (floor of identical
+   *    doubles — no round-half disagreement surface) and the final
+   *    top-`k` orders on (rrf_m desc, doc_id).
+   *
+   * Scale shape: lexical candidates via distributed TakeOrdered
+   * (orderBy+limit — never a global window over the corpus; the
+   * ranking window runs over the ≤ nCand SELECTED rows, the allowed
+   * rank-above-Limit pattern); vector candidates via the ann_topk
+   * broadcast (ONE query vector against the corpus, heap-truncated
+   * graft_topk partials); the fusion is a ≤ nCand × ≤ nCand full-outer
+   * equi-join. Returns (doc_id, lex_rank, vec_rank, rrf_m) — rank 0 =
+   * absent from that channel's candidates.
+   */
+  def hybridSearch(docs: DataFrame, queryTerms: Seq[String],
+                   nCand: Int = 100, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    val terms = queryTerms.flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "queryTerms must contain at least one token")
+    // ---- lexical channel: BM25 (k1=1.2, b=0.75) in integer micros ----
+    val (k1, b) = (1.2, 0.75)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    require(stats.getLong(0) > 0L && !stats.isNullAt(1),
+      "hybridSearch needs a non-empty tokenized corpus")
+    val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
+    val qtf = tf.where(col("tok").isin(terms: _*))
+    val dfreq = qtf.groupBy(col("tok")).agg(count_distinct(col("doc_id")).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val lex = qtf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
+      .withColumn("m", floor(
+        idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)) * 1e6)
+        .cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("m")).as("lex_micros"))
+    val lexTop = lex.orderBy(col("lex_micros").desc, col("doc_id")).limit(nCand)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_micros").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    // ---- vector channel: hashEmbed corpus, the query embedded by the
+    // SAME cell machinery (qid −1 can never collide with a doc id) ----
+    val hv = hashEmbed(docs)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .where(expr("exists(embedding, x -> x != 0D)"))
+    import spark.implicits._
+    val qv = hashEmbed(Seq((-1L, terms.mkString(" "))).toDF("doc_id", "text"))
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val scored = hv.select(col("vec_id").as("nb"), VectorOps.dvec(col("embedding")).as("cv"))
+      .join(broadcast(qv.select(col("vec_id").as("q"), VectorOps.dvec(col("embedding")).as("qv"))),
+        col("q") =!= col("nb"))
+      .select(col("nb"), VectorOps.cosineBest(spark, col("qv"), col("cv")).as("sim"))
+    val vecTop = VectorOps.groupedTopK(scored.withColumn("g", lit(1)), "g", "nb", "sim", nCand)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("nb"))))
+      .select(col("nb").as("doc_id"), col("vec_rank"))
+    // ---- fusion ----
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_m", floor((
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0))) * 1e9)
+        .cast("long"))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).cast("long").as("vec_rank"),
+        col("rrf_m"))
+      .orderBy(col("rrf_m").desc, col("doc_id")).limit(k)
+  }
+
   /** One packed bin: its member docs and token load. */
   final case class PackedBin(bin_id: String, doc_ids: Array[Long],
                              n_docs: Int, total_tokens: Long)

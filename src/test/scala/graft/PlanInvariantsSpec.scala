@@ -83,6 +83,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // ann_topk's exact-scoring shape over the hashEmbed vectors (5
       // broadcast query vectors against the corpus)
       "text_ann_hashed",
+      // the same shape with ONE broadcast query vector (the hybrid
+      // fusion's vector channel)
+      "hybrid_rrf",
       // broadcast range-join of per-token first-occurrence ranks against
       // the 10-row checkpoint table (each row duplicated ≤ steps times)
       "heaps_law",
@@ -105,7 +108,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "bottomk_quantiles", "lang_length_quantiles",
       // Hamilton-apportionment window math over the #sources dimension
       // table (post-aggregation, bounded by the source vocabulary)
-      "quota_apportion", "epoch_plan")
+      "quota_apportion", "epoch_plan",
+      // both rank windows run over ≤ nCand(=100) rows by construction:
+      // the lexical one above a TakeOrdered Limit, the vector one above
+      // the heap-truncated graft_topk aggregate
+      "hybrid_rrf")
     import org.apache.spark.sql.catalyst.plans.logical.{
       GlobalLimit, LocalLimit, Window => LWindow}
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
