@@ -220,19 +220,21 @@ object StreamBench {
     // as plan literals — a stateless projection like the Bloom guard;
     // state_bytes is offsets/commits only. Training is timed separately
     // (one-time batch cost, like the index builds in Bench). ----
-    {
+    val (langProfile, tierProfile, trainSecs) = {
       import graft.pipeline.TextOps
       val trainDocs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang"))
       val t0t = System.nanoTime()
-      val langProfile = TextOps.bucketProfile(trainDocs, "lang", 1024)
+      val lp = TextOps.bucketProfile(trainDocs, "lang", 1024)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       val tiers = TextOps.qualityTiers(trainDocs).select(col("doc_id"), col("tier"))
-      val tierProfile = TextOps.bucketProfile(
+      val tp = TextOps.bucketProfile(
         trainDocs.select(col("doc_id"), col("text")).join(tiers, "doc_id"),
         "tier", 1024)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      val trainSecs = (System.nanoTime() - t0t) / 1e9
+      (lp, tp, (System.nanoTime() - t0t) / 1e9)
+    }
+    {
       val sinkDir = s"$root/modelfilter_out"
       val ckpt = s"$root/ckpt_modelfilter"
       val t0 = System.nanoTime()
@@ -320,16 +322,19 @@ object StreamBench {
         s""""rows_per_sec":${(nDocs / secs).toLong},"state_bytes":$stBytes}"""
     }
 
-    // ---- 2b. COMPOSED end-to-end pipeline (r13 verdict item 7):
-    // url dedup → exact dedup → contamination guard → near-dup in ONE
-    // query DAG — production runs the stages composed, and near-dup
-    // (the expensive stage) sees only survivors. Parity contract: the
-    // url stage's re-deliveries reuse the SAME doc row (id + text), so
-    // its survivor set is deterministic; the exact stage keeps one
-    // representative per normalized-text class and the near-dup PAIR
-    // COUNT is invariant to which member survives (signatures are a
-    // pure function of the text class) — the batch twin replays the
-    // class representatives through the guard and the banded counter. ----
+    // ---- 2b. COMPOSED end-to-end pipeline (r13 verdict item 7, plus
+    // the r14 model stage): url dedup → exact dedup → contamination
+    // guard → MODEL FILTER → near-dup in ONE query DAG — production
+    // runs the stages composed, and near-dup (the expensive stage)
+    // sees only survivors. Parity contract: the url stage's
+    // re-deliveries reuse the SAME doc row (id + text), so its
+    // survivor set is deterministic; the exact stage keeps one
+    // representative per normalized-text class; the guard and model
+    // verdicts are pure functions of the text; and the near-dup PAIR
+    // COUNT is invariant to which class member survives (signatures
+    // are a pure function of the text class) — the batch twin replays
+    // the class representatives through the guard+model filters and
+    // the banded counter. ----
     {
       val withUniqueUrl = docs.withColumn("url",
         concat(lit("https://crawl.example.com/page/"), col("doc_id").cast("string"),
@@ -353,7 +358,9 @@ object StreamBench {
           val exactDeduped = EventStream.dedupDocStream(urlDeduped, "ts")
           val clean = EventStream.contaminationGuard(exactDeduped, evalDocs)
             .where(!col("flagged")).drop("flagged", "n_grams")
-          run("composed", EventStream.nearDupPairsStream(clean, "ts",
+          val modeled = EventStream.modelFilterApply(clean, langProfile, tierProfile)
+            .where(col("keep")).drop("pred_lang", "pred_tier", "keep")
+          run("composed", EventStream.nearDupPairsStream(modeled, "ts",
             bands = EventStream.NearDupBandsTuned))
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // batch twin: url stage collapses re-deliveries back to `docs`;
@@ -365,8 +372,11 @@ object StreamBench {
         .groupBy(col("ha"), col("hb"))
         .agg(min(col("doc_id")).as("doc_id"))
       val repDocs = docs.join(reps.select("doc_id"), "doc_id")
-      val cleanReps = EventStream.contaminationGuard(repDocs, evalDocs)
+      val guardedReps = EventStream.contaminationGuard(repDocs, evalDocs)
         .where(!col("flagged")).select(col("doc_id"), col("text"))
+      val cleanReps = EventStream.modelFilterApply(
+          guardedReps, langProfile, tierProfile)
+        .where(col("keep")).select(col("doc_id"), col("text"))
         .localCheckpoint(true)
       val nSurvivors = cleanReps.count()
       val expect = bandedPairCount(cleanReps)
