@@ -65,4 +65,18 @@ class RanksSpec extends AnyFunSuite {
     val rows = got.orderBy("rk").as[(Long, Seq[String], Long)].collect().toSeq
     assert(rows === Seq((1L, Seq("a"), 1L), (2L, Seq("b", "c"), 2L)))
   }
+
+  test("prefixRank releases its eager checkpoints beyond the LRU bound (r13 advice)") {
+    import spark.implicits._
+    // each call pins one localCheckpoint; the registry must free the
+    // oldest beyond MaxPinned=8 instead of accumulating for the session
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 12).foreach { i =>
+      val df = Seq.tabulate(50)(j => (j.toLong * i, j.toLong)).toDF("v", "p")
+      Ranks.prefixRank(df, Seq(col("v"), col("p")), "rk").count()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 8,
+      s"prefixRank leaked checkpoints: $before -> $after persistent RDDs (bound 8)")
+  }
 }
