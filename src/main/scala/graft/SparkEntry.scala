@@ -343,6 +343,20 @@ object SparkEntry {
       graft.gx.GraphXTraversal.harmonicCentralityDF(
         s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
 
+    "hyperanf" -> ((s, d) =>
+      // HyperANF neighborhood function (NEW r14): per-vertex 64-register
+      // HLL sketches of the out-ball, grown one hop per relational round
+      // (sparse (v,j,M) register rows — ≤64·|V| message volume, never the
+      // ball membership itself); pinned-integer estimator. The twin
+      // derives exact balls from the DAG's closed form and replays the
+      // registers + estimator bit-for-bit
+      graft.gx.HyperAnf.hyperAnfDF(s, TpchGraph.snapshot(s, d))),
+
+    "effective_diameter" -> ((s, d) =>
+      // 90% effective diameter from the same sketches: N(h) = Σ_v est,
+      // decimal-safe ×10/×9 integer compare (NEW r14)
+      graft.gx.HyperAnf.effectiveDiameterDF(s, TpchGraph.snapshot(s, d))),
+
     "betweenness_landmarks" -> ((s, d) =>
       // Brandes dependency accumulation to the supplier landmarks
       // (NEW r12): general level-synchronized relational sweep with

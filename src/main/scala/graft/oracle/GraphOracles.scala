@@ -437,5 +437,91 @@ object GraphOracles {
         |  CAST(sum(m) AS BIGINT)::DOUBLE / 1000000.0 AS harmonic
         |FROM (SELECT vertex_id, CAST(floor(1000000.0 / dist + 0.5) AS BIGINT) AS m FROM sp)
         |GROUP BY vertex_id""".stripMargin,
+
+
+    // HyperANF replay (see gx/HyperAnf.scala): register state after h
+    // rounds = the HLL sketch of the EXACT out-ball, so the twin
+    // derives ball membership from the order DAG's closed-form level
+    // joins, hashes members with the same md5 recipe, and replays the
+    // pinned-integer estimator (raw numerator + linear-counting table
+    // interpolated from the same JVM constants) bit-for-bit
+    "hyperanf" ->
+      s"""WITH $hyperAnfCtes
+         |SELECT CAST(vertex_id AS BIGINT) AS vertex_id, CAST(hop AS INT) AS hop,
+         |  CAST(est_micros AS BIGINT) AS est_micros FROM anf""".stripMargin,
+
+
+    // N(h) = Σ_v est(v,h) summed in HUGEINT (Spark side: DECIMAL(38,0)
+    // — the ×10/×9 effective-diameter compare must not wrap), emitted
+    // as BIGINT; eff_diameter_90 = min h with 10·N(h) ≥ 9·N(3)
+    "effective_diameter" ->
+      s"""WITH $hyperAnfCtes,
+         |nn AS (SELECT
+         |    sum(CASE WHEN hop = 1 THEN est_micros ELSE 0 END) AS n1,
+         |    sum(CASE WHEN hop = 2 THEN est_micros ELSE 0 END) AS n2,
+         |    sum(CASE WHEN hop = 3 THEN est_micros ELSE 0 END) AS n3 FROM anf)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(n3 AS BIGINT) AS n3,
+         |  CAST(CASE WHEN n1 * 10 >= n3 * 9 THEN 1
+         |            WHEN n2 * 10 >= n3 * 9 THEN 2 ELSE 3 END AS INT) AS eff_diameter_90
+         |FROM nn""".stripMargin,
   )
+
+  /** Shared CTE chain for the HyperANF twins: exact out-balls on the
+    * placed/contains/supplied_by DAG (generic 1/2/3-hop path joins —
+    * namespaced vertex bands as everywhere), then md5 register
+    * derivation and the estimator with constants interpolated from
+    * [[graft.gx.HyperAnf]] — ONE source of truth for α, the rho cap,
+    * the LC threshold and the 64-entry LC table. */
+  private lazy val hyperAnfCtes: String = {
+    val lcList = graft.gx.HyperAnf.LcMicros.mkString("[", ", ", "]")
+    val rawNumer = graft.gx.HyperAnf.RawNumerMicros
+    val lcThresh = graft.gx.HyperAnf.LcThresholdMicros
+    s"""e AS (
+       |  SELECT CAST(3000000 + o_custkey AS BIGINT) AS src,
+       |         CAST(6000000 + o_orderkey AS BIGINT) AS dst FROM orders
+       |  UNION SELECT CAST(6000000 + l_orderkey AS BIGINT),
+       |         CAST(5000000 + l_partkey AS BIGINT) FROM lineitem
+       |  UNION SELECT CAST(5000000 + l_partkey AS BIGINT),
+       |         CAST(4000000 + l_suppkey AS BIGINT) FROM lineitem
+       |), vv AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |b1 AS (SELECT src AS v, dst AS mem FROM e),
+       |b2 AS (SELECT DISTINCT e1.src AS v, e2.dst AS mem
+       |       FROM e e1 JOIN e e2 ON e2.src = e1.dst),
+       |b3 AS (SELECT DISTINCT e1.src AS v, e3.dst AS mem
+       |       FROM e e1 JOIN e e2 ON e2.src = e1.dst
+       |                 JOIN e e3 ON e3.src = e2.dst),
+       |memb AS (
+       |  SELECT 1 AS hop, v, mem FROM (
+       |    SELECT v, v AS mem FROM vv UNION SELECT * FROM b1)
+       |  UNION ALL SELECT 2, v, mem FROM (
+       |    SELECT v, v AS mem FROM vv UNION SELECT * FROM b1 UNION SELECT * FROM b2)
+       |  UNION ALL SELECT 3, v, mem FROM (
+       |    SELECT v, v AS mem FROM vv UNION SELECT * FROM b1
+       |    UNION SELECT * FROM b2 UNION SELECT * FROM b3)),
+       |hashed AS (SELECT hop, v, md5(CAST(mem AS VARCHAR)) AS h FROM memb),
+       |rj AS (SELECT hop, v,
+       |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS j,
+       |    CASE WHEN length(strip) = 0 THEN 30
+       |         ELSE least((28 - length(strip)) * 4
+       |           + CASE WHEN substr(strip, 1, 1) = '1' THEN 3
+       |                  WHEN substr(strip, 1, 1) IN ('2', '3') THEN 2
+       |                  WHEN substr(strip, 1, 1) IN ('4', '5', '6', '7') THEN 1
+       |                  ELSE 0 END + 1, 30) END AS m
+       |  FROM (SELECT hop, v, h,
+       |          regexp_replace(substr(h, 3, 28), '^0+', '') AS strip FROM hashed)),
+       |regs AS (SELECT hop, v, j, max(m) AS m FROM rj GROUP BY 1, 2, 3),
+       |qq AS (SELECT hop, v,
+       |    CAST(sum(CAST(1 AS BIGINT) << (30 - m))
+       |      + (64 - count(*)) * (CAST(1 AS BIGINT) << 30) AS BIGINT) AS q,
+       |    64 - count(*) AS v_empty
+       |  FROM regs GROUP BY 1, 2),
+       |anf AS (SELECT v AS vertex_id, hop,
+       |    CASE WHEN v_empty > 0 AND raw <= $lcThresh
+       |         THEN list_extract($lcList, CAST(v_empty AS INT))
+       |         ELSE raw END AS est_micros
+       |  FROM (SELECT hop, v, v_empty,
+       |          CAST($rawNumer AS BIGINT) // q AS raw FROM qq))""".stripMargin
+  }
 }
