@@ -1683,6 +1683,20 @@ object SparkEntry {
       pipeline.MultimodalOps.nearDupPerceptual(
         pipeline.MediaSynth.plantPerceptualVariants(
           pipeline.MediaSynth.synthesizeDecodable(docs(s, d).select(col("doc_id")))))),
+    "multimodal_perceptual_gif" -> ((s, d) =>
+      // perceptual tier over a COMPRESSED format decodable codec-free
+      // (r14 session 2): real LZW palette GIFs are decoded by the
+      // from-scratch GIF/LZW walker and folded into the same 8×8 luma
+      // aHash; planted variants re-encode the same luma grid through a
+      // fixed-point-free palette permutation + uniform +8 shift, so
+      // every LZW data byte AND every palette entry differs from the
+      // base while the decoded grid is exactly base+8 — byte tiers
+      // miss the pair by construction, the twin re-derives
+      // cluster == GIF class from doc_id arithmetic alone
+      pipeline.MultimodalOps.nearDupPerceptual(
+        pipeline.MediaSynth.plantGifVariants(
+          pipeline.MediaSynth.synthesizeGif(docs(s, d).select(col("doc_id")))))),
+
     "cdc_invariants" -> ((s, d) =>
       // the CONTENT-DEFINED near-dup tier's census entry (r13 verdict
       // item 2): chunk layouts aren't SQL-replayable, so the registered

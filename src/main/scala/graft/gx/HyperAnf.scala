@@ -99,14 +99,21 @@ object HyperAnf {
 
   /** Memoized per-(vertex, hop) estimates — `hyperanf` and
     * `effective_diameter` share one propagation (the spCache
-    * discipline). */
+    * discipline). Eviction FREES the evicted frame's checkpoint blocks
+    * (the Ranks.pin release rule — an eager localCheckpoint the LRU
+    * drops without unpersisting leaks one estimate-frame copy per
+    * evicted key for the session lifetime; a caller holding an evicted
+    * frame fails loudly on the missing block, never silently). */
   private val MaxCached = 8
   private val anfCache =
     new java.util.LinkedHashMap[(Snapshot, Int, Seq[String]), DataFrame](
       16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Snapshot, Int, Seq[String]), DataFrame]): Boolean =
-        size() > MaxCached
+          e: java.util.Map.Entry[(Snapshot, Int, Seq[String]), DataFrame]): Boolean = {
+        val evict = size() > MaxCached
+        if (evict) releaseCheckpoint(e.getValue)
+        evict
+      }
     }
 
   /** Per-vertex ball-size estimates: (vertex_id, hop, est_micros) for

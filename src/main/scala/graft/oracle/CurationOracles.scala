@@ -226,6 +226,24 @@ object CurationOracles {
         |FROM m JOIN g USING (kind, k)""".stripMargin,
 
 
+    // GIF perceptual classes, same generative pattern: every id is a
+    // GIF of class d % 24; d%3==1 plants a +10⁹ palette-permuted,
+    // brightness-shifted re-encode sharing the class but no payload
+    // byte — the Spark side must recover the class clusters from the
+    // LZW-DECODED pixels (the twin never sees a byte)
+    "multimodal_perceptual_gif" ->
+      """WITH base AS (SELECT doc_id, 'image' AS kind,
+        |    'g:' || (doc_id % 24) AS k FROM documents),
+        |m AS (SELECT doc_id AS media_id, kind, k FROM base
+        |  UNION ALL SELECT doc_id + 1000000000, kind, k FROM base WHERE doc_id % 3 = 1),
+        |g AS (SELECT kind, k, min(media_id) AS rep, count(*) AS n_members
+        |      FROM m GROUP BY kind, k)
+        |SELECT CAST(m.media_id AS BIGINT) AS media_id, m.kind,
+        |  CAST(g.rep AS BIGINT) AS rep, CAST(g.n_members AS BIGINT) AS n_members,
+        |  m.media_id = g.rep AS keep
+        |FROM m JOIN g USING (kind, k)""".stripMargin,
+
+
     // CDC near-dup invariants (the pack_invariants pattern): content-
     // defined chunk layouts can't be replayed in SQL, but the expected
     // invariant row is pure planted-id arithmetic — coverage counts

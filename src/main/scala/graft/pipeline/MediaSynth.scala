@@ -298,6 +298,115 @@ object MediaSynth {
     wav(1, 8000, 16, n * 2L) ++ pcm
   }
 
+  private[pipeline] val GifClasses = 24
+
+  /** REAL LZW-compressed palette GIF of class c: 32×32 pixels with the
+    * [[bmpGray]] luma formula (so class-pairwise aHash distinctness is
+    * inherited from the BMP fixture gates), 256-entry grayscale global
+    * color table, index = luma value. The encoder emits a CLEAR code
+    * before every pixel code — the dictionary never grows, the code
+    * width stays fixed at 9 bits, and ANY conformant decoder (including
+    * the general one under test, which must also handle growth) yields
+    * the exact pixel stream. ~2.3 KB payload. */
+  private[graft] def gifReal(c: Int): Array[Byte] =
+    gifEncode(32, 32, (x, y) => 64 + ((x * (1 + c % 5) + y * (2 + c % 7) +
+      x * y * (1 + c % 3)) % 97), identity)
+
+  /** Shared GIF writer: `idxOf(luma)` remaps pixel values to palette
+    * slots and the palette is built as its inverse — the permuted
+    * variant and the base decode to the same luma grid by
+    * construction. `shift` is added to every palette channel. */
+  private[graft] def gifEncode(w: Int, h: Int, luma: (Int, Int) => Int,
+                                  idxOf: Int => Int, shift: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    // palette = inverse of idxOf over 0..255 (idxOf must be a bijection)
+    val pal = new Array[Int](256)
+    (0 until 256).foreach(i => pal(idxOf(i)) = i + shift)
+    (0 until 256).foreach { i =>
+      val v = pal(i) & 0xFF
+      out.write(v); out.write(v); out.write(v)
+    }
+    out.write(0x2C) // image descriptor at (0,0), no LCT, not interlaced
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+    out.write(0)
+    out.write(8) // LZW min code size
+    // bit-pack (CLEAR, idx)* EOI at fixed 9-bit width, LSB-first
+    val codes = Seq.newBuilder[Int]
+    codes += 256 // initial CLEAR
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        codes += idxOf(luma(x, y) & 0xFF)
+        codes += 256 // CLEAR after every literal: dictionary never grows
+        x += 1
+      }
+      y += 1
+    }
+    codes += 257 // EOI
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    codes.result().foreach { code =>
+      acc |= code.toLong << nBits; nBits += 9
+      while (nBits >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) bits.write((acc & 0xFF).toInt)
+    val data = bits.toByteArray
+    var o = 0
+    while (o < data.length) { // 255-byte sub-block framing
+      val len = math.min(255, data.length - o)
+      out.write(len); out.write(data, o, len)
+      o += len
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF media table: every id → real LZW GIF of class d mod
+    * [[GifClasses]]. */
+  def synthesizeGif(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(d => (d, "image", gifReal((d % GifClasses).toInt))))
+      .toDF("media_id", "kind", "content")
+  }
+
+  /** Plant GIF perceptual variants for d % 3 == 1: media_id d + 10⁹
+    * re-encodes the SAME luma grid through the palette permutation
+    * π(i) = (181·i + 97) mod 256 with every palette channel shifted
+    * +8. π is a bijection with NO fixed point (181·i + 97 ≡ i needs
+    * 180·i ≡ −97, even ≡ odd), and a palette slot byte equaling the
+    * base's would need π(i−8) = i (180·i ≡ 1351, even ≡ odd) — so
+    * every LZW data byte region and every palette entry differs from
+    * the base while the DECODED luma grid is exactly base + 8:
+    * byte tiers miss the pair by construction, the aHash cross-product
+    * compare is invariant to it by construction. */
+  def plantGifVariants(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, kind, content) =>
+        val baseRow = (d, kind, content)
+        if (d % 3 != 1) Seq(baseRow)
+        else {
+          val c = (d % GifClasses).toInt
+          val permuted = gifEncode(32, 32,
+            (x, y) => 64 + ((x * (1 + c % 5) + y * (2 + c % 7) +
+              x * y * (1 + c % 3)) % 97),
+            i => (181 * i + 97) % 256, shift = 8)
+          Seq(baseRow, (d + 1000000000L, kind, permuted))
+        }
+      })
+      .toDF("media_id", "kind", "content")
+  }
+
   /** Decodable media table: even ids → gray BMP of image class
     * (d∕2) mod [[ImgClasses]], odd ids → PCM WAV of audio class
     * (d∕2) mod [[AudClasses]]. Payloads carry REAL pixels/samples the

@@ -509,10 +509,46 @@ object MultimodalOps {
 
   // ---- PERCEPTUAL near-dup tier: decoded-content features for the
   //      formats this container can decode codec-free (r13 verdict
-  //      item 3) — uncompressed 24-bit BMP pixels and 16-bit WAV PCM.
-  //      Compressed formats (PNG/JPEG/MP4) need a codec library and
+  //      item 3) — uncompressed 24-bit BMP pixels, 16-bit WAV PCM,
+  //      and (r14 session 2) palette GIF via a from-scratch LZW
+  //      decoder: LZW is pure bit-twiddling, no codec library needed.
+  //      Truly codec-bound formats (PNG deflate / JPEG DCT / MP4)
   //      keep riding the byte tiers; swapping a real decoder in
-  //      changes only the two parsers below, never the plan. ----
+  //      changes only the parsers below, never the plan. ----
+
+  /** Shared 8×8 aHash fold over any decoded luma grid: per-cell luma
+    * sums vs the global mean as exact integer cross-products
+    * (cell_sum·total_px > total_sum·cell_px — unequal cell sizes stay
+    * exact, and a uniform per-pixel shift moves every cell and the
+    * mean identically, so the hash is brightness-shift-invariant by
+    * construction). `luma(x, y)` is called once per pixel in row-major
+    * order. */
+  private def aHashFold(w: Int, h: Int, luma: (Int, Int) => Int): Long = {
+    val cellSum = new Array[Long](64)
+    val cellPx = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = (y * 8 / h) * 8
+      var x = 0
+      while (x < w) {
+        val cell = cy + x * 8 / w
+        cellSum(cell) += luma(x, y)
+        cellPx(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L; var totalPx = 0L
+    var k = 0
+    while (k < 64) { total += cellSum(k); totalPx += cellPx(k); k += 1 }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (cellSum(k) * totalPx > total * cellPx(k)) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
 
   /** Average-hash over the decoded pixel grid: per-pixel luma sums
     * (b+g+r — no division, so a uniform ±k-per-channel brightness
@@ -607,6 +643,129 @@ object MultimodalOps {
     else Some("env:" + sums.map(v => v * 1024 / total).mkString(","))
   }
 
+  /** Average-hash over a DECODED palette GIF: full GIF87a/89a walk
+    * (logical screen descriptor, global color table, extension blocks
+    * skipped by their sub-block framing, image descriptor with
+    * optional local color table) and a from-scratch LZW decode —
+    * variable code width 3..12 bits LSB-first, clear/EOI codes, KwKwK
+    * case, width growth at dictionary fill — then the same 8×8 luma
+    * fold as [[bmpAHash]] over palette(index) r+g+b sums. A
+    * palette-permuted copy (indices remapped, table reordered) decodes
+    * to the SAME luma grid, and a uniform palette brightness shift is
+    * absorbed by the cross-product compare — so both perceptual
+    * variants byte-level tiers cannot see collapse here. Interlaced or
+    * truncated streams → None (they stay in the byte tiers). */
+  private[graft] def gifAHash(c: Array[Byte]): Option[Long] = {
+    def u8(i: Int) = c(i) & 0xFF
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    if (c == null || c.length < 14 || c(0) != 'G' || c(1) != 'I' || c(2) != 'F') return None
+    val packed = u8(10)
+    var pos = 13
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (pos + 3 * n > c.length) return None
+      palette = java.util.Arrays.copyOfRange(c, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    // walk blocks to the first image descriptor
+    while (pos < c.length && u8(pos) != 0x2C) {
+      u8(pos) match {
+        case 0x21 => // extension: label byte + length-framed sub-blocks
+          pos += 2
+          while (pos < c.length && u8(pos) != 0) pos += 1 + u8(pos)
+          pos += 1
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    if (pos + 10 > c.length) return None
+    val w = le16(pos + 5)
+    val h = le16(pos + 7)
+    val ipacked = u8(pos + 9)
+    if (w <= 0 || h <= 0 || (ipacked & 0x40) != 0) return None // interlace unsupported
+    pos += 10
+    if ((ipacked & 0x80) != 0) {
+      val n = 1 << ((ipacked & 7) + 1)
+      if (pos + 3 * n > c.length) return None
+      palette = java.util.Arrays.copyOfRange(c, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    if (palette == null || pos >= c.length) return None
+    val nColors = palette.length / 3
+    val mcs = u8(pos); pos += 1
+    if (mcs < 2 || mcs > 8) return None
+    // concatenate the LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (pos < c.length && u8(pos) != 0) {
+      val len = u8(pos)
+      if (pos + 1 + len > c.length) return None
+      data.write(c, pos + 1, len)
+      pos += 1 + len
+    }
+    val bytes = data.toByteArray
+    // LZW decode (GIF variant): codes LSB-first, dict entries as
+    // (prefix code, suffix byte), clear = 1<<mcs, EOI = clear+1
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val out = new Array[Byte](w * h)
+    var outN = 0
+    var dictN = eoi + 1
+    var width = mcs + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var bi = 0
+    def expand(code: Int): Int = { // first byte of the expansion, emits to out
+      var stack = List.empty[Int]
+      var k = code
+      while (k >= clear) { stack = suffix(k) :: stack; k = prefix(k) }
+      stack = k :: stack
+      val head = k
+      stack.foreach { b => if (outN < out.length) { out(outN) = b.toByte; outN += 1 } }
+      head
+    }
+    var done = false
+    while (!done && outN < out.length) {
+      while (accBits < width && bi < bytes.length) {
+        acc |= (bytes(bi) & 0xFFL) << accBits; accBits += 8; bi += 1
+      }
+      if (accBits < width) done = true // stream exhausted
+      else {
+        val code = (acc & ((1 << width) - 1)).toInt
+        acc >>>= width; accBits -= width
+        if (code == clear) { dictN = eoi + 1; width = mcs + 1; prev = -1 }
+        else if (code == eoi) done = true
+        else if (prev == -1) {
+          if (code >= clear) return None
+          expand(code); prev = code
+        } else {
+          if (code > dictN) return None // a code past the next free slot is corrupt
+          val first =
+            if (code < dictN) expand(code)
+            else { // KwKwK: code == dictN
+              var k = prev
+              while (k >= clear) k = prefix(k)
+              expand(prev)
+              if (outN < out.length) { out(outN) = k.toByte; outN += 1 }
+              k
+            }
+          if (dictN < 4096) {
+            prefix(dictN) = prev; suffix(dictN) = first
+            dictN += 1
+            if (dictN == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+    }
+    if (outN < w * h) return None // truncated stream
+    Some(aHashFold(w, h, (x, y) => {
+      val idx = (out(y * w + x) & 0xFF) % nColors
+      (palette(idx * 3) & 0xFF) + (palette(idx * 3 + 1) & 0xFF) + (palette(idx * 3 + 2) & 0xFF)
+    }))
+  }
+
   /** Per-item perceptual feature string via one partition-mapped pass:
     * images → `ah:<16-hex aHash>`, audio → `env:<16 ratios>`; null when
     * the payload isn't decodable codec-free (compressed containers) —
@@ -618,7 +777,8 @@ object MultimodalOps {
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, c) =>
         val feat =
-          if (kind == "image") bmpAHash(c).map(h => f"ah:$h%016x")
+          if (kind == "image")
+            bmpAHash(c).orElse(gifAHash(c)).map(h => f"ah:$h%016x")
           else if (kind == "audio") wavEnvelope(c)
           else None
         (id, kind, feat.orNull)

@@ -423,4 +423,94 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(out.forall { case (id, (rep, keep)) => keep == (id == rep) })
   }
+
+  test("GIF perceptual tier: LZW roundtrip, palette-permutation invariance, zero shared payload bytes") {
+    import graft.pipeline.MediaSynth
+    // (a) the decoder really decodes: per-class aHash equals the aHash
+    // of the SAME luma grid folded via the BMP path is not required
+    // (row orders differ) — but all 24 GIF classes must decode and be
+    // pairwise distinct (closed class space ⇒ covers every sf)
+    val hashes = (0 until 24).map(c => MultimodalOps.gifAHash(MediaSynth.gifReal(c)))
+    assert(hashes.forall(_.isDefined), "every fixture class must decode")
+    assert(hashes.flatten.distinct.size == 24, "GIF classes must have distinct aHashes")
+    // (b) planted variant: permuted palette + uniform +8 shift decodes
+    // to base+8 ⇒ aHash bit-identical (structural invariance)
+    val c = 7
+    val base = MediaSynth.gifReal(c)
+    val variant = MediaSynth.gifEncode(32, 32,
+      (x, y) => 64 + ((x * (1 + c % 5) + y * (2 + c % 7) + x * y * (1 + c % 3)) % 97),
+      i => (181 * i + 97) % 256, shift = 8)
+    assert(MultimodalOps.gifAHash(variant) == MultimodalOps.gifAHash(base))
+    // (c) what the byte tiers would need is a shared RUN: the palette
+    // region must differ in EVERY byte (no π fixed point survives the
+    // +8 shift), and no ≥16-byte run past the header may coincide
+    // (bit-packing can align single bytes by chance; runs cannot)
+    assert((13 until 13 + 768).forall(i => base(i) != variant(i)),
+      "every palette byte must differ")
+    val n = math.min(base.length, variant.length)
+    var run = 0; var maxRun = 0
+    (13 until n).foreach { i =>
+      if (base(i) == variant(i)) { run += 1; maxRun = math.max(maxRun, run) }
+      else run = 0
+    }
+    assert(maxRun < 16, s"shared $maxRun-byte run would re-enter the byte tiers")
+    // (d) general-decoder robustness: a dictionary-GROWING stream from
+    // a conformant third-party-style encoder shape — single initial
+    // CLEAR, then literals without intermediate clears — decodes too
+    // (the dictionary fills and the code width must grow past 9 bits)
+    val grown = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes)
+      out.write(Array[Byte](32, 0, 32, 0)); out.write(0xF7); out.write(0); out.write(0)
+      (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+      out.write(0x2C)
+      out.write(Array[Byte](0, 0, 0, 0, 32, 0, 32, 0, 0))
+      out.write(8)
+      val codes = Seq(256) ++ (0 until 1024).map { p =>
+        val (x, y) = (p % 32, p / 32)
+        64 + ((x * (1 + c % 5) + y * (2 + c % 7) + x * y * (1 + c % 3)) % 97)
+      } ++ Seq(257)
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nBits = 0; var width = 9; var dictN = 258
+      var firstAfterClear = true
+      codes.foreach { code =>
+        acc |= code.toLong << nBits; nBits += width
+        while (nBits >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; nBits -= 8 }
+        // decoder-side dict mirror: the FIRST literal after a clear
+        // adds no entry; each later code adds one, and the width grows
+        // the moment the dictionary reaches 2^width
+        if (code == 256) { dictN = 258; width = 9; firstAfterClear = true }
+        else if (code < 256) {
+          if (firstAfterClear) firstAfterClear = false
+          else if (dictN < 4096) {
+            dictN += 1
+            if (dictN == (1 << width) && width < 12) width += 1
+          }
+        }
+      }
+      if (nBits > 0) bits.write((acc & 0xFF).toInt)
+      val data = bits.toByteArray
+      var o = 0
+      while (o < data.length) {
+        val len = math.min(255, data.length - o)
+        out.write(len); out.write(data, o, len); o += len
+      }
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    assert(MultimodalOps.gifAHash(grown) == MultimodalOps.gifAHash(base),
+      "dictionary-growing LZW stream must decode to the same grid")
+    // (e) end-to-end: clusters == generative GIF classes incl. variants
+    val ids = spark.range(0, 150).toDF("doc_id")
+    val planted = MediaSynth.plantGifVariants(MediaSynth.synthesizeGif(ids))
+    val out = MultimodalOps.nearDupPerceptual(planted).collect()
+      .map(r => r.getAs[Long]("media_id") -> (r.getAs[Long]("rep"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.size == planted.count())
+    (0L until 150L).foreach { d =>
+      val expRep = d % 24
+      assert(out(d)._1 == expRep, s"base $d cluster")
+      if (d % 3 == 1) assert(out(d + 1000000000L)._1 == expRep, s"variant of $d")
+    }
+    assert(out.forall { case (id, (rep, keep)) => keep == (id == rep) })
+  }
 }
