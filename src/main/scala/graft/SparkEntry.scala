@@ -1449,6 +1449,29 @@ object SparkEntry {
       VectorOps.ivfHealth(IvfAppendCache.get(s, d).index,
         pmod(col("nb"), lit(7)) === 0)
     },
+    "ann_nsw" -> { (s, d) =>
+      // graph-based ANN (NEW r14 session 2): fixed-round NSW beam
+      // search over the memoized kNN graph — per-query cost scales
+      // with beam×rounds, never with N or cell population (the third
+      // ANN paradigm beside the partition/IVF and hash/LSH families);
+      // the twin unrolls the walk round by round over its replayed
+      // knn_graph chain
+      val e = emb(s, d)
+      pipeline.VectorOps.nswSearch(
+        pipeline.VectorOps.IvfCache.knnGraphFrame(s, d), e,
+        e.where(col("vec_id") < 10))
+    },
+    "ann_nsw_recall" -> { (s, d) =>
+      // NSW quality made driver-visible: recall@10 vs the exact
+      // brute-force top-10 (the ann_ivf_recall contract)
+      val e = emb(s, d)
+      val qs = e.where(col("vec_id") < 10)
+      annRecall(
+        pipeline.VectorOps.nswSearch(
+          pipeline.VectorOps.IvfCache.knnGraphFrame(s, d), e, qs)
+          .select(col("q"), col("nb")),
+        pipeline.VectorOps.bruteForceTopK(e, qs, 10))
+    },
     "ann_ivf_recall" -> { (s, d) =>
       // ANN QUALITY made driver-visible (VERDICT r7 missing #1):
       // recall@10 of the memoized IVF search vs the exact brute-force

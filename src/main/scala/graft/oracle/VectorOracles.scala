@@ -43,6 +43,30 @@ object VectorOracles {
          |FROM asg a JOIN c3 c USING (cell)
          |GROUP BY a.cell""".stripMargin,
 
+    // NSW beam search replay: the knn_graph chain gives the adjacency,
+    // then the fixed-round beam walk unrolls like the kcore peel —
+    // candidate = beam ∪ expanded neighbors (UNION = the distinct),
+    // re-scored, top-beam by (sim desc, node); final beam cut to 10
+    // with self excluded. AS MATERIALIZED on multi-referenced CTEs
+    // (the kcore 3^rounds inlining lesson)
+    "ann_nsw" ->
+      s"""WITH $nswChainCtes
+         |SELECT CAST(q AS BIGINT) AS q, CAST(nb AS BIGINT) AS nb,
+         |  round(sim, 4) AS sim FROM nsw""".stripMargin,
+
+    // recall@10 of the replayed NSW walk against DuckDB's own exact
+    // top-10 (the ann_ivf_recall shape — quality cross-engine-checked)
+    "ann_nsw_recall" ->
+      s"""WITH $nswChainCtes,
+         |exq AS (SELECT q, nb FROM (
+         |    SELECT qx.q, r.vec_id AS nb, row_number() OVER (PARTITION BY qx.q
+         |      ORDER BY list_cosine_similarity(qx.qv, r.x) DESC, r.vec_id) AS rn
+         |    FROM qx, raw r WHERE r.vec_id <> qx.q) WHERE rn <= 10)
+         |SELECT CAST(n.q AS BIGINT) AS q, CAST(count(e.nb) AS BIGINT) AS hits,
+         |  round(count(e.nb) / 10.0, 4) AS recall
+         |FROM nsw n LEFT JOIN exq e ON n.q = e.q AND n.nb = e.nb
+         |GROUP BY n.q""".stripMargin,
+
     // the corpus-as-queries batch self-search: same replayed IVF chain
     // at the dedup-scaled k = ⌈√N⌉ (the O(N^1.5) contract), every vector
     // a query (qsFilter TRUE), nProbe 4, top-5 per vector
@@ -364,4 +388,38 @@ object VectorOracles {
         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS BIGINT) AS hamming
         |FROM ham WHERE hamming <= 3""".stripMargin,
   )
+
+  /** The NSW walk's CTE chain: knn_graph adjacency (the dedup-scaled
+    * replayed IVF chain, qsFilter TRUE, nProbe 4, top-5) + the
+    * fixed-round beam unroll with beam/rounds interpolated from
+    * [[graft.pipeline.VectorOps]] (one source of truth). `qx` = the
+    * registered query set, `nsw` = (q, nb, sim). */
+  private lazy val nswChainCtes: String = {
+    val beam = graft.pipeline.VectorOps.NswBeam
+    val rounds = graft.pipeline.VectorOps.NswRounds
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cand$r AS (SELECT q, node FROM b${r - 1}
+         |  UNION SELECT b.q, e.nb FROM b${r - 1} b JOIN knn e ON e.q = b.node),
+         |sc$r AS (SELECT c.q, c.node, list_cosine_similarity(qv.x, nv.x) AS s
+         |  FROM cand$r c JOIN raw nv ON nv.vec_id = c.node
+         |                JOIN raw qv ON qv.vec_id = c.q),
+         |b$r AS MATERIALIZED (SELECT q, node FROM (
+         |    SELECT q, node, row_number() OVER (PARTITION BY q
+         |      ORDER BY s DESC, node) AS rn FROM sc$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""${ivfChainCte("TRUE", "greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))",
+      qsFilter = "TRUE", nProbe = 4)},
+       |${ivfRankCteK(5)},
+       |knn AS MATERIALIZED (SELECT q, nb FROM ivf UNION SELECT nb, q FROM ivf),
+       |qx AS MATERIALIZED (SELECT vec_id AS q, x AS qv FROM raw WHERE vec_id < 10),
+       |b0 AS (SELECT q, CAST(0 AS BIGINT) AS node FROM qx),
+       |$roundCtes,
+       |scf AS (SELECT b.q, b.node, list_cosine_similarity(qv.x, nv.x) AS s
+       |  FROM b$rounds b JOIN raw nv ON nv.vec_id = b.node
+       |                  JOIN raw qv ON qv.vec_id = b.q
+       |  WHERE b.node <> b.q),
+       |nsw AS (SELECT q, node AS nb, s AS sim FROM (
+       |    SELECT q, node, s, row_number() OVER (PARTITION BY q
+       |      ORDER BY s DESC, node) AS rn FROM scf) WHERE rn <= 10)""".stripMargin
+  }
 }

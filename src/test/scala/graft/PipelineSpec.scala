@@ -2123,4 +2123,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(g.filter(_._1 < 5L) == direct)
     idx.indexed.unpersist(false)
   }
+
+  test("nswSearch: beam walk over the kNN graph — k-bounded, self-free, recall floor, beam-monotone") {
+    // the REGISTERED composition: real embeddings + the memoized
+    // dedup-scaled kNN graph (the IVF recall-gate precedent — a
+    // structureless random fixture is the wrong navigability testbed:
+    // measured 0.33 there vs 0.90 here, NSW quality is a property of
+    // the corpus geometry, which is exactly why the recall query is
+    // driver-visible)
+    val dir = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nn = VectorOps.IvfCache.knnGraphFrame(spark, dir)
+    val qs = corpus.where(col("vec_id") < 10)
+    def recallOf(res: Array[(Long, Long)]): Double = {
+      val truth = VectorOps.bruteForceTopK(corpus, qs, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      res.count(truth).toDouble / truth.size
+    }
+    val out = VectorOps.nswSearch(nn, corpus, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // shape: ≤ topK rows per query, never the query itself
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet)
+    assert(byQ.values.forall(g => g.size <= 10 && g.size == g.toSet.size))
+    assert(out.forall { case (q, nb) => q != nb })
+    // determinism: a second run is row-identical
+    assert(VectorOps.nswSearch(nn, corpus, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == out.toSeq)
+    // quality floor at the registered defaults; and a WIDER beam can
+    // only help (candidate sets nest round by round, and the final
+    // top-10 picks by exact similarity, so hits vs the exact top-10
+    // are monotone in beam width when sims are distinct)
+    val narrow = VectorOps.nswSearch(nn, corpus, qs, beam = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (rWide, rNarrow) = (recallOf(out), recallOf(narrow))
+    info(s"NSW recall@10: beam16 $rWide, beam4 $rNarrow")
+    assert(rWide >= 0.85, s"beam-16 recall $rWide below floor")
+    assert(rWide >= rNarrow, s"beam widening lowered recall: $rNarrow -> $rWide")
+  }
 }

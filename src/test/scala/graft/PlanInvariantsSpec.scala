@@ -34,6 +34,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "cdc_invariants",
       // ann_ivf's probe shape with the allowed-id equi-join added
       "ann_ivf_filtered",
+      // NSW rides the memoized kNN graph: the only BNLJ is the graph
+      // BUILD's centroid broadcast (billed as build_knn); the walk's
+      // own joins are all equi-joins on node/q. The recall twin adds
+      // bruteForceTopK's by-design broadcast nested loop (query side
+      // tiny — the ann_*_recall shape)
+      "ann_nsw", "ann_nsw_recall",
       // the appended-index search broadcasts the same k-row centroid
       // table as ann_ivf (the append assignment itself is a build step)
       "ann_ivf_appended", "ann_lsh",
