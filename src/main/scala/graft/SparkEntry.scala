@@ -343,6 +343,14 @@ object SparkEntry {
       graft.gx.GraphXTraversal.harmonicCentralityDF(
         s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
 
+    "sssp_weighted" -> ((s, d) =>
+      // weighted Bellman–Ford to the supplier landmarks (NEW r14
+      // session 2): min-cost over quantity-weighted contains edges,
+      // pure long arithmetic — general relational relaxation rounds
+      // under test, closed-form level mins in the twin
+      graft.gx.GraphXTraversal.ssspWeightedDF(
+        s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
+
     "hyperanf" -> ((s, d) =>
       // HyperANF neighborhood function (NEW r14): per-vertex 64-register
       // HLL sketches of the out-ball, grown one hop per relational round

@@ -977,6 +977,61 @@ object GraphXTraversal {
     out
   }
 
+  /** WEIGHTED single-source-class shortest paths: min-cost distance TO
+    * the landmark set along edge direction, edge cost = the `quantity`
+    * property where present (contains edges — cast to long: quantities
+    * are integer-valued) and 1 elsewhere, the weighted-PageRank weight
+    * convention. Run as GENERAL relational Bellman–Ford rounds — each
+    * round one equi-join of the edge list against the tentative-
+    * distance frame plus one map-side-combined min-aggregate (the
+    * pagerank-round scale shape; parallel edges relax independently,
+    * so the min over a multi-edge group needs no pre-dedup) — while
+    * the twin derives the fixpoint closed-form from the order DAG's
+    * level structure (min per level, the shortest_paths trick).
+    * Integer arithmetic throughout: costs are long sums of long
+    * weights, order-free and engine-exact, no float path at all.
+    * `rounds` must reach the weighted diameter of the landmark cone
+    * (3 levels here; the default leaves slack — extra rounds are
+    * idempotent at the fixpoint). Returns (vertex_id, landmark_id,
+    * dist_w); unreachable pairs carry no row, landmarks self-report 0. */
+  def ssspWeightedDF(spark: SparkSession, snap: Snapshot,
+                     landmarks: Seq[Long],
+                     labels: Seq[String] =
+                       Seq("placed", "contains", "supplied_by"),
+                     rounds: Int = 4): DataFrame = {
+    import graft.model.{A, PropType}
+    // one row per edge id (the contribEdges uniqueness pin), then the
+    // long cost: quantity where carried, 1 otherwise
+    val qty = snap.prop("quantity", PropType.PDouble, A.Edge)
+      .groupBy(col("e")).agg(max(col("v")).as("q"))
+      .select(col("e").as("id"), col("q"))
+    val edges = snap.edges.where(col("label").isin(labels: _*))
+      .select(col("id"), col("outV").as("src"), col("inV").as("dst"))
+      .join(qty, Seq("id"), "left_outer")
+      .select(col("src"), col("dst"),
+        coalesce(col("q"), lit(1.0)).cast("long").as("wt"))
+      .localCheckpoint(true)
+    val lmInGraph = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
+      .where(col("v").isin(landmarks: _*))
+    var dist = lmInGraph
+      .select(col("v"), col("v").as("lm"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val relaxed = edges
+        .join(dist.select(col("v").as("dst"), col("lm"), col("d")), "dst")
+        .select(col("src").as("v"), col("lm"), (col("wt") + col("d")).as("d"))
+      val next = dist.unionAll(relaxed)
+        .groupBy(col("v"), col("lm")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      releaseCheckpoint(dist)
+      dist = next
+    }
+    releaseCheckpoint(edges)
+    dist.select(col("v").as("vertex_id"), col("lm").as("landmark_id"),
+      col("d").as("dist_w"))
+  }
+
   /** Harmonic centrality TO the landmark set over the label-filtered
     * DAG: h(v) = Σ_{lm reachable} 1∕d(v, lm) — the centrality that stays
     * well-defined on disconnected graphs (unreachable landmarks

@@ -439,6 +439,41 @@ object GraphOracles {
         |GROUP BY vertex_id""".stripMargin,
 
 
+    // weighted SSSP, closed-form level mins (see ssspWeightedDF):
+    // parts supplying a landmark sit at 1 (supplied_by weight 1, min
+    // over parallel edges), orders at min(quantity + 1) over their
+    // lineitems into d1 parts, customers at 1 + min over their orders;
+    // all-long arithmetic, landmarks self-report 0
+    "sssp_weighted" ->
+      """WITH lm AS (
+        |  SELECT CAST(4000000 + s_suppkey AS BIGINT) AS lid FROM supplier
+        |  WHERE s_suppkey BETWEEN 1 AND 3
+        |    AND s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        |), w1 AS (
+        |  SELECT DISTINCT CAST(5000000 + l_partkey AS BIGINT) AS v,
+        |         CAST(4000000 + l_suppkey AS BIGINT) AS lid,
+        |         CAST(1 AS BIGINT) AS dw
+        |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 3
+        |), w2 AS (
+        |  SELECT CAST(6000000 + l.l_orderkey AS BIGINT) AS v, w1.lid,
+        |         min(CAST(l.l_quantity AS BIGINT) + w1.dw) AS dw
+        |  FROM lineitem l JOIN w1 ON CAST(5000000 + l.l_partkey AS BIGINT) = w1.v
+        |  GROUP BY 1, 2
+        |), w3 AS (
+        |  SELECT CAST(3000000 + o.o_custkey AS BIGINT) AS v, w2.lid,
+        |         min(1 + w2.dw) AS dw
+        |  FROM orders o JOIN w2 ON CAST(6000000 + o.o_orderkey AS BIGINT) = w2.v
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(vertex_id AS BIGINT) AS vertex_id,
+        |  CAST(landmark_id AS BIGINT) AS landmark_id, CAST(dist_w AS BIGINT) AS dist_w
+        |FROM (
+        |  SELECT lid AS vertex_id, lid AS landmark_id, 0 AS dist_w FROM lm
+        |  UNION ALL SELECT v, lid, dw FROM w1
+        |  UNION ALL SELECT v, lid, dw FROM w2
+        |  UNION ALL SELECT v, lid, dw FROM w3)""".stripMargin,
+
+
     // HyperANF replay (see gx/HyperAnf.scala): register state after h
     // rounds = the HLL sketch of the EXACT out-ball, so the twin
     // derives ball membership from the order DAG's closed-form level

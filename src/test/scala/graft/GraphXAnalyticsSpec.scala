@@ -193,6 +193,35 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(got.size == 2) // b and e are leaves (δ 0); the landmark is excluded
   }
 
+  test("ssspWeighted: relaxation picks the cheap 2-hop path over heavy direct edges") {
+    // a →(40) lm, a →(12) lm (parallel multi-edge), a →(3) m →(5) lm,
+    // u → a with NO quantity (cost 1): the order-DAG twin never has a
+    // cheaper-long-path shape, so only a custom graph proves the
+    // relaxation is MIN-COST (a closed-form-level bug would report 12)
+    val g = new graft.graph.GraftGraph(TestSpark.spark)
+    val lm = g.addVertex(); val a = g.addVertex()
+    val m = g.addVertex(); val u = g.addVertex()
+    g.addEdge(a, lm, "x").setProperty("quantity", 40.0: java.lang.Double)
+    g.addEdge(a, lm, "x").setProperty("quantity", 12.0: java.lang.Double)
+    g.addEdge(a, m, "x").setProperty("quantity", 3.0: java.lang.Double)
+    g.addEdge(m, lm, "x").setProperty("quantity", 5.0: java.lang.Double)
+    g.addEdge(u, a, "x") // weightless → cost 1
+    val snap = graft.snapshot.Snapshot.head(g.log)
+    val got = graft.gx.GraphXTraversal
+      .ssspWeightedDF(spark, snap, Seq(lm.id), Seq("x"), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((lm.id, lm.id)) == 0L)
+    assert(got((m.id, lm.id)) == 5L)
+    assert(got((a.id, lm.id)) == 8L, s"min-cost must beat both direct edges: $got")
+    assert(got((u.id, lm.id)) == 9L)
+    assert(got.size == 4)
+    // extra rounds are idempotent at the fixpoint
+    val more = graft.gx.GraphXTraversal
+      .ssspWeightedDF(spark, snap, Seq(lm.id), Seq("x"), rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(more == got)
+  }
+
   test("adaptive width: proportional to the filtered edge count, floored and capped") {
     import graft.gx.GraphXTraversal.{widthFor, TargetEdgesPerPartition, labelEdgeCount, cachedLabelGraph}
     // small subgraph → narrow (the measured-good sf0.1 point reproduced:
