@@ -352,12 +352,13 @@ object SparkEntry {
         s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
 
     "hyperanf" -> ((s, d) =>
-      // HyperANF neighborhood function (NEW r14): per-vertex 64-register
-      // HLL sketches of the out-ball, grown one hop per relational round
-      // (sparse (v,j,M) register rows — ≤64·|V| message volume, never the
-      // ball membership itself); pinned-integer estimator. The twin
-      // derives exact balls from the DAG's closed form and replays the
-      // registers + estimator bit-for-bit
+      // HyperANF neighborhood function (NEW r14): per-vertex dense
+      // 64-register HLL arrays of the out-ball, grown one hop per
+      // systolic relational round (|V| rows regardless of ball sizes,
+      // changed-frontier pulls only — never the ball membership
+      // itself); pinned-integer estimator as a pure projection. The
+      // twin derives exact balls from the DAG's closed form and
+      // replays the registers + estimator bit-for-bit
       graft.gx.HyperAnf.hyperAnfDF(s, TpchGraph.snapshot(s, d))),
 
     "effective_diameter" -> ((s, d) =>

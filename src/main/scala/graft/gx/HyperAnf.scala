@@ -23,11 +23,13 @@ import graft.snapshot.Snapshot
  * Scale shape (the reason this operator exists at 100 TB): the exact
  * neighbourhood function needs |ball| DISTINCT members per vertex —
  * Σ_v |ball(v,h)| rows, quadratic-ish on dense graphs — while this
- * path carries at most m=64 sparse register rows per vertex. Each
- * round is ONE equi-join of the edge list against the register
- * relation plus ONE map-side-combined max-aggregate; message volume is
- * ≤ 64·|V| rows regardless of ball sizes. No GraphX, no RDD hop: the
- * whole fixpoint is relational and stays in Tungsten.
+ * path carries ONE dense 64-int register array per vertex (|V| rows
+ * regardless of ball sizes, the paper's layout). Each round is one
+ * equi-join of the edge list against the CHANGED-vertex frontier
+ * (Boldi–Vigna systolic: converged regions and sink-sided edges go
+ * quiet) plus one element-wise-max fold; the estimate is a pure
+ * projection over the array — no second shuffle. No GraphX, no RDD
+ * hop: the whole fixpoint is relational and stays in Tungsten.
  *
  * Engine-exact estimator contract (the §28 doctrine applied to a
  * SKETCH): raw HLL E = α₆₄·m²·2³⁰·10⁶ / Q with Q = Σ_j 2^(30−M_j)
@@ -145,50 +147,94 @@ object HyperAnf {
       .select(col("outV").as("src"), col("inV").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    val verts = edges.select(col("src").as("v"))
-      .unionAll(edges.select(col("dst").as("v"))).distinct()
-    val hex = hexOf(col("v"))
-    // round 0: every vertex's sketch holds exactly itself (one sparse row)
-    var regs = verts.select(col("v"), regIndex(hex), rho(hex))
-      .localCheckpoint(true)
-    val perHop = Seq.newBuilder[DataFrame]
-    (1 to hops).foreach { h =>
-      // ball(v,h) = {v} ∪ ⋃_{v→u} ball(u,h−1): pull neighbours'
-      // registers across the edge, fold by register-wise max (map-side
-      // combined — the only shuffles per round are this join + agg)
-      val pulled = edges.join(regs.withColumnRenamed("v", "dst"), "dst")
-        .select(col("src").as("v"), col("j"), col("m"))
-      val next = regs.unionAll(pulled)
-        .groupBy(col("v"), col("j")).agg(max(col("m")).as("m"))
+    // Per-round join volume is Σ_edges |regs(dst)| — ~1e9 rows at sf5 —
+    // so the operator scales its OWN shuffle width off the edge count
+    // (the StreamBench set/restore precedent; 32 global partitions put
+    // ~40M-row partitions through one sort-merge task and died): one
+    // partition per ~250k edges, capped at 4× the cluster parallelism.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val width = try {
+      math.max(prevParts.toInt, math.min(
+        4 * spark.sparkContext.defaultParallelism,
+        (edges.count() / 250000L).toInt))
+    } catch { case _: NumberFormatException => 0 }
+    if (width > 0) spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    try {
+      val verts = edges.select(col("src").as("v"))
+        .unionAll(edges.select(col("dst").as("v"))).distinct()
+      val hex = hexOf(col("v"))
+      // DENSE registers — one 64-int array per vertex, the layout the
+      // HyperANF paper actually runs (the r14 sf5 catch: a sparse
+      // (v,j,M)-row layout checkpointed ~600M rows per frame and
+      // shuffled Σ_edges |regs(dst)| ≈ 10⁹ rows per round; two retries
+      // died on disk/OOM at sf5. Dense frames are |V| rows ≈ 25×
+      // smaller, the estimate becomes a pure per-row PROJECTION — no
+      // second shuffle — and the systolic skip works at vertex
+      // granularity). Round 0: each vertex's array holds exactly its
+      // own (j, rho); `changed` = true marks the initial frontier.
+      var regs = verts
+        .select(col("v"), regIndex(hex), rho(hex))
+        .select(col("v"),
+          transform(sequence(lit(0), lit(M - 1)),
+            i => when(i === col("j"), col("m")).otherwise(lit(0))).as("regs"),
+          lit(true).as("changed"))
         .localCheckpoint(true)
-      // only round 0 may be freed mid-loop: every later frame is in
-      // perHop and its checkpoint blocks back the final union (a
-      // localCheckpoint has no lineage to recompute from once released)
-      if (h == 1) releaseCheckpoint(regs)
-      regs = next
-      perHop += next.withColumn("hop", lit(h))
+      val zeroArr = transform(sequence(lit(0), lit(M - 1)), _ => lit(0))
+      // Boldi–Vigna SYSTOLIC rounds: only edges whose dst CHANGED last
+      // round ship its array (sink-sided edges drop out after round 1;
+      // converged regions go quiet); merge is element-wise max — a
+      // vertex absorbs a neighbour's array once and the skip is exact.
+      // Estimates fold out of each round's frame immediately and the
+      // previous frame is released: at most two |V|-row frames alive.
+      val estParts = Seq.newBuilder[DataFrame]
+      (1 to hops).foreach { h =>
+        val frontier = regs.where(col("changed"))
+          .select(col("v").as("dst"), col("regs").as("nregs"))
+        val pulled = edges.join(frontier, "dst")
+          .groupBy(col("src").as("v"))
+          .agg(aggregate(collect_list(col("nregs")), zeroArr,
+            (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("pulled"))
+        val next = regs.join(pulled, Seq("v"), "left_outer")
+          .withColumn("nr",
+            when(col("pulled").isNull, col("regs"))
+              .otherwise(zip_with(col("regs"), col("pulled"),
+                (a, b) => greatest(a, b))))
+          .select(col("v"), col("nr").as("regs"),
+            (col("nr") =!= col("regs")).as("changed"))
+          .localCheckpoint(true)
+        releaseCheckpoint(regs)
+        regs = next
+        estParts += estimateOf(next, h).localCheckpoint(true)
+      }
+      releaseCheckpoint(regs)
+      val parts = estParts.result()
+      val est = parts.reduce(_ unionAll _).localCheckpoint(true)
+      parts.foreach(releaseCheckpoint)
+      est
+    } finally {
+      if (width > 0) spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      releaseCheckpoint(edges)
     }
-    val hopFrames = perHop.result()
+  }
+
+  /** Fold one round's dense register frame into its per-vertex
+    * estimates — a pure PROJECTION (SQL lambda fold over the 64-int
+    * array: Q = Σ_j 2^(30−M_j) with empty registers contributing 2³⁰
+    * for free since M_j = 0), no shuffle at all. */
+  private def estimateOf(regs: DataFrame, hop: Int): DataFrame = {
     val lcArray = array(LcMicros.map(lit(_)): _*)
-    val est = hopFrames.reduce(_ unionAll _)
-      .groupBy(col("v").as("vertex_id"), col("hop"))
-      .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RhoCap} - m)")).as("qp"),
-        count(lit(1)).as("cnt"))
-      .select(col("vertex_id"), col("hop"),
-        (col("qp") + (lit(M.toLong) - col("cnt")) * lit(1L << RhoCap)).as("q"),
-        (lit(M.toLong) - col("cnt")).as("v_empty"))
-      .select(col("vertex_id"), col("hop"),
+    regs
+      .select(col("v").as("vertex_id"),
+        expr(s"aggregate(regs, CAST(0 AS BIGINT), " +
+          s"(acc, m) -> acc + shiftleft(CAST(1 AS BIGINT), $RhoCap - m))").as("q"),
+        expr("size(filter(regs, m -> m = 0))").cast("long").as("v_empty"))
+      .select(col("vertex_id"),
         expr(s"CAST($RawNumerMicros AS BIGINT) div q").as("raw"),
         col("v_empty"))
-      .select(col("vertex_id"), col("hop"),
+      .select(col("vertex_id"), lit(hop).as("hop"),
         when(col("v_empty") > 0 && col("raw") <= LcThresholdMicros,
           element_at(lcArray, col("v_empty").cast("int")))
           .otherwise(col("raw")).as("est_micros"))
-      .localCheckpoint(true)
-    hopFrames.foreach(releaseCheckpoint)
-    releaseCheckpoint(edges)
-    est
   }
 
   /** Landmark-free effective-diameter summary: N(h) = Σ_v est(v,h)

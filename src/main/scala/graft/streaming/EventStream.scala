@@ -237,6 +237,39 @@ object EventStream {
         col("h.rank_sum").as("register_sum"),
         round(col("h.est"), 4).as("est_users"))
 
+  /** Watermarked tumbling-window TRENDING TERMS over the ingest stream
+    * via the Misra–Gries `graft_topfreq` aggregate — the "what's
+    * spiking in the crawl this hour" monitor a live curation pipeline
+    * runs beside its dedup stages. Exact windowed token counts keep
+    * one state row per (window, token) — VOCABULARY-sized state the
+    * watermark cannot bound — while the MG summary keeps `capacity`
+    * entries per window regardless of vocabulary, and its capped
+    * summary merge is mergeable-summary algebra (Agarwal et al.,
+    * PODS'12), so out-of-order micro-batches fold into standing state
+    * safely. Summary CONTENTS are merge-order-dependent (the
+    * heavy_hitters_sketch rows-only reason), so the streaming gate is
+    * the INVARIANT pair — guaranteed-survivor containment and the
+    * n∕(capacity+1) under-count bound vs exact window counts — checked
+    * in EventStreamSpec (the hh_sketch_audit pattern, applied to a
+    * stream). Emits (win_start, n_tokens, tok, freq_est, rk), top-k
+    * of each finalized window's summary. */
+  def trendingTermsStream(docs: DataFrame, tsCol: String,
+                          window: String = "1 hour",
+                          watermark: String = "2 hours",
+                          k: Int = 10, capacity: Int = 64): DataFrame =
+    withWatermarkOnce(docs, tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.pipeline.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_tokens"),
+        call_function("graft_topfreq", col("tok"), lit(capacity)).as("top"))
+      .select(col("window.start").as("win_start"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        posexplode(slice(col("top"), 1, k)))
+      .select(col("win_start"), col("n_tokens"),
+        col("col.item").as("tok"), col("col.est").as("freq_est"),
+        (col("pos") + 1).cast("long").as("rk"))
+
   /** Gap-based session windows per user: a session extends while the next
     * event arrives within `gap` of the last one (INCLUSIVE — an event at
     * exactly last-ts + gap merges, verified in EventStreamSpec);

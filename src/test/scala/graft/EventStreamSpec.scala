@@ -864,4 +864,66 @@ class EventStreamSpec extends AnyFunSuite {
     // leaving exactly the (0, 1) near-dup pair
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("trendingTermsStream: MG invariants hold on the finalized window; capacity-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 4
+    val source = MemoryStream[(Long, Timestamp, String)]
+    // window [00:00, 01:00): n = 13 tokens, alpha 6, beta 2, five
+    // singletons — threshold n/(cap+1) = 2.6, so alpha is the one
+    // GUARANTEED survivor and every estimate must sit in
+    // [true − 2.6, true]. Split across micro-batches so the standing
+    // MG state genuinely merges.
+    source.addData(
+      (0L, ts("2024-01-01 00:05:00"), "alpha alpha alpha beta"),
+      (1L, ts("2024-01-01 00:15:00"), "alpha gamma beta alpha"))
+    val q = EventStream.trendingTermsStream(
+        source.toDF().toDF("doc_id", "ts", "text"), "ts",
+        watermark = "30 minutes", k = cap, capacity = cap)
+      .writeStream.format("memory").queryName("trend_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      source.addData(
+        (2L, ts("2024-01-01 00:25:00"), "alpha delta epsilon zeta eta"),
+        (3L, ts("2024-01-01 02:00:00"), "closer closer")) // advances the watermark past 01:00
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("trend_sink")
+      .where(col("win_start") === ts("2024-01-01 00:00:00")).collect()
+    assert(rows.nonEmpty, "window [00:00, 01:00) must finalize")
+    assert(rows.length <= cap) // the summary is capacity-bounded
+    assert(rows.forall(_.getAs[Long]("n_tokens") == 13L)) // exact count is order-free
+    val exact = Map("alpha" -> 6L, "beta" -> 2L, "gamma" -> 1L,
+      "delta" -> 1L, "epsilon" -> 1L, "zeta" -> 1L, "eta" -> 1L)
+    val est = rows.map(r => r.getAs[String]("tok") -> r.getAs[Long]("freq_est")).toMap
+    // guaranteed-survivor containment: true > n/(cap+1) ⇒ present
+    assert(est.contains("alpha"), s"guaranteed survivor missing: $est")
+    // under-count bound for every emitted token: est ≤ true ≤ est + n/(cap+1)
+    est.foreach { case (tok, e) =>
+      val t = exact(tok)
+      assert(e <= t && t - e <= 13.0 / (cap + 1), s"MG bound violated for $tok: est $e true $t")
+    }
+    // rank 1 is the dominant term: alpha's est ≥ 6 − 2.6 > any other
+    // token's est ≤ its true ≤ 2
+    val rk1 = rows.find(_.getAs[Long]("rk") == 1L).get
+    assert(rk1.getAs[String]("tok") == "alpha")
+    // the batch run of the SAME transform satisfies the same bounds
+    // (contents may legitimately differ by merge order — the
+    // heavy_hitters_sketch rows-only reason)
+    val batch = EventStream.trendingTermsStream(
+        Seq((0L, ts("2024-01-01 00:05:00"), "alpha alpha alpha beta"),
+          (1L, ts("2024-01-01 00:15:00"), "alpha gamma beta alpha"),
+          (2L, ts("2024-01-01 00:25:00"), "alpha delta epsilon zeta eta"))
+          .toDF("doc_id", "ts", "text"), "ts",
+        watermark = "30 minutes", k = cap, capacity = cap)
+      .collect()
+    assert(batch.nonEmpty && batch.forall(_.getAs[Long]("n_tokens") == 13L))
+    batch.foreach { r =>
+      val (tok, e) = (r.getAs[String]("tok"), r.getAs[Long]("freq_est"))
+      assert(e <= exact(tok) && exact(tok) - e <= 13.0 / (cap + 1))
+    }
+    assert(batch.exists(r => r.getAs[String]("tok") == "alpha" && r.getAs[Long]("rk") == 1L))
+  }
 }
