@@ -266,6 +266,81 @@ object StreamBench {
         s""""state_bytes":${dirBytes(java.nio.file.Paths.get(ckpt))}}"""
     }
 
+    // ---- trending terms (windowed Misra–Gries heavy hitters) ----
+    // 5-minute tumbling windows over the ≤1 h feed so most windows
+    // FINALIZE in append mode; k = capacity so the whole summary is
+    // emitted and the survivor-containment audit below is meaningful.
+    // Summary contents are merge-order-dependent (the
+    // heavy_hitters_sketch rows-only reason) so the recorded bit is the
+    // INVARIANT audit vs exact window counts, not row parity:
+    // (1) n_tokens exact, (2) est ≤ true ≤ est + n/(cap+1) for every
+    // emitted token, (3) every guaranteed survivor
+    // (true > n/(cap+1)) present in its emitted window's summary.
+    //
+    // The finalize-able watermark (2 min ≪ feed span) makes arrival
+    // ORDER load-bearing for the exact-count audit: docs_src files hold
+    // random ts, so a batch can advance the watermark past a window
+    // other files still carry rows for — those rows are then dropped as
+    // late (correct streaming semantics, but the exact twin can't see
+    // it). Stage a ts-ordered source instead: repartitionByRange puts
+    // ascending ts ranges in ascending part indices, and the mod-time
+    // stamp (the events_src trick) makes FileStreamSource consume them
+    // in that order, so no row ever arrives behind the watermark.
+    {
+      val sinkDir = s"$root/trending_out"
+      val ckpt = s"$root/ckpt_trending"
+      val cap = 16
+      docs.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(s"$root/trending_src")
+      val tparts = new java.io.File(s"$root/trending_src").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      tparts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(System.currentTimeMillis() - 1000L * (tparts.length - i)) }
+      val t0 = System.nanoTime()
+      val q = EventStream.withRocksDbStateStore(spark) {
+        EventStream.trendingTermsStream(
+            fileStream(s"$root/trending_src", docSchema, 4), "ts",
+            window = "5 minutes", watermark = "2 minutes",
+            k = cap, capacity = cap)
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(sinkDir); ()
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.parquet(sinkDir).localCheckpoint(true)
+      val nWins = streamed.select(col("win_start")).distinct().count()
+      val toks = docs
+        .select(org.apache.spark.sql.functions.window(col("ts"), "5 minutes").as("w"),
+          explode(graft.pipeline.TextOps.tokens(col("text"))).as("tok"))
+        .select(col("w.start").as("win_start"), col("tok"))
+        .groupBy(col("win_start"), col("tok"))
+        .agg(count(lit(1)).as("tc")).localCheckpoint(true)
+      val winN = toks.groupBy(col("win_start")).agg(sum(col("tc")).as("nTrue"))
+      val vCount = streamed.join(winN, "win_start")
+        .where(col("n_tokens") =!= col("nTrue")).count()
+      val vBound = streamed.join(toks, Seq("win_start", "tok"), "left")
+        .where(col("freq_est") > coalesce(col("tc"), lit(0L)) ||
+          coalesce(col("tc"), lit(0L)) - col("freq_est") >
+            col("n_tokens").cast("double") / (cap + 1))
+        .count()
+      val vSurv = toks.join(winN, "win_start")
+        .where(col("tc") * (cap + 1) > col("nTrue"))
+        .join(streamed.select(col("win_start")).distinct(), Seq("win_start"), "left_semi")
+        .join(streamed.select(col("win_start"), col("tok")),
+          Seq("win_start", "tok"), "left_anti")
+        .count()
+      val audit = vCount == 0L && vBound == 0L && vSurv == 0L
+      out("trending_terms_stream") =
+        s"""{"input_rows":$nDocs,"finalized_windows":$nWins,"out_rows":${streamed.count()},""" +
+        s""""count_violations":$vCount,"bound_violations":$vBound,""" +
+        s""""survivor_violations":$vSurv,"invariants":$audit,""" +
+        s""""secs":${f"$secs%.2f"},"rows_per_sec":${(nDocs / secs).toLong},""" +
+        s""""state_bytes":${dirBytes(java.nio.file.Paths.get(ckpt))}}"""
+    }
+
     /** Batch twin of the streaming near-dup estimator pipeline over an
       * arbitrary (doc_id, text) corpus: identical band hashing and
       * signature Jaccard (tuned constants mirrored from the operator),
