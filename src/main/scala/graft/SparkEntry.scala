@@ -351,6 +351,14 @@ object SparkEntry {
       graft.gx.GraphXTraversal.ssspWeightedDF(
         s, TpchGraph.snapshot(s, d), Seq(4000001L, 4000002L, 4000003L))),
 
+    "graph_walks" -> ((s, d) =>
+      // deterministic DeepWalk training sequences (NEW r14 session 3):
+      // one fixed-length walk per customer vertex, next hop = md5
+      // hash-argmin over out-neighbors — reproducible bit-for-bit in
+      // any engine, frontier-sized state per step; the twin unrolls
+      // the same argmin per step
+      graft.gx.GraphXTraversal.randomWalksDF(s, TpchGraph.snapshot(s, d))),
+
     "hyperanf" -> ((s, d) =>
       // HyperANF neighborhood function (NEW r14): per-vertex dense
       // 64-register HLL arrays of the out-ball, grown one hop per
@@ -1289,6 +1297,14 @@ object SparkEntry {
       // cross-source duplication matrix over the LSH-bounded pair set —
       // the provenance report before dropping a source
       TextOps.sourceOverlap(docs(s, d), 0.8)),
+    "source_overlap_sketch" -> ((s, d) =>
+      // the 100 TB form of the provenance report: pairwise
+      // distinct-shingle Jaccard by portable-HLL register algebra —
+      // one corpus scan to a #sources·4096-row register table, union
+      // by elementwise max, inclusion–exclusion estimates (exact twin
+      // is quadratic and ORACLE_SKIP at scale; this one never pairs
+      // documents at all)
+      TextOps.sourceOverlapSketch(docs(s, d))),
     "curation_funnel" -> ((s, d) =>
       // per-stage survivor counts of the cleaning pipeline in ONE scan
       // (conditional aggregates over staged cumulative flags)

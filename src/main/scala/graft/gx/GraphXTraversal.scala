@@ -1087,6 +1087,66 @@ object GraphXTraversal {
   }
 
   /**
+   * Deterministic DeepWalk-style random-walk corpus over the snapshot
+   * graph — the training-sequence generator for graph-embedding
+   * pipelines (Perozzi et al., "DeepWalk", KDD'14; node2vec's p=q=1
+   * case): one fixed-length walk per start vertex, emitted as
+   * (walk_id, step, vertex_id) rows ready for sequence packing.
+   *
+   * The "random" coin is the engines-shared md5 hash: at step t, walk w
+   * standing at v moves to argmin over out-neighbors u of
+   * md5("w:t:u") (tie-broken by u — unreachable in practice but pinned
+   * for determinism). A pure function of (w, t, u), so the walk corpus
+   * is reproducible bit-for-bit in ANY engine with md5 — the DuckDB
+   * twin unrolls the same argmin per step — and independent of
+   * partitioning and merge order, unlike rand()-seeded samplers.
+   * Walks at a sink vertex simply end (no further rows).
+   *
+   * Scale shape: per step ONE frontier×edges equi-join (edges persisted
+   * and partition-reused across steps) + one map-side-combined
+   * min(struct) argmin — the shuffle carries at most one row per walk
+   * per map partition, never the neighbor multiset; each frontier is
+   * eagerly checkpointed (≤ one row per walk) so the unrolled lineage
+   * never recomputes earlier steps, then released once the union
+   * materializes. At 100 TB walks are embarrassingly parallel: the
+   * only cross-round state is the walk-sized frontier.
+   */
+  def randomWalksDF(spark: SparkSession, snap: Snapshot, steps: Int = 5,
+                    startLo: Long = 3000000L,
+                    startHi: Long = 4000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = snap.edges.select(col("outV").as("v"), col("inV").as("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // starts = vertices in [lo, hi) with ≥1 out-edge (walks from pure
+    // sinks would be single-row trivia; the twin replays the same rule)
+    var frontier = edges.select(col("v")).distinct()
+      .where(col("v") >= startLo && col("v") < startHi)
+      .select(col("v").as("walk_id"), col("v"))
+      .localCheckpoint(true)
+    val frontiers = scala.collection.mutable.ArrayBuffer(frontier)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("walk_id"), lit(0L).as("step"), col("v")))
+    (1 to steps).foreach { t =>
+      val next = frontier.join(edges, "v")
+        .select(col("walk_id"), col("u"),
+          md5(concat_ws(":", col("walk_id"), lit(t), col("u"))).as("h"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("u"))).as("m"))
+        .select(col("walk_id"), col("m.u").as("v"))
+        .localCheckpoint(true)
+      frontiers += next
+      levels += next.select(col("walk_id"), lit(t.toLong).as("step"), col("v"))
+      frontier = next
+    }
+    val out = levels.reduce(_ unionAll _)
+      .select(col("walk_id"), col("step"), col("v").as("vertex_id"))
+      .localCheckpoint(true)
+    frontiers.foreach(releaseCheckpoint)
+    edges.unpersist(false)
+    out
+  }
+
+  /**
    * Landmark betweenness (Brandes, "A Faster Algorithm for Betweenness
    * Centrality", J. Math. Sociol. 2001), restricted to shortest paths
    * ENDING at the landmark set — the standard sampled/pivot

@@ -898,6 +898,75 @@ object CorpusOracles {
          |GROUP BY 1, 2""".stripMargin,
 
 
+    // the portable-HLL register replay (vocab_sketch doctrine) lifted
+    // to PAIRWISE sketch algebra: per-source max-rank registers from
+    // md5 hex, pairwise union registers by elementwise max, and the
+    // estimate expression repeated verbatim per side/union — exact
+    // integers (nonzero, rank_sum) pin the register state, the doubles
+    // are one shared left-assoc sequence rounded at 4
+    "source_overlap_sketch" ->
+      """WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |shs AS (SELECT source, CASE WHEN len(t) >= 3
+        |  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+        |  ELSE [] END AS s FROM toks),
+        |hh AS (SELECT DISTINCT source, md5(g) AS h
+        |       FROM (SELECT source, unnest(s) AS g FROM shs)),
+        |reg AS (SELECT source,
+        |    (strpos('0123456789abcdef', substr(h,1,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(h,2,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(h,3,1))-1) AS idx,
+        |    list_sum(list_transform(range(13), i ->
+        |      (strpos('0123456789abcdef', substr(h, (4+i)::INT, 1))-1)::BIGINT << (4*(12-i))::INT)) AS tail
+        |  FROM hh),
+        |rk AS (SELECT source, idx,
+        |    max(CASE WHEN tail = 0 THEN 53 ELSE 53 - length(format('{:b}', tail::BIGINT)) END) AS mj
+        |  FROM reg GROUP BY source, idx),
+        |agg AS (SELECT source, count(*) AS nz, sum(mj) AS rs,
+        |    sum(CAST(1::BIGINT << (53 - mj) AS HUGEINT))
+        |      + CAST(4096 - count(*) AS HUGEINT) * CAST(1::BIGINT << 53 AS HUGEINT) AS s
+        |  FROM rk GROUP BY source),
+        |est AS (SELECT source, nz,
+        |    CASE WHEN 4096 - nz > 0 AND
+        |        0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / s::DOUBLE <= 2.5 * 4096.0
+        |      THEN 4096.0 * ln(4096.0 / (4096 - nz))
+        |      ELSE 0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / s::DOUBLE
+        |    END AS e
+        |  FROM agg),
+        |prs AS (SELECT a.source AS source_a, b.source AS source_b
+        |  FROM (SELECT DISTINCT source FROM rk) a
+        |  JOIN (SELECT DISTINCT source FROM rk) b ON a.source < b.source),
+        |urk AS (SELECT source_a, source_b, idx, max(mj) AS mj FROM (
+        |    SELECT p.source_a, p.source_b, r.idx, r.mj
+        |    FROM prs p JOIN rk r ON r.source = p.source_a
+        |    UNION ALL
+        |    SELECT p.source_a, p.source_b, r.idx, r.mj
+        |    FROM prs p JOIN rk r ON r.source = p.source_b)
+        |  GROUP BY source_a, source_b, idx),
+        |uagg AS (SELECT source_a, source_b, count(*) AS nz, sum(mj) AS rs,
+        |    sum(CAST(1::BIGINT << (53 - mj) AS HUGEINT))
+        |      + CAST(4096 - count(*) AS HUGEINT) * CAST(1::BIGINT << 53 AS HUGEINT) AS s
+        |  FROM urk GROUP BY source_a, source_b),
+        |uest AS (SELECT source_a, source_b, nz, rs,
+        |    CASE WHEN 4096 - nz > 0 AND
+        |        0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / s::DOUBLE <= 2.5 * 4096.0
+        |      THEN 4096.0 * ln(4096.0 / (4096 - nz))
+        |      ELSE 0.7213 / (1 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / s::DOUBLE
+        |    END AS e
+        |  FROM uagg)
+        |SELECT u.source_a, u.source_b,
+        |  CAST(ea.nz AS BIGINT) AS nonzero_a,
+        |  CAST(eb.nz AS BIGINT) AS nonzero_b,
+        |  CAST(u.nz AS BIGINT) AS nonzero_union,
+        |  CAST(u.rs AS BIGINT) AS register_sum_union,
+        |  round(ea.e, 4) AS est_a,
+        |  round(eb.e, 4) AS est_b,
+        |  round(u.e, 4) AS est_union,
+        |  round(ea.e + eb.e - u.e, 4) AS est_common,
+        |  round((ea.e + eb.e - u.e) / u.e, 4) AS jaccard_est
+        |FROM uest u JOIN est ea ON ea.source = u.source_a
+        |            JOIN est eb ON eb.source = u.source_b""".stripMargin,
+
+
     "curation_funnel" ->
       """WITH t AS (SELECT lang, text,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t,

@@ -20,6 +20,29 @@ object GraphOracles {
     "scan_edges" -> edgeUnion,
 
 
+    // deterministic DeepWalk twin: the md5 coin is a pure function of
+    // (walk, step, candidate), so each step is an exact argmin replay —
+    // rank by (md5('w:t:u'), u) per walk over the out-neighbor join,
+    // keep rank 1, unrolled per step
+    "graph_walks" -> {
+      val stepCtes = (1 to 5).map { t =>
+        s"""w$t AS (SELECT walk_id, v FROM (
+           |  SELECT w.walk_id, e.inV AS v,
+           |    row_number() OVER (PARTITION BY w.walk_id
+           |      ORDER BY md5(w.walk_id::VARCHAR || ':$t:' || e.inV::VARCHAR), e.inV) AS rn
+           |  FROM w${t - 1} w JOIN edges e ON e.outV = w.v) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to 5).map(t =>
+        s"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST($t AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex_id FROM w$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH edges AS ($edgeUnion),
+         |w0 AS (SELECT DISTINCT outV AS walk_id, outV AS v FROM edges
+         |       WHERE outV >= 3000000 AND outV < 4000000),
+         |$stepCtes
+         |$unions""".stripMargin
+    },
+
+
     "sql_serving" ->
       s"""WITH edges AS ($edgeUnion)
          |SELECT label, CAST(count(*) AS BIGINT) AS n_edges,

@@ -1596,6 +1596,111 @@ object TextOps {
   }
 
   /**
+   * SKETCH-algebra cross-source content overlap — the 100 TB form of
+   * the provenance report: estimated distinct-shingle Jaccard between
+   * every source pair via the portable md5 HyperLogLog register table
+   * (functions/HllSketchAgg contract, computed here as plain columns so
+   * the REGISTERS stay relational). [[sourceOverlap]] counts near-dup
+   * PAIRS, whose exact twin is quadratic (ORACLE_SKIP at scaled data);
+   * this one never forms pairs of documents at all:
+   *
+   *  - ONE corpus scan explodes shingles to (source, register_idx,
+   *    rank) and folds max(rank) map-side — the shuffle carries at most
+   *    #sources · 4096 rows per map partition, never a token;
+   *  - everything after is sketch algebra on the #sources·4096-row
+   *    register table: per-source estimates, pairwise UNION registers
+   *    (elementwise max — HLL merge is exact, sketch(A∪B) ==
+   *    merge(sketch(A), sketch(B))), and inclusion–exclusion
+   *    |A∩B| ≈ est(A) + est(B) − est(A∪B).
+   *
+   * Exact-integer oracle pins per pair: (nonzero, rank_sum) of both
+   * sides and of the union — any single-register divergence shifts
+   * them — plus the shared-double estimates rounded at 4 (the
+   * vocab_sketch doctrine: integers until one shared final double
+   * expression, repeated verbatim by the twin). `jaccard_est` can be
+   * slightly negative on disjoint sources (inclusion–exclusion noise);
+   * that is honest sketch output, not clamped.
+   */
+  def sourceOverlapSketch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val m = 4096 // p = 12; hex arithmetic below is specific to p = 12
+    // maxRank = 64 - p + 1 = 53: idx = top 3 hex chars, tail = next 13
+    val toks = docs.select(col("source"), tokens(col("text")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val regs = toks
+      .select(col("source"), explode(shinglesFromTokens(col("t"))).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .select(col("source"),
+        conv(substring(col("h"), 1, 3), 16, 10).cast("int").as("idx"),
+        conv(substring(col("h"), 4, 13), 16, 10).cast("long").as("tail"))
+      .select(col("source"), col("idx"),
+        when(col("tail") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("tail")))).cast("int").as("rk"))
+      .groupBy(col("source"), col("idx")).agg(max(col("rk")).as("mj"))
+      .localCheckpoint(true) // tiny; one corpus scan feeds three readers
+    toks.unpersist(false)
+
+    // Z·2^53 as an exact integer (the HllSketchAgg eval contract):
+    // Σ 2^(53−mj) over nonzero registers + 2^53 per empty register.
+    // Max value 4096·2^53 ≈ 2^65 overflows BIGINT — DECIMAL(38,0), the
+    // twin uses HUGEINT.
+    def summarize(r: DataFrame, keys: Seq[String]): DataFrame =
+      r.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("nz"),
+        sum(col("mj")).cast("long").as("rs"),
+        (sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - mj) AS DECIMAL(38,0))")) +
+          (lit(m).cast("long") - count(lit(1))).cast("decimal(38,0)") *
+            lit(1L << 53).cast("decimal(38,0)")).as("s"))
+    // the ONE shared double sequence (left-assoc, twin repeats verbatim)
+    def estOf(nz: Column, s: Column): Column = {
+      val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
+        lit(4096.0) * lit(4096.0) * lit(9007199254740992.0) / s.cast("double")
+      when(lit(m).cast("long") - nz > 0 && raw <= lit(2.5) * lit(4096.0),
+        lit(4096.0) * log(lit(4096.0) / (lit(m).cast("long") - nz).cast("double")))
+        .otherwise(raw)
+    }
+
+    val perSrc = summarize(regs, Seq("source"))
+      .select(col("source"), col("nz"), estOf(col("nz"), col("s")).as("e"))
+    val srcs = regs.select(col("source")).distinct()
+    // #sources² dimension self-join (BNLJ by design, PlanInvariantsSpec
+    // allowlisted) — bounded by the source vocabulary, never the corpus
+    val pairs = srcs.as("pa").join(srcs.as("pb"),
+        col("pa.source") < col("pb.source"))
+      .select(col("pa.source").as("source_a"), col("pb.source").as("source_b"))
+    val unionRegs = pairs
+      .join(regs.select(col("source").as("source_a"), col("idx"), col("mj")),
+        Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("idx"), col("mj"))
+      .unionByName(pairs
+        .join(regs.select(col("source").as("source_b"), col("idx"), col("mj")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("idx"), col("mj")))
+      .groupBy(col("source_a"), col("source_b"), col("idx"))
+      .agg(max(col("mj")).as("mj"))
+    val uAgg = summarize(unionRegs, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("nz").as("nz_u"), col("rs").as("rs_u"),
+        estOf(col("nz"), col("s")).as("e_u"))
+    uAgg
+      .join(perSrc.select(col("source").as("source_a"),
+        col("nz").as("nz_a"), col("e").as("e_a")), "source_a")
+      .join(perSrc.select(col("source").as("source_b"),
+        col("nz").as("nz_b"), col("e").as("e_b")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("nz_a").cast("long").as("nonzero_a"),
+        col("nz_b").cast("long").as("nonzero_b"),
+        col("nz_u").cast("long").as("nonzero_union"),
+        col("rs_u").as("register_sum_union"),
+        round(col("e_a"), 4).as("est_a"),
+        round(col("e_b"), 4).as("est_b"),
+        round(col("e_u"), 4).as("est_union"),
+        round(col("e_a") + col("e_b") - col("e_u"), 4).as("est_common"),
+        round((col("e_a") + col("e_b") - col("e_u")) / col("e_u"), 4)
+          .as("jaccard_est"))
+  }
+
+  /**
    * The curation FUNNEL report: how many documents survive each stage
    * of the cleaning pipeline (raw → language allowlist → length band →
    * repetition quality → exact dedup), as (stage, n_docs) rows. This is

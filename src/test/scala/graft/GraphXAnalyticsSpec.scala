@@ -222,6 +222,59 @@ class GraphXAnalyticsSpec extends AnyFunSuite {
     assert(more == got)
   }
 
+  test("randomWalks: hash-argmin next hop, sink termination, determinism, edge-validity") {
+    // custom graph: v fans out to {a, b, c} (the argmin choice point),
+    // then a chain c1 → c2 → c3 (sink) pins termination behavior
+    val g = new graft.graph.GraftGraph(TestSpark.spark)
+    val v = g.addVertex(); val a = g.addVertex(); val b = g.addVertex()
+    val c = g.addVertex(); val c2 = g.addVertex(); val c3 = g.addVertex()
+    g.addEdge(v, a, "x"); g.addEdge(v, b, "x"); g.addEdge(v, c, "x")
+    g.addEdge(a, c2, "x"); g.addEdge(b, c2, "x"); g.addEdge(c, c2, "x")
+    g.addEdge(c2, c3, "x")
+    val snap = graft.snapshot.Snapshot.head(g.log)
+    val rows = graft.gx.GraphXTraversal
+      .randomWalksDF(spark, snap, steps = 5, startLo = 0L, startHi = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent driver-side replay of the coin: md5 hex of "w:t:u"
+    def coin(w: Long, t: Int, u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$w:$t:$u".getBytes("UTF-8"))
+      d.map(x => f"${x & 0xff}%02x").mkString
+    }
+    val expectedStep1 = Seq(a.id, b.id, c.id).minBy(u => (coin(v.id, 1, u), u))
+    assert(rows((v.id, 0L)) == v.id && rows((v.id, 1L)) == expectedStep1)
+    // whoever step 1 picked, step 2 must be c2 and step 3 the sink c3;
+    // the walk then ENDS — no step-4/5 rows
+    assert(rows((v.id, 2L)) == c2.id && rows((v.id, 3L)) == c3.id)
+    assert(!rows.contains((v.id, 4L)) && !rows.contains((v.id, 5L)))
+    // starts require ≥1 out-edge: c3 (pure sink) must not start a walk
+    assert(!rows.contains((c3.id, 0L)))
+
+    // real snapshot: every consecutive pair is a real edge, exactly one
+    // vertex per (walk, step), and the corpus is run-to-run identical
+    val rsnap = TpchGraph.snapshot(spark, dir)
+    val w1 = graft.gx.GraphXTraversal.randomWalksDF(spark, rsnap)
+    val edges = rsnap.edges.selectExpr("outV", "inV").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seq = w1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalk = seq.groupBy(_._1)
+    assert(byWalk.nonEmpty)
+    byWalk.foreach { case (w, hops) =>
+      val path = hops.sortBy(_._2)
+      assert(path.head._2 == 0L && path.head._3 == w, s"walk $w must start at itself")
+      assert(path.map(_._2).toSeq == (0L until path.length).toSeq,
+        s"walk $w steps not contiguous")
+      path.sliding(2).foreach {
+        case Array(x, y) => assert(edges((x._3, y._3)),
+          s"walk $w hop ${x._3}→${y._3} is not an edge")
+        case _ =>
+      }
+    }
+    val again = graft.gx.GraphXTraversal.randomWalksDF(spark, rsnap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == seq.toSet)
+  }
+
   test("adaptive width: proportional to the filtered edge count, floored and capped") {
     import graft.gx.GraphXTraversal.{widthFor, TargetEdgesPerPartition, labelEdgeCount, cachedLabelGraph}
     // small subgraph → narrow (the measured-good sf0.1 point reproduced:

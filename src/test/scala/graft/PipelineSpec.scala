@@ -1380,6 +1380,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(("books", "web")) == 2 && r(("web", "web")) == 1 && r.size == 2)
   }
 
+  test("sourceOverlapSketch: planted overlap recovered; estimates track exact; state order-free") {
+    import spark.implicits._
+    // one 3-token doc = exactly one shingle: source A carries shingles
+    // 0..899, source B 600..1499 → |A∩B| = 300, |A∪B| = 1500, J = 0.2
+    val planted = ((0 until 900).map(i => (i.toLong, "srcA", s"w${i}a w${i}b w${i}c")) ++
+      (600 until 1500).map(i => (10000L + i, "srcB", s"w${i}a w${i}b w${i}c")))
+      .toDF("doc_id", "source", "text")
+    val p = TextOps.sourceOverlapSketch(planted).collect()
+    assert(p.length == 1)
+    val row = p.head
+    assert(row.getAs[String]("source_a") == "srcA" &&
+      row.getAs[String]("source_b") == "srcB")
+    // n ≪ 2.5·m: the linear-counting branch, tight at this scale
+    assert(math.abs(row.getAs[Double]("est_a") - 900) / 900 < 0.03)
+    assert(math.abs(row.getAs[Double]("est_b") - 900) / 900 < 0.03)
+    assert(math.abs(row.getAs[Double]("est_union") - 1500) / 1500 < 0.03)
+    assert(math.abs(row.getAs[Double]("jaccard_est") - 0.2) < 0.05)
+
+    // real corpus: every pair's estimates inside 5% of the exact
+    // distinct-shingle counts (union via the same exact sets)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = real.select(col("source"),
+        explode(TextOps.shingles(col("text"))).as("g"))
+      .distinct().collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (s, rows) => s -> rows.map(_.getAs[String]("g")).toSet }
+    val est = TextOps.sourceOverlapSketch(real).collect()
+    assert(est.nonEmpty)
+    est.foreach { x =>
+      val a = sh(x.getAs[String]("source_a")); val b = sh(x.getAs[String]("source_b"))
+      val u = (a ++ b).size.toDouble
+      assert(math.abs(x.getAs[Double]("est_a") - a.size) / a.size < 0.05)
+      assert(math.abs(x.getAs[Double]("est_b") - b.size) / b.size < 0.05)
+      assert(math.abs(x.getAs[Double]("est_union") - u) / u < 0.05)
+      // inclusion–exclusion compounds three errors: bound vs union size
+      assert(math.abs(x.getAs[Double]("est_common") - a.intersect(b).size) / u < 0.1)
+    }
+    // register state is order/partition independent (elementwise max)
+    def state(d: org.apache.spark.sql.DataFrame) =
+      TextOps.sourceOverlapSketch(d).collect().map(x =>
+        (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+          (x.getAs[Long]("nonzero_union"), x.getAs[Long]("register_sum_union"),
+            java.lang.Double.doubleToLongBits(x.getAs[Double]("est_union")))).toMap
+    assert(state(real.coalesce(1)) == state(real.repartition(32)))
+  }
+
   test("curationFunnel: cumulative stage counts in one pass") {
     import spark.implicits._
     // 26 distinct words, ~170 chars: inside the length band, ratio 1.0

@@ -118,7 +118,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // both rank windows run over ≤ nCand(=100) rows by construction:
       // the lexical one above a TakeOrdered Limit, the vector one above
       // the heap-truncated graft_topk aggregate
-      "hybrid_rrf")
+      "hybrid_rrf",
+      // the source-pair table is a #sources² dimension self-join on <
+      // over the checkpointed register frame's distinct sources —
+      // bounded by the source vocabulary, never the corpus
+      "source_overlap_sketch")
     import org.apache.spark.sql.catalyst.plans.logical.{
       GlobalLimit, LocalLimit, Window => LWindow}
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
