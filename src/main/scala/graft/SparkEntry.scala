@@ -1334,6 +1334,11 @@ object SparkEntry {
 
     // ---- LLM-pipeline: similarity search ----
     "embedding_norms" -> ((s, d) => VectorOps.norms(emb(s, d))),
+    "embedding_outliers" -> ((s, d) =>
+      // per-label farthest-from-centroid screen (NEW r14 session 3):
+      // exact-integer c²·d² ranking on the 1e-4 grid — the mislabel/
+      // corruption pass before contrastive training
+      VectorOps.embeddingOutliers(emb(s, d))),
     "ann_topk" -> { (s, d) =>
       val e = emb(s, d)
       VectorOps.bruteForceTopK(e, e.where(col("vec_id") < 10), 10)

@@ -16,6 +16,27 @@ object VectorOracles {
         |FROM embeddings""".stripMargin,
 
 
+    // exact-integer outlier replay: xq on the 1e-4 grid, ranking key
+    // c²·d² = Σ (c·xq − N_i)² in HUGEINT (bit-identical ordering in
+    // both engines, ties by vec_id); dist is the one shared double
+    "embedding_outliers" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    CAST(floor(x * 10000 + 0.5) AS BIGINT) AS xq, i
+        |  FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+        |               unnest(range(0, len(embedding))) AS i FROM embeddings)),
+        |cent AS (SELECT label, i, CAST(sum(xq) AS HUGEINT) AS ni, count(*) AS c
+        |  FROM q GROUP BY label, i),
+        |d AS (SELECT q.vec_id, q.label, max(c.c) AS c,
+        |    sum((CAST(c.c AS HUGEINT) * q.xq - c.ni) * (CAST(c.c AS HUGEINT) * q.xq - c.ni)) AS d2
+        |  FROM q JOIN cent c ON c.label = q.label AND c.i = q.i
+        |  GROUP BY q.vec_id, q.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk FROM d)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(rnk AS BIGINT) AS rnk,
+        |  round(sqrt(d2::DOUBLE) / c / 10000.0, 6) AS dist
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT qid, vec_id AS nb, list_cosine_similarity(qv, embedding::DOUBLE[]) AS sim

@@ -1533,6 +1533,51 @@ object VectorOps {
         round(col("n").cast("double") / col("total"), 4).as("pct"))
   }
 
+  /**
+   * Embedding OUTLIER screen — the data-cleaning pass that surfaces
+   * mislabeled/corrupted vectors before they poison contrastive
+   * training: per label, the top-k vectors FARTHEST from their own
+   * label centroid.
+   *
+   * §28 exact-integer contract end to end: coordinates quantize to the
+   * 1e-4 grid (xq = ⌊x·10⁴ + ½⌋, the standardize doctrine), and the
+   * ranking key is the count-scaled squared distance
+   * c²·d² = Σ_i (c·xq_i − N_i)² where N_i = Σ xq_i over the label — an
+   * exact DECIMAL(38,0) (c·xq² wraps BIGINT past the sf5 regime), so
+   * the per-label ordering is bit-identical in any engine; ties break
+   * by vec_id. `dist` (= √(c²d²)∕c∕10⁴, the de-scaled Euclidean
+   * distance) is the one shared double expression, emitted rounded.
+   *
+   * Shape: centroid numerators via ONE (label, i) map-side-combined
+   * aggregation (labels×dims partial rows per partition), broadcast
+   * back (labels×dims table), per-vector integer fold, then a
+   * label-PARTITIONED row_number cut — no global sort, no pair joins.
+   */
+  def embeddingOutliers(emb: DataFrame, k: Int = 5): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(dvec(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("x") * lit(10000d) + lit(0.5d)).cast("long").as("xq"))
+    val cent = q.groupBy(col("label"), col("i"))
+      .agg(sum(col("xq")).cast(d38).as("ni"), count(lit(1)).as("c"))
+    val d2 = q.join(broadcast(cent), Seq("label", "i"))
+      .select(col("vec_id"), col("label"), col("c"),
+        ((col("c").cast(d38) * col("xq") - col("ni")) *
+          (col("c").cast(d38) * col("xq") - col("ni"))).as("term"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("c")).as("c"), sum(col("term")).as("d2"))
+    import org.apache.spark.sql.expressions.Window
+    d2.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("rnk").cast("long").as("rnk"),
+        round(sqrt(col("d2").cast("double")) / col("c") / lit(10000.0), 6)
+          .as("dist"))
+  }
+
   def standardize(emb: DataFrame, scale: Long = 10000L): DataFrame = {
     require(scale > 0, "scale must be positive")
     val s = scale.toDouble

@@ -1380,6 +1380,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(("books", "web")) == 2 && r(("web", "web")) == 1 && r.size == 2)
   }
 
+  test("embeddingOutliers: planted far vector ranks first; integer key partition-free") {
+    import spark.implicits._
+    // label 0: nine vectors at (1,0) + one planted at (-3,4); centroid
+    // = (0.6, 0.4), planted distance = 3.6·√2 ≈ 5.091169 — and on the
+    // 1e-4 grid the scaled key is EXACT: c·xq−N = ±360000 per dim
+    val emb = ((0 until 9).map(i => (i.toLong, 0, Seq(1.0f, 0.0f))) :+
+      (99L, 0, Seq(-3.0f, 4.0f))).toDF("vec_id", "label", "embedding")
+    val r = VectorOps.embeddingOutliers(emb, k = 3).collect()
+      .map(x => x.getAs[Long]("rnk") ->
+        (x.getAs[Long]("vec_id"), x.getAs[Double]("dist"))).toMap
+    assert(r(1L)._1 == 99L)
+    assert(math.abs(r(1L)._2 - 5.091169) < 1e-6)
+    // the nine identical vectors tie on the key; ties break by vec_id
+    assert(r(2L)._1 == 0L && r(3L)._1 == 1L)
+
+    // real embeddings: result identical under 1 vs 16 partitions (the
+    // ranking key is an exact integer — no float summation order)
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def runOn(d: org.apache.spark.sql.DataFrame) =
+      VectorOps.embeddingOutliers(d).collect()
+        .map(x => (x.getAs[Long]("label"), x.getAs[Long]("rnk")) ->
+          (x.getAs[Long]("vec_id"), x.getAs[Double]("dist"))).toMap
+    val a = runOn(real.coalesce(1)); val b = runOn(real.repartition(16))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("sourceOverlapSketch: planted overlap recovered; estimates track exact; state order-free") {
     import spark.implicits._
     // one 3-token doc = exactly one shingle: source A carries shingles
