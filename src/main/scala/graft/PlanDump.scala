@@ -30,11 +30,19 @@ object PlanDump {
         graft.pipeline.TextOps.unigramLogProb(docs, checkpoint = false)),
       "bm25_scores_inner" -> (() => graft.pipeline.TextOps.bm25Scores(
         docs, Seq("spark", "join", "window"), checkpoint = false)))
+    // SPARK_GRAFT_PLAN_MODE=formatted emits `explain("formatted")` text
+    // (operator list + details: PushedFilters/ReadSchema/join build side)
+    // — the shape the r14 plan-evidence files under plans/ record.
+    val formatted = sys.env.get("SPARK_GRAFT_PLAN_MODE").contains("formatted")
     names.foreach { n =>
       println(s"==== $n ====")
       val df = inner.get(n).map(_.apply())
         .getOrElse(SparkEntry.queries(n)(spark, dir))
-      println(df.queryExecution.executedPlan.toString)
+      if (formatted)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      else
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

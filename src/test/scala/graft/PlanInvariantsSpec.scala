@@ -52,6 +52,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "ann_ivf_recall", "ann_ivfpq_recall",
       // ann_topk's scoring broadcast with the duplicate band filtered
       "hard_negatives",
+      // #sources² pair frame from the ≤#sources-row distinct-source
+      // dimension (inequality self-join, source_a < source_b) — bounded
+      // by the source vocabulary, never the corpus; the register algebra
+      // it feeds is equi-joined. (The r14-session-3 code comment says
+      // "allowlisted" but the entry was lost to the mid-build stop.)
+      "source_overlap_sketch",
       // the binary tier's 10-row query-sketch broadcast against the
       // corpus sketches — the ann_topk shape on 8-byte rows
       "ann_hamming",
