@@ -23,6 +23,14 @@ object VectorOps {
   /** embedding cast to array<double> for stable math. */
   def dvec(c: Column): Column = c.cast("array<double>")
 
+  /** The §18 release discipline (see GraphXTraversal.releaseCheckpoint):
+    * free an eager localCheckpoint's backing blocks once no downstream
+    * plan will read them again. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Two-phase grouped shortlist: keep each group's top `n` ids by
     * (score desc, id asc). With the graft extension loaded this is the
     * native bounded-heap aggregate [[graft.functions.TopKAgg]]: the
@@ -627,27 +635,50 @@ object VectorOps {
     // build emits directed top-k edges, so symmetrize: measured on the
     // sf0.01 gate this lifts mean recall@10 from 0.66 to the high-80s
     // band (a directed 5-NN graph strands walks in low-in-degree
-    // regions, the q=3 0.1-recall case)
+    // regions, the q=3 0.1-recall case).
+    //
+    // r14 OPTIMIZATION (guide §2.4/§5): every round references the
+    // adjacency list, the vector table AND the previous beam — and the
+    // beam twice (expansion + candidate union). Left lazy, that plan
+    // DOUBLES per round (2^rounds copies of round 1: the dumped sf0.001
+    // plan was 14,594 formatted lines) and re-ran the corpus-scale
+    // symmetrize-distinct shuffle and the embedding scan inside every
+    // copy — ann_nsw read 13.3 s at sf0.1 for TEN queries. Materialize
+    // the three loop-invariant frames ONCE (edges/vecs corpus-bounded,
+    // qs query-bounded) and checkpoint the ≤ beam·|q|-row beam each
+    // round, releasing its predecessor — search cost is now actually
+    // beam×rounds-shaped, as the scaladoc always claimed (measured
+    // 13.31 → 0.82 s, plan 14,594 → 50 lines).
     val edges = nn.select(col("q").as("node"), col("nb"))
       .unionAll(nn.select(col("nb").as("node"), col("q").as("nb")))
       .distinct()
+      .localCheckpoint(true)
     val vecs = emb.select(col("vec_id").as("node"), dvec(col("embedding")).as("nv"))
+      .localCheckpoint(true)
     val qs = queries.select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
+      .localCheckpoint(true)
     def score(cand: DataFrame): DataFrame =
       cand.join(vecs, "node").join(qs, "q")
         .select(col("q"), col("node"),
           cosineBest(spark, col("qv"), col("nv")).as("s"))
     var beamDf: DataFrame = qs.select(col("q"), lit(0L).as("node"))
+    var lastBeam: DataFrame = null
     (1 to rounds).foreach { _ =>
       val expanded = beamDf.join(edges, "node")
         .select(col("q"), col("nb").as("node"))
       val cand = beamDf.unionAll(expanded).distinct()
       beamDf = groupedTopK(score(cand), "q", "node", "s", beam)
         .select(col("q"), col("node"))
+        .localCheckpoint(true)
+      if (lastBeam != null) releaseCheckpoint(lastBeam)
+      lastBeam = beamDf
     }
     val fin = score(beamDf).where(col("node") =!= col("q"))
-    groupedTopK(fin, "q", "node", "s", topK)
+    val out = groupedTopK(fin, "q", "node", "s", topK)
       .select(col("q"), col("node").as("nb"), round(col("s"), 4).as("sim"))
+      .localCheckpoint(true)
+    Seq(edges, vecs, qs, beamDf).foreach(releaseCheckpoint)
+    out
   }
 
   /** Embedding ISOTROPY audit: the cosine histogram over a
