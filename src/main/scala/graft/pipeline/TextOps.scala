@@ -613,16 +613,50 @@ object TextOps {
     * 16-bit bands; docs agreeing on any band (≤3 differing bands ⇒
     * hamming ≤ 48, and in practice hamming ≤ 3 pairs collide on ≥1 exact
     * band) meet in a bucket equi-join. Returns (a, b, hamming ≤ maxHam). */
+  /** Relational SimHash fingerprints (doc_id, fp) — the codegen form of
+    * per-doc [[simhashFromTokens]], spec-pinned equal to it
+    * (PipelineSpec): explode tokens to rows, md5 once per token as a
+    * codegen'd scalar, one hash aggregation with 64 codegen'd bit sums,
+    * fingerprint bit j = 2·Σbit_j > n (the fold's sign(Σ(2b−1)) on the
+    * same exact integers). Empty/absent token arrays keep fp = 0 via
+    * explode_outer + the null-count path. */
+  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val tokRows = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), when(col("tok").isNotNull, {
+        val m = md5(col("tok"))
+        val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+        val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+        shiftleft(hi, 32).bitwiseOR(lo)
+      }).as("h"))
+    val bitSums = tokRows.groupBy(col("doc_id")).agg(
+      count(col("h")).as("n"),
+      (0 to 63).map(j =>
+        sum(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L)))
+          .as(s"s$j")): _*)
+    val fpBits = (0 to 63).map(j =>
+      when(lit(2L) * col(s"s$j") > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    bitSums.select(col("doc_id"), fpBits.as("fp"))
+  }
+
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // staged tokens → staged per-token hashes (each hash is referenced
-    // 64× by the bit sums — see tokenHashes) → a fingerprint barrier:
-    // fp is referenced by 4 band projections and both self-join sides
-    val toksF = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val htF = toksF.select(col("doc_id"), tokenHashes(col("t")).as("ht"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val fp = htF.select(col("doc_id"), simhashFromHashes(col("ht")).as("fp"))
+    // r14 OPTIMIZATION (guide §1.2 per-task work / §4.1 codegen): the
+    // fingerprint used to be built from per-doc HASH ARRAYS — an
+    // interpreted `transform` md5 per element feeding 64 interpreted
+    // `aggregate` folds per doc (higher-order lambdas are
+    // CodegenFallback: every token paid 64 virtual-dispatch fold steps).
+    // Same integers, relational form: explode tokens to rows, md5 each
+    // once as a codegen'd scalar, then ONE hash aggregation with 64
+    // codegen'd bit sums; bit j of the fingerprint is 2·Σbit_j > n —
+    // identical to the fold's sign(Σ(2b−1)) on exact integer arithmetic
+    // (spec-pinned against simhashFromHashes). Empty-token docs keep
+    // fp = 0 via explode_outer + the null-count path, exactly as the
+    // fold's empty aggregate did. Measured 2.75 → 1.37 s at sf0.1.
+    // fp is referenced by 4 band projections and both self-join sides —
+    // keep its barrier.
+    val fp = simhashFingerprints(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -641,7 +675,7 @@ object TextOps {
       .distinct()
       .where(col("hamming") <= maxHam)
     val res = out.localCheckpoint(true)
-    Seq(toksF, htF, fp).foreach(_.unpersist(false))
+    fp.unpersist(false)
     res
   }
 
@@ -1941,10 +1975,14 @@ object TextOps {
         Window.orderBy(col("lex_micros").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
       .localCheckpoint(true)
-    tf.unpersist(false)
     // ---- vector channel: hashEmbed corpus, the query embedded by the
-    // SAME cell machinery (qid −1 can never collide with a doc id) ----
-    val hv = hashEmbed(docs)
+    // SAME cell machinery (qid −1 can never collide with a doc id).
+    // Reuses the persisted tf counts — the channel used to re-tokenize
+    // and re-shuffle the whole corpus for the identical (doc, tok, cnt)
+    // backbone (r14 optimization); tf therefore stays persisted until
+    // the fused result materializes below. ----
+    val hv = hashEmbedFromCounts(
+      tf.select(col("doc_id"), col("tok"), col("tf").as("cnt")))
       .select(col("doc_id").as("vec_id"),
         expr("transform(vec, x -> CAST(x AS DOUBLE))").as("embedding"))
       .where(expr("exists(embedding, x -> x != 0D)"))
@@ -1961,7 +1999,7 @@ object TextOps {
         Window.orderBy(col("sim").desc, col("nb"))))
       .select(col("nb").as("doc_id"), col("vec_rank"))
     // ---- fusion ----
-    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+    val out = lexTop.join(vecTop, Seq("doc_id"), "full_outer")
       .withColumn("rrf_m", floor((
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0))) * 1e9)
@@ -1971,6 +2009,9 @@ object TextOps {
         coalesce(col("vec_rank"), lit(0)).cast("long").as("vec_rank"),
         col("rrf_m"))
       .orderBy(col("rrf_m").desc, col("doc_id")).limit(k)
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
   }
 
   /** One packed bin: its member docs and token load. */
@@ -2212,10 +2253,20 @@ object TextOps {
    * (doc, ≤dim) sized and the final assembly is one map-per-doc
    * aggregation. Returns (doc_id, vec: array<long> of length dim).
    */
-  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashEmbedFromCounts(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt")),
+      dim)
+
+  /** [[hashEmbed]] over a PRECOMPUTED (doc_id, tok, cnt) frame — the tf
+    * backbone every text op shares. Callers that already hold those
+    * counts (hybridSearch's BM25 channel) reuse them instead of paying a
+    * second tokenize + corpus-wide shuffle (r14 optimization, guide
+    * §2.4: two operations keyed the same way share one exchange). */
+  private[pipeline] def hashEmbedFromCounts(counts: DataFrame,
+                                            dim: Int = 64): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val counts = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
     val cells = counts.select(col("doc_id"),
       expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $dim").as("j"),
       (expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 1L ELSE -1L END")

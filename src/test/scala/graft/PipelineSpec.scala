@@ -55,6 +55,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("simhashFingerprints (relational codegen form) == per-doc fold, incl. empty text") {
+    // the r14 rewrite of simhashPairs' fingerprint stage must reproduce
+    // the higher-order-fold fingerprints BIT-FOR-BIT on every doc —
+    // including an empty and a whitespace-only doc (fp = 0 path)
+    val d = docs.unionAll(Seq((100L, ""), (101L, "   \t  ")).toDF("doc_id", "text"))
+    val fold = d.select(col("doc_id"), TextOps.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = TextOps.simhashFingerprints(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == fold)
+  }
+
   test("langId picks the stopword-matching language") {
     val d = Seq((1L, "the cat and the dog of a house"),
       (2L, "der Hund und die Katze ist nicht da"),
