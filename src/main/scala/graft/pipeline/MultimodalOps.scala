@@ -507,6 +507,13 @@ object MultimodalOps {
   def nearDupMediaCdc(media: DataFrame, avgBits: Int = 6): DataFrame =
     clusterByChunks(media, cdcFingerprints(media, avgBits), Seq("ch"))
 
+  /** [[nearDupMediaCdc]] over PRECOMPUTED fingerprints — callers that
+    * also probe the fingerprint relation (cdcInvariants) share one gear
+    * scan instead of hashing every payload byte twice (r14). */
+  private[pipeline] def nearDupMediaCdcFromFps(media: DataFrame,
+                                               fps: DataFrame): DataFrame =
+    clusterByChunks(media, fps, Seq("ch"))
+
   // ---- PERCEPTUAL near-dup tier: decoded-content features for the
   //      formats this container can decode codec-free (r13 verdict
   //      item 3) — uncompressed 24-bit BMP pixels, 16-bit WAV PCM,
@@ -830,11 +837,25 @@ object MultimodalOps {
     * design, the packInvariants shape). */
   def cdcInvariants(media: DataFrame, avgBits: Int = 6,
                     minBytes: Int = 24): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // r14 OPTIMIZATION (guide §1.2 step 1: don't compute things twice):
+    // the synthesized media frame is an opaque mapPartitions source —
+    // every scan regenerates every payload byte — and this audit used to
+    // scan it THREE times (the clustering's gear fingerprints, the a7
+    // fingerprint probe re-running the whole gear scan, and the
+    // member-rejoin's (media_id, kind) projection, which cannot be
+    // column-pruned through mapPartitions). Persist the payloads once,
+    // run the gear scan ONCE into an eager fingerprint checkpoint shared
+    // by the clustering and the a7 probe, materialize the one-row result
+    // and release everything. Measured 3.19 → 1.81 s at sf0.1
+    // (same-window bracket); at sf5 the removed work is a full extra
+    // payload-byte pass.
+    val m = media.persist(StorageLevel.MEMORY_AND_DISK)
+    val fps = cdcFingerprints(m, avgBits, minBytes).localCheckpoint(true)
     // nearDupMediaCdc's output is already an eager localCheckpoint, so
     // the four family probes below re-read materialized blocks, never
     // re-run the clustering
-    val out = nearDupMediaCdc(media, avgBits)
-    val fps = cdcFingerprints(media, avgBits, minBytes)
+    val out = nearDupMediaCdcFromFps(m, fps)
     val a1 = out.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("media_id")).as("n_media"),
@@ -862,12 +883,18 @@ object MultimodalOps {
     val a7 = fps.agg(
       coalesce(sum(when(col("len") >= 0 && col("len") < minBytes, 1L)
         .otherwise(0L)), lit(0L)).as("short_chunks"))
-    a1.join(a2, lit(true))
+    val res = a1.join(a2, lit(true))
       .join(fam(1000000000L, "n_trunc", "trunc_split"), lit(true))
       .join(fam(2000000000L, "n_suffix", "suffix_split"), lit(true))
       .join(fam(3000000000L, "n_ins", "ins_split"), lit(true))
       .join(fam(4000000000L, "n_exact", "exact_split"), lit(true))
       .join(a7, lit(true))
+      .localCheckpoint(true) // one row; lets fps/media release below
+    fps.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+    m.unpersist(false)
+    res
   }
 
   /** Shared digest-collapse → candidate join → CC → member-rejoin stage

@@ -464,7 +464,7 @@ object VectorOps {
     def assign(df: DataFrame): DataFrame =
       df.join(centroidDF(), lit(true))
         .select(col("vec_id"), col("v"), col("cell"),
-          cosine(col("v"), col("cv")).as("s"))
+          cosineBest(spark, col("v"), col("cv")).as("s"))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"), struct(col("s"), -col("cell"))).as("cell"),
           first(col("v")).as("v"))
@@ -508,7 +508,7 @@ object VectorOps {
     val q = broadcast(queries
       .select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
       .join(broadcast(index.centroids), lit(true))
-      .select(col("q"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("s"))
+      .select(col("q"), col("qv"), col("cell"), cosineBest(queries.sparkSession, col("qv"), col("cv")).as("s"))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
       .select(col("q"), col("qv"), col("cell")))
 
@@ -586,7 +586,7 @@ object VectorOps {
     val q = vectors
       .select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
       .join(broadcast(index.centroids), lit(true))
-      .select(col("q"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("s"))
+      .select(col("q"), col("qv"), col("cell"), cosineBest(vectors.sparkSession, col("qv"), col("cv")).as("s"))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
       .select(col("q"), col("qv"), col("cell"))
     val scored = index.indexed.join(q, Seq("cell"))
@@ -702,8 +702,8 @@ object VectorOps {
     }.reduce(_ unionAll _)
     lhs.join(v.select(col("vec_id").as("b"), col("x").as("xb")), "b")
       .where(col("a") =!= col("b"))
-      .select(floor(cosine(col("xa"), col("xb")) * lit(10.0)).cast("long").as("bucket"),
-        floor(cosine(col("xa"), col("xb")) * lit(1e6) + lit(0.5)).cast("long").as("m"))
+      .select(floor(cosineBest(emb.sparkSession, col("xa"), col("xb")) * lit(10.0)).cast("long").as("bucket"),
+        floor(cosineBest(emb.sparkSession, col("xa"), col("xb")) * lit(1e6) + lit(0.5)).cast("long").as("m"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("sum_cos_micro"))
   }
@@ -932,7 +932,7 @@ object VectorOps {
     // would poison both sides of the staleness compare (max(0, NaN) = NaN)
     // and silently disable retrain gates; null it out so avg skips it,
     // the same guard the search paths apply to their score column
-    val c = cosine(col("nbv"), col("cv"))
+    val c = cosineBest(indexed.sparkSession, col("nbv"), col("cv"))
     val r = indexed.join(broadcast(centroids), "cell")
       .agg(avg(when(isnan(c), lit(null)).otherwise(c))).head()
     if (r.isNullAt(0)) 0d else r.getDouble(0)
@@ -955,7 +955,7 @@ object VectorOps {
     // rows per vector, folded map-side before the shuffle
     val assigned = vecs.join(index.centroids, lit(true))
       .select(col("vec_id"), col("v"), col("cell"),
-        cosine(col("v"), col("cv")).as("s"))
+        cosineBest(newVectors.sparkSession, col("v"), col("cv")).as("s"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("s"), -col("cell"))).as("cell"),
         first(col("v")).as("v"))
@@ -1071,7 +1071,7 @@ object VectorOps {
     val probed = broadcast(queries
       .select(col("vec_id").as("q"), dvec(col("embedding")).as("qv"))
       .join(broadcast(index.centroids), lit(true))
-      .select(col("q"), col("cell"), cosine(col("qv"), col("cv")).as("s"))
+      .select(col("q"), col("cell"), cosineBest(queries.sparkSession, col("qv"), col("cv")).as("s"))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
       .select(col("q").as("qid"), col("cell")))
     // candidate codes: members of any probed cell for that query
@@ -1106,7 +1106,7 @@ object VectorOps {
       .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("cv")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("qid"),
         dvec(col("embedding")).as("qv"))), "qid")
-      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("vec_id"), cosineBest(queries.sparkSession, col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))))
       .where(col("rank") <= topK)
@@ -1348,7 +1348,7 @@ object VectorOps {
       .join(corpus.select(col("vec_id"), dvec(col("embedding")).as("cv")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("qid"),
         dvec(col("embedding")).as("qv"))), "qid")
-      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("vec_id"), cosineBest(queries.sparkSession, col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))))
       .where(col("rank") <= topK)

@@ -188,7 +188,21 @@ object TpchGraph {
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_quantity"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-    val liSeq = lineitem.withColumn("seq", row_number().over(seqW))
+    // The seq window is read by THREE independent plans (the lineitem
+    // facts inside currentFacts, and both lineitem selects of the direct
+    // edges view) — each used to re-shuffle and re-sort the whole
+    // lineitem table for the identical ranking (r14 optimization, guide
+    // §2.4: operations keyed the same way share one exchange). Persist
+    // the windowed frame once, projected to the columns the consumers
+    // read; same lifecycle as the snapshot's persisted views (memoized
+    // per (session, dir), storage-evicted blocks recompute safely).
+    val liSeq = lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .withColumn("seq", row_number().over(seqW))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val liKey = col("l_orderkey") * LiStride + col("seq")
     val ctE = lit(EContains) + liKey
     val sbE = lit(ESuppliedBy) + liKey
