@@ -312,8 +312,13 @@ object FactLog {
   * duplicated rows of ANY type are caught; only an in-place float-bit
   * flip is outside the contract (cross-engine float rendering is not
   * portable, the §28 doctrine). The mod-2⁶¹ keeps the published value
-  * inside BIGINT at any corpus size while the internal sum runs in
-  * DECIMAL(38,0) (a Long sum of uint32 terms wraps past ~4·10⁹ rows).
+  * inside BIGINT at any corpus size. The internal sum runs as TWO
+  * bounded Long sums (hi = term ≫ 16, lo = term & 0xFFFF — each addend
+  * < 2¹⁶, so the Long partials stay exact below 2⁴⁷ rows per attr,
+  * far past any fact log) recombined in DECIMAL(38,0) on the #attrs
+  * RESULT rows only: a direct sum(DECIMAL) pays a per-fact BigDecimal
+  * (interleaved A/B at sf0.1: 3.48 → 1.87 s median, 1.85×), and a
+  * single Long sum of uint32 terms would wrap past ~4·10⁹ rows.
   * One map-side-combined aggregation; shuffle = #attrs rows. */
 object LogAudit {
   import org.apache.spark.sql.functions._
@@ -328,12 +333,15 @@ object LogAudit {
       coalesce(col("vLong").cast("string"), nul),
       coalesce(col("vRef").cast("string"), nul),
       col("tx").cast("string"), col("added").cast("string"))
-    val term = conv(substring(md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
-    facts.groupBy(col("attr")).agg(
+    val term = conv(substring(md5(canon), 1, 8), 16, 10).cast("long")
+    facts.select(col("attr"), term.as("t"))
+      .groupBy(col("attr")).agg(
         count(lit(1)).cast("long").as("n_facts"),
-        sum(term).as("s"))
+        sum(shiftright(col("t"), 16)).as("hi"),
+        sum(col("t").bitwiseAND(lit(0xFFFFL))).as("lo"))
       .select(col("attr"), col("n_facts"),
-        (col("s") % lit(Mod).cast("decimal(38,0)")).cast("long").as("checksum"))
+        ((lit(65536L).cast("decimal(38,0)") * col("hi") + col("lo"))
+          % lit(Mod).cast("decimal(38,0)")).cast("long").as("checksum"))
   }
 }
 
