@@ -138,15 +138,40 @@ object Bench {
       ()
     }
 
+    // ---- per-query contention canary (VERDICT r14 items 1–2): the two
+    // startup canaries above are single samples, so a contention window
+    // crossed mid-run taints the WHOLE record (the r14 32c bench read
+    // host_factor_par 37.3 at startup and was unusable). Sample a MINI
+    // parallel canary — the same 32-partition xxhash shape at 1/10 the
+    // rows, ~0.1 s on a quiet host — every [[canaryEvery]] queries plus
+    // once after the last, keyed by the query it precedes. A contended
+    // window now taints specific rows, not the run. Additions only: the
+    // timing methodology and the one-line contract are untouched; the
+    // series rides the full/sidecar JSON, the compact tail carries only
+    // its min/max. ----
+    val canaryEvery = 8
+    val canarySeries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def miniCanary(at: String): Unit = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      canarySeries(at) = time {
+        spark.range(0L, 32000000L, 1L, 32)
+          .select(xxhash64(col("id")).as("h"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // ---- phase 1: per-query reps, median ----
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (targeted
     // noise probes on a loaded host; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var qIdx = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      if (qIdx % canaryEvery == 0) miniCanary(name)
+      qIdx += 1
       try {
         val ts = (1 to reps).map { _ =>
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -158,13 +183,17 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
     }
+    miniCanary("__end__")
+    val cs = canarySeries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val canaryMin = if (canarySeries.isEmpty) 0d else canarySeries.values.min
+    val canaryMax = if (canarySeries.isEmpty) 0d else canarySeries.values.max
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val bs = builds.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val queryTotal = timings.values.sum
     val buildTotal = builds.values.sum
     val total = queryTotal + buildTotal
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"host_factor":$hostFactor,"host_factor_par":$hostFactorPar,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"build_total":$buildTotal,"host_factor":$hostFactor,"host_factor_par":$hostFactorPar,"canary_series":$cs,"reps":$reps,"agg":"median","queries":$qs,"builds":$bs,"errors":$es,"sf":"$sfDir"}"""
     // full per-query detail: first line of stdout (human/log record) and
     // a sidecar file for mechanical regression diffing. Targeted runs
     // (BENCH_ONLY / BENCH_BUILDS filters) must NOT clobber the sidecar —
@@ -181,7 +210,7 @@ object Bench {
     // names + the slowest queries that fit, 3-decimal seconds.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_total":${r3(queryTotal)},"build_total":${r3(buildTotal)},"host_factor":${r3(hostFactor)},"host_factor_par":${r3(hostFactorPar)},"reps":$reps,"agg":"median","n_queries":${timings.size},"detail":"BENCH_DETAIL.json","builds":${
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_total":${r3(queryTotal)},"build_total":${r3(buildTotal)},"host_factor":${r3(hostFactor)},"host_factor_par":${r3(hostFactorPar)},"canary_min":${r3(canaryMin)},"canary_max":${r3(canaryMax)},"reps":$reps,"agg":"median","n_queries":${timings.size},"detail":"BENCH_DETAIL.json","builds":${
       builds.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"errors":${
       errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{"""
     val tailBudget = 1800 - head.length - 60

@@ -29,7 +29,13 @@ object PlanDump {
       "unigram_logprob_inner" -> (() =>
         graft.pipeline.TextOps.unigramLogProb(docs, checkpoint = false)),
       "bm25_scores_inner" -> (() => graft.pipeline.TextOps.bm25Scores(
-        docs, Seq("spark", "join", "window"), checkpoint = false)))
+        docs, Seq("spark", "join", "window"), checkpoint = false))) ++
+      // iterative operators' per-round plans (r15 evidence tooling): the
+      // registered queries return checkpointed results, so the inner
+      // Exchange placement is only visible through these
+      graft.gx.RoundSteps.steps.map { case (n, fn) =>
+        n -> (() => fn(spark, graft.projection.TpchGraph.snapshot(spark, dir)))
+      }
     // SPARK_GRAFT_PLAN_MODE=formatted emits `explain("formatted")` text
     // (operator list + details: PushedFilters/ReadSchema/join build side)
     // — the shape the r14 plan-evidence files under plans/ record.

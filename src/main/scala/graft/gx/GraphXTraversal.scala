@@ -248,7 +248,7 @@ object GraphXTraversal {
     * (property-filtered self-join + distinct) gets the same LRU memo as
     * the label-filtered graphs — repeated analytics pay only their own
     * neighbor-set intersection rounds. */
-  private def pairGraph(snap: Snapshot, minQty: Double): Graph[Unit, Unit] = {
+  private[gx] def pairGraph(snap: Snapshot, minQty: Double): Graph[Unit, Unit] = {
     import graft.model.{A, PropType}
     pairGraphCache.getOrBuild((snap, minQty)) {
       val bulkIds = snap.prop("quantity", PropType.PDouble, A.Edge)
@@ -383,10 +383,22 @@ object GraphXTraversal {
     * (localCheckpoint), so the plan never stacks rounds-deep joins.
     * Package-visible so the planted-hub spec can drive it on a synthetic
     * edge frame. */
+  /** The symmetrized (x, y) adjacency the LPA rounds walk — extracted so
+    * [[RoundSteps]] can dump a round over the identical frame.
+    * Pre-partitioned on `y` (r15, VERDICT r14 item 1): every round joins
+    * this edge-scale frame on `y` against the vertex-sized labeling, so
+    * the preserved HashPartitioning removes one edge-scale exchange per
+    * round — rounds edge shuffles become one (the plain localCheckpoint
+    * recorded UnknownPartitioning and silently re-exchanged each round,
+    * the same AQE trap the r14 pagerank fix closed). */
+  private[gx] def lpaEdges(pairs: DataFrame): DataFrame =
+    partitionedCheckpoint(
+      pairs.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(pairs.select(col("b").as("x"), col("a").as("y"))),
+      col("y"))
+
   private[graft] def lpaRounds(pairs: DataFrame, rounds: Int): DataFrame = {
-    val ed = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint(true)
+    val ed = lpaEdges(pairs)
     var labels = ed.select(col("x").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
       .localCheckpoint(true)
@@ -625,14 +637,23 @@ object GraphXTraversal {
     * Degrees are recomputed per call, so peel rounds orient by the
     * CURRENT subgraph (one extra edge-scale aggregation, far cheaper
     * than the wedge rows it saves). */
-  private[graft] def edgeSupport(edges: DataFrame): DataFrame = {
+  private[graft] def edgeSupport(edges: DataFrame): DataFrame =
+    edgeSupportFromOriented(edges, orientedEdges(edges))
+
+  /** The (deg, id)-oriented edge frame [[edgeSupportFromOriented]]
+    * consumes: one degree aggregation + two dimension joins. Extracted
+    * (r15) so [[kTrussPeel]] can STAGE it once per round — the lazy
+    * frame is referenced three times per support pass (both wedge-join
+    * sides and the closing semi-join probe), so unstaged it re-executed
+    * the degree aggregation and both joins 3× per peel round. */
+  private[gx] def orientedEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // orient u→w by (deg, id); carry the head's degree so the wedge
     // filter can order out-neighbours by the same total order without
     // re-joining degrees
-    val oriented = edges
+    edges
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
       .select(expr(
@@ -640,6 +661,15 @@ object GraphXTraversal {
           "struct(a AS u, b AS w, db AS dw), " +
           "struct(b AS u, a AS w, da AS dw))").as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+  }
+
+  /** Support scoring over a pre-built oriented frame (see
+    * [[edgeSupport]] for the algorithm and [[orientedEdges]] for the
+    * orientation). When `oriented` is a u-partitioned checkpoint, the
+    * wedge self-join needs NO exchange on either side — both sides ARE
+    * the same frame with the preserved layout. */
+  private[gx] def edgeSupportFromOriented(edges: DataFrame,
+                                          oriented: DataFrame): DataFrame = {
     // wedges at u: ordered pairs of out-neighbours; the closing edge, if
     // present, is oriented lower→higher by construction, so ONE lookup
     val wedges = oriented.alias("l")
@@ -667,7 +697,19 @@ object GraphXTraversal {
   private[graft] def kTrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, "kTruss needs k >= 3 (k = 2 never peels)")
     val minSup = k - 2
-    def withSupport(edges: DataFrame): DataFrame = edgeSupport(edges)
+    // STAGE the oriented frame once per round (r15): the lazy `oriented`
+    // is referenced 3× per support pass (both wedge sides + the closing
+    // probe), so unstaged each round ran its degree aggregation and both
+    // dimension joins three times; the u-partitioned checkpoint also
+    // lets the wedge self-join reuse ONE layout on both sides — no
+    // exchange on either (guide §2.4 shared-exchange). The checkpoint is
+    // released as soon as the round's supported frame materializes.
+    def withSupport(edges: DataFrame): DataFrame = {
+      val o = partitionedCheckpoint(orientedEdges(edges), col("u"))
+      val s = edgeSupportFromOriented(edges, o).localCheckpoint(true)
+      releaseCheckpoint(o)
+      s
+    }
     var edges = pairs.select(col("a"), col("b")).localCheckpoint(true)
     // the edge set shrinks monotonically, so an unchanged COUNT means an
     // unchanged SET — the fixpoint; an empty set is trivially converged
@@ -680,7 +722,7 @@ object GraphXTraversal {
     val cap = math.max(rounds, 32)
     var r = 0
     while (!converged && r < cap) {
-      val supported = withSupport(edges).localCheckpoint(true)
+      val supported = withSupport(edges) // already an eager checkpoint
       val survivors = supported.where(col("support") >= minSup)
       val n = survivors.count()
       if (n == prev) { converged = true; atFixpoint = supported }
@@ -697,10 +739,14 @@ object GraphXTraversal {
       if (atFixpoint != null)
         atFixpoint.where(col("support") >= minSup)
           .withColumn("converged", lit(true)).localCheckpoint(true)
-      else
+      else {
         // empty fixpoint or cap hit: one honest recount over the final set
-        withSupport(edges).withColumn("converged", lit(converged))
+        val s = withSupport(edges)
+        val cut = s.withColumn("converged", lit(converged))
           .localCheckpoint(true)
+        releaseCheckpoint(s)
+        cut
+      }
     if (atFixpoint != null) releaseCheckpoint(atFixpoint)
     releaseCheckpoint(edges)
     out
@@ -793,14 +839,24 @@ object GraphXTraversal {
                      minQty: Double = 30.0): DataFrame = {
     val g = pairGraph(snap, minQty)
     val e0 = spark.createDataFrame(g.edges.map(e => (e.srcId, e.dstId)))
-      .toDF("a", "b")
+      .toDF("a", "b").localCheckpoint(true)
     val adj = e0.select(col("a").as("v"))
       .unionAll(e0.select(col("b").as("v")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
-    edgeSupport(e0).where(col("support") === 0L)
+    // stage the oriented frame once (r15, same fix as kTrussPeel): the
+    // lazy edgeSupport re-executed its degree aggregation + both
+    // dimension joins 3×; the u-partitioned checkpoint also collapses
+    // the wedge self-join's two exchanges. The bridge-sized result is
+    // materialized so the staging checkpoints can be released here.
+    val o = partitionedCheckpoint(orientedEdges(e0), col("u"))
+    val out = edgeSupportFromOriented(e0, o).where(col("support") === 0L)
       .join(deg.select(col("v").as("a"), col("d").as("deg_a")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("deg_b")), "b")
       .select(col("a"), col("b"), col("deg_a"), col("deg_b"))
+      .localCheckpoint(true)
+    releaseCheckpoint(o)
+    releaseCheckpoint(e0)
+    out
   }
 
   /**
@@ -1040,7 +1096,7 @@ object GraphXTraversal {
       }
     }
 
-  private def weightedEdges(snap: Snapshot, labels: Seq[String]): DataFrame =
+  private[gx] def weightedEdges(snap: Snapshot, labels: Seq[String]): DataFrame =
     wedgeCache.synchronized {
       val key = (snap, labels.sorted)
       val hit = wedgeCache.get(key)
@@ -1052,12 +1108,18 @@ object GraphXTraversal {
         val qty = snap.prop("quantity", PropType.PDouble, A.Edge)
           .groupBy(col("e")).agg(max(col("v")).as("q"))
           .select(col("e").as("id"), col("q"))
-        val built = snap.edges.where(col("label").isin(labels: _*))
-          .select(col("id"), col("outV").as("src"), col("inV").as("dst"))
-          .join(qty, Seq("id"), "left_outer")
-          .select(col("src"), col("dst"),
-            coalesce(col("q"), lit(1.0)).cast("long").as("wt"))
-          .localCheckpoint(true)
+        // pre-partitioned on `dst` (r15, VERDICT r14 item 1): every
+        // Bellman–Ford round joins this edge-scale frame on `dst`
+        // against the vertex-sized tentative-distance frame, so the
+        // preserved HashPartitioning removes one edge-scale exchange per
+        // relaxation round (4 per call, memoized across calls)
+        val built = partitionedCheckpoint(
+          snap.edges.where(col("label").isin(labels: _*))
+            .select(col("id"), col("outV").as("src"), col("inV").as("dst"))
+            .join(qty, Seq("id"), "left_outer")
+            .select(col("src"), col("dst"),
+              coalesce(col("q"), lit(1.0)).cast("long").as("wt")),
+          col("dst"))
         wedgeCache.put(key, built)
         built
       }
@@ -1346,7 +1408,7 @@ object GraphXTraversal {
     * per-u aggregation (count and Σqty together) + one join + one
     * checkpoint — the suite used to build and checkpoint the edge table
     * twice. Callers project the weight column they walk with. */
-  private def contribEdges(snap: Snapshot): DataFrame = contribCache.synchronized {
+  private[gx] def contribEdges(snap: Snapshot): DataFrame = contribCache.synchronized {
     val hit = contribCache.get(snap)
     if (hit != null) hit
     else {
@@ -1393,7 +1455,7 @@ object GraphXTraversal {
       }
     }
 
-  private def vertexFrame(snap: Snapshot): DataFrame = vertsCache.synchronized {
+  private[gx] def vertexFrame(snap: Snapshot): DataFrame = vertsCache.synchronized {
     val hit = vertsCache.get(snap)
     if (hit != null) hit
     else {

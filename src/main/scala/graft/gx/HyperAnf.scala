@@ -138,15 +138,60 @@ object HyperAnf {
     }
   }
 
+  /** The distinct (src, dst) edge frame the systolic rounds walk —
+    * extracted so [[graft.gx.RoundSteps]] can dump a round over the
+    * identical frame. Multi-edges collapse up front: ball membership is
+    * a SET, and the distinct halves the per-round join output on
+    * lineitem-derived labels (part→supplier repeats per lineitem row). */
+  private[gx] def anfEdges(snap: Snapshot, labels: Seq[String]): DataFrame =
+    // pre-partitioned on `dst` (r15, VERDICT r14 item 1): every systolic
+    // round joins this edge-scale frame on `dst` against the changed
+    // frontier, so the preserved HashPartitioning removes one edge-scale
+    // exchange per hop (the distinct's (src,dst) layout satisfies no
+    // dst-keyed join; a plain checkpoint recorded UnknownPartitioning)
+    GraphXTraversal.partitionedCheckpoint(
+      snap.edges.where(col("label").isin(labels: _*))
+        .select(col("outV").as("src"), col("inV").as("dst"))
+        .distinct(),
+      col("dst"))
+
+  /** Round-0 dense registers (un-checkpointed): each vertex's 64-int
+    * array holds exactly its own (j, rho); `changed` marks the initial
+    * frontier. */
+  private[gx] def anfRegs0(edges: DataFrame): DataFrame = {
+    val verts = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
+    val hex = hexOf(col("v"))
+    verts
+      .select(col("v"), regIndex(hex), rho(hex))
+      .select(col("v"),
+        transform(sequence(lit(0), lit(M - 1)),
+          i => when(i === col("j"), col("m")).otherwise(lit(0))).as("regs"),
+        lit(true).as("changed"))
+  }
+
+  /** One Boldi–Vigna systolic round (un-checkpointed): only edges whose
+    * dst CHANGED last round ship its array; merge is element-wise max. */
+  private[gx] def anfRound(edges: DataFrame, regs: DataFrame): DataFrame = {
+    val zeroArr = transform(sequence(lit(0), lit(M - 1)), _ => lit(0))
+    val frontier = regs.where(col("changed"))
+      .select(col("v").as("dst"), col("regs").as("nregs"))
+    val pulled = edges.join(frontier, "dst")
+      .groupBy(col("src").as("v"))
+      .agg(aggregate(collect_list(col("nregs")), zeroArr,
+        (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("pulled"))
+    regs.join(pulled, Seq("v"), "left_outer")
+      .withColumn("nr",
+        when(col("pulled").isNull, col("regs"))
+          .otherwise(zip_with(col("regs"), col("pulled"),
+            (a, b) => greatest(a, b))))
+      .select(col("v"), col("nr").as("regs"),
+        (col("nr") =!= col("regs")).as("changed"))
+  }
+
   private def buildAnf(spark: SparkSession, snap: Snapshot, hops: Int,
                        labels: Seq[String]): DataFrame = {
-    // multi-edges collapse up front: ball membership is a SET, and the
-    // distinct halves the per-round join output on lineitem-derived
-    // labels (part→supplier repeats per lineitem row)
-    val edges = snap.edges.where(col("label").isin(labels: _*))
-      .select(col("outV").as("src"), col("inV").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = anfEdges(snap, labels)
     // Per-round join volume is Σ_edges |regs(dst)| — ~1e9 rows at sf5 —
     // so the operator scales its OWN shuffle width off the edge count
     // (the StreamBench set/restore precedent; 32 global partitions put
@@ -160,9 +205,6 @@ object HyperAnf {
     } catch { case _: NumberFormatException => 0 }
     if (width > 0) spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     try {
-      val verts = edges.select(col("src").as("v"))
-        .unionAll(edges.select(col("dst").as("v"))).distinct()
-      val hex = hexOf(col("v"))
       // DENSE registers — one 64-int array per vertex, the layout the
       // HyperANF paper actually runs (the r14 sf5 catch: a sparse
       // (v,j,M)-row layout checkpointed ~600M rows per frame and
@@ -170,38 +212,16 @@ object HyperAnf {
       // died on disk/OOM at sf5. Dense frames are |V| rows ≈ 25×
       // smaller, the estimate becomes a pure per-row PROJECTION — no
       // second shuffle — and the systolic skip works at vertex
-      // granularity). Round 0: each vertex's array holds exactly its
-      // own (j, rho); `changed` = true marks the initial frontier.
-      var regs = verts
-        .select(col("v"), regIndex(hex), rho(hex))
-        .select(col("v"),
-          transform(sequence(lit(0), lit(M - 1)),
-            i => when(i === col("j"), col("m")).otherwise(lit(0))).as("regs"),
-          lit(true).as("changed"))
-        .localCheckpoint(true)
-      val zeroArr = transform(sequence(lit(0), lit(M - 1)), _ => lit(0))
-      // Boldi–Vigna SYSTOLIC rounds: only edges whose dst CHANGED last
-      // round ship its array (sink-sided edges drop out after round 1;
-      // converged regions go quiet); merge is element-wise max — a
-      // vertex absorbs a neighbour's array once and the skip is exact.
-      // Estimates fold out of each round's frame immediately and the
-      // previous frame is released: at most two |V|-row frames alive.
+      // granularity).
+      var regs = anfRegs0(edges).localCheckpoint(true)
+      // Systolic rounds ([[anfRound]]): sink-sided edges drop out after
+      // round 1; converged regions go quiet; a vertex absorbs a
+      // neighbour's array once and the skip is exact. Estimates fold out
+      // of each round's frame immediately and the previous frame is
+      // released: at most two |V|-row frames alive.
       val estParts = Seq.newBuilder[DataFrame]
       (1 to hops).foreach { h =>
-        val frontier = regs.where(col("changed"))
-          .select(col("v").as("dst"), col("regs").as("nregs"))
-        val pulled = edges.join(frontier, "dst")
-          .groupBy(col("src").as("v"))
-          .agg(aggregate(collect_list(col("nregs")), zeroArr,
-            (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("pulled"))
-        val next = regs.join(pulled, Seq("v"), "left_outer")
-          .withColumn("nr",
-            when(col("pulled").isNull, col("regs"))
-              .otherwise(zip_with(col("regs"), col("pulled"),
-                (a, b) => greatest(a, b))))
-          .select(col("v"), col("nr").as("regs"),
-            (col("nr") =!= col("regs")).as("changed"))
-          .localCheckpoint(true)
+        val next = anfRound(edges, regs).localCheckpoint(true)
         releaseCheckpoint(regs)
         regs = next
         estParts += estimateOf(next, h).localCheckpoint(true)

@@ -476,7 +476,27 @@ object MultimodalOps {
             val cuts = scala.collection.mutable.ArrayBuffer(0)
             var h = 0L
             var i = 0
-            while (i < c.length) {
+            // 8-byte stride (r15, VERDICT r14 item 7): the rolling-hash
+            // recurrence is inherently sequential and the mask test must
+            // run per byte, but unrolling 8 steps per trip amortizes the
+            // loop-control branch — the remaining per-byte term of
+            // cdc_invariants at sf5 after the r14 single-pass fix.
+            // Bit-identical by construction: same recurrence, same test,
+            // same cut offsets, only the trip count changes.
+            val n = c.length
+            val lim = n - 7
+            while (i < lim) {
+              h = (h << 1) + Gear(c(i) & 0xFF); if ((h & mask) == 0L) cuts += i + 1
+              h = (h << 1) + Gear(c(i + 1) & 0xFF); if ((h & mask) == 0L) cuts += i + 2
+              h = (h << 1) + Gear(c(i + 2) & 0xFF); if ((h & mask) == 0L) cuts += i + 3
+              h = (h << 1) + Gear(c(i + 3) & 0xFF); if ((h & mask) == 0L) cuts += i + 4
+              h = (h << 1) + Gear(c(i + 4) & 0xFF); if ((h & mask) == 0L) cuts += i + 5
+              h = (h << 1) + Gear(c(i + 5) & 0xFF); if ((h & mask) == 0L) cuts += i + 6
+              h = (h << 1) + Gear(c(i + 6) & 0xFF); if ((h & mask) == 0L) cuts += i + 7
+              h = (h << 1) + Gear(c(i + 7) & 0xFF); if ((h & mask) == 0L) cuts += i + 8
+              i += 8
+            }
+            while (i < n) {
               h = (h << 1) + Gear(c(i) & 0xFF)
               if ((h & mask) == 0L) cuts += i + 1
               i += 1

@@ -450,29 +450,39 @@ object VectorOps {
     val vecs = corpus.select(col("vec_id"), dvec(col("embedding")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // deterministic init: the k lowest vec_ids
-    var centroids: Array[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
-      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toSeq)
-
-    def centroidDF(): DataFrame =
-      broadcast(centroids.toSeq.zipWithIndex.map { case (c, j) => (j, c) }
-        .toDF("cell", "cv"))
+    // deterministic init: the k lowest vec_ids, cells 0..k−1 in id order.
+    // Centroid state is a k-row DATAFRAME end to end (r15, VERDICT r14
+    // item 3): the former Array[Seq[Double]] round-tripped k×dims doubles
+    // through the driver once per Lloyd iteration — a driver barrier and
+    // a transfer that grows with k·dims (a 10⁴-cell × 10³-dim quantizer
+    // is ~80 MB through one process per iteration). The k-row eager
+    // checkpoint keeps the same per-iteration job count (the collect WAS
+    // a job) with no driver data path; every float is produced by the
+    // identical avg() aggregation, so the centroids are bit-identical.
+    // The limit(k) output is a single task, so the row_number window
+    // needs no global sort shuffle.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    var centroids: DataFrame = vecs.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).as("cell"), col("v").as("cv"))
+      .localCheckpoint(true)
 
     // nearest-centroid assignment on (vec_id, v): k scored rows per vector
     // from the broadcast join, folded back to one by a hash aggregation
     // whose map-side partials run BEFORE the shuffle (ties → lowest cell)
     def assign(df: DataFrame): DataFrame =
-      df.join(centroidDF(), lit(true))
+      df.join(broadcast(centroids), lit(true))
         .select(col("vec_id"), col("v"), col("cell"),
           cosineBest(spark, col("v"), col("cv")).as("s"))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"), struct(col("s"), -col("cell"))).as("cell"),
           first(col("v")).as("v"))
 
-    // Lloyd iterations on a sample; centroid state stays driver-side
-    // (k×dims doubles), the heavy work is the sampled assignment scan.
-    // Same sparse-id guard as pqTrain: an empty residue class falls back
-    // to the full corpus instead of skipping every Lloyd update.
+    // Lloyd iterations on a sample; the heavy work is the sampled
+    // assignment scan, the new centroid table is k rows folded from a
+    // (cell, dim)-keyed avg — never collected. Same sparse-id guard as
+    // pqTrain: an empty residue class falls back to the full corpus.
+    // An empty CELL keeps its previous centroid (the left_outer +
+    // coalesce, exactly the old means.getOrElse(j, centroids(j))).
     val sample0 = vecs.where(pmod(col("vec_id"), lit(5)) === 0)
     val sample = if (sample0.limit(1).isEmpty) vecs else sample0
     (1 to iters).foreach { _ =>
@@ -480,12 +490,14 @@ object VectorOps {
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
-        .agg(map_from_entries(collect_list(struct(col("i"), col("m")))).as("mm"))
-        .collect().map { r =>
-          val mm = r.getAs[Map[Int, Double]]("mm")
-          r.getAs[Int]("cell") -> (0 until mm.size).map(mm)
-        }.toMap
-      centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j))).toArray
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("es"))
+        .select(col("cell"), expr("transform(es, e -> e.m)").as("nv"))
+      val next = centroids
+        .join(means, Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+      releaseCheckpoint(centroids)
+      centroids = next
     }
 
     val indexed = assign(vecs)
@@ -493,7 +505,9 @@ object VectorOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     indexed.count() // materialize before releasing the staging cache
     vecs.unpersist(false)
-    IvfIndex(centroidDF(), indexed, k)
+    // the k-row centroid checkpoint stays pinned with the index (the
+    // IvfCache memo holds it for the session, like `indexed`)
+    IvfIndex(centroids, indexed, k)
   }
 
   /** Probe a trained [[IvfIndex]]: each query visits its `nProbe` nearest
@@ -953,7 +967,7 @@ object VectorOps {
     val vecs = newVectors.select(col("vec_id"), dvec(col("embedding")).as("v"))
     // same broadcast nearest-centroid assignment as ivfBuild: k scored
     // rows per vector, folded map-side before the shuffle
-    val assigned = vecs.join(index.centroids, lit(true))
+    val assigned = vecs.join(broadcast(index.centroids), lit(true))
       .select(col("vec_id"), col("v"), col("cell"),
         cosineBest(newVectors.sparkSession, col("v"), col("cv")).as("s"))
       .groupBy(col("vec_id"))
